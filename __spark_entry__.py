@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(or a §6-style data-pipeline extension); ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL.  Column names and rounding are aligned on
+both sides (the driver hash-compares values after sorting columns by
+name).
+
+Float policy: aggregates of many doubles are rounded (2 decimals for
+big sums, 6 for per-row math) on BOTH sides so cross-engine summation
+order cannot flip the hash.  Integer/hash/symbol outputs are exact.
 """
 
 from __future__ import annotations
@@ -12,27 +16,880 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from tslearn_spark.session import load_tables
+from tslearn_spark.stats import sax_breakpoints
+
+SAX_ALPHABET = 4
+SAX_SEGMENTS = 8
+_BPS = [float(x) for x in sax_breakpoints(SAX_ALPHABET)]  # [-0.6744..., 0.0, 0.6744...]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> univariate ts DataFrame keyed by user_id, ordered by
+    (ts, event_id) for a deterministic total order."""
+    from tslearn_spark.dataset import events_to_ts
+
+    t = load_tables(spark, sf_dir)
+    return events_to_ts(t["events"])
+
+
+_EVENTS_LONG_SQL = """
+    SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+           value
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries (Spark SQL passthrough — SURVEY.md §7 Phase 0)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                   AS sum_qty,
+               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                   AS avg_qty,
+               round(avg(l_extendedprice), 4)                              AS avg_price,
+               round(avg(l_discount), 4)                                   AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               cast(o.o_orderdate as string) AS orderdate,
+               o.o_orderpriority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM region r
+        JOIN nation n    ON n.n_regionkey = r.r_regionkey
+        JOIN customer c  ON c.c_nationkey = n.n_nationkey
+        JOIN orders o    ON o.o_custkey   = c.c_custkey
+        JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s  ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rnk
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+          FROM customer
+        )
+        WHERE rnk <= 5
+        """
+    )
+
+
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT cast(date_trunc('hour', ts) as string) AS hour,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        """
+    )
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price,
+               round(min(p_retailprice), 2) AS min_price,
+               round(max(p_retailprice), 2) AS max_price,
+               round(avg(p_size), 4) AS avg_size
+        FROM part
+        GROUP BY p_brand
+        """
+    )
+
+
+def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               o.o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name, o.o_orderstatus
+        """
+    )
+
+
+def orders_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series operators over the events table (SURVEY.md §2.2/2.3/2.4/2.6)
+# ---------------------------------------------------------------------------
+
+def ts_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeriesScalerMeanVariance on the nested layout, exploded back to
+    long for the oracle (preprocessing.py:204-298)."""
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = _events_series(spark, sf_dir)
+    z = transform_mean_variance(ts, out_col="zvalues")
+    return z.select(
+        F.col("series_id").alias("user_id"),
+        F.posexplode("zvalues").alias("t", "point"),
+    ).select("user_id", "t", F.round(F.col("point")[0], 6).alias("zvalue"))
+
+
+def ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.preprocessing import transform_min_max
+
+    ts = _events_series(spark, sf_dir)
+    z = transform_min_max(ts, out_col="mvalues")
+    return z.select(
+        F.col("series_id").alias("user_id"),
+        F.posexplode("mvalues").alias("t", "point"),
+    ).select("user_id", "t", F.round(F.col("point")[0], 6).alias("mvalue"))
+
+
+def ts_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LB_Keogh envelope (radius 2) as window frames (dtw_variants.py:1299)."""
+    from tslearn_spark.metrics import envelope_cols
+
+    ts = _events_series(spark, sf_dir)
+    lo, up = envelope_cols("values", radius=2)
+    env = ts.select("series_id", lo.alias("lo"), up.alias("up"))
+    return (
+        env.select(
+            F.col("series_id").alias("user_id"),
+            F.arrays_zip(F.col("lo"), F.col("up")).alias("z"),
+        )
+        .select("user_id", F.posexplode("z").alias("t", "e"))
+        .select(
+            "user_id", "t",
+            F.round(F.col("e.lo"), 6).alias("env_lower"),
+            F.round(F.col("e.up"), 6).alias("env_upper"),
+        )
+    )
+
+
+def ts_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA segment means, 8 segments/user (piecewise.py:143-153)."""
+    from tslearn_spark.piecewise import paa_col
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    paa = ts.select("series_id", paa_col("values", SAX_SEGMENTS).alias("paa"))
+    return paa.select(
+        F.col("series_id").alias("user_id"), F.posexplode("paa").alias("seg", "m")
+    ).select("user_id", "seg", F.round(F.col("m")[0], 6).alias("seg_mean"))
+
+
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-scale + PAA + Gaussian-breakpoint quantization (piecewise.py:261-505)."""
+    from tslearn_spark.piecewise import SAX
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    z = transform_mean_variance(ts)
+    sax = SAX(n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET).fit(z)
+    out = sax.transform(z)
+    return out.select(
+        F.col("series_id").alias("user_id"), F.posexplode("sax").alias("seg", "s")
+    ).select("user_id", "seg", F.col("s")[0].cast("int").alias("symbol"))
+
+
+def ts_barycenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positionwise mean across series (euclidean.py:8-43) — pure SQL."""
+    from tslearn_spark.barycenters import euclidean_barycenter_df
+
+    ts = _events_series(spark, sf_dir)
+    b = euclidean_barycenter_df(ts)
+    return b.select("t", F.round(F.col("value"), 6).alias("bary_value"))
+
+
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample to 16 points (preprocessing.py:15-100)."""
+    from tslearn_spark.preprocessing import resample
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= 2)
+    r = resample(ts, 16, out_col="rvalues")
+    return r.select(
+        F.col("series_id").alias("user_id"), F.posexplode("rvalues").alias("t", "p")
+    ).select("user_id", "t", F.round(F.col("p")[0], 6).alias("rvalue"))
+
+
+def ts_paa_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PAA distance (piecewise.py:191-213) between user series —
+    a similarity join that is pure SQL end-to-end."""
+    from tslearn_spark.piecewise import paa_col, paa_distance_col
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    paa = ts.select(
+        "series_id", paa_col("values", SAX_SEGMENTS).alias("paa"), F.size("values").alias("sz")
+    )
+    a = paa.select(
+        F.col("series_id").alias("id1"), F.col("paa").alias("paa1"), F.col("sz").alias("sz1")
+    )
+    b = paa.select(
+        F.col("series_id").alias("id2"), F.col("paa").alias("paa2")
+    )
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    # reference scales by sqrt(fit_sz / n); use each pair's left sz for parity
+    return pairs.select(
+        "id1", "id2",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(paa1, paa2, (x, y) -> "
+                    "(x[0] - y[0]) * (x[0] - y[0])), 0.0D, (a, v) -> a + v)"
+                )
+                * F.col("sz1") / F.lit(float(SAX_SEGMENTS))
+            ),
+            6,
+        ).alias("paa_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-pipeline operators (SURVEY.md §7 Phase 6)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import exact_duplicates
+
+    t = load_tables(spark, sf_dir)
+    return exact_duplicates(t["documents"])
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup join.  Shingles (not unigrams)
+    because the corpus vocabulary is tiny (~31 words): unigram inverted
+    indexes degenerate to O(n^2) when every token is hot; trigrams keep
+    document frequencies low so the index join scales."""
+    from tslearn_spark.pipeline import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    out = ngram_jaccard_pairs(t["documents"], n_shingle=3, threshold=0.5)
+    return out.select(
+        "id1", "id2", "inter", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import minhash_signatures
+
+    t = load_tables(spark, sf_dir)
+    sig = minhash_signatures(t["documents"], num_hashes=16, seed=42)
+    return sig.select("doc_id", F.posexplode("sig").alias("h_idx", "minhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import simhash_signatures
+
+    t = load_tables(spark, sf_dir)
+    return simhash_signatures(t["documents"], bits=32)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import language_id
+
+    t = load_tables(spark, sf_dir)
+    return language_id(t["documents"])
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import quality_scores
+
+    t = load_tables(spark, sf_dir)
+    q = quality_scores(t["documents"])
+    return q.select(
+        "doc_id", "n_chars_q", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import token_counts
+
+    t = load_tables(spark, sf_dir)
+    return token_counts(t["documents"])
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import document_fingerprints
+
+    t = load_tables(spark, sf_dir)
+    return document_fingerprints(t["documents"], window=8)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tslearn_spark.pipeline import brute_force_topk
+
+    t = load_tables(spark, sf_dir)
+    out = brute_force_topk(t["embeddings"], t["embeddings"], k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN DTW classification, synthetic labels = user_id % 3
+    (neighbors.py:353-562).  DP kernel -> no SQL oracle."""
+    from tslearn_spark.neighbors import knn_classify
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = transform_mean_variance(_events_series(spark, sf_dir))
+    labeled = ts.withColumn("label", (F.col("series_id") % 3).cast("string"))
+    train = labeled.where(F.col("series_id") % 2 == 0)
+    test = labeled.where(F.col("series_id") % 2 == 1)
+    return knn_classify(test, train, k=1, metric="dtw", sakoe_chiba_radius=5)
+
+
+def matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile m=8 per user series (matrix_profile.py:25-253)."""
+    from tslearn_spark import matrix_profile as MP
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= 16)
+    prof = MP.transform(ts, subsequence_length=8, scale=False)
+    return prof.select(
+        F.col("series_id").alias("user_id"), F.posexplode("profile").alias("t", "mp")
+    ).select("user_id", "t", F.round("mp", 6).alias("mp"))
+
+
+def cdist_dtw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-DTW cross matrix over 20 users (dtw_variants.py:1130-1222)."""
+    from tslearn_spark.metrics import cdist
+
+    ts = _events_series(spark, sf_dir).where(F.col("series_id") < 20)
+    return cdist(ts, metric="dtw", sakoe_chiba_radius=5).select(
+        "id1", "id2", F.round("dist", 6).alias("dtw")
+    )
+
+
+def metrics_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """softdtw/gak/lcss/ncc over 10 users' pairs — DP kernels, rows-only."""
+    from tslearn_spark.metrics import pair_metric_udf, self_pairs
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = transform_mean_variance(
+        _events_series(spark, sf_dir).where(F.col("series_id") < 10)
+    )
+    pairs = self_pairs(ts)
+    return pairs.select(
+        "id1", "id2",
+        F.round(pair_metric_udf("softdtw", gamma=1.0)("values1", "values2"), 4).alias("softdtw"),
+        F.round(pair_metric_udf("gak", sigma=5.0)("values1", "values2"), 6).alias("gak"),
+        F.round(pair_metric_udf("lcss", eps=0.5)("values1", "values2"), 6).alias("lcss"),
+        F.round(pair_metric_udf("sbd")("values1", "values2"), 6).alias("sbd"),
+    )
+
+
+def dba_barycenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBA over 10 z-normed user series (dba.py:394-511) — iterative."""
+    import numpy as np
+
+    from tslearn_spark.barycenters import dtw_barycenter_averaging
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+
+    ts = transform_mean_variance(
+        resample(_events_series(spark, sf_dir).where(F.col("series_id") < 10), 32)
+    ).cache()
+    center = dtw_barycenter_averaging(ts, barycenter_size=32, max_iter=5)
+    rows = [(int(i), float(np.round(v[0], 6))) for i, v in enumerate(center)]
+    return spark.createDataFrame(rows, "t int, bary double")
+
+
+def kmeans_euclidean_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeriesKMeans(metric=euclidean) on resampled series (kmeans.py:471-859)."""
+    from tslearn_spark.clustering import TimeSeriesKMeans
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+
+    ts = transform_mean_variance(
+        resample(_events_series(spark, sf_dir), 16)
+    )
+    km = TimeSeriesKMeans(n_clusters=3, metric="euclidean", max_iter=5, random_state=0)
+    km.fit(ts)
+    return km.predict(ts).select("series_id", "cluster")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate ANN — the scale path (rows-only)."""
+    from tslearn_spark.pipeline import lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def stream_tumbling_paa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window PAA, exercised in batch mode (same plan)."""
+    from tslearn_spark.streaming import stream_tumbling_paa
+
+    t = load_tables(spark, sf_dir)
+    out = stream_tumbling_paa(t["events"], window_duration="1 hour")
+    return out.select(
+        "user_id",
+        F.col("win_start").cast("string").alias("win_start"),
+        F.round("segment_mean", 4).alias("segment_mean"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: z-normalize series; 1-NN banded-DTW classification
+    (SURVEY.md §7 Phase 1 slice) on sf0.001."""
+    return knn_dtw_classify(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational passthrough
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "top_customers_per_segment": top_customers_per_segment,
+        "events_hourly_stats": events_hourly_stats,
+        "part_brand_stats": part_brand_stats,
+        "nation_order_rollup": nation_order_rollup,
+        "orders_priority_dist": orders_priority_dist,
+        # time-series operators
+        "ts_znorm": ts_znorm,
+        "ts_minmax": ts_minmax,
+        "ts_envelope": ts_envelope,
+        "ts_paa": ts_paa,
+        "ts_sax": ts_sax,
+        "ts_barycenter": ts_barycenter,
+        "ts_resample": ts_resample,
+        "ts_paa_dist_pairs": ts_paa_dist_pairs,
+        # data-pipeline operators
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "text_langid": text_langid,
+        "text_quality": text_quality,
+        "text_token_counts": text_token_counts,
+        "text_fingerprints": text_fingerprints,
+        "ann_cosine_topk": ann_cosine_topk,
+        # non-SQL-expressible (rows-only)
+        "knn_dtw_classify": knn_dtw_classify,
+        "matrix_profile_events": matrix_profile_events,
+        "cdist_dtw_sample": cdist_dtw_sample,
+        "metrics_pair_sample": metrics_pair_sample,
+        "dba_barycenter_sample": dba_barycenter_sample,
+        "kmeans_euclidean_clusters": kmeans_euclidean_clusters,
+        "ann_lsh_topk": ann_lsh_topk,
+        "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _minhash_coef_values() -> str:
+    from tslearn_spark.pipeline.dedup import minhash_coefficients
+
+    coefs = minhash_coefficients(16, seed=42)
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coefs))
+
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+_EN_STOP = "['the','and','of','to','in','is','that','it','for','was']"
+_DE_STOP = "['der','die','und','das','ist','nicht','ein','mit','auf','sich']"
+_FR_STOP = "['le','la','les','et','des','est','dans','que','pour','une']"
+_ES_STOP = "['el','la','los','las','es','en','un','una','por','para']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bp = _BPS  # SAX breakpoints, identical literals on both sides
+    seg = SAX_SEGMENTS
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   o.o_orderdate::VARCHAR AS orderdate,
+                   o.o_orderpriority
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r.r_name AS region_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM region r
+            JOIN nation n   ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o   ON o.o_custkey   = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+            GROUP BY r.r_name
+        """,
+        "top_customers_per_segment": """
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rnk::INT AS rnk
+            FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+              FROM customer
+            ) t WHERE rnk <= 5
+        """,
+        "events_hourly_stats": """
+            SELECT date_trunc('hour', ts)::VARCHAR AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   round(min(p_retailprice), 2) AS min_price,
+                   round(max(p_retailprice), 2) AS max_price,
+                   round(avg(p_size), 4) AS avg_size
+            FROM part GROUP BY p_brand
+        """,
+        "nation_order_rollup": """
+            SELECT n.n_name AS nation_name, o.o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM nation n
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o   ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_name, o.o_orderstatus
+        """,
+        "orders_priority_dist": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "ts_znorm": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            st AS (
+              SELECT user_id, avg(value) AS mu,
+                     CASE WHEN stddev_pop(value) = 0 OR stddev_pop(value) IS NULL
+                          THEN 1.0 ELSE stddev_pop(value) END AS sd
+              FROM s GROUP BY user_id
+            )
+            SELECT s.user_id, s.t::INT AS t, round((s.value - st.mu) / st.sd, 6) AS zvalue
+            FROM s JOIN st ON s.user_id = st.user_id
+        """,
+        "ts_minmax": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            st AS (
+              SELECT user_id, min(value) AS mn,
+                     CASE WHEN max(value) - min(value) = 0 THEN 1.0
+                          ELSE max(value) - min(value) END AS rng
+              FROM s GROUP BY user_id
+            )
+            SELECT s.user_id, s.t::INT AS t, round((s.value - st.mn) / st.rng, 6) AS mvalue
+            FROM s JOIN st ON s.user_id = st.user_id
+        """,
+        "ts_envelope": f"""
+            WITH s AS ({_EVENTS_LONG_SQL})
+            SELECT user_id, t::INT AS t,
+                   round(min(value) OVER w, 6) AS env_lower,
+                   round(max(value) OVER w, 6) AS env_upper
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY t
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+        "ts_paa": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            sz AS (SELECT user_id, count(*) AS n FROM s GROUP BY user_id
+                   HAVING count(*) >= {seg})
+            SELECT s.user_id, (s.t // (sz.n // {seg}))::INT AS seg,
+                   round(avg(s.value), 6) AS seg_mean
+            FROM s JOIN sz ON s.user_id = sz.user_id
+            WHERE s.t < (sz.n // {seg}) * {seg}
+            GROUP BY s.user_id, s.t // (sz.n // {seg})
+        """,
+        "ts_sax": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            st AS (
+              SELECT user_id, avg(value) AS mu,
+                     CASE WHEN stddev_pop(value) = 0 OR stddev_pop(value) IS NULL
+                          THEN 1.0 ELSE stddev_pop(value) END AS sd,
+                     count(*) AS n
+              FROM s GROUP BY user_id HAVING count(*) >= {seg}
+            ),
+            z AS (
+              SELECT s.user_id, s.t, (s.value - st.mu) / st.sd AS z, st.n
+              FROM s JOIN st ON s.user_id = st.user_id
+              WHERE s.t < (st.n // {seg}) * {seg}
+            ),
+            paa AS (
+              SELECT user_id, (t // (n // {seg}))::INT AS seg, avg(z) AS m
+              FROM z GROUP BY user_id, t // (n // {seg})
+            )
+            SELECT user_id, seg,
+                   (CASE WHEN m >= {bp[0]!r} THEN 1 ELSE 0 END
+                    + CASE WHEN m >= {bp[1]!r} THEN 1 ELSE 0 END
+                    + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
+            FROM paa
+        """,
+        "ts_barycenter": f"""
+            WITH s AS ({_EVENTS_LONG_SQL})
+            SELECT t::INT AS t, round(sum(value * 1.0) / sum(1.0), 6) AS bary_value
+            FROM s GROUP BY t
+        """,
+        "ts_resample": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
+                    FROM s GROUP BY user_id HAVING count(*) >= 2)
+            SELECT user_id, i::INT AS t,
+                   round(
+                     v[(floor(i * (n - 1) / 15.0))::INT + 1]
+                       * (1.0 - (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)))
+                     + v[(ceil(i * (n - 1) / 15.0))::INT + 1]
+                       * (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)),
+                   6) AS rvalue
+            FROM arr, range(16) r(i)
+        """,
+        "ts_paa_dist_pairs": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            sz AS (SELECT user_id, count(*) AS n FROM s GROUP BY user_id
+                   HAVING count(*) >= {seg}),
+            paa AS (
+              SELECT s.user_id, (s.t // (sz.n // {seg}))::INT AS seg,
+                     avg(s.value) AS m, max(sz.n) AS n
+              FROM s JOIN sz ON s.user_id = sz.user_id
+              WHERE s.t < (sz.n // {seg}) * {seg}
+              GROUP BY s.user_id, s.t // (sz.n // {seg})
+            )
+            SELECT a.user_id AS id1, b.user_id AS id2,
+                   round(sqrt(sum((a.m - b.m) * (a.m - b.m)) * max(a.n) / {float(seg)}), 6)
+                     AS paa_dist
+            FROM paa a JOIN paa b ON a.seg = b.seg AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS h,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM words, unnest(list_transform(
+                     range(1, greatest(len(tk) - 1, 2)),
+                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS t(tok)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id1, id2, inter, s1.n_tok AS n1, s2.n_tok AS n2,
+                   round(inter * 1.0 / (s1.n_tok + s2.n_tok - inter), 6) AS jaccard
+            FROM common
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
+        """,
+        "dedup_minhash": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM documents, unnest({_TOKS}) AS t(tok)
+            ),
+            tid AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS tid FROM tok
+            ),
+            coef(h_idx, a, b) AS (VALUES {_minhash_coef_values()})
+            SELECT doc_id, h_idx,
+                   min((a * tid + b) % 2147483647) AS minhash
+            FROM tid, coef
+            GROUP BY doc_id, h_idx
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM documents, unnest({_TOKS}) AS t(tok)
+            ),
+            tid AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tid FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, b.i AS bit,
+                     sum(CASE WHEN (tid >> b.i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM tid, range(32) b(i)
+              GROUP BY doc_id, b.i
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT
+                     AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "text_langid": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                     len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) AS h_en,
+                     len(list_filter(toks, t -> list_contains({_DE_STOP}, t))) AS h_de,
+                     len(list_filter(toks, t -> list_contains({_FR_STOP}, t))) AS h_fr,
+                     len(list_filter(toks, t -> list_contains({_ES_STOP}, t))) AS h_es
+              FROM tok
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unknown'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   greatest(h_en, h_de, h_fr, h_es)::INT AS score
+            FROM hits
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text)::INT AS n_chars_q,
+                   len({_TOKS})::INT AS n_words,
+                   round(length(text) * 1.0 / greatest(len({_TOKS}), 1), 6) AS mean_word_len,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS upper_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) * 1.0
+                         / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS})::INT AS n_words,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))::INT
+                     AS n_ws_tokens,
+                   list_aggregate(
+                     list_transform({_TOKS}, w -> ceil(length(w) / 4.0)::BIGINT),
+                     'sum')::BIGINT AS n_subwords
+            FROM documents
+        """,
+        "text_fingerprints": """
+            -- range() needs constant bounds in DuckDB; 4096 safely exceeds
+            -- the documents.text max length at every sf
+            WITH grams AS (
+              SELECT d.doc_id,
+                     ('0x' || substr(md5(substr(d.text, i.i::INT + 1, 8)), 1, 15))::BIGINT AS g
+              FROM documents d, range(4096) i(i)
+              WHERE i.i <= greatest(length(d.text) - 8, 0)
+            )
+            SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+              GROUP BY a.vec_id, b.vec_id
+            ),
+            cos AS (
+              SELECT query_id, neighbor_id,
+                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0 ELSE na.nrm * nb.nrm END)
+                       AS cosine
+              FROM dots
+              JOIN norms na ON na.vec_id = query_id
+              JOIN norms nb ON nb.vec_id = neighbor_id
+            ),
+            rk AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM cos
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+            FROM rk WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced through the noop sink so the full plan (including
+projections Catalyst would prune under count()) executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from tslearn_spark import get_spark
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_hourly_stats",
+    "top_customers_per_segment",
+    # time-series operators (SQL-native path)
+    "ts_znorm",
+    "ts_paa",
+    "ts_sax",
+    "ts_envelope",
+    "ts_barycenter",
+    "ts_resample",
+    # data-pipeline operators
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "text_quality",
+    "text_fingerprints",
+    "ann_cosine_topk",
+    # UDF kernel path
+    "cdist_dtw_sample",
+    "matrix_profile_events",
+    "knn_dtw_classify",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

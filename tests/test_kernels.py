@@ -1,0 +1,243 @@
+"""Kernel goldens from the reference doctests/tests (FIXTURES.md §2).
+
+Reference citations are per-test; tolerances follow
+tslearn/tests/test_metrics.py:38 (atol 1e-5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tslearn_spark import kernels as K
+
+
+class TestDTW:
+    def test_quartet_goldens(self):
+        # dtw_variants.py:1200-1205 cdist_dtw doctests
+        assert K.dtw([1, 2, 2, 3], [1, 2, 3, 4]) == pytest.approx(1.0)
+        assert K.dtw([1, 2, 2, 3], [1, 2, 3]) == pytest.approx(0.0)
+        assert K.dtw([1, 2, 2, 3], [2, 3, 4, 5]) == pytest.approx(2.44948974)
+        assert K.dtw([1, 2, 3, 4], [1, 2, 3]) == pytest.approx(1.0)
+        assert K.dtw([1, 2, 3, 4], [2, 3, 4, 5]) == pytest.approx(1.41421356)
+
+    def test_path_golden(self):
+        # dtw_variants.py:168-172
+        path, dist = K.dtw_path([1, 2, 3], [1.0, 2.0, 2.0, 3.0])
+        assert path == [(0, 0), (1, 1), (1, 2), (2, 3)]
+        assert dist == pytest.approx(0.0)
+
+    def test_path_score_consistency(self):
+        # test_metrics.py:24-25 property
+        rs = np.random.RandomState(0)
+        for _ in range(5):
+            a, b = rs.randn(20, 2), rs.randn(15, 2)
+            _, d1 = K.dtw_path(a, b)
+            assert d1 == pytest.approx(K.dtw(a, b))
+
+    def test_band_matches_unconstrained_when_wide(self):
+        rs = np.random.RandomState(1)
+        a, b = rs.randn(12), rs.randn(12)
+        assert K.dtw(a, b, sakoe_chiba_radius=12) == pytest.approx(K.dtw(a, b))
+
+    def test_band_increases_distance(self):
+        rs = np.random.RandomState(2)
+        a, b = rs.randn(30), rs.randn(30)
+        assert K.dtw(a, b, sakoe_chiba_radius=1) >= K.dtw(a, b) - 1e-12
+
+    def test_itakura(self):
+        rs = np.random.RandomState(3)
+        a, b = rs.randn(20), rs.randn(20)
+        d = K.dtw(a, b, global_constraint="itakura", itakura_max_slope=2.0)
+        assert d >= K.dtw(a, b) - 1e-12
+        assert np.isfinite(d)
+
+    def test_multivariate(self):
+        a = [[1, 1], [2, 2], [3, 3]]
+        b = [[1, 1], [2, 2], [2, 2], [3, 3]]
+        assert K.dtw(a, b) == pytest.approx(0.0)
+
+    def test_nan_padding_trimmed(self):
+        assert K.dtw([1, 2, 3, np.nan], [1, 2, 3]) == pytest.approx(0.0)
+
+
+class TestLimitedWarpingLength:
+    def test_ldtw_geq_dtw_and_converges(self):
+        # test_metrics.py:74-113 property
+        rs = np.random.RandomState(0)
+        a, b = rs.randn(8), rs.randn(8)
+        base = K.dtw(a, b)
+        prev = np.inf
+        for L in range(8, 16):
+            d = K.dtw_limited_warping_length(a, b, L)
+            assert d >= base - 1e-10
+            assert d <= prev + 1e-10
+            prev = d
+        assert K.dtw_limited_warping_length(a, b, 15) == pytest.approx(base)
+
+    def test_raises_too_short(self):
+        with pytest.raises(ValueError):
+            K.dtw_limited_warping_length([1, 2, 3], [1, 2, 3, 4], 3)
+
+    def test_path_variant(self):
+        path, d = K.dtw_path_limited_warping_length([1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0], 5)
+        assert d == pytest.approx(K.dtw_limited_warping_length([1, 2, 2, 3], [1, 2, 3, 4], 5))
+        assert len(path) <= 5
+        assert path[0] == (0, 0) and path[-1] == (3, 3)
+
+
+class TestSubsequence:
+    def test_golden(self):
+        # dtw_variants.py:896-901
+        path, dist = K.dtw_subsequence_path([2.0, 3.0], [1.0, 2.0, 2.0, 3.0, 4.0])
+        assert path == [(0, 2), (1, 3)]
+        assert dist == pytest.approx(0.0)
+
+
+class TestEnvelopeLB:
+    def test_lb_keogh_golden(self):
+        # dtw_variants.py:1261-1270
+        assert K.lb_keogh([0, 0, 0, 0, 0], [1, 2, 3, 2, 1], radius=1) == pytest.approx(
+            2.8284271247461903
+        )
+
+    def test_envelope(self):
+        lo, up = K.lb_envelope([1, 2, 3, 2, 1], radius=1)
+        np.testing.assert_allclose(lo.ravel(), [1, 1, 2, 1, 1])
+        np.testing.assert_allclose(up.ravel(), [2, 3, 3, 3, 2])
+
+    def test_lb_bounds_dtw(self):
+        rs = np.random.RandomState(4)
+        for _ in range(10):
+            a, b = rs.randn(25), rs.randn(25)
+            lb = K.lb_keogh(a, b, radius=2)
+            d = K.dtw(a, b, sakoe_chiba_radius=2)
+            assert lb <= d + 1e-9
+
+
+class TestLCSS:
+    def test_golden(self):
+        # dtw_variants.py:1495-1503
+        assert K.lcss([1.0, 2.0, 3.0], [-2.0, 5.0, 7.0], eps=3) == pytest.approx(2.0 / 3.0)
+
+    def test_identical(self):
+        assert K.lcss([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == pytest.approx(1.0)
+
+    def test_path(self):
+        path, sim = K.lcss_path([1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0])
+        assert sim == pytest.approx(1.0)
+        assert len(path) == 3
+
+
+class TestSoftDTW:
+    def test_golden(self):
+        # softdtw_variants.py:353-356
+        assert K.soft_dtw([1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0], gamma=1.0) == pytest.approx(
+            -0.89, abs=0.01
+        )
+
+    def test_gamma_zero_is_squared_dtw(self):
+        rs = np.random.RandomState(5)
+        a, b = rs.randn(10), rs.randn(12)
+        assert K.soft_dtw(a, b, gamma=0.0) == pytest.approx(K.dtw(a, b) ** 2)
+
+    def test_alignment_rowsums(self):
+        # E entries in [0,1]; score consistent with forward pass
+        a, b = [1.0, 2.0, 3.0], [1.0, 2.5, 3.0]
+        E, score = K.soft_dtw_alignment(a, b, gamma=1.0)
+        assert score == pytest.approx(K.soft_dtw(a, b, gamma=1.0))
+        assert (E >= -1e-12).all() and (E <= 1 + 1e-12).all()
+
+    def test_grad_finite_diff(self):
+        rs = np.random.RandomState(6)
+        Z, X = rs.randn(5, 1), rs.randn(6, 1)
+        val, g = K.soft_dtw_grad(Z, X, gamma=1.0)
+        eps = 1e-6
+        for i in range(5):
+            Zp = Z.copy()
+            Zp[i, 0] += eps
+            vp, _ = K.soft_dtw_grad(Zp, X, gamma=1.0)
+            fd = (vp - val) / eps
+            assert fd == pytest.approx(g[i, 0], abs=1e-3)
+
+
+class TestGAK:
+    def test_golden(self):
+        # softdtw_variants.py:122-123
+        assert K.gak([1, 2, 3], [1.0, 2.0, 2.0, 3.0], sigma=2.0) == pytest.approx(
+            0.839, abs=0.001
+        )
+
+    def test_self_is_one(self):
+        rs = np.random.RandomState(7)
+        a = rs.randn(10)
+        assert K.gak(a, a, sigma=1.5) == pytest.approx(1.0)
+
+    def test_symmetry(self):
+        rs = np.random.RandomState(8)
+        a, b = rs.randn(9), rs.randn(11)
+        assert K.gak(a, b, 2.0) == pytest.approx(K.gak(b, a, 2.0))
+
+
+class TestNCC:
+    def test_self_max_is_one(self):
+        rs = np.random.RandomState(9)
+        a = rs.randn(16)
+        assert K.normalized_cc_max(a, a) == pytest.approx(1.0)
+
+    def test_shift_invariance(self):
+        a = np.zeros(16)
+        a[4:8] = [1, 2, 3, 2]
+        b = np.zeros(16)
+        b[10:14] = [1, 2, 3, 2]
+        assert K.normalized_cc_max(a, b) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestCTW:
+    def test_symmetry_and_identity(self):
+        # test_metrics.py:55-58 symmetry property
+        from tslearn_spark.metrics.ctw import ctw
+
+        rs = np.random.RandomState(10)
+        a, b = rs.randn(10, 1), rs.randn(12, 1)
+        assert ctw(a, a) == pytest.approx(0.0, abs=1e-6)
+        assert ctw(a, b) == pytest.approx(ctw(b, a), rel=1e-3)
+
+    def test_different_dims(self):
+        from tslearn_spark.metrics.ctw import ctw
+
+        rs = np.random.RandomState(11)
+        a, b = rs.randn(10, 2), rs.randn(12, 3)
+        assert np.isfinite(ctw(a, b))
+
+
+class TestHeuristics:
+    def test_sigma_gamma_positive(self):
+        rs = np.random.RandomState(12)
+        data = [rs.randn(16, 1) for _ in range(20)]
+        s = K.sigma_gak(data)
+        assert s > 0
+        assert K.gamma_soft_dtw(data) == pytest.approx(2 * s * s)
+
+
+class TestMatrixProfile:
+    def test_golden(self):
+        from tslearn_spark.matrix_profile import matrix_profile_np
+
+        ts = np.array([0, 1, 3, 2, 9, 1, 14, 15, 1, 2, 2, 10, 7], dtype=float)
+        got = matrix_profile_np(ts, 4, scale=False)
+        exp = [6.8556, 1.4142, 6.1644, 7.9372, 11.4017, 13.5647, 18.0, 13.9642, 1.4142, 6.1644]
+        np.testing.assert_allclose(got, exp, atol=1e-3)
+
+
+class TestNormPPF:
+    def test_breakpoint_goldens(self):
+        from tslearn_spark.stats import sax_bin_medians, sax_breakpoints
+
+        np.testing.assert_allclose(sax_breakpoints(2), [0.0], atol=1e-9)
+        np.testing.assert_allclose(
+            sax_bin_medians(2), [-0.67448975, 0.67448975], atol=1e-7
+        )
+        np.testing.assert_allclose(
+            sax_breakpoints(4), [-0.6744897501, 0.0, 0.6744897501], atol=1e-7
+        )

@@ -1,0 +1,228 @@
+"""Distributed metric layer: cdist joins, LB pruning, kNN, barycenters,
+clustering, silhouette (FIXTURES.md §2.1/2.6/2.7/2.8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tslearn_spark import dataset as DS
+from tslearn_spark import metrics as M
+from tslearn_spark import kernels as K
+
+QUARTET = [[1.0, 2.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0], [2.0, 3.0, 4.0, 5.0]]
+
+
+def edge_map(df):
+    return {(r["id1"], r["id2"]): r["dist"] for r in df.collect()}
+
+
+class TestCdist:
+    def test_self_symmetric(self, spark):
+        df = DS.dataset_to_df(spark, QUARTET[:2])
+        e = edge_map(M.cdist(df, metric="dtw"))
+        assert e[(0, 1)] == pytest.approx(1.0)
+        assert e[(1, 0)] == pytest.approx(1.0)
+        assert e[(0, 0)] == 0.0 and e[(1, 1)] == 0.0
+        assert len(e) == 4
+
+    def test_cross_golden(self, spark):
+        # cdist_dtw(.., [[1,2,3],[2,3,4,5]]) = [[0,2.449],[1,1.414]]
+        d1 = DS.dataset_to_df(spark, QUARTET[:2])
+        d2 = DS.dataset_to_df(spark, [QUARTET[2], QUARTET[3]])
+        e = edge_map(M.cdist(d1, d2, metric="dtw"))
+        assert e[(0, 0)] == pytest.approx(0.0)
+        assert e[(0, 1)] == pytest.approx(2.44948974)
+        assert e[(1, 0)] == pytest.approx(1.0)
+        assert e[(1, 1)] == pytest.approx(1.41421356)
+
+    def test_softdtw_diag_not_zero(self, spark):
+        df = DS.dataset_to_df(spark, QUARTET[:2])
+        e = edge_map(M.cdist(df, metric="softdtw", gamma=1.0))
+        # diagonal = sdtw(x,x), generally < 0 for gamma=1
+        assert e[(0, 0)] == pytest.approx(K.soft_dtw(QUARTET[0], QUARTET[0], 1.0))
+
+    def test_gak_diag_one(self, spark):
+        df = DS.dataset_to_df(spark, QUARTET[:2])
+        e = edge_map(M.cdist(df, metric="gak", sigma=2.0))
+        assert e[(0, 0)] == pytest.approx(1.0)
+        assert e[(0, 1)] == pytest.approx(K.gak(QUARTET[0], QUARTET[1], 2.0))
+
+    def test_lb_pruned_join(self, spark):
+        rs = np.random.RandomState(0)
+        data = [rs.randn(20) for _ in range(8)]
+        q = DS.dataset_to_df(spark, data[:4])
+        c = DS.dataset_to_df(spark, data[4:])
+        full = M.cdist_with_lb_pruning(q, c, radius=2, threshold=np.inf)
+        rows = full.collect()
+        assert len(rows) == 16
+        for r in rows:
+            assert r["_lb"] <= r["dist"] + 1e-9
+
+    def test_dtw_path_udf(self, spark):
+        df = DS.dataset_to_df(spark, [QUARTET[2]])
+        d2 = DS.dataset_to_df(spark, [QUARTET[0]])
+        pairs = M.cross_pairs(df, d2)
+        out = pairs.select(M.dtw_path_udf()("values1", "values2").alias("r")).first()["r"]
+        assert out["dist"] == pytest.approx(0.0)
+        assert [(p["i"], p["j"]) for p in out["path"]] == [(0, 0), (1, 1), (1, 2), (2, 3)]
+
+
+class TestEnvelopeSQL:
+    def test_matches_numpy(self, spark):
+        ts = [1.0, 2.0, 3.0, 2.0, 1.0]
+        df = DS.dataset_to_df(spark, [ts])
+        lo_np, up_np = K.lb_envelope(ts, radius=1)
+        lo, up = M.envelope_cols("values", radius=1)
+        row = df.select(lo.alias("lo"), up.alias("up")).first()
+        np.testing.assert_allclose(row["lo"], lo_np.ravel())
+        np.testing.assert_allclose(row["up"], up_np.ravel())
+
+    def test_lb_keogh_sql_golden(self, spark):
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 2.0, 1.0]])
+        qdf = DS.dataset_to_df(spark, [[0.0, 0.0, 0.0, 0.0, 0.0]])
+        lo, up = M.envelope_cols("values", radius=1)
+        cand = df.select(lo.alias("lo"), up.alias("up"))
+        q = qdf.select(F.col("values").alias("qv")).crossJoin(cand)
+        d = q.select(M.lb_keogh_col("qv", "lo", "up").alias("lb")).first()["lb"]
+        assert d == pytest.approx(2.8284271247461903)
+
+
+class TestKNN:
+    def test_variablelength_golden(self, spark):
+        # tests/test_variablelength.py:14-34: 1-NN dtw predicts y exactly
+        from tslearn_spark.neighbors import knn_classify
+
+        X = [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0], [9.0, 8.0, 7.0, 6.0, 5.0, 2.0],
+             [8.0, 7.0, 6.0, 5.0, 3.0]]
+        y = ["0", "0", "1", "1"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        pred = knn_classify(df, df, k=1, metric="dtw")
+        # self-included 1-NN: each point is its own neighbor -> exact labels
+        got = {r["series_id"]: r["prediction"] for r in pred.collect()}
+        assert got == {0: "0", 1: "0", 2: "1", 3: "1"}
+
+    def test_loo_prediction(self, spark):
+        from tslearn_spark.neighbors import kneighbors
+
+        X = [[1.0, 2.0, 3.0], [1.1, 2.1, 3.1], [9.0, 9.0, 9.0], [9.1, 9.2, 9.0]]
+        df = DS.dataset_to_df(spark, X)
+        nn = kneighbors(df, df, k=1, metric="dtw", drop_self=True)
+        got = {r["id1"]: r["id2"] for r in nn.collect()}
+        assert got == {0: 1, 1: 0, 2: 3, 3: 2}
+
+    def test_regression(self, spark):
+        from tslearn_spark.neighbors import knn_regress
+
+        X = [[1.0, 2.0], [1.2, 2.2], [5.0, 6.0], [5.1, 6.1]]
+        df = DS.dataset_to_df(spark, X)
+        train = df.withColumn("y", F.col("series_id").cast("double"))
+        out = knn_regress(df, train, k=2, metric="euclidean")
+        got = {r["series_id"]: r["prediction"] for r in out.collect()}
+        assert got[0] == pytest.approx(0.5)
+        assert got[2] == pytest.approx(2.5)
+
+
+class TestBarycenters:
+    def test_euclidean_golden(self, spark):
+        # euclidean.py:30-39
+        from tslearn_spark.barycenters import euclidean_barycenter
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0, 5.0]])
+        out = euclidean_barycenter(df)
+        np.testing.assert_allclose(out.ravel(), [1, 2, 3.5, 4.5])
+
+    def test_dba_golden_equal_length(self, spark):
+        # dba.py:451-481: [[1,2,3,4],[1,2,4,5]] -> [1,2,3.5,4.5]
+        from tslearn_spark.barycenters import dtw_barycenter_averaging
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0, 5.0]])
+        out = dtw_barycenter_averaging(df, max_iter=5)
+        np.testing.assert_allclose(out.ravel(), [1, 2, 3.5, 4.5], atol=1e-6)
+
+    def test_dba_ragged_golden(self, spark):
+        # [[1,2,3,4],[1,2,3,4,5]] -> [1,2,3,4,4.5]
+        from tslearn_spark.barycenters import dtw_barycenter_averaging
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0, 5.0]])
+        out = dtw_barycenter_averaging(df, barycenter_size=5, max_iter=5)
+        np.testing.assert_allclose(out.ravel(), [1, 2, 3, 4, 4.5], atol=1e-6)
+
+    def test_softdtw_barycenter_golden(self, spark):
+        # softdtw.py:70-84: approx [1.25,2.03,3.51,4.36]
+        from tslearn_spark.barycenters import softdtw_barycenter
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 4.0, 5.0]])
+        out = softdtw_barycenter(df, gamma=1.0, max_iter=30, tol=1e-4)
+        np.testing.assert_allclose(
+            out.ravel(), [1.25161, 2.03821, 3.51017, 4.36140], atol=0.05
+        )
+
+
+class TestClustering:
+    def test_kmeans_euclidean(self, spark):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        rs = np.random.RandomState(0)
+        blob1 = [rs.randn(8) * 0.1 for _ in range(5)]
+        blob2 = [rs.randn(8) * 0.1 + 10 for _ in range(5)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=10,
+                              random_state=0).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        g1 = {pred[i] for i in range(5)}
+        g2 = {pred[i] for i in range(5, 10)}
+        assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+
+    def test_kmeans_dtw(self, spark):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        rs = np.random.RandomState(1)
+        blob1 = [np.sin(np.linspace(0, 3, 12)) + rs.randn(12) * 0.05 for _ in range(4)]
+        blob2 = [np.cos(np.linspace(0, 3, 12)) + 3 + rs.randn(12) * 0.05 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        km = TimeSeriesKMeans(n_clusters=2, metric="dtw", max_iter=3,
+                              random_state=0).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        assert len({pred[i] for i in range(4)}) == 1
+        assert len({pred[i] for i in range(4, 8)}) == 1
+
+    def test_kshape_separates(self, spark):
+        from tslearn_spark.clustering import KShape
+
+        rs = np.random.RandomState(2)
+        t = np.linspace(0, 4 * np.pi, 24)
+        blob1 = [np.sin(t) + rs.randn(24) * 0.05 for _ in range(4)]
+        blob2 = [np.sign(np.sin(t)) * np.abs(np.sin(t)) ** 0.1 + rs.randn(24) * 0.05
+                 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        ks = KShape(n_clusters=2, max_iter=5, random_state=3).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in ks.predict(df).collect()}
+        assert len(set(pred.values())) == 2
+
+    def test_silhouette_range(self, spark):
+        from tslearn_spark.clustering import silhouette_score
+
+        rs = np.random.RandomState(3)
+        blob1 = [rs.randn(8) * 0.1 for _ in range(4)]
+        blob2 = [rs.randn(8) * 0.1 + 5 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        labels = spark.createDataFrame(
+            [(i, 0 if i < 4 else 1) for i in range(8)], "series_id long, cluster int"
+        )
+        s = silhouette_score(df, labels, metric="euclidean")
+        assert 0.5 < s <= 1.0
+
+    def test_kernel_kmeans_runs(self, spark):
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(4)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(4)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        kk = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                          random_state=0, kernel_params={"sigma": 2.0}).fit(df)
+        labs = {r["series_id"]: r["cluster"] for r in kk.labels_.collect()}
+        assert len(set(labs.values())) == 2
+        assert len({labs[i] for i in range(4)}) == 1

@@ -1,0 +1,220 @@
+"""Data-pipeline operators: dedup, text analysis, similarity search,
+multimodal plumbing, streaming (batch-mode plans)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "der schnelle braune fuchs und der faule hund ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        from tslearn_spark.pipeline import exact_duplicates
+
+        out = exact_duplicates(docs_df(spark)).collect()
+        assert len(out) == 1
+        assert out[0]["keep_doc_id"] == 0 and out[0]["n_copies"] == 2
+
+    def test_jaccard_unigram(self, spark):
+        from tslearn_spark.pipeline import ngram_jaccard_pairs
+
+        pairs = {(r["id1"], r["id2"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.5).collect()}
+        assert pairs[(0, 1)] == pytest.approx(1.0)
+        assert pairs[(0, 2)] == pytest.approx(7 / 9)  # 8 distinct toks, 7 common
+        assert (0, 3) not in pairs
+
+    def test_minhash_similarity(self, spark):
+        from tslearn_spark.pipeline import minhash_signatures
+
+        sigs = {r["doc_id"]: r["sig"]
+                for r in minhash_signatures(docs_df(spark), num_hashes=32).collect()}
+        assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+        agree02 = np.mean([a == b for a, b in zip(sigs[0], sigs[2])])
+        agree03 = np.mean([a == b for a, b in zip(sigs[0], sigs[3])])
+        assert agree02 > agree03
+
+    def test_lsh_candidates_find_near_dups(self, spark):
+        from tslearn_spark.pipeline import minhash_lsh_candidates
+
+        cands = {(r["id1"], r["id2"])
+                 for r in minhash_lsh_candidates(
+                     docs_df(spark), num_hashes=32, bands=16).collect()}
+        assert (0, 1) in cands
+        assert (0, 2) in cands
+
+    def test_simhash_hamming(self, spark):
+        from tslearn_spark.pipeline import simhash_signatures
+        from tslearn_spark.pipeline.dedup import simhash_near_pairs
+
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(docs_df(spark)).collect()}
+        assert sigs[0] == sigs[1]
+        near = {(r["id1"], r["id2"]): r["hamming"]
+                for r in simhash_near_pairs(docs_df(spark), max_hamming=60).collect()}
+        assert near[(0, 1)] == 0
+
+
+class TestText:
+    def test_langid(self, spark):
+        from tslearn_spark.pipeline import language_id
+
+        out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs_df(spark)).collect()}
+        assert out[0] == "en"
+        assert out[4] == "de"
+
+    def test_quality(self, spark):
+        from tslearn_spark.pipeline import quality_scores
+
+        q = {r["doc_id"]: r for r in quality_scores(docs_df(spark)).collect()}
+        assert q[0]["n_words"] == 9
+        assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' x2
+        assert q[0]["punct_ratio"] == 0.0
+
+    def test_token_counts(self, spark):
+        from tslearn_spark.pipeline import token_counts
+
+        out = {r["doc_id"]: r for r in token_counts(docs_df(spark)).collect()}
+        assert out[0]["n_words"] == 9
+        assert out[0]["n_ws_tokens"] == 9
+        assert out[0]["n_subwords"] == sum(
+            int(np.ceil(len(w) / 4)) for w in
+            "the quick brown fox jumps over the lazy dog".split()
+        )
+
+    def test_fingerprints_match_for_dups(self, spark):
+        from tslearn_spark.pipeline import document_fingerprints
+
+        out = {r["doc_id"]: r["fingerprint"]
+               for r in document_fingerprints(docs_df(spark)).collect()}
+        assert out[0] == out[1]
+
+
+class TestSimsearch:
+    def make_vecs(self, spark, n=30, d=8, seed=0):
+        rs = np.random.RandomState(seed)
+        v = rs.randn(n, d).astype(np.float32)
+        rows = [(int(i), v[i].tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), v
+
+    def test_brute_force_matches_numpy(self, spark):
+        from tslearn_spark.pipeline import brute_force_topk
+
+        df, v = self.make_vecs(spark)
+        out = brute_force_topk(df, df, k=3)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        np.fill_diagonal(sims, -np.inf)
+        for q in range(30):
+            expect = set(np.argsort(-sims[q])[:3])
+            got = {r["neighbor_id"] for r in out.collect() if r["query_id"] == q}
+            assert got == expect
+
+    def test_lsh_recall(self, spark):
+        from tslearn_spark.pipeline import brute_force_topk, lsh_topk
+
+        df, _ = self.make_vecs(spark, n=50)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(df, df, k=1).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in lsh_topk(df, df, k=1, bits=4, n_tables=8).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5  # 8 tables x 4 bits on 50 vecs: should be high
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from tslearn_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA, extract_features, frame_sample,
+        )
+
+        rows = [
+            (0, "image", b"aaa", "image/png", 8, 8, None),
+            (1, "image", b"bbb", "image/png", 8, 8, None),
+            (2, "video", b"ccc", "video/mp4", 64, 64, 3500),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(media).collect()
+        assert len(feats) == 3
+        assert len(feats[0]["feat_vec"]) == 64
+        # deterministic fake: same payload -> same features
+        f0 = [f for f in feats if f["media_id"] == 0][0]
+        assert 0.0 <= f0["feat_mean"] <= 1.0
+        frames = frame_sample(media, every_ms=1000).collect()
+        assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+class TestStreamingBatch:
+    def events(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for u in range(2):
+            for i in range(10):
+                rows.append((u, base + datetime.timedelta(seconds=30 * i), float(i)))
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    def test_tumbling_paa(self, spark):
+        from tslearn_spark.streaming import stream_tumbling_paa
+
+        out = stream_tumbling_paa(self.events(spark), window_duration="1 minute")
+        rows = [r for r in out.collect() if r["user_id"] == 0]
+        assert len(rows) == 5  # 10 events x 30s = 5 minutes
+        first = sorted(rows, key=lambda r: r["win_start"])[0]
+        assert first["segment_mean"] == pytest.approx(0.5)
+        assert first["n_events"] == 2
+
+    def test_envelope(self, spark):
+        from tslearn_spark.streaming import stream_envelope
+
+        out = stream_envelope(self.events(spark), window_duration="2 minutes",
+                              slide="1 minute")
+        rows = [r for r in out.collect() if r["user_id"] == 0]
+        assert all(r["env_lower"] <= r["env_upper"] for r in rows)
+
+    def test_sessions(self, spark):
+        import datetime
+
+        from tslearn_spark.streaming import stream_session_stats
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [(0, base + datetime.timedelta(seconds=s), 1.0) for s in (0, 10, 20)]
+        rows += [(0, base + datetime.timedelta(seconds=s), 2.0) for s in (1000, 1010)]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = stream_session_stats(ev, gap="1 minute").collect()
+        assert len(out) == 2
+        ns = sorted(r["n_events"] for r in out)
+        assert ns == [2, 3]
+
+    def test_streaming_mode_runs(self, spark, tmp_path):
+        """True readStream->writeStream micro-batch over a file source."""
+        import datetime
+
+        from tslearn_spark.streaming import stream_tumbling_paa
+
+        src = str(tmp_path / "stream_src")
+        self.events(spark).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        out = stream_tumbling_paa(stream, window_duration="1 minute")
+        q = (
+            out.writeStream.format("memory").queryName("paa_stream")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT count(*) AS n FROM paa_stream").first()["n"]
+        assert got == 10  # 2 users x 5 windows

@@ -1,0 +1,105 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over
+the same sf dir, compares row count, column names, and order-insensitive
+values (NaN-safe, string-normalized).  Usage:
+
+    python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from tslearn_spark import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"SCHEMA cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return f"ROWS spark={len(sdf)} oracle={len(odf)}"
+    a, b = norm_frame(sdf), norm_frame(odf)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(np.asarray(av).dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        if not ok:
+            idx = next(
+                i for i in range(len(av))
+                if not (str(av[i]) == str(bv[i]) or (
+                    isinstance(av[i], float) and abs(float(av[i]) - float(bv[i])) < 1e-9))
+            )
+            return f"VALUES col={c} row{idx}: spark={av[idx]!r} oracle={bv[idx]!r}"
+    return "OK"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{name:28s} SPARK-ERR {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(sdf)} rows, cols={list(sdf.columns)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:28s} ORACLE-ERR {str(e)[:200]}")
+            n_bad += 1
+            continue
+        verdict = compare(name, sdf, odf)
+        status = "OK " if verdict == "OK" else "FAIL"
+        if verdict == "OK":
+            n_ok += 1
+        else:
+            n_bad += 1
+        print(f"{name:28s} {status} {'' if verdict == 'OK' else verdict}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

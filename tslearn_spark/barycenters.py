@@ -1,0 +1,258 @@
+"""Barycenters — custom aggregations over sets of series.
+
+Reference: tslearn/barycenters/ (euclidean.py:8-43, dba.py:60-739,
+softdtw.py:17-112).
+
+Spark-first mapping (SURVEY.md §2.6):
+
+* Euclidean barycenter is a pure SQL positionwise aggregate on the
+  exploded view — one hash aggregate, map-side combined.
+* DBA is an iterative driver loop: broadcast the (tiny) barycenter,
+  one pandas-UDF pass emits (position, value, weight) matches, one
+  grouped aggregate produces the next barycenter.  Each EM step is one
+  Spark job; lineage stays flat because only the small barycenter array
+  crosses iterations (no growing DataFrame plan).
+* soft-DTW barycenter aggregates (value, grad) per series and steps on
+  the driver (gradient descent with adaptive step, scipy-free).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from tslearn_spark import kernels as K
+
+
+# ---------------------------------------------------------------------------
+# Euclidean barycenter (euclidean.py:8-43): pure SQL
+# ---------------------------------------------------------------------------
+
+def euclidean_barycenter_df(df: DataFrame, weight_col: str | None = None) -> DataFrame:
+    """Positionwise weighted mean across equal-length series.
+
+    Exploded view -> groupBy(t, dim) -> weighted avg: a single hash
+    aggregate with map-side partial aggregation; scales to any number of
+    series.  Returns long layout (t, dim, value).
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    long = (
+        df.select(w.alias("_w"), F.posexplode("values").alias("t", "point"))
+        .select("_w", "t", F.posexplode("point").alias("dim", "value"))
+    )
+    return (
+        long.groupBy("t", "dim")
+        .agg((F.sum(F.col("value") * F.col("_w")) / F.sum("_w")).alias("value"))
+    )
+
+
+def euclidean_barycenter(df: DataFrame, weights=None) -> np.ndarray:
+    rows = euclidean_barycenter_df(df).orderBy("t", "dim").collect()
+    n_t = max(r["t"] for r in rows) + 1
+    n_d = max(r["dim"] for r in rows) + 1
+    out = np.zeros((n_t, n_d))
+    for r in rows:
+        out[r["t"], r["dim"]] = r["value"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DBA (dba.py:394-604) — EM with DTW alignments
+# ---------------------------------------------------------------------------
+
+_MATCH_SCHEMA = StructType(
+    [
+        StructField("pos", IntegerType()),
+        StructField("dim", IntegerType()),
+        StructField("wsum", DoubleType()),
+        StructField("wtot", DoubleType()),
+        StructField("cost", DoubleType()),
+    ]
+)
+
+
+def _dba_udf(center: np.ndarray, metric_params: dict):
+    """Per-series E-step: DTW path to the broadcast center -> matched sums."""
+
+    @F.pandas_udf(ArrayType(_MATCH_SCHEMA))
+    def _udf(values: pd.Series, weights: pd.Series) -> pd.Series:
+        out = []
+        for v, w in zip(values, weights):
+            ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+            path, dist = K.dtw_path(center, ts, **metric_params)
+            acc: dict[tuple[int, int], list[float]] = {}
+            for (i, j) in path:
+                for d in range(ts.shape[1]):
+                    key = (i, d)
+                    if key not in acc:
+                        acc[key] = [0.0, 0.0]
+                    acc[key][0] += w * ts[j, d]
+                    acc[key][1] += w
+            rows = [
+                {"pos": p, "dim": d, "wsum": s, "wtot": t, "cost": w * dist * dist}
+                for (p, d), (s, t) in acc.items()
+            ]
+            out.append(rows)
+        return pd.Series(out)
+
+    return _udf
+
+
+def dtw_barycenter_averaging(
+    df: DataFrame,
+    barycenter_size: int | None = None,
+    init_barycenter: np.ndarray | None = None,
+    max_iter: int = 30,
+    tol: float = 1e-5,
+    weight_col: str | None = None,
+    metric_params: dict | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """DBA (dba.py:394-511): E-step = DTW paths to current center,
+    M-step = per-position weighted mean of matched points.
+
+    Driver holds only the center (sz x d floats); each iteration is one
+    job: UDF pass + exploded grouped aggregate.  The input DataFrame is
+    cached by the caller for multi-iteration reuse.
+    """
+    metric_params = metric_params or {}
+    first = df.select("values").first()
+    d = len(first["values"][0])
+    if init_barycenter is not None:
+        center = np.asarray(init_barycenter, dtype=np.float64)
+        if center.ndim == 1:
+            center = center.reshape(-1, 1)
+    else:
+        # init = mean of series resampled to barycenter_size (dba.py:14-22)
+        if barycenter_size is None:
+            barycenter_size = int(
+                df.select(F.max(F.size("values")).alias("m")).first()["m"]
+            )
+        from tslearn_spark.preprocessing import resample
+
+        res = resample(df.select("series_id", "values"), barycenter_size)
+        center = euclidean_barycenter(res)
+    wcol = weight_col or "_w1"
+    src = df if weight_col else df.withColumn("_w1", F.lit(1.0))
+    prev_cost = np.inf
+    for it in range(max_iter):
+        udf = _dba_udf(center, metric_params)
+        matches = src.select(F.explode(udf("values", wcol)).alias("m")).select("m.*")
+        agg = (
+            matches.groupBy("pos", "dim")
+            .agg(F.sum("wsum").alias("s"), F.sum("wtot").alias("t"))
+            .collect()
+        )
+        new_center = center.copy()
+        for r in agg:
+            new_center[r["pos"], r["dim"]] = r["s"] / r["t"]
+        delta = float(np.linalg.norm(new_center - center))
+        center = new_center
+        if verbose:
+            print(f"[DBA] iter={it} delta={delta}")
+        if delta < tol:
+            break
+    return center
+
+
+# ---------------------------------------------------------------------------
+# soft-DTW barycenter (softdtw.py:17-112)
+# ---------------------------------------------------------------------------
+
+_VG_SCHEMA = StructType(
+    [
+        StructField("value", DoubleType()),
+        StructField("grad", ArrayType(ArrayType(DoubleType()))),
+    ]
+)
+
+
+def _sdtw_value_grad_udf(Z: np.ndarray, gamma: float):
+    @F.pandas_udf(_VG_SCHEMA)
+    def _udf(values: pd.Series, weights: pd.Series) -> pd.DataFrame:
+        vals, grads = [], []
+        for v, w in zip(values, weights):
+            ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+            val, g = K.soft_dtw_grad(Z, ts, gamma)
+            vals.append(w * val)
+            grads.append((w * g).tolist())
+        return pd.DataFrame({"value": vals, "grad": grads})
+
+    return _udf
+
+
+def softdtw_barycenter(
+    df: DataFrame,
+    gamma: float = 1.0,
+    max_iter: int = 50,
+    tol: float = 1e-3,
+    init: np.ndarray | None = None,
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Minimize sum_i w_i softDTW(Z, x_i) over Z (softdtw.py:36-112).
+
+    The reference uses scipy L-BFGS-B; scipy is unavailable here, so the
+    driver runs gradient descent with backtracking line search on the
+    distributed (value, sum-of-grads) aggregate — the MLlib
+    "treeAggregate + driver optimizer" pattern.
+    """
+    if init is None:
+        sz = int(df.select(F.max(F.size("values")).alias("m")).first()["m"])
+        from tslearn_spark.preprocessing import resample
+
+        res = resample(df.select("series_id", "values"), sz)
+        Z = euclidean_barycenter(res)
+    else:
+        Z = np.asarray(init, dtype=np.float64)
+        if Z.ndim == 1:
+            Z = Z.reshape(-1, 1)
+    wcol = weight_col or "_w1"
+    src = (df if weight_col else df.withColumn("_w1", F.lit(1.0))).cache()
+
+    def objective(Zc: np.ndarray) -> tuple[float, np.ndarray]:
+        udf = _sdtw_value_grad_udf(Zc, gamma)
+        row = (
+            src.select(udf("values", wcol).alias("vg"))
+            .select(F.col("vg.value").alias("v"), F.col("vg.grad").alias("g"))
+            .groupBy()
+            .agg(
+                F.sum("v").alias("val"),
+                F.array(*[
+                    F.array(*[
+                        F.sum(F.col("g")[i][j]) for j in range(Zc.shape[1])
+                    ]) for i in range(Zc.shape[0])
+                ]).alias("gsum"),
+            )
+            .first()
+        )
+        return float(row["val"]), np.asarray(row["gsum"], dtype=np.float64)
+
+    fval, grad = objective(Z)
+    step = 1.0 / max(1.0, np.linalg.norm(grad))
+    for _ in range(max_iter):
+        gnorm = float(np.linalg.norm(grad))
+        if gnorm < tol:
+            break
+        # backtracking line search
+        improved = False
+        for _ls in range(12):
+            Z_new = Z - step * grad
+            f_new, g_new = objective(Z_new)
+            if f_new < fval - 1e-4 * step * gnorm * gnorm:
+                Z, fval, grad = Z_new, f_new, g_new
+                step *= 1.3
+                improved = True
+                break
+            step *= 0.5
+        if not improved:
+            break
+    return Z

@@ -1,0 +1,407 @@
+"""Time-series clustering — iterative dataflow programs.
+
+Reference: tslearn/clustering/ (kmeans.py:136-859, kshape.py:21-291,
+utils.py:47-197).
+
+Spark-first structure (SURVEY.md §2.7): the driver holds the k (tiny)
+centroids and the loop control; every Lloyd iteration is
+
+    broadcast centroids -> assignment (metric UDF over a crossJoin with
+    a k-row literal DataFrame, i.e. map-only) -> min_by(cluster, dist)
+    -> per-cluster centroid update (barycenter aggregate / applyInPandas)
+
+The input DataFrame is cached once; nothing larger than (k, sz, d)
+floats ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+from tslearn_spark import kernels as K
+from tslearn_spark.barycenters import dtw_barycenter_averaging, softdtw_barycenter
+
+
+class EmptyClusterError(Exception):
+    """clustering/utils.py:13-26."""
+
+
+def _collect_small(df: DataFrame, n: int, seed: int) -> list[np.ndarray]:
+    rows = df.select("series_id", "values").orderBy("series_id").collect()
+    rs = np.random.RandomState(seed)
+    idx = rs.choice(len(rows), size=min(n, len(rows)), replace=False)
+    return [np.asarray(rows[i]["values"], dtype=np.float64) for i in idx]
+
+
+def _assign_udf(centers: list[np.ndarray], metric: str, metric_params: dict):
+    """Map-only assignment: per series, distance to each broadcast center."""
+    kernel_factory = __import__("tslearn_spark.metrics", fromlist=["METRIC_PARAMS"]).METRIC_PARAMS
+    kernel = kernel_factory[metric](**metric_params)
+
+    schema = StructType(
+        [StructField("cluster", IntegerType()), StructField("dist", DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(values: pd.Series) -> pd.DataFrame:
+        cl, ds = [], []
+        for v in values:
+            ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+            dists = [kernel(c, ts) for c in centers]
+            j = int(np.argmin(dists))
+            cl.append(j)
+            ds.append(float(dists[j]))
+        return pd.DataFrame({"cluster": cl, "dist": ds})
+
+    return _udf
+
+
+class TimeSeriesKMeans:
+    """Lloyd's loop with metric in {euclidean, dtw, softdtw} (kmeans.py:471-859).
+
+    Assignment is a narrow pandas-UDF map (centroids broadcast in the
+    closure); centroid update uses the metric-matched barycenter.  The
+    softdtw path measures inertia with soft-DTW; dtw_inertia mirrors the
+    reference option.
+    """
+
+    def __init__(
+        self,
+        n_clusters: int = 3,
+        metric: str = "euclidean",
+        max_iter: int = 50,
+        tol: float = 1e-6,
+        n_init: int = 1,
+        random_state: int = 0,
+        max_iter_barycenter: int = 100,
+        metric_params: dict | None = None,
+    ):
+        self.n_clusters = n_clusters
+        self.metric = metric
+        self.max_iter = max_iter
+        self.tol = tol
+        self.n_init = n_init
+        self.random_state = random_state
+        self.max_iter_barycenter = max_iter_barycenter
+        self.metric_params = metric_params or {}
+        self.cluster_centers_: list[np.ndarray] | None = None
+        self.inertia_: float = np.inf
+        self.n_iter_: int = 0
+
+    # -- internal ----------------------------------------------------------
+    def _assignments(self, df: DataFrame, centers) -> DataFrame:
+        udf = _assign_udf(centers, self.metric, self.metric_params)
+        return df.withColumn("_a", udf("values")).select(
+            "series_id", "values", F.col("_a.cluster").alias("cluster"),
+            F.col("_a.dist").alias("dist"),
+        )
+
+    def _update_centroids(self, assigned: DataFrame, centers) -> list[np.ndarray]:
+        new_centers = []
+        for c in range(self.n_clusters):
+            sub = assigned.where(F.col("cluster") == c).select("series_id", "values")
+            if sub.limit(1).count() == 0:
+                raise EmptyClusterError()
+            if self.metric == "dtw":
+                nc = dtw_barycenter_averaging(
+                    sub, init_barycenter=centers[c],
+                    max_iter=min(self.max_iter_barycenter, 10),
+                )
+            elif self.metric == "softdtw":
+                nc = softdtw_barycenter(
+                    sub, gamma=self.metric_params.get("gamma", 1.0),
+                    init=centers[c], max_iter=min(self.max_iter_barycenter, 10),
+                )
+            else:
+                from tslearn_spark.barycenters import euclidean_barycenter
+
+                nc = euclidean_barycenter(sub)
+            new_centers.append(nc)
+        return new_centers
+
+    def fit(self, df: DataFrame) -> "TimeSeriesKMeans":
+        # spread across cores before caching: assignment UDF stages are
+        # compute-bound, and AQE would otherwise coalesce small inputs
+        # to one partition (see metrics._spread)
+        n_par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.select("series_id", "values").repartition(n_par).cache()
+        n = df.count()
+        if n < self.n_clusters:
+            raise ValueError("n_clusters > n_series")
+        best = (np.inf, None, 0)
+        for init_no in range(self.n_init):
+            seed = self.random_state + init_no
+            try:
+                centers, inertia, n_iter = self._fit_one(df, seed)
+            except EmptyClusterError:
+                continue
+            if inertia < best[0]:
+                best = (inertia, centers, n_iter)
+        if best[1] is None:
+            raise EmptyClusterError("all inits hit empty clusters")
+        self.inertia_, self.cluster_centers_, self.n_iter_ = best
+        self._df = df
+        return self
+
+    def _fit_one(self, df: DataFrame, seed: int):
+        centers = _collect_small(df, self.n_clusters, seed)
+        prev_inertia = np.inf
+        inertia = np.inf
+        for it in range(self.max_iter):
+            assigned = self._assignments(df, centers)
+            assigned = assigned.cache()
+            row = assigned.groupBy().agg(F.avg(F.col("dist") * F.col("dist")).alias("i")).first()
+            inertia = float(row["i"])
+            centers = self._update_centroids(assigned, centers)
+            assigned.unpersist()
+            self.n_iter_ = it + 1
+            if abs(prev_inertia - inertia) < self.tol:
+                break
+            prev_inertia = inertia
+        return centers, inertia, self.n_iter_
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        assert self.cluster_centers_ is not None
+        return self._assignments(df, self.cluster_centers_).select(
+            "series_id", "cluster", "dist"
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Distances to every centroid (kmeans.py:677-690): k columns."""
+        kernel = __import__("tslearn_spark.metrics", fromlist=["METRIC_PARAMS"]).METRIC_PARAMS[
+            self.metric
+        ](**self.metric_params)
+        centers = self.cluster_centers_
+
+        from pyspark.sql.types import ArrayType
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _udf(values: pd.Series) -> pd.Series:
+            out = []
+            for v in values:
+                ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                out.append([float(kernel(c, ts)) for c in centers])
+            return pd.Series(out)
+
+        return df.withColumn("distances", _udf("values"))
+
+
+class KShape:
+    """KShape (kshape.py:21-291): assignment by 1-NCC; centroid = dominant
+    eigenvector of the aligned correlation matrix (shape extraction).
+
+    Assignment is the same broadcast-centroid map as k-means; shape
+    extraction gathers each cluster's members via applyInPandas — the
+    eigenproblem is (sz x sz), independent of cluster size in memory
+    terms once the aligned sum matrix is accumulated.
+    """
+
+    def __init__(self, n_clusters: int = 3, max_iter: int = 100, tol: float = 1e-6,
+                 random_state: int = 0):
+        self.n_clusters = n_clusters
+        self.max_iter = max_iter
+        self.tol = tol
+        self.random_state = random_state
+        self.cluster_centers_: list[np.ndarray] | None = None
+        self.inertia_: float = np.inf
+
+    def _assignments(self, df: DataFrame, centers) -> DataFrame:
+        udf = _assign_udf(centers, "sbd", {})
+        return df.withColumn("_a", udf("values")).select(
+            "series_id", "values", F.col("_a.cluster").alias("cluster"),
+            F.col("_a.dist").alias("dist"),
+        )
+
+    @staticmethod
+    def _shape_extraction(members: list[np.ndarray], center: np.ndarray) -> np.ndarray:
+        """kshape.py:118-137: align members to center, solve the Rayleigh
+        quotient of S = X'X on centered, aligned data; sign-fix; z-norm."""
+        sz, d = center.shape
+        aligned = K.y_shifted_sbd_vec(center, members)
+        X = np.stack([a[:, 0] for a in aligned])  # univariate core
+        n = X.shape[0]
+        Q = np.eye(sz) - np.ones((sz, sz)) / sz
+        S = X.T @ X
+        M = Q.T @ S @ Q
+        w, V = np.linalg.eigh(M)
+        mu = V[:, -1]
+        # sign fix: centroid should correlate positively with members
+        dist_plus = float(np.linalg.norm(X[0] - mu))
+        dist_minus = float(np.linalg.norm(X[0] + mu))
+        if dist_minus < dist_plus:
+            mu = -mu
+        mu = (mu - mu.mean()) / (mu.std() if mu.std() > 0 else 1.0)
+        return mu.reshape(-1, 1)
+
+    def fit(self, df: DataFrame) -> "KShape":
+        from tslearn_spark.preprocessing import transform_mean_variance
+
+        df = transform_mean_variance(df.select("series_id", "values")).cache()
+        centers = _collect_small(df, self.n_clusters, self.random_state)
+        prev_inertia = np.inf
+        for it in range(self.max_iter):
+            assigned = self._assignments(df, centers).cache()
+            inertia = float(
+                assigned.groupBy().agg(F.avg(F.col("dist") * F.col("dist")).alias("i")).first()["i"]
+            )
+            if inertia > prev_inertia:  # rollback (kshape.py:180-184)
+                assigned.unpersist()
+                break
+            # shape extraction per cluster: members fit in one task per
+            # cluster (documented ceiling; distributed variant = grouped
+            # covariance aggregate, later round)
+            new_centers = []
+            for c in range(self.n_clusters):
+                rows = assigned.where(F.col("cluster") == c).select("values").collect()
+                if not rows:
+                    raise EmptyClusterError()
+                members = [np.asarray(r["values"], dtype=np.float64) for r in rows]
+                new_centers.append(self._shape_extraction(members, centers[c]))
+            centers = new_centers
+            assigned.unpersist()
+            if abs(prev_inertia - inertia) < self.tol:
+                prev_inertia = inertia
+                break
+            prev_inertia = inertia
+        self.cluster_centers_ = centers
+        self.inertia_ = prev_inertia
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.preprocessing import transform_mean_variance
+
+        assert self.cluster_centers_ is not None
+        dfz = transform_mean_variance(df.select("series_id", "values"))
+        return self._assignments(dfz, self.cluster_centers_).select(
+            "series_id", "cluster", "dist"
+        )
+
+
+class KernelKMeans:
+    """Kernel k-means on a cached distributed Gram (kmeans.py:136-457).
+
+    dist^2(i, C) = K_ii - 2/|C| sum_{j in C} K_ij + 1/|C|^2 sum_{j,l in C} K_jl.
+    The Gram is an edges DataFrame (never an n^2 driver array); each
+    iteration is two grouped aggregates over the edges.
+    """
+
+    def __init__(self, n_clusters: int = 3, kernel: str = "gak", max_iter: int = 50,
+                 tol: float = 1e-6, random_state: int = 0, kernel_params: dict | None = None):
+        self.n_clusters = n_clusters
+        self.kernel = kernel
+        self.max_iter = max_iter
+        self.tol = tol
+        self.random_state = random_state
+        self.kernel_params = kernel_params or {}
+        self.labels_: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "KernelKMeans":
+        from tslearn_spark import metrics as M
+
+        gram = M.cdist(df, metric=self.kernel, **self.kernel_params).cache()
+        spark = df.sparkSession
+        ids = df.select("series_id").cache()
+        rs = np.random.RandomState(self.random_state)
+        id_rows = [r["series_id"] for r in ids.collect()]
+        init = {int(i): int(rs.randint(self.n_clusters)) for i in id_rows}
+        labels = spark.createDataFrame(
+            [(i, c) for i, c in init.items()], "series_id long, cluster int"
+        )
+        self_k = gram.where(F.col("id1") == F.col("id2")).select(
+            F.col("id1").alias("series_id"), F.col("dist").alias("kii")
+        )
+        prev_labels_sig = None
+        for _ in range(self.max_iter):
+            labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
+            # sum_{j in C} K_ij per (i, C)
+            cross = (
+                gram.join(F.broadcast(labj), "id2")
+                .groupBy("id1", "cluster")
+                .agg(F.sum("dist").alias("sK"), F.count("*").alias("nC"))
+            )
+            # within-cluster total sum_{j,l in C} K_jl
+            within = (
+                gram.join(F.broadcast(labj.withColumnRenamed("id2", "id1")), "id1")
+                .join(
+                    F.broadcast(
+                        labels.select(F.col("series_id").alias("id2"),
+                                      F.col("cluster").alias("cl2"))
+                    ),
+                    "id2",
+                )
+                .where(F.col("cluster") == F.col("cl2"))
+                .groupBy("cluster")
+                .agg(F.sum("dist").alias("sW"), F.countDistinct("id1").alias("n"))
+            )
+            scored = (
+                cross.join(F.broadcast(within), "cluster")
+                .join(F.broadcast(self_k.withColumnRenamed("series_id", "id1")), "id1")
+                .select(
+                    "id1", "cluster",
+                    (F.col("kii") - 2.0 * F.col("sK") / F.col("n")
+                     + F.col("sW") / (F.col("n") * F.col("n"))).alias("d2"),
+                )
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+            labels = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(F.col("id1").alias("series_id"), "cluster")
+            ).cache()
+            sig = tuple(sorted((r["series_id"], r["cluster"]) for r in labels.collect()))
+            if sig == prev_labels_sig:
+                break
+            prev_labels_sig = sig
+        self.labels_ = labels
+        self._gram = gram
+        return self
+
+
+def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **params) -> float:
+    """Silhouette on the distributed cross-distance edges (clustering/utils.py:66-197).
+
+    a(i) = mean intra-cluster dist, b(i) = min over other clusters of mean
+    dist; s = (b-a)/max(a,b); fully SQL after the metric join.
+    softdtw uses the normalized variant sdtw(x,y)-(sdtw(x,x)+sdtw(y,y))/2.
+    """
+    from tslearn_spark import metrics as M
+
+    if metric == "softdtw":
+        edges = M.cdist(df, metric="softdtw", symmetric_zero_diag=False, **params)
+        selfs = edges.where(F.col("id1") == F.col("id2")).select(
+            F.col("id1").alias("sid"), F.col("dist").alias("self_d")
+        )
+        edges = (
+            edges.join(F.broadcast(selfs.withColumnRenamed("sid", "id1")
+                                   .withColumnRenamed("self_d", "d1")), "id1")
+            .join(F.broadcast(selfs.withColumnRenamed("sid", "id2")
+                              .withColumnRenamed("self_d", "d2")), "id2")
+            .select("id1", "id2",
+                    (F.col("dist") - 0.5 * (F.col("d1") + F.col("d2"))).alias("dist"))
+        )
+    else:
+        edges = M.cdist(df, metric=metric, **params)
+    lab1 = labels.select(F.col("series_id").alias("id1"), F.col("cluster").alias("c1"))
+    lab2 = labels.select(F.col("series_id").alias("id2"), F.col("cluster").alias("c2"))
+    e = (
+        edges.where(F.col("id1") != F.col("id2"))
+        .join(F.broadcast(lab1), "id1")
+        .join(F.broadcast(lab2), "id2")
+    )
+    per = e.groupBy("id1", "c1", "c2").agg(F.avg("dist").alias("mean_d"))
+    intra = per.where(F.col("c1") == F.col("c2")).select("id1", F.col("mean_d").alias("a"))
+    inter = (
+        per.where(F.col("c1") != F.col("c2"))
+        .groupBy("id1")
+        .agg(F.min("mean_d").alias("b"))
+    )
+    s = intra.join(inter, "id1").select(
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s")
+    )
+    return float(s.groupBy().agg(F.avg("s").alias("m")).first()["m"])

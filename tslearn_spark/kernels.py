@@ -1,0 +1,644 @@
+"""Vectorized-numpy dynamic-programming kernels for elastic similarity.
+
+These are the irreducible per-pair cores (reference semantics:
+``tslearn/metrics/dtw_variants.py``, ``softdtw_variants.py``,
+``soft_dtw_fast.pyx``, ``cycc.pyx``).  They are *driver- and
+executor-side pure functions* — no Spark imports — so they can be unit
+tested standalone and wrapped in Arrow-batched pandas UDFs for the
+distributed pair-join path (tslearn_spark.metrics).
+
+Implementation notes (Spark-first, not a port):
+
+* DTW uses a row-scan reformulation: with ``S = cumsum(D[i])`` the row
+  recurrence ``C[j] = min(A[j], D[i,j] + C[j-1])`` (where
+  ``A[j] = D[i,j] + min(prev[j], prev[j-1])``) telescopes to
+  ``C = S + running_min(A - S)`` — an O(sz) vectorized update per row,
+  no Python inner loop and no JIT dependency.  Constraint bands are
+  handled by slicing each row to its feasible window so no ``inf`` ever
+  enters a cumsum.
+* soft-DTW and GAK use anti-diagonal vectorization (cells of one
+  anti-diagonal depend only on the previous two).
+* No numba/Cython: the container has neither; numpy vectorization keeps
+  per-pair cost at ~sz numpy ops.
+
+All kernels take 2-D float64 arrays ``(sz, d)``; 1-D input is treated as
+``(sz, 1)``.  Semantics (shape handling, NaN trimming, tie-breaking,
+normalization) match the reference where cited.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GLOBAL_CONSTRAINT_CODE = {None: 0, "": 0, "itakura": 1, "sakoe_chiba": 2}
+
+
+# ---------------------------------------------------------------------------
+# shape / NaN utilities (reference: tslearn/utils/utils.py:111-153, 386-424)
+# ---------------------------------------------------------------------------
+
+def to_2d(ts) -> np.ndarray:
+    """Coerce a series to float64 (sz, d); trim trailing all-NaN rows."""
+    arr = np.asarray(ts, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape((-1, 1))
+    # trailing all-NaN rows are padding, not data
+    if arr.size and np.isnan(arr[-1]).all():
+        last = arr.shape[0]
+        while last > 0 and np.isnan(arr[last - 1]).all():
+            last -= 1
+        arr = arr[:last]
+    return arr
+
+
+def ts_size(ts) -> int:
+    """Logical length after trailing-NaN trim (utils.py:386-424)."""
+    return to_2d(ts).shape[0]
+
+
+# ---------------------------------------------------------------------------
+# constraint masks (reference: dtw_variants.py:906-1058)
+# ---------------------------------------------------------------------------
+
+def sakoe_chiba_bounds(sz1: int, sz2: int, radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row [lo, hi] inclusive column bounds of the Sakoe-Chiba band.
+
+    Matches dtw_variants.py:906-956: the band follows the resampled
+    diagonal when sz1 != sz2, with half-width ``radius``.
+    """
+    if sz1 > sz2:
+        width = sz1 - sz2 + radius
+        lo = np.maximum(0, np.arange(sz1) - width)
+        hi = np.minimum(sz2 - 1, np.arange(sz1) + radius)
+    else:
+        width = sz2 - sz1 + radius
+        lo = np.maximum(0, np.arange(sz1) - radius)
+        hi = np.minimum(sz2 - 1, np.arange(sz1) + width)
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row column bounds of the Itakura parallelogram.
+
+    Reference (dtw_variants.py:958-1035) builds the mask from four slope
+    lines; we reproduce the same feasible set as [lo, hi] row windows.
+    """
+    min_slope = 1.0 / max_slope
+    i = np.arange(sz1, dtype=np.float64)
+    upper1 = max_slope * i * (sz2 - 1) / (sz1 - 1) if sz1 > 1 else np.zeros(sz1)
+    upper2 = ((sz2 - 1) + min_slope * (i - (sz1 - 1)) * (sz2 - 1) / (sz1 - 1)
+              if sz1 > 1 else np.full(sz1, sz2 - 1, dtype=np.float64))
+    lower1 = min_slope * i * (sz2 - 1) / (sz1 - 1) if sz1 > 1 else np.zeros(sz1)
+    lower2 = ((sz2 - 1) + max_slope * (i - (sz1 - 1)) * (sz2 - 1) / (sz1 - 1)
+              if sz1 > 1 else np.full(sz1, sz2 - 1, dtype=np.float64))
+    hi = np.floor(np.minimum(upper1, upper2) + 1e-9)
+    lo = np.ceil(np.maximum(lower1, lower2) - 1e-9)
+    lo = np.clip(lo, 0, sz2 - 1)
+    hi = np.clip(hi, 0, sz2 - 1)
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def _bounds(sz1, sz2, global_constraint=None, sakoe_chiba_radius=None, itakura_max_slope=None):
+    """Dispatch constraint → per-row [lo,hi] (dtw_variants.py:1060-1127)."""
+    if global_constraint == "sakoe_chiba" or (
+        global_constraint in (None, "") and sakoe_chiba_radius is not None
+    ):
+        radius = 1 if sakoe_chiba_radius is None else int(sakoe_chiba_radius)
+        return sakoe_chiba_bounds(sz1, sz2, radius)
+    if global_constraint == "itakura" or (
+        global_constraint in (None, "") and itakura_max_slope is not None
+    ):
+        slope = 2.0 if itakura_max_slope is None else float(itakura_max_slope)
+        return itakura_bounds(sz1, sz2, slope)
+    lo = np.zeros(sz1, dtype=np.int64)
+    hi = np.full(sz1, sz2 - 1, dtype=np.int64)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# squared-distance matrices
+# ---------------------------------------------------------------------------
+
+def sq_dist_matrix(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Pairwise squared Euclidean distances between timestamps, (sz1, sz2)."""
+    s1 = to_2d(s1)
+    s2 = to_2d(s2)
+    # (a-b)^2 expansion is fast but loses precision; direct diff is exact
+    # and still vectorized: (sz1, sz2, d) intermediates are fine at ts sizes.
+    diff = s1[:, None, :] - s2[None, :, :]
+    return np.einsum("ijk,ijk->ij", diff, diff)
+
+
+# ---------------------------------------------------------------------------
+# DTW (reference: dtw_variants.py:24-82, 384-465)
+# ---------------------------------------------------------------------------
+
+def dtw_accumulated_matrix(s1, s2, global_constraint=None, sakoe_chiba_radius=None,
+                           itakura_max_slope=None) -> np.ndarray:
+    """Full accumulated-cost matrix (squared costs), inf outside the band.
+
+    Row-scan vectorization (see module docstring) — each row is one
+    ``cumsum`` + one ``minimum.accumulate`` over its feasible window.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    sz1, sz2 = s1.shape[0], s2.shape[0]
+    lo, hi = _bounds(sz1, sz2, global_constraint, sakoe_chiba_radius, itakura_max_slope)
+    D = sq_dist_matrix(s1, s2)
+    C = np.full((sz1, sz2), np.inf)
+    l0, h0 = lo[0], hi[0]
+    C[0, l0:h0 + 1] = np.cumsum(D[0, l0:h0 + 1])
+    if l0 > 0:  # row starts past column 0: unreachable from C[0,0]
+        C[0, :] = np.inf
+        C[0, 0] = D[0, 0]
+    prev = C[0]
+    for i in range(1, sz1):
+        li, hi_i = lo[i], hi[i]
+        d = D[i, li:hi_i + 1]
+        # A[j] = D[i,j] + min(prev[j], prev[j-1])
+        up = prev[li:hi_i + 1]
+        diag = np.empty_like(up)
+        diag[0] = prev[li - 1] if li > 0 else np.inf
+        if hi_i > li:
+            diag[1:] = prev[li:hi_i]
+        a = d + np.minimum(up, diag)
+        s = np.cumsum(d)
+        row = s + np.minimum.accumulate(a - s)
+        C[i, li:hi_i + 1] = row
+        prev = C[i]
+    return C
+
+
+def dtw(s1, s2, global_constraint=None, sakoe_chiba_radius=None,
+        itakura_max_slope=None) -> float:
+    """DTW distance ``sqrt(min-path sum of squared dists)`` (dtw_variants.py:384-465)."""
+    C = dtw_accumulated_matrix(s1, s2, global_constraint, sakoe_chiba_radius, itakura_max_slope)
+    return float(np.sqrt(C[-1, -1]))
+
+
+def _return_path(C: np.ndarray) -> list[tuple[int, int]]:
+    """Backtrack optimal path; diagonal preferred on ties (dtw_variants.py:85-106)."""
+    i, j = C.shape[0] - 1, C.shape[1] - 1
+    path = [(i, j)]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            cands = (C[i - 1, j - 1], C[i - 1, j], C[i, j - 1])
+            k = int(np.argmin(cands))  # first-on-tie == diagonal preferred
+            if k == 0:
+                i, j = i - 1, j - 1
+            elif k == 1:
+                i -= 1
+            else:
+                j -= 1
+        path.append((i, j))
+    return path[::-1]
+
+
+def dtw_path(s1, s2, global_constraint=None, sakoe_chiba_radius=None,
+             itakura_max_slope=None) -> tuple[list[tuple[int, int]], float]:
+    """DTW + backtracked optimal alignment path (dtw_variants.py:109-198)."""
+    C = dtw_accumulated_matrix(s1, s2, global_constraint, sakoe_chiba_radius, itakura_max_slope)
+    return _return_path(C), float(np.sqrt(C[-1, -1]))
+
+
+# ---------------------------------------------------------------------------
+# subsequence DTW (reference: dtw_variants.py:746-903)
+# ---------------------------------------------------------------------------
+
+def subsequence_cost_matrix(subseq, longseq) -> np.ndarray:
+    """Open-begin accumulated matrix: free first row (dtw_variants.py:746-780)."""
+    subseq, longseq = to_2d(subseq), to_2d(longseq)
+    D = sq_dist_matrix(subseq, longseq)
+    sz1, sz2 = D.shape
+    C = np.empty((sz1, sz2))
+    C[0] = D[0]  # open begin: each column may start a match
+    prev = C[0]
+    for i in range(1, sz1):
+        d = D[i]
+        diag = np.empty_like(prev)
+        diag[0] = np.inf
+        diag[1:] = prev[:-1]
+        a = d + np.minimum(prev, diag)
+        s = np.cumsum(d)
+        C[i] = s + np.minimum.accumulate(a - s)
+        prev = C[i]
+    return C
+
+
+def subsequence_path(C: np.ndarray, idx_path_end: int) -> list[tuple[int, int]]:
+    """Backtrack from (last_row, idx_path_end) up to row 0 (dtw_variants.py:782-843)."""
+    i, j = C.shape[0] - 1, int(idx_path_end)
+    path = [(i, j)]
+    while i > 0:
+        if j == 0:
+            i -= 1
+        else:
+            cands = (C[i - 1, j - 1], C[i - 1, j], C[i, j - 1])
+            k = int(np.argmin(cands))
+            if k == 0:
+                i, j = i - 1, j - 1
+            elif k == 1:
+                i -= 1
+            else:
+                j -= 1
+        path.append((i, j))
+    return path[::-1]
+
+
+def dtw_subsequence_path(subseq, longseq) -> tuple[list[tuple[int, int]], float]:
+    """Best match of a short query inside a long series (dtw_variants.py:846-903)."""
+    C = subsequence_cost_matrix(subseq, longseq)
+    j_best = int(np.argmin(C[-1]))
+    return subsequence_path(C, j_best), float(np.sqrt(C[-1, j_best]))
+
+
+# ---------------------------------------------------------------------------
+# limited warping length DTW (reference: dtw_variants.py:468-745)
+# ---------------------------------------------------------------------------
+
+def _limited_warping_length_cost(s1, s2, max_length):
+    """3-D DP over path length; dict of reachable (i,j)->costs per step count.
+
+    Semantics of dtw_variants.py:499-546 (cost indexed by number of steps).
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    D = sq_dist_matrix(s1, s2)
+    sz1, sz2 = D.shape
+    # C[l, i, j] = best cost of a path of exactly l+? — use (max_length, sz1, sz2)
+    C = np.full((max_length, sz1, sz2), np.inf)
+    C[0, 0, 0] = D[0, 0]
+    for step in range(1, max_length):
+        prev = C[step - 1]
+        cur = np.full((sz1, sz2), np.inf)
+        cur[1:, 1:] = prev[:-1, :-1]
+        cur[1:, :] = np.minimum(cur[1:, :], prev[:-1, :])
+        cur[:, 1:] = np.minimum(cur[:, 1:], prev[:, :-1])
+        C[step] = cur + D
+        C[step, 0, 0] = np.inf
+    C[0] = np.where(np.arange(sz1)[:, None] + np.arange(sz2)[None, :] == 0, C[0], np.inf)
+    return C
+
+
+def dtw_limited_warping_length(s1, s2, max_length) -> float:
+    """DTW s.t. path length <= max_length (dtw_variants.py:549-623)."""
+    s1, s2 = to_2d(s1), to_2d(s2)
+    if max_length < max(s1.shape[0], s2.shape[0]):
+        raise ValueError(
+            "Cannot find a path of length {} to align given time series.".format(max_length)
+        )
+    C = _limited_warping_length_cost(s1, s2, max_length)
+    return float(np.sqrt(np.min(C[:, -1, -1])))
+
+
+def dtw_path_limited_warping_length(s1, s2, max_length):
+    """As above + backtracked path (dtw_variants.py:624-745)."""
+    s1, s2 = to_2d(s1), to_2d(s2)
+    if max_length < max(s1.shape[0], s2.shape[0]):
+        raise ValueError(
+            "Cannot find a path of length {} to align given time series.".format(max_length)
+        )
+    C = _limited_warping_length_cost(s1, s2, max_length)
+    step = int(np.argmin(C[:, -1, -1]))
+    score = float(np.sqrt(C[step, -1, -1]))
+    i, j = C.shape[1] - 1, C.shape[2] - 1
+    path = [(i, j)]
+    while step > 0:
+        cands = []
+        moves = []
+        if i > 0 and j > 0:
+            cands.append(C[step - 1, i - 1, j - 1]); moves.append((i - 1, j - 1))
+        if i > 0:
+            cands.append(C[step - 1, i - 1, j]); moves.append((i - 1, j))
+        if j > 0:
+            cands.append(C[step - 1, i, j - 1]); moves.append((i, j - 1))
+        k = int(np.argmin(cands))
+        i, j = moves[k]
+        path.append((i, j))
+        step -= 1
+    return path[::-1], score
+
+
+# ---------------------------------------------------------------------------
+# LB_Keogh envelope + bound (reference: dtw_variants.py:1224-1368)
+# ---------------------------------------------------------------------------
+
+def lb_envelope(ts, radius: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(lower, upper) running min/max over [i-r, i+r] (dtw_variants.py:1299-1368).
+
+    In Spark this is a pure window-frame expression; this numpy twin exists
+    for kernel-side pruning and tests.
+    """
+    arr = to_2d(ts)
+    sz = arr.shape[0]
+    lower = np.empty_like(arr)
+    upper = np.empty_like(arr)
+    for i in range(sz):
+        seg = arr[max(0, i - radius):min(sz, i + radius + 1)]
+        lower[i] = seg.min(axis=0)
+        upper[i] = seg.max(axis=0)
+    return lower, upper
+
+
+def lb_keogh(ts_query, ts_candidate=None, radius: int = 1, envelope_candidate=None) -> float:
+    """LB_Keogh lower bound on DTW, univariate equal-size (dtw_variants.py:1224-1296)."""
+    q = to_2d(ts_query)
+    if envelope_candidate is None:
+        lower, upper = lb_envelope(ts_candidate, radius)
+    else:
+        lower, upper = envelope_candidate
+        lower, upper = to_2d(lower), to_2d(upper)
+    above = np.maximum(q - upper, 0.0)
+    below = np.maximum(lower - q, 0.0)
+    return float(np.sqrt(np.sum(above ** 2) + np.sum(below ** 2)))
+
+
+# ---------------------------------------------------------------------------
+# LCSS (reference: dtw_variants.py:1370-1540)
+# ---------------------------------------------------------------------------
+
+def lcss_accumulated_matrix(s1, s2, eps: float = 1.0, global_constraint=None,
+                            sakoe_chiba_radius=None, itakura_max_slope=None) -> np.ndarray:
+    """LCSS DP table, 1-indexed with zero border (dtw_variants.py:1370-1409).
+
+    Match predicate: sup-norm <= eps per timestamp pair... reference uses
+    Euclidean distance <= eps on the (possibly multivariate) points.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    sz1, sz2 = s1.shape[0], s2.shape[0]
+    lo, hi = _bounds(sz1, sz2, global_constraint, sakoe_chiba_radius, itakura_max_slope)
+    D = np.sqrt(sq_dist_matrix(s1, s2))
+    match = D <= eps
+    acc = np.zeros((sz1 + 1, sz2 + 1), dtype=np.int64)
+    for i in range(sz1):
+        row = acc[i + 1]
+        prev = acc[i]
+        li, hi_i = lo[i], hi[i]
+        # literal reference recurrence, row-sequential (cheap: int ops)
+        for j in range(li, hi_i + 1):
+            if match[i, j]:
+                row[j + 1] = prev[j] + 1
+            else:
+                row[j + 1] = max(row[j], prev[j + 1])
+        # columns right of the band inherit from left so later rows see maxes
+        if hi_i + 2 <= sz2:
+            row[hi_i + 2:] = row[hi_i + 1]
+    return acc
+
+
+def lcss(s1, s2, eps: float = 1.0, global_constraint=None, sakoe_chiba_radius=None,
+         itakura_max_slope=None) -> float:
+    """LCSS similarity in [0,1], normalized by min length (dtw_variants.py:1441-1540)."""
+    s1, s2 = to_2d(s1), to_2d(s2)
+    acc = lcss_accumulated_matrix(s1, s2, eps, global_constraint,
+                                  sakoe_chiba_radius, itakura_max_slope)
+    return float(acc[-1, -1]) / min(s1.shape[0], s2.shape[0])
+
+
+def lcss_path(s1, s2, eps: float = 1.0, **kw) -> tuple[list[tuple[int, int]], float]:
+    """LCSS + matched-pair path (dtw_variants.py:1541-1683)."""
+    s1, s2 = to_2d(s1), to_2d(s2)
+    acc = lcss_accumulated_matrix(s1, s2, eps, **kw)
+    i, j = s1.shape[0], s2.shape[0]
+    path: list[tuple[int, int]] = []
+    D = np.sqrt(sq_dist_matrix(s1, s2))
+    while i > 0 and j > 0:
+        if D[i - 1, j - 1] <= eps and acc[i, j] == acc[i - 1, j - 1] + 1:
+            path.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+        elif acc[i - 1, j] >= acc[i, j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    path.reverse()
+    sim = float(acc[-1, -1]) / min(s1.shape[0], s2.shape[0])
+    return path, sim
+
+
+# ---------------------------------------------------------------------------
+# soft-DTW (reference: softdtw_variants.py:316-448, soft_dtw_fast.pyx:22-104)
+# ---------------------------------------------------------------------------
+
+def _softmin3(a, b, c, gamma):
+    """-gamma * logsumexp(-[a,b,c]/gamma), elementwise over arrays."""
+    if gamma == 0.0:
+        return np.minimum(np.minimum(a, b), c)
+    stack = np.stack([a, b, c])
+    m = np.min(stack, axis=0)
+    # guard inf - inf
+    with np.errstate(invalid="ignore", over="ignore"):
+        z = np.exp(-(stack - m) / gamma)
+        z[~np.isfinite(stack)] = 0.0
+        out = m - gamma * np.log(np.sum(z, axis=0))
+    out = np.where(np.isfinite(m), out, m)
+    return out
+
+
+def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
+    """Soft-DTW score; gamma=0 reduces to squared DTW (softdtw_variants.py:316-374).
+
+    Anti-diagonal vectorized forward pass of soft_dtw_fast.pyx:40-67.
+    R is the (sz1+2, sz2+2) accumulated matrix with the classic border.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    D = sq_dist_matrix(s1, s2)
+    sz1, sz2 = D.shape
+    R = np.full((sz1 + 2, sz2 + 2), np.inf)
+    R[0, 0] = 0.0
+    # anti-diagonal sweep over the (sz1, sz2) interior
+    for k in range(sz1 + sz2 - 1):
+        i0 = max(0, k - sz2 + 1)
+        i1 = min(sz1 - 1, k)
+        ii = np.arange(i0, i1 + 1)
+        jj = k - ii
+        a = R[ii, jj + 1]       # R[i-1, j]
+        b = R[ii + 1, jj]       # R[i, j-1]
+        c = R[ii, jj]           # R[i-1, j-1]
+        R[ii + 1, jj + 1] = D[ii, jj] + _softmin3(a, b, c, gamma)
+    if return_matrix:
+        return R
+    return float(R[sz1, sz2])
+
+
+def soft_dtw_alignment(s1, s2, gamma: float = 1.0):
+    """Soft alignment matrix E = dScore/dD + score (softdtw_variants.py:377-448).
+
+    Backward pass of soft_dtw_fast.pyx:70-104, anti-diagonal vectorized.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    D = sq_dist_matrix(s1, s2)
+    sz1, sz2 = D.shape
+    if gamma == 0.0:
+        # hard DTW: alignment is the 0/1 optimal path indicator
+        C = dtw_accumulated_matrix(s1, s2)
+        E = np.zeros((sz1, sz2))
+        for (i, j) in _return_path(C):
+            E[i, j] = 1.0
+        return E, float(C[-1, -1])
+    R = soft_dtw(s1, s2, gamma=gamma, return_matrix=True)
+    score = float(R[sz1, sz2])
+    # pad D with a zero row/col; R border per reference backward pass
+    Dp = np.zeros((sz1 + 1, sz2 + 1))
+    Dp[:sz1, :sz2] = D
+    Rb = R.copy()
+    Rb[sz1 + 1, sz2 + 1] = Rb[sz1, sz2]
+    Rb[:, sz2 + 1] = -np.inf
+    Rb[sz1 + 1, :] = -np.inf
+    Rb[sz1 + 1, sz2 + 1] = Rb[sz1, sz2]
+    E = np.zeros((sz1 + 2, sz2 + 2))
+    E[sz1 + 1, sz2 + 1] = 1.0
+    for k in range(sz1 + sz2 - 2, -1, -1):
+        i0 = max(0, k - sz2 + 1)
+        i1 = min(sz1 - 1, k)
+        ii = np.arange(i1, i0 - 1, -1)
+        jj = k - ii
+        i_, j_ = ii + 1, jj + 1
+        with np.errstate(over="ignore", invalid="ignore"):
+            ea = np.exp((Rb[i_ + 1, j_] - Rb[i_, j_] - Dp[i_, j_ - 1]) / gamma)
+            eb = np.exp((Rb[i_, j_ + 1] - Rb[i_, j_] - Dp[i_ - 1, j_]) / gamma)
+            ec = np.exp((Rb[i_ + 1, j_ + 1] - Rb[i_, j_] - Dp[i_, j_]) / gamma)
+        ea = np.nan_to_num(ea, nan=0.0, posinf=0.0)
+        eb = np.nan_to_num(eb, nan=0.0, posinf=0.0)
+        ec = np.nan_to_num(ec, nan=0.0, posinf=0.0)
+        E[i_, j_] = E[i_ + 1, j_] * ea + E[i_, j_ + 1] * eb + E[i_ + 1, j_ + 1] * ec
+    return E[1:sz1 + 1, 1:sz2 + 1], score
+
+
+def soft_dtw_grad(s1, s2, gamma: float = 1.0):
+    """(value, grad wrt s1) for barycenter L-BFGS (SoftDTW.grad + jacobian).
+
+    grad_Z softDTW(Z, X) = jacobian_product_sq_euc(Z, X, E):
+    G[i] = sum_j E[i,j] * 2 * (Z[i] - X[j])   (soft_dtw_fast.pyx:107-118)
+    """
+    Z, X = to_2d(s1), to_2d(s2)
+    E, score = soft_dtw_alignment(Z, X, gamma)
+    G = 2.0 * (Z * E.sum(axis=1, keepdims=True) - E @ X)
+    return score, G
+
+
+# ---------------------------------------------------------------------------
+# GAK (reference: softdtw_variants.py:22-137)
+# ---------------------------------------------------------------------------
+
+def unnormalized_gak(s1, s2, sigma: float = 1.0) -> float:
+    """Global Alignment Kernel, unnormalized (softdtw_variants.py:45-93).
+
+    Gram: exp(-d2/(2 sigma^2)) with the half-Gaussian correction
+    ``k / (2 - k)`` of _gak_gram (softdtw_variants.py:39-42); then the
+    sum-product DP of njit_gak (softdtw_variants.py:22-36), anti-diagonal
+    vectorized in log space is unnecessary at these sizes — plain sums.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    d2 = sq_dist_matrix(s1, s2)
+    k = np.exp(-d2 / (2.0 * sigma ** 2))
+    gram = k / (2.0 - k)
+    sz1, sz2 = gram.shape
+    R = np.zeros((sz1 + 1, sz2 + 1))
+    R[0, 0] = 1.0
+    for kdiag in range(sz1 + sz2 - 1):
+        i0 = max(0, kdiag - sz2 + 1)
+        i1 = min(sz1 - 1, kdiag)
+        ii = np.arange(i0, i1 + 1)
+        jj = kdiag - ii
+        R[ii + 1, jj + 1] = gram[ii, jj] * (R[ii, jj + 1] + R[ii + 1, jj] + R[ii, jj])
+    return float(R[sz1, sz2])
+
+
+def gak(s1, s2, sigma: float = 1.0) -> float:
+    """Normalized GAK: k(x,y)/sqrt(k(x,x) k(y,y)) (softdtw_variants.py:96-137)."""
+    num = unnormalized_gak(s1, s2, sigma)
+    den = np.sqrt(unnormalized_gak(s1, s1, sigma) * unnormalized_gak(s2, s2, sigma))
+    return float(num / den)
+
+
+def sigma_gak(dataset, n_samples: int = 100, random_state: int = 0) -> float:
+    """Bandwidth heuristic: median pairwise dist * sqrt(median sz) (softdtw_variants.py:221-272)."""
+    rs = np.random.RandomState(random_state)
+    series = [to_2d(ts) for ts in dataset]
+    med_sz = int(np.median([s.shape[0] for s in series]))
+    pts = np.vstack(series)
+    n = min(n_samples, pts.shape[0])
+    idx = rs.choice(pts.shape[0], n, replace=False)
+    sample = pts[idx]
+    diff = sample[:, None, :] - sample[None, :, :]
+    dists = np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
+    iu = np.triu_indices(n, k=1)
+    return float(np.median(dists[iu]) * np.sqrt(med_sz))
+
+
+def gamma_soft_dtw(dataset, n_samples: int = 100, random_state: int = 0) -> float:
+    """gamma = 2 * sigma_gak^2 (softdtw_variants.py:275-313)."""
+    return 2.0 * sigma_gak(dataset, n_samples, random_state) ** 2
+
+
+# ---------------------------------------------------------------------------
+# normalized cross-correlation / SBD (reference: cycc.pyx:16-96)
+# ---------------------------------------------------------------------------
+
+def normalized_cc(s1, s2) -> np.ndarray:
+    """Full normalized cross-correlation profile over shifts (cycc.pyx:16-41).
+
+    FFT-based, padded to the next power of two >= 2*sz-1; normalized by
+    ||s1|| * ||s2||; multivariate: correlations summed over dims.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    sz = s1.shape[0]
+    denom = np.linalg.norm(s1) * np.linalg.norm(s2)
+    if denom < 1e-9:
+        denom = np.inf
+    fft_sz = 1 << int(np.ceil(np.log2(2 * sz - 1)))
+    f1 = np.fft.rfft(s1, fft_sz, axis=0)
+    f2 = np.fft.rfft(s2, fft_sz, axis=0)
+    cc = np.fft.irfft(f1 * np.conj(f2), fft_sz, axis=0)
+    cc = np.concatenate((cc[-(sz - 1):], cc[:sz]), axis=0)
+    return np.real(cc).sum(axis=-1) / denom
+
+
+def normalized_cc_max(s1, s2) -> float:
+    """max over shifts — the SBD similarity core."""
+    return float(normalized_cc(s1, s2).max())
+
+
+def y_shifted_sbd_vec(ref, dataset_arrays):
+    """Align each series to ``ref`` at its best SBD shift, zero-padded (cycc.pyx:71-96)."""
+    ref = to_2d(ref)
+    sz = ref.shape[0]
+    out = []
+    for ts in dataset_arrays:
+        ts = to_2d(ts)
+        cc = normalized_cc(ref, ts)
+        shift = int(np.argmax(cc)) - (sz - 1)
+        aligned = np.zeros_like(ts)
+        # note: cc index k corresponds to shifting ts by (k - (sz-1))
+        if shift == 0:
+            aligned = ts.copy()
+        elif shift > 0:
+            aligned[shift:] = ts[:-shift]
+        else:
+            aligned[:shift] = ts[-shift:]
+        out.append(aligned)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Euclidean on equal-length series
+# ---------------------------------------------------------------------------
+
+def euclidean(s1, s2) -> float:
+    s1, s2 = to_2d(s1), to_2d(s2)
+    return float(np.sqrt(np.sum((s1 - s2) ** 2)))
+
+
+KERNELS = {
+    "dtw": dtw,
+    "euclidean": euclidean,
+    "sqeuclidean": lambda a, b: euclidean(a, b) ** 2,
+    "cityblock": lambda a, b: float(np.sum(np.abs(to_2d(a) - to_2d(b)))),
+    "softdtw": soft_dtw,
+    "gak": gak,
+    "lcss": lcss,
+    "ncc": normalized_cc_max,
+}

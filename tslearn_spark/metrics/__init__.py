@@ -1,0 +1,351 @@
+"""Distributed similarity layer: pair joins + Arrow-batched UDF kernels.
+
+The reference's ``_cdist_generic`` (tslearn/metrics/utils.py:8-85)
+enumerates pairs on one machine with joblib threads.  Here the pair set
+IS a DataFrame join and the kernel is a vectorized pandas UDF, so the
+same query runs on a laptop or a 1000-executor cluster:
+
+* symmetric case: join on ``a.series_id < b.series_id`` → compute the
+  upper triangle only, union the mirror — half the kernel work, exactly
+  like metrics/utils.py:58-75;
+* the small side of query×train joins is broadcast;
+* optional LB_Keogh pre-filter prunes expensive DTW calls with a cheap
+  window-expression bound (dtw_variants.py:1224-1368) — this is our
+  engine's "optimizer rule": Catalyst can't invent it, we declare it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+from tslearn_spark import kernels as K
+
+__all__ = [
+    "pair_metric_udf",
+    "cross_pairs",
+    "self_pairs",
+    "cdist",
+    "lb_keogh_col",
+    "envelope_cols",
+    "METRIC_PARAMS",
+]
+
+
+def _to_arr(v) -> np.ndarray:
+    return np.asarray([np.asarray(r, dtype=np.float64) for r in v], dtype=np.float64)
+
+
+METRIC_PARAMS: dict[str, Callable[..., Callable]] = {}
+
+
+def _register(name):
+    def deco(fn):
+        METRIC_PARAMS[name] = fn
+        return fn
+    return deco
+
+
+@_register("dtw")
+def _make_dtw(global_constraint=None, sakoe_chiba_radius=None, itakura_max_slope=None):
+    def f(a, b):
+        return K.dtw(a, b, global_constraint, sakoe_chiba_radius, itakura_max_slope)
+    return f
+
+
+@_register("softdtw")
+def _make_softdtw(gamma: float = 1.0):
+    def f(a, b):
+        return K.soft_dtw(a, b, gamma=gamma)
+    return f
+
+
+@_register("gak")
+def _make_gak(sigma: float = 1.0):
+    def f(a, b):
+        return K.gak(a, b, sigma=sigma)
+    return f
+
+
+@_register("unnormalized_gak")
+def _make_ugak(sigma: float = 1.0):
+    def f(a, b):
+        return K.unnormalized_gak(a, b, sigma=sigma)
+    return f
+
+
+@_register("lcss")
+def _make_lcss(eps: float = 1.0, **kw):
+    def f(a, b):
+        return K.lcss(a, b, eps=eps, **kw)
+    return f
+
+
+@_register("euclidean")
+def _make_euclidean():
+    return K.euclidean
+
+
+@_register("sqeuclidean")
+def _make_sqeuclidean():
+    return K.KERNELS["sqeuclidean"]
+
+
+@_register("cityblock")
+def _make_cityblock():
+    return K.KERNELS["cityblock"]
+
+
+@_register("ncc")
+def _make_ncc():
+    return K.normalized_cc_max
+
+
+@_register("sbd")
+def _make_sbd():
+    def f(a, b):
+        return 1.0 - K.normalized_cc_max(a, b)
+    return f
+
+
+@_register("ctw")
+def _make_ctw(max_iter: int = 100, n_components=None):
+    from tslearn_spark.metrics.ctw import ctw
+
+    def f(a, b):
+        return ctw(a, b, max_iter=max_iter, n_components=n_components)
+    return f
+
+
+def pair_metric_udf(metric: str, **params):
+    """Build a scalar pandas UDF computing ``metric(a, b)`` per row.
+
+    Arrow ships value arrays in columnar batches; the Python worker loops
+    the vectorized numpy kernel over the batch — per-row overhead is
+    amortized, and executors scale the pair set horizontally.
+    """
+    kernel = METRIC_PARAMS[metric](**params)
+
+    @F.pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(kernel(_to_arr(x), _to_arr(y))) for x, y in zip(a, b)],
+            dtype=np.float64,
+        )
+
+    return _udf
+
+
+PATH_SCHEMA = StructType(
+    [
+        StructField("path", ArrayType(StructType([
+            StructField("i", IntegerType()), StructField("j", IntegerType())])), True),
+        StructField("dist", DoubleType(), True),
+    ]
+)
+
+
+def dtw_path_udf(**params):
+    """pandas UDF returning struct(path array<struct<i,j>>, dist)."""
+
+    @F.pandas_udf(PATH_SCHEMA)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        paths, dists = [], []
+        for x, y in zip(a, b):
+            p, dd = K.dtw_path(_to_arr(x), _to_arr(y), **params)
+            paths.append([{"i": int(i), "j": int(j)} for i, j in p])
+            dists.append(float(dd))
+        return pd.DataFrame({"path": paths, "dist": dists})
+
+    return _udf
+
+
+# ---------------------------------------------------------------------------
+# pair enumeration (the join layer)
+# ---------------------------------------------------------------------------
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the kernel-feeding side across all cores.
+
+    Metric joins are COMPUTE-bound: a few thousand series rows generate
+    millions of O(sz^2) kernel calls.  AQE sizes partitions by bytes, so
+    it happily coalesces a small-but-expensive input to one partition and
+    serializes the whole UDF stage (measured 356s -> ~15s at sf0.1).  An
+    explicit repartition of the tiny row set costs nothing and pins the
+    parallelism to the cluster, not the input size.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True) -> DataFrame:
+    """Full rectangle d1 × d2 with columns (id1, values1, id2, values2).
+
+    For kNN-style queries the train side is usually the small one —
+    broadcast it so the join is shuffle-free; the left side is spread
+    over all cores (see _spread).
+    """
+    left = _spread(
+        d1.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+    )
+    right = d2.select(F.col("series_id").alias("id2"), F.col("values").alias("values2"))
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.crossJoin(right)
+
+
+def self_pairs(df: DataFrame) -> DataFrame:
+    """Strict upper triangle of df × df (id1 < id2).
+
+    Mirrors the symmetry optimization of metrics/utils.py:58-75: kernel
+    evaluated once per unordered pair.  Left side spread for parallelism;
+    right side broadcast (self-joins have identical sides — broadcasting
+    one avoids a sort-merge shuffle of series payloads).
+    """
+    left = _spread(
+        df.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+    )
+    right = F.broadcast(
+        df.select(F.col("series_id").alias("id2"), F.col("values").alias("values2"))
+    )
+    return left.join(right, F.col("id1") < F.col("id2"))
+
+
+def cdist(
+    d1: DataFrame,
+    d2: DataFrame | None = None,
+    metric: str = "dtw",
+    symmetric_zero_diag: bool | None = None,
+    **params,
+) -> DataFrame:
+    """Distributed cross-similarity: returns edges (id1, id2, dist).
+
+    Spark analog of ``_cdist_generic`` — but the result stays a
+    DataFrame of edges (never an n×n driver array), so O(n²) objects
+    remain distributed (SURVEY.md §7 "what's hard").
+
+    Self-case: computes the strict upper triangle, unions the mirrored
+    copy, and adds the diagonal (0 for distances; kernel(x,x) for
+    softdtw/gak whose self-score is nonzero — softdtw_variants.py:451-532).
+    """
+    udf = pair_metric_udf(metric, **params)
+    if d2 is None:
+        if symmetric_zero_diag is None:
+            symmetric_zero_diag = metric not in ("softdtw", "unnormalized_gak")
+        upper = self_pairs(d1).withColumn("dist", udf("values1", "values2"))
+        up = upper.select("id1", "id2", "dist")
+        mirror = upper.select(
+            F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
+        )
+        if symmetric_zero_diag:
+            if metric == "gak":  # normalized kernel: k(x,x)=1
+                diag_val = F.lit(1.0)
+            elif metric == "ncc":
+                diag_val = F.lit(1.0)
+            else:
+                diag_val = F.lit(0.0)
+            diag = d1.select(
+                F.col("series_id").alias("id1"),
+                F.col("series_id").alias("id2"),
+                diag_val.cast("double").alias("dist"),
+            )
+        else:
+            diag = (
+                d1.select(
+                    F.col("series_id").alias("id1"),
+                    F.col("series_id").alias("id2"),
+                    F.col("values").alias("values1"),
+                    F.col("values").alias("values2"),
+                )
+                .withColumn("dist", udf("values1", "values2"))
+                .select("id1", "id2", "dist")
+            )
+        return up.unionByName(mirror).unionByName(diag)
+    pairs = cross_pairs(d1, d2)
+    return pairs.withColumn("dist", udf("values1", "values2")).select("id1", "id2", "dist")
+
+
+# ---------------------------------------------------------------------------
+# LB_Keogh as native SQL (the pruning rule)
+# ---------------------------------------------------------------------------
+
+def envelope_cols(values_col: str = "values", radius: int = 1) -> tuple[Column, Column]:
+    """(lower, upper) running min/max over [i-r, i+r] — pure expression.
+
+    Spark twin of lb_envelope (dtw_variants.py:1299-1368) on the nested
+    layout: per output index slice the ±r window and take min/max.
+    Univariate (d=1) specialization: arrays of double.
+    """
+    v = values_col
+    r = radius
+
+    def env(aggfn: str) -> Column:
+        return F.expr(
+            f"""
+            transform(array({v}), src ->
+              transform(sequence(0, size(src) - 1), i ->
+                {aggfn}(transform(
+                  slice(src, greatest(i - {r}, 0) + 1,
+                        least(i + {r}, size(src) - 1) - greatest(i - {r}, 0) + 1),
+                  row -> row[0]))
+              )
+            )[0]
+            """
+        )
+
+    return env("array_min"), env("array_max")
+
+
+def lb_keogh_col(query_values: str, lower: str, upper: str) -> Column:
+    """LB_Keogh bound from precomputed envelopes (dtw_variants.py:1224-1296)."""
+    return F.expr(
+        f"""
+        sqrt(
+          aggregate(
+            zip_with({query_values}, zip_with({lower}, {upper}, (l, u) -> struct(l, u)),
+              (q, e) -> CASE WHEN q[0] > e.u THEN (q[0] - e.u) * (q[0] - e.u)
+                             WHEN q[0] < e.l THEN (e.l - q[0]) * (e.l - q[0])
+                             ELSE 0.0D END),
+            0.0D, (a, x) -> a + x)
+        )
+        """
+    )
+
+
+def cdist_with_lb_pruning(
+    queries: DataFrame,
+    candidates: DataFrame,
+    radius: int,
+    threshold: float,
+    metric: str = "dtw",
+    **params,
+) -> DataFrame:
+    """DTW join with LB_Keogh pre-filter: cheap bound first, kernel after.
+
+    At scale this is the difference between n*m DTWs and n*m array
+    expressions + a small fraction of DTWs — the bound is evaluated
+    JVM-side in codegen, the UDF only sees survivors.
+    """
+    lo, up = envelope_cols("values", radius)
+    cand = candidates.select(
+        F.col("series_id").alias("id2"),
+        F.col("values").alias("values2"),
+        lo.alias("_lb_lo"),
+        up.alias("_lb_up"),
+    )
+    q = _spread(
+        queries.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+    )
+    pairs = q.crossJoin(F.broadcast(cand))
+    pairs = pairs.withColumn("_lb", lb_keogh_col("values1", "_lb_lo", "_lb_up"))
+    pruned = pairs.where(F.col("_lb") <= F.lit(threshold))
+    udf = pair_metric_udf(metric, sakoe_chiba_radius=radius, **params) if metric == "dtw" \
+        else pair_metric_udf(metric, **params)
+    return pruned.withColumn("dist", udf("values1", "values2")).select(
+        "id1", "id2", "_lb", "dist"
+    )

@@ -1,0 +1,101 @@
+"""Model persistence — JSON twin of the reference's BaseModelPackage.
+
+Reference: tslearn/bases/bases.py:31-287 (to_json/from_json persist
+hyper-parameters + trailing-underscore fitted params; HDF5/pickle are
+alternate codecs of the same dict).  The engine persists the same
+two-part dict as JSON; numpy arrays round-trip via nested lists with a
+dtype tag.  (HDF5 is not available in this container; pickle is
+intentionally avoided for a portable on-disk format.)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+
+
+def _encode(obj: Any):
+    if isinstance(obj, np.ndarray):
+        return {"__ndarray__": obj.tolist(), "dtype": str(obj.dtype)}
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, list):
+        return [_encode(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _encode(v) for k, v in obj.items()}
+    return obj
+
+
+def _decode(obj: Any):
+    if isinstance(obj, dict):
+        if "__ndarray__" in obj:
+            return np.array(obj["__ndarray__"], dtype=obj.get("dtype", "float64"))
+        return {k: _decode(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_decode(x) for x in obj]
+    return obj
+
+
+def model_to_dict(model: Any) -> dict:
+    """hyper-params (__init__ attrs) + fitted params (trailing underscore),
+    mirroring BaseModelPackage._get_model_params (bases.py:70-90)."""
+    hyper = {}
+    fitted = {}
+    for k, v in vars(model).items():
+        if k.startswith("_"):
+            continue
+        if k.endswith("_"):
+            fitted[k] = _encode(v)
+        else:
+            hyper[k] = _encode(v)
+    return {
+        "class": type(model).__name__,
+        "hyper_params": hyper,
+        "model_params": fitted,
+    }
+
+
+def save_model(model: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(model_to_dict(model), f)
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_model(cls: type) -> type:
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def _registry() -> dict[str, type]:
+    if not _REGISTRY:
+        from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+        from tslearn_spark.piecewise import SAX, OneDSAX
+
+        for cls in (TimeSeriesKMeans, KShape, KernelKMeans, SAX, OneDSAX):
+            _REGISTRY[cls.__name__] = cls
+    return _REGISTRY
+
+
+def model_from_dict(d: dict) -> Any:
+    cls = _registry()[d["class"]]
+    hyper = _decode(d["hyper_params"])
+    try:
+        model = cls(**hyper)
+    except TypeError:
+        model = cls.__new__(cls)
+        for k, v in hyper.items():
+            setattr(model, k, v)
+    for k, v in _decode(d["model_params"]).items():
+        setattr(model, k, v)
+    return model
+
+
+def load_model(path: str) -> Any:
+    with open(path) as f:
+        return model_from_dict(json.load(f))

@@ -1,0 +1,117 @@
+"""kNN over elastic metrics — the top-k-per-group layer.
+
+Reference: tslearn/neighbors/neighbors.py:19-717.
+
+Spark-first: the reference materializes the full query×train distance
+matrix then argpartitions (neighbors.py:145-161).  We never materialize
+it — the metric join streams into a per-query top-k:
+
+    crossJoin(queries, broadcast(train)) -> metric UDF
+      -> row_number() OVER (PARTITION BY query ORDER BY dist, id) <= k
+      -> vote/avg aggregate
+
+Ties break by train id for determinism.  The train side is broadcast
+(it is the small side in the common serve pattern); for train sets too
+big to broadcast the same plan runs as a shuffle join and AQE picks the
+strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tslearn_spark import metrics as M
+
+
+def kneighbors(
+    queries: DataFrame,
+    train: DataFrame,
+    k: int = 1,
+    metric: str = "dtw",
+    drop_self: bool = False,
+    **params,
+) -> DataFrame:
+    """(id1=query, id2=neighbor, dist, rank), rank<=k per query.
+
+    drop_self: for self-kNN, exclude the identical id (neighbors.py:163-168).
+    """
+    pairs = M.cross_pairs(queries, train)
+    if drop_self:
+        pairs = pairs.where(F.col("id1") != F.col("id2"))
+    udf = M.pair_metric_udf(metric, **params)
+    # project the (large) value arrays away BEFORE the top-k shuffle:
+    # only (id1, id2, dist) rows move, not the series payloads
+    scored = pairs.withColumn("dist", udf("values1", "values2")).select(
+        "id1", "id2", "dist"
+    )
+    w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id1", "id2", "dist", "rank")
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    train: DataFrame,
+    k: int = 1,
+    metric: str = "dtw",
+    weights: str = "uniform",
+    label_col: str = "label",
+    **params,
+) -> DataFrame:
+    """kNN vote (neighbors.py:502-531): mode, or 1/dist-weighted mode.
+
+    Returns (series_id, prediction).  The label join is a broadcast of
+    the (tiny) train labels.
+    """
+    nn = kneighbors(queries, train, k=k, metric=metric, **params)
+    labeled = nn.join(
+        F.broadcast(train.select(F.col("series_id").alias("id2"), F.col(label_col))),
+        "id2",
+    )
+    if weights == "distance":
+        wexpr = 1.0 / F.when(F.col("dist") <= 0.0, F.lit(1e-12)).otherwise(F.col("dist"))
+    else:
+        wexpr = F.lit(1.0)
+    votes = (
+        labeled.groupBy("id1", label_col)
+        .agg(F.sum(wexpr).alias("w"), F.min("rank").alias("first_rank"))
+    )
+    # max weight wins; ties -> label seen at the smallest rank, then lexical
+    w = Window.partitionBy("id1").orderBy(
+        F.col("w").desc(), F.col("first_rank").asc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("id1").alias("series_id"), F.col(label_col).alias("prediction"))
+    )
+
+
+def knn_regress(
+    queries: DataFrame,
+    train: DataFrame,
+    k: int = 1,
+    metric: str = "dtw",
+    weights: str = "uniform",
+    target_col: str = "y",
+    **params,
+) -> DataFrame:
+    """kNN mean / distance-weighted mean of y (neighbors.py:565-717)."""
+    nn = kneighbors(queries, train, k=k, metric=metric, **params)
+    joined = nn.join(
+        F.broadcast(train.select(F.col("series_id").alias("id2"), F.col(target_col))),
+        "id2",
+    )
+    if weights == "distance":
+        wexpr = 1.0 / F.when(F.col("dist") <= 0.0, F.lit(1e-12)).otherwise(F.col("dist"))
+    else:
+        wexpr = F.lit(1.0)
+    return (
+        joined.groupBy("id1")
+        .agg((F.sum(F.col(target_col) * wexpr) / F.sum(wexpr)).alias("prediction"))
+        .select(F.col("id1").alias("series_id"), "prediction")
+    )

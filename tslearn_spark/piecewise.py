@@ -1,0 +1,331 @@
+"""PAA / SAX / 1d-SAX — piecewise & symbolic representations, SQL-native.
+
+Reference semantics: tslearn/piecewise/piecewise.py (PAA transform
+:143-153, SAX fit/quantize :340-505 + :15-56, 1d-SAX :600-698) and the
+distance kernels in tslearn/metrics/cysax.pyx.
+
+Spark-first: segment means/slopes are higher-order aggregates over array
+slices of the nested ``values`` column — map-only, no shuffle, codegen.
+Gaussian breakpoints are computed once on the driver (tslearn_spark.stats)
+and inlined as array literals, so quantization is a pure expression too.
+The SAX/PAA *distances* are also pure expressions (no UDF), usable as
+join predicates at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tslearn_spark.stats import sax_bin_medians, sax_breakpoints
+
+_NDIMS = "size({v}[0])"
+
+
+def _lit_array(vals) -> str:
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+# ---------------------------------------------------------------------------
+# PAA (piecewise.py:59-258)
+# ---------------------------------------------------------------------------
+
+def paa_col(values_col: str = "values", n_segments: int = 1) -> Column:
+    """PAA transform: per-segment per-dim mean, shape (n_segments, d).
+
+    seg_sz = ts_size // n_segments; the tail remainder is dropped
+    (piecewise.py:147-153).  slice() is 1-indexed in Spark SQL.  The
+    source is let-bound (evaluated once per row) so chaining after a
+    scaler does not re-evaluate the scaler per segment.
+    """
+    v = values_col
+    n = n_segments
+    return F.expr(
+        f"""
+        transform(array({v}), src ->
+          transform(sequence(0, {n - 1}), s ->
+            transform(sequence(0, size(src[0]) - 1), d ->
+              aggregate(
+                slice(src, s * (size(src) div {n}) + 1, size(src) div {n}),
+                0.0D, (a, row) -> a + row[d]
+              ) / (size(src) div {n})
+            )
+          )
+        )[0]
+        """
+    )
+
+
+def paa_inverse_col(paa_col_name: str, original_size: int) -> Column:
+    """Repeat each segment mean seg_sz times (cysax.pyx:19-35 inv_transform_paa).
+
+    Positions >= n_segments*seg_sz are zero-filled like the reference
+    (output allocated with numpy.zeros).
+    """
+    p = paa_col_name
+    return F.expr(
+        f"""
+        transform(sequence(0, {original_size - 1}), t ->
+          transform(sequence(0, size({p}[0]) - 1), d ->
+            CASE WHEN t div ({original_size} div size({p})) < size({p})
+                 THEN {p}[t div ({original_size} div size({p}))][d]
+                 ELSE 0.0D END
+          )
+        )
+        """
+    )
+
+
+def paa_distance_col(paa1: str, paa2: str, original_size: int) -> Column:
+    """PAA distance ||p1-p2|| * sqrt(sz/n) (piecewise.py:191-213)."""
+    return F.expr(
+        f"""
+        sqrt(
+          aggregate(zip_with({paa1}, {paa2}, (a, b) ->
+            aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+                      0.0D, (acc, z) -> acc + z)),
+            0.0D, (acc, s) -> acc + s)
+          * {float(original_size)}D / size({paa1})
+        )
+        """
+    )
+
+
+def transform_paa(df: DataFrame, n_segments: int, values_col: str = "values",
+                  out_col: str = "paa") -> DataFrame:
+    return df.withColumn(out_col, paa_col(values_col, n_segments))
+
+
+# ---------------------------------------------------------------------------
+# SAX (piecewise.py:261-505)
+# ---------------------------------------------------------------------------
+
+def symbols_col(real_col_expr: str, breakpoints: np.ndarray) -> str:
+    """Quantize a (n_seg, d) real matrix against breakpoints.
+
+    symbol = #breakpoints <= value (piecewise.py:15-31 _paa_to_symbols).
+    """
+    bps = _lit_array(breakpoints)
+    return f"""
+      transform({real_col_expr}, row ->
+        transform(row, x -> size(filter({bps}, b -> x >= b)))
+      )
+    """
+
+
+class SAX:
+    """SymbolicAggregateApproximation twin (piecewise.py:261-505).
+
+    Fitted state = breakpoints (+ optional global mu/std when scale=True),
+    computed on the driver; transform/distance are pure expressions.
+    """
+
+    def __init__(self, n_segments: int, alphabet_size_avg: int = 5, scale: bool = False):
+        self.n_segments = n_segments
+        self.alphabet_size_avg = alphabet_size_avg
+        self.scale = scale
+        self.breakpoints_avg_ = sax_breakpoints(alphabet_size_avg)
+        self.breakpoints_avg_middle_ = sax_bin_medians(alphabet_size_avg)
+        self.mu_: np.ndarray | None = None
+        self.std_: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, values_col: str = "values") -> "SAX":
+        if self.scale:
+            # global (dataset-wide) per-dim mean/std — one tiny aggregate
+            long_stats = (
+                df.select(F.explode(values_col).alias("row"))
+                .select(F.posexplode("row").alias("dim", "x"))
+                .where(~F.isnan("x"))
+                .groupBy("dim")
+                .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("std"))
+                .orderBy("dim")
+                .collect()
+            )
+            self.mu_ = np.array([r["mu"] for r in long_stats])
+            self.std_ = np.array([1.0 if r["std"] == 0 else r["std"] for r in long_stats])
+        return self
+
+    def _scaled(self, values_col: str) -> str:
+        if not self.scale:
+            return values_col
+        mu = _lit_array(self.mu_)
+        std = _lit_array(self.std_)
+        return (
+            f"transform({values_col}, row -> transform(row, (x, d) -> "
+            f"(x - {mu}[d]) / {std}[d]))"
+        )
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str = "sax") -> DataFrame:
+        v = self._scaled(values_col)
+        paa = paa_col(v, self.n_segments)
+        sym = symbols_col(f"__paa", self.breakpoints_avg_)
+        return (
+            df.withColumn("__paa", paa)
+            .withColumn(out_col, F.expr(sym))
+            .drop("__paa")
+        )
+
+    def distance_col(self, sax1: str, sax2: str, original_size: int) -> Column:
+        """MINDIST (cysax.pyx:39-54): pairs differing by >1 symbol contribute
+        (bp[max-1]-bp[min])^2; total scaled by sqrt(sz/n)."""
+        bps = _lit_array(self.breakpoints_avg_)
+        return F.expr(
+            f"""
+            sqrt(
+              aggregate(zip_with({sax1}, {sax2}, (r1, r2) ->
+                aggregate(zip_with(r1, r2, (a, b) ->
+                  CASE WHEN abs(a - b) > 1
+                       THEN pow({bps}[greatest(a, b) - 1] - {bps}[least(a, b)], 2)
+                       ELSE 0.0D END),
+                  0.0D, (acc, z) -> acc + z)),
+                0.0D, (acc, s) -> acc + s)
+              * {float(original_size)}D / size({sax1})
+            )
+            """
+        )
+
+    def inverse_col(self, sax_col: str, original_size: int) -> Column:
+        """Bin medians repeated per segment (cysax.pyx:56-77 inv_transform_sax)."""
+        med = _lit_array(self.breakpoints_avg_middle_)
+        s = sax_col
+        return F.expr(
+            f"""
+            transform(sequence(0, {original_size - 1}), t ->
+              transform(sequence(0, size({s}[0]) - 1), d ->
+                CASE WHEN t div ({original_size} div size({s})) < size({s})
+                     THEN {med}[{s}[t div ({original_size} div size({s}))][d]]
+                     ELSE 0.0D END
+              )
+            )
+            """
+        )
+
+
+# ---------------------------------------------------------------------------
+# 1d-SAX (piecewise.py:504-777)
+# ---------------------------------------------------------------------------
+
+class OneDSAX(SAX):
+    """1d-SAX: per segment quantize (mean, OLS slope) (piecewise.py:504-777).
+
+    Output shape (n_segments, 2*d): first d symbols = averages, last d =
+    slopes (piecewise.py:663-678).  Slope = OLS fit over absolute time
+    indices (cysax.pyx:80-92 cyslopes) = covar(t, x)/var(t) on the segment.
+    """
+
+    def __init__(self, n_segments: int, alphabet_size_avg: int = 5,
+                 alphabet_size_slope: int = 5, sigma_l: float | None = None):
+        super().__init__(n_segments, alphabet_size_avg, scale=False)
+        self.alphabet_size_slope = alphabet_size_slope
+        self.sigma_l = sigma_l
+        self.breakpoints_slope_: np.ndarray | None = None
+        self.breakpoints_slope_middle_: np.ndarray | None = None
+
+    def fit_sz(self, sz: int) -> "OneDSAX":
+        """Breakpoints need the fit-time sz (piecewise.py:601-617)."""
+        seg_sz = sz // self.n_segments
+        sigma_l = self.sigma_l if self.sigma_l is not None else float(np.sqrt(0.03 / seg_sz))
+        self.breakpoints_slope_ = sax_breakpoints(self.alphabet_size_slope, scale=sigma_l)
+        self.breakpoints_slope_middle_ = sax_bin_medians(self.alphabet_size_slope, scale=sigma_l)
+        return self
+
+    def slopes_col(self, values_col: str = "values") -> Column:
+        """Per-segment per-dim OLS slope over absolute t (cyslopes).
+
+        slope = (sum(t*x) - sum(t)*sum(x)/n) / (sum(t^2) - sum(t)^2/n)
+        computed over t in [s*seg, s*seg+seg).
+        """
+        v = values_col
+        n = self.n_segments
+        seg = "(size(src) div " + str(n) + ")"
+        return F.expr(
+            f"""
+            transform(array({v}), src ->
+              transform(sequence(0, {n - 1}), s ->
+                transform(sequence(0, size(src[0]) - 1), d ->
+                  (
+                    aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1),
+                              0.0D, (a, t) -> a + t * src[t][d])
+                    - aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1),
+                                0.0D, (a, t) -> a + t)
+                      * aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1),
+                                  0.0D, (a, t) -> a + src[t][d]) / {seg}
+                  ) / (
+                    aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1),
+                              0.0D, (a, t) -> a + cast(t as double) * t)
+                    - pow(aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1),
+                                    0.0D, (a, t) -> a + t), 2) / {seg}
+                  )
+                )
+              )
+            )[0]
+            """
+        )
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str = "sax1d") -> DataFrame:
+        assert self.breakpoints_slope_ is not None, "call fit_sz(sz) first"
+        avg_sym = symbols_col("__paa", self.breakpoints_avg_)
+        slope_sym = symbols_col("__slopes", self.breakpoints_slope_)
+        return (
+            df.withColumn("__paa", paa_col(values_col, self.n_segments))
+            .withColumn("__slopes", self.slopes_col(values_col))
+            .withColumn(
+                out_col,
+                F.expr(f"zip_with({avg_sym}, {slope_sym}, (a, s) -> concat(a, s))"),
+            )
+            .drop("__paa", "__slopes")
+        )
+
+    def distance_col(self, sax1: str, sax2: str, original_size: int) -> Column:
+        """cydist_1d_sax (cysax.pyx:95-124): squared diffs of the two
+        reconstructed per-segment linear approximations at every t."""
+        avg_med = _lit_array(self.breakpoints_avg_middle_)
+        slope_med = _lit_array(self.breakpoints_slope_middle_)
+        n = f"size({sax1})"
+        d = f"(size({sax1}[0]) div 2)"
+        seg = f"({original_size} div {n})"
+        return F.expr(
+            f"""
+            sqrt(
+              aggregate(sequence(0, {n} - 1), 0.0D, (acc, s) -> acc +
+                aggregate(sequence(0, {d} - 1), 0.0D, (acc2, di) -> acc2 +
+                  aggregate(sequence(s * {seg}, s * {seg} + {seg} - 1), 0.0D,
+                    (acc3, tt) -> acc3 + pow(
+                      ({avg_med}[{sax1}[s][di]]
+                       + {slope_med}[{sax1}[s][di + {d}]]
+                         * (tt - (s * {seg} + 0.5D * {seg})))
+                      - ({avg_med}[{sax2}[s][di]]
+                         + {slope_med}[{sax2}[s][di + {d}]]
+                           * (tt - (s * {seg} + 0.5D * {seg}))), 2)
+                  )
+                )
+              )
+            )
+            """
+        )
+
+    def inverse_col(self, sax_col: str, original_size: int) -> Column:
+        """inv_transform_1d_sax (cysax.pyx:127-152): per-segment linear
+        reconstruction avg + slope*(t - t_mid)."""
+        avg_med = _lit_array(self.breakpoints_avg_middle_)
+        slope_med = _lit_array(self.breakpoints_slope_middle_)
+        s = sax_col
+        n = f"size({s})"
+        d = f"(size({s}[0]) div 2)"
+        seg = f"({original_size} div {n})"
+        return F.expr(
+            f"""
+            transform(sequence(0, {original_size - 1}), t ->
+              transform(sequence(0, {d} - 1), di ->
+                CASE WHEN t div {seg} < {n}
+                     THEN {avg_med}[{s}[t div {seg}][di]]
+                          + {slope_med}[{s}[t div {seg}][di + {d}]]
+                            * (t - ((t div {seg}) * {seg} + 0.5D * {seg}))
+                     ELSE 0.0D END
+              )
+            )
+            """
+        )

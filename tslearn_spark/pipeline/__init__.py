@@ -1,0 +1,43 @@
+"""Large-scale training-data pipeline operators.
+
+Built on the same engine primitives as the time-series layer: hash
+aggregates for exact dedup, inverted-index token joins for n-gram
+Jaccard (never an n^2 crossJoin), MinHash/SimHash banding for LSH,
+brute-force + LSH-bucketed cosine top-k for embeddings.
+
+Every operator is DataFrame-declarative so Catalyst pushes filters into
+the parquet scans and AQE handles skew (hot tokens are the classic skew
+source; the token-frequency cap below is the salting-free fix).
+"""
+
+from tslearn_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from tslearn_spark.pipeline.text import (
+    language_id,
+    quality_scores,
+    token_counts,
+    document_fingerprints,
+)
+from tslearn_spark.pipeline.simsearch import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "language_id",
+    "quality_scores",
+    "token_counts",
+    "document_fingerprints",
+    "brute_force_topk",
+    "lsh_topk",
+]

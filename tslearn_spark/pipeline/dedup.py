@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design notes (the whole point of these):
+
+* exact: md5 of normalized text -> groupBy(hash) -> keep min doc_id.
+  One shuffle on a short key; skew-free (hashes are uniform).
+* n-gram Jaccard: token inverted index + equi-join on token, count
+  common tokens per pair, then Jaccard from per-doc distinct counts.
+  This is THE scalable near-dup join: candidate pairs are generated only
+  for documents sharing a token, never a crossJoin.  Ubiquitous tokens
+  are capped (df_cap) — they add candidates without discriminating,
+  and they are exactly the skewed join keys.
+* MinHash: k independent permutations h_i(t) = (a_i * x + b_i) mod p
+  over md5-derived 60-bit token ids (md5 is available in both Spark and
+  DuckDB, so the oracle can replay signatures bit-for-bit).  LSH bands
+  hash k/r rows per band -> band-bucket equi-join -> verified Jaccard.
+* SimHash: 64-bit sign-aggregated token hashes; near-dups = signatures
+  at small Hamming distance, joined on rotated prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61 - 1: fingerprint space for 60-bit token ids
+MERSENNE_P = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: MinHash permutation modulus.  Chosen so that
+# a * tid (a < 2^31, tid < 2^28) stays far below 2^63 — the same SQL
+# runs overflow-free in Spark AND the DuckDB oracle (DuckDB raises on
+# BIGINT overflow; Spark would silently wrap — both are avoided).
+MINHASH_P = (1 << 31) - 1
+
+
+def _norm_text(col: str = "text") -> Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def tokens_col(col: str = "text") -> Column:
+    """Lowercased word tokens (split on non-alphanumeric runs)."""
+    return F.expr(
+        f"filter(split(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+    )
+
+
+def token_id_col(token: Column) -> Column:
+    """Deterministic 60-bit token id from md5 — replayable in DuckDB:
+    DuckDB: ('0x' || substr(md5(t), 1, 15))::BIGINT
+    Spark : conv(substr(md5(t), 1, 15), 16, 10)::BIGINT
+    """
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def token_id28_col(token: Column) -> Column:
+    """28-bit token id (7 md5 hex chars) for modular MinHash arithmetic."""
+    return F.conv(F.substring(F.md5(token), 1, 7), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (hash, canonical doc, dup count) for hashes seen >1.
+
+    groupBy on md5 — a single shuffle on uniform keys; at 100 TB this is
+    the cheapest possible full-corpus pass.
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5(_norm_text(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, n_shingle: int = 1) -> DataFrame:
+    """(doc_id, token) distinct; token = word or word-n-gram shingle."""
+    base = docs.select("doc_id", tokens_col(text_col).alias("toks"))
+    if n_shingle > 1:
+        base = base.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, greatest(size(toks) - {n_shingle}, 0)), i -> "
+                f"array_join(slice(toks, i + 1, {n_shingle}), ' '))"
+            ).alias("toks"),
+        )
+    return base.select("doc_id", F.explode("toks").alias("token")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_shingle: int = 1,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard via inverted-index join.
+
+    (id1 < id2, inter, n1, n2, jaccard >= threshold).  Candidate pairs
+    come from the token equi-join — documents sharing zero tokens are
+    never paired, so cost is sum over tokens of df(t)^2, not |D|^2.
+    df_cap drops tokens appearing in more than df_cap docs (stopword-ish
+    tokens generate quadratic candidates and no signal — and they are
+    exactly the skewed keys AQE would otherwise have to split).
+    """
+    tok = _doc_tokens(docs, text_col, n_shingle).cache()
+    if df_cap is not None:
+        hot = tok.groupBy("token").count().where(F.col("count") > df_cap).select("token")
+        tok = tok.join(F.broadcast(hot), "token", "left_anti")
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    t1 = tok.select(F.col("doc_id").alias("id1"), "token")
+    t2 = tok.select(F.col("doc_id").alias("id2"), "token")
+    common = (
+        t1.join(t2, "token")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id1")
+                    .withColumnRenamed("n_tok", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2")
+              .withColumnRenamed("n_tok", "n2"), "id2")
+        .select(
+            "id1", "id2", "inter", "n1", "n2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n_shingle: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — k min-hash values per document.
+
+    h_i(x) = (a_i * x + b_i) mod p over md5-derived token ids; (a_i, b_i)
+    are a fixed LCG of the seed so the oracle can regenerate them.
+    Computed as one grouped aggregate: explode tokens -> min over each
+    permutation — map-side combinable, single shuffle by doc_id.
+    """
+    coefs = minhash_coefficients(num_hashes, seed)
+    tok = _doc_tokens(docs, text_col, n_shingle)
+    tok = tok.select("doc_id", token_id28_col(F.col("token")).alias("tid"))
+    aggs = [
+        F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coefs)
+    ]
+    sig = tok.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a 64-bit LCG — replayable anywhere."""
+    coefs = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        a = state % (MINHASH_P - 1) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        b = state % MINHASH_P
+        coefs.append((a, b))
+    return coefs
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n_shingle: int = 1,
+    seed: int = 42,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """LSH banding: equal band-signature -> candidate pair.
+
+    rows_per_band = num_hashes / bands; a pair collides in a band iff all
+    its rows match — the classic S-curve.  The band bucket join is an
+    equi-join on (band, bucket-hash): shuffle scales with the number of
+    (doc, band) rows, never |D|^2.  With verify_threshold set, candidates
+    are verified with exact Jaccard (inverted-index join restricted to
+    candidate ids).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, num_hashes, n_shingle, seed)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> slice(sig, b * {r} + 1, {r}))")
+        ).alias("band", "band_sig"),
+    )
+    b1 = banded.select(F.col("doc_id").alias("id1"), "band", "band_sig")
+    b2 = banded.select(F.col("doc_id").alias("id2"), "band", "band_sig")
+    cands = (
+        b1.join(b2, ["band", "band_sig"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(docs, text_col, n_shingle, threshold=0.0)
+    return (
+        cands.join(exact, ["id1", "id2"])
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash: per doc, sign-sum of token-hash bits -> packed signature.
+
+    Fully SQL: explode tokens, per-bit +/-1 contributions aggregated,
+    repacked with bit arithmetic.  One shuffle by doc_id.
+    """
+    tok = _doc_tokens(docs, text_col)
+    tok = tok.select("doc_id", token_id_col(F.col("token")).alias("tid"))
+    # 60 usable bits from the md5-derived id
+    bits = min(bits, 60)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("tid"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose simhash agrees on a rotated prefix, verified
+    by exact Hamming distance (bit_count of xor)."""
+    sig = simhash_signatures(docs, text_col)
+    rotations = 60 // prefix_bits
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), r * prefix_bits)
+                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                for r in range(rotations)
+            ])
+        ).alias("band", "bucket"),
+    )
+    s1 = banded.select(F.col("doc_id").alias("id1"), "band", "bucket")
+    s2 = banded.select(F.col("doc_id").alias("id2"), "band", "bucket")
+    cands = (
+        s1.join(s2, ["band", "bucket"]).where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2").distinct()
+    )
+    sigs1 = sig.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    sigs2 = sig.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        cands.join(sigs1, "id1").join(sigs2, "id2")
+        .select("id1", "id2",
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,98 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter at cluster scale too: AQE for runtime re-planning/skew handling,
+Arrow for the pandas-UDF kernel path, and a shuffle-partition count sized
+to the input rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "tslearn_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale notes: every config here is what we would set on a 1000-executor
+    cluster as well — AQE coalesces the post-shuffle partition count at
+    runtime so ``spark.sql.shuffle.partitions`` is an upper bound, skewed
+    join keys are split by AQE, and Arrow batches keep the Python kernel
+    path amortized.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type — read as long and convert in load_tables
+        # (DuckDB likewise truncates ns -> us on read, so both engines
+        # see identical microsecond values)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = builder.master(master)
+    return builder.getOrCreate()
+
+
+# columns stored as TIMESTAMP(NANOS) in the driver parquet — surfaced as
+# long (nanos) under nanosAsLong and converted to microsecond timestamps
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register them as temp views.
+
+    Parquet scans get predicate pushdown + column pruning for free once the
+    plan is declarative; nothing is cached here — callers cache hot tables.
+    """
+    from pyspark.sql.types import LongType
+
+    out: dict[str, DataFrame] = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for col in _NANO_TS_COLS.get(name, ()):
+                if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+                    df = df.withColumn(
+                        col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                    )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        else:
+            # drop any stale view from a previous sf_dir — a query against
+            # a bad path must fail loudly, not silently read old data
+            spark.catalog.dropTempView(name)
+    return out
