@@ -307,6 +307,186 @@ def ts_paa_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_sax_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX MINDIST similarity join (cysax.pyx:39-54) — pure SQL on both
+    sides: symbols from ts_sax, pairwise breakpoint-gap distance."""
+    from tslearn_spark.piecewise import SAX
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    z = transform_mean_variance(ts)
+    sax = SAX(n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET).fit(z)
+    out = sax.transform(z).select(
+        "series_id", "sax", F.size("values").alias("sz")
+    )
+    a = out.select(F.col("series_id").alias("id1"), F.col("sax").alias("sax1"),
+                   F.col("sz").alias("sz1"))
+    b = out.select(F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    return pairs.select(
+        "id1", "id2",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"""
+                    aggregate(zip_with(sax1, sax2, (r1, r2) ->
+                      aggregate(zip_with(r1, r2, (a, b) ->
+                        CASE WHEN abs(a - b) > 1
+                             THEN pow({_bp_arr()}[greatest(a, b) - 1]
+                                      - {_bp_arr()}[least(a, b)], 2)
+                             ELSE 0.0D END),
+                        0.0D, (acc, z) -> acc + z)),
+                      0.0D, (acc, s) -> acc + s)
+                    """
+                )
+                * F.col("sz1") / F.lit(float(SAX_SEGMENTS))
+            ),
+            6,
+        ).alias("sax_dist"),
+    )
+
+
+def _bp_arr() -> str:
+    return "array(" + ", ".join(f"{b!r}D" for b in _BPS) + ")"
+
+
+def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LB_Keogh bound join on resampled-16 series (dtw_variants.py:1224):
+    envelope radius 2 on the candidate, exceedance sum from the query —
+    expressible as SQL end-to-end."""
+    from tslearn_spark.metrics import envelope_cols, lb_keogh_col
+    from tslearn_spark.preprocessing import resample
+
+    ts = resample(
+        _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
+    )
+    lo, up = envelope_cols("values", radius=2)
+    cand = ts.select(F.col("series_id").alias("id2"), lo.alias("lo"), up.alias("up"))
+    q = ts.select(F.col("series_id").alias("id1"), F.col("values").alias("qv"))
+    pairs = q.join(cand, F.col("id1") < F.col("id2"))
+    return pairs.select(
+        "id1", "id2", F.round(lb_keogh_col("qv", "lo", "up"), 6).alias("lb_keogh")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the relational twin
+    of Structured Streaming session windows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN unix_timestamp(ts)
+                          - unix_timestamp(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id))
+                          > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               cast(min(ts) as string) AS session_start
+        FROM numbered
+        GROUP BY user_id, session_no
+        """
+    )
+
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of the same customer
+    at or before the event time (SURVEY.md §2.10 gap analysis).
+
+    Scale pattern: union both streams, one window sort per key with a
+    carry-forward last_value — no pairwise join, shuffle O(n+m).
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH unioned AS (
+          SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice,
+                 NULL AS event_id, CAST(NULL AS DOUBLE) AS value, 0 AS is_event
+          FROM orders
+          UNION ALL
+          SELECT user_id AS k, ts AS t, NULL, NULL, event_id, value, 1
+          FROM events
+        ),
+        carried AS (
+          SELECT k, t, event_id, value, is_event,
+                 last_value(o_orderkey, true) OVER (PARTITION BY k
+                     ORDER BY t, is_event, coalesce(event_id, -1), coalesce(o_orderkey, -1)
+                     ROWS UNBOUNDED PRECEDING) AS last_orderkey,
+                 last_value(o_totalprice, true) OVER (PARTITION BY k
+                     ORDER BY t, is_event, coalesce(event_id, -1), coalesce(o_orderkey, -1)
+                     ROWS UNBOUNDED PRECEDING) AS last_totalprice
+          FROM unioned
+        )
+        SELECT event_id, k AS user_id, last_orderkey,
+               round(last_totalprice, 2) AS last_totalprice
+        FROM carried WHERE is_event = 1
+        """
+    )
+
+
+def events_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregates (cumsum of generators.py:52 analog)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               round(sum(value) OVER w, 4) AS cum_sum,
+               round(avg(value) OVER w, 6) AS cum_avg,
+               round(min(value) OVER w, 6) AS cum_min,
+               round(max(value) OVER w, 6) AS cum_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+        """
+    )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim aggregate via GROUPING SETS (free in Spark, absent in the
+    reference — SURVEY.md §2.10)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def knn_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN under Euclidean distance on resampled-16 series — the kNN
+    top-k-per-group layer with a fully SQL-expressible metric, so the
+    neighbor topology itself is under the hash gate."""
+    from tslearn_spark.neighbors import kneighbors
+    from tslearn_spark.preprocessing import resample
+
+    ts = resample(
+        _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
+    )
+    nn = kneighbors(ts, ts, k=1, metric="euclidean", drop_self=True)
+    return nn.select(
+        F.col("id1").alias("user_id"),
+        F.col("id2").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # data-pipeline operators (SURVEY.md §7 Phase 6)
 # ---------------------------------------------------------------------------
@@ -471,7 +651,8 @@ def kmeans_euclidean_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts = transform_mean_variance(
         resample(_events_series(spark, sf_dir), 16)
-    )
+    ).cache()
+    ts.count()  # materialize: pandas-UDF stages need plain-attribute inputs
     km = TimeSeriesKMeans(n_clusters=3, metric="euclidean", max_iter=5, random_state=0)
     km.fit(ts)
     return km.predict(ts).select("series_id", "cluster")
@@ -484,6 +665,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def svc_gak_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAK-kernel SVC (svm.py:68-371): distributed Gram, driver SMO dual,
+    distributed prediction.  Rows-only (DP kernel)."""
+    from tslearn_spark.preprocessing import transform_mean_variance
+    from tslearn_spark.svm import TimeSeriesSVC
+
+    ts = transform_mean_variance(
+        _events_series(spark, sf_dir).where(F.col("series_id") < 40)
+    )
+    labeled = ts.withColumn("label", (F.col("series_id") % 2).cast("string"))
+    # modulo split: works at every sf (sf0.001 has only 15 users)
+    train = labeled.where(F.col("series_id") % 3 != 0)
+    test = labeled.where(F.col("series_id") % 3 == 0)
+    clf = TimeSeriesSVC(C=1.0, gamma="auto").fit(train)
+    return clf.predict(test)
+
+
+def shapelet_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapelet min-distance transform (shapelets.py:514-540), distributed."""
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+    from tslearn_spark.shapelets import LearningShapelets
+
+    ts = transform_mean_variance(
+        resample(_events_series(spark, sf_dir).where(F.size("values") >= 2), 32)
+    )
+    # materialize before the UDF stage: Spark cannot plan a generator over
+    # a pandas-UDF whose argument is itself a nested HOF expression
+    labeled = ts.withColumn("label", (F.col("series_id") % 3).cast("string")).cache()
+    labeled.count()
+    clf = LearningShapelets(n_shapelets_per_size={8: 4}, max_iter=50,
+                            random_state=0).fit(labeled)
+    out = clf.transform(labeled)
+    return out.select(
+        F.col("series_id").alias("user_id"),
+        F.posexplode("shapelet_dists").alias("shapelet_idx", "min_dist"),
+    ).select("user_id", "shapelet_idx", F.round("min_dist", 4).alias("min_dist"))
+
+
+def mlp_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten + MLP classifier (neural_network.py:9-105), rows-only."""
+    from tslearn_spark.neural_network import TimeSeriesMLPClassifier
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+
+    ts = transform_mean_variance(
+        resample(_events_series(spark, sf_dir).where(F.size("values") >= 2), 16)
+    )
+    labeled = ts.withColumn("label", (F.col("series_id") % 3).cast("string")).cache()
+    labeled.count()
+    clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(32,), max_iter=200,
+                                  random_state=0).fit(labeled)
+    return clf.predict(labeled)
 
 
 def stream_tumbling_paa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,8 +774,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": text_token_counts,
         "text_fingerprints": text_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
+        # similarity joins + relational extensions (SQL-expressible)
+        "ts_sax_dist_pairs": ts_sax_dist_pairs,
+        "ts_lb_keogh_pairs": ts_lb_keogh_pairs,
+        "events_sessionize": events_sessionize,
+        "events_asof_orders": events_asof_orders,
+        "events_cumulative": events_cumulative,
+        "revenue_grouping_sets": revenue_grouping_sets,
+        "knn_euclidean_16": knn_euclidean_16,
         # non-SQL-expressible (rows-only)
         "knn_dtw_classify": knn_dtw_classify,
+        "svc_gak_classify": svc_gak_classify,
+        "shapelet_transform": shapelet_transform,
+        "mlp_classify": mlp_classify,
         "matrix_profile_events": matrix_profile_events,
         "cdist_dtw_sample": cdist_dtw_sample,
         "metrics_pair_sample": metrics_pair_sample,
@@ -862,6 +1107,173 @@ def oracle_sql() -> dict[str, str]:
               WHERE i.i <= greatest(length(d.text) - 8, 0)
             )
             SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id
+        """,
+        "ts_sax_dist_pairs": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            st AS (
+              SELECT user_id, avg(value) AS mu,
+                     CASE WHEN stddev_pop(value) = 0 OR stddev_pop(value) IS NULL
+                          THEN 1.0 ELSE stddev_pop(value) END AS sd,
+                     count(*) AS n
+              FROM s GROUP BY user_id HAVING count(*) >= {seg}
+            ),
+            z AS (
+              SELECT s.user_id, s.t, (s.value - st.mu) / st.sd AS z, st.n
+              FROM s JOIN st ON s.user_id = st.user_id
+              WHERE s.t < (st.n // {seg}) * {seg}
+            ),
+            paa AS (
+              SELECT user_id, (t // (n // {seg}))::INT AS seg, avg(z) AS m,
+                     max(n) AS n
+              FROM z GROUP BY user_id, t // (n // {seg})
+            ),
+            sym AS (
+              SELECT user_id, seg, n,
+                     (CASE WHEN m >= {bp[0]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[1]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
+              FROM paa
+            )
+            -- MINDIST: DuckDB lists are 1-based, so bp[max] here equals the
+            -- 0-based bp[max-1] of the Spark expression
+            SELECT a.user_id AS id1, b.user_id AS id2,
+                   round(sqrt(sum(
+                     CASE WHEN abs(a.symbol - b.symbol) > 1
+                          THEN pow([{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
+                                     [greatest(a.symbol, b.symbol)]
+                                   - [{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
+                                     [least(a.symbol, b.symbol) + 1], 2)
+                          ELSE 0.0 END
+                   ) * max(a.n) / {float(seg)}), 6) AS sax_dist
+            FROM sym a JOIN sym b ON a.seg = b.seg AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+        """,
+        "ts_lb_keogh_pairs": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
+                    FROM s GROUP BY user_id HAVING count(*) >= 2),
+            rs AS (
+              SELECT user_id, i::INT AS t,
+                     v[(floor(i * (n - 1) / 15.0))::INT + 1]
+                       * (1.0 - (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)))
+                     + v[(ceil(i * (n - 1) / 15.0))::INT + 1]
+                       * (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)) AS rvalue
+              FROM arr, range(16) r(i)
+            ),
+            env AS (
+              SELECT user_id, t,
+                     min(rvalue) OVER w AS lo, max(rvalue) OVER w AS hi
+              FROM rs
+              WINDOW w AS (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            )
+            SELECT q.user_id AS id1, e.user_id AS id2,
+                   round(sqrt(sum(
+                     CASE WHEN q.rvalue > e.hi THEN (q.rvalue - e.hi) * (q.rvalue - e.hi)
+                          WHEN q.rvalue < e.lo THEN (e.lo - q.rvalue) * (e.lo - q.rvalue)
+                          ELSE 0.0 END)), 6) AS lb_keogh
+            FROM rs q JOIN env e ON q.t = e.t AND q.user_id < e.user_id
+            GROUP BY q.user_id, e.user_id
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch(ts)
+                              - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id))
+                              > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value,
+                   min(ts)::VARCHAR AS session_start
+            FROM numbered
+            GROUP BY user_id, session_no
+        """,
+        "events_asof_orders": """
+            WITH unioned AS (
+              SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice,
+                     NULL AS event_id, CAST(NULL AS DOUBLE) AS value, 0 AS is_event
+              FROM orders
+              UNION ALL
+              SELECT user_id AS k, ts AS t, NULL, NULL, event_id, value, 1
+              FROM events
+            ),
+            carried AS (
+              SELECT k, t, event_id, value, is_event,
+                     last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY k
+                         ORDER BY t, is_event, coalesce(event_id, -1),
+                                  coalesce(o_orderkey, -1)
+                         ROWS UNBOUNDED PRECEDING) AS last_orderkey,
+                     last_value(o_totalprice IGNORE NULLS) OVER (PARTITION BY k
+                         ORDER BY t, is_event, coalesce(event_id, -1),
+                                  coalesce(o_orderkey, -1)
+                         ROWS UNBOUNDED PRECEDING) AS last_totalprice
+              FROM unioned
+            )
+            SELECT event_id, k AS user_id, last_orderkey,
+                   round(last_totalprice, 2) AS last_totalprice
+            FROM carried WHERE is_event = 1
+        """,
+        "events_cumulative": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 4) AS cum_sum,
+                   round(avg(value) OVER w, 6) AS cum_avg,
+                   round(min(value) OVER w, 6) AS cum_min,
+                   round(max(value) OVER w, 6) AS cum_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "revenue_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "knn_euclidean_16": """
+            WITH s AS (
+                SELECT user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS t,
+                       value
+                FROM events
+            ),
+            arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
+                    FROM s GROUP BY user_id HAVING count(*) >= 2),
+            rs AS (
+              SELECT user_id, i::INT AS t,
+                     v[(floor(i * (n - 1) / 15.0))::INT + 1]
+                       * (1.0 - (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)))
+                     + v[(ceil(i * (n - 1) / 15.0))::INT + 1]
+                       * (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)) AS rvalue
+              FROM arr, range(16) r(i)
+            ),
+            dists AS (
+              SELECT a.user_id AS user_id, b.user_id AS neighbor_id,
+                     sqrt(sum((a.rvalue - b.rvalue) * (a.rvalue - b.rvalue))) AS dist
+              FROM rs a JOIN rs b ON a.t = b.t AND a.user_id != b.user_id
+              GROUP BY a.user_id, b.user_id
+            ),
+            rk AS (
+              SELECT user_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM dists
+            )
+            SELECT user_id, neighbor_id, round(dist, 6) AS dist
+            FROM rk WHERE rnk = 1
         """,
         "ann_cosine_topk": """
             WITH e AS (

@@ -32,6 +32,14 @@ BENCH_QUERIES = [
     "ts_envelope",
     "ts_barycenter",
     "ts_resample",
+    # similarity joins + relational extensions
+    "ts_sax_dist_pairs",
+    "ts_lb_keogh_pairs",
+    "events_sessionize",
+    "events_asof_orders",
+    "events_cumulative",
+    "revenue_grouping_sets",
+    "knn_euclidean_16",
     # data-pipeline operators
     "dedup_exact",
     "dedup_ngram_jaccard",

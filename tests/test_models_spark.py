@@ -1,0 +1,159 @@
+"""Model layer: GAK-SVM, shapelets, MLP, label categorizer, model IO
+(FIXTURES.md §2.8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tslearn_spark import dataset as DS
+
+
+class TestSVM:
+    def test_svc_variablelength_golden(self, spark):
+        # tests/test_variablelength.py:36-45: exact train predictions
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X = [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0],
+             [2.0, 5.0, 6.0, 7.0, 8.0, 9.0], [3.0, 5.0, 6.0, 7.0, 8.0]]
+        y = ["0", "0", "1", "1"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        clf = TimeSeriesSVC(C=1.0, gamma="auto").fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in clf.predict(df).collect()}
+        assert pred == {0: "0", 1: "0", 2: "1", 3: "1"}
+
+    def test_svr_sign(self, spark):
+        # tests/test_variablelength.py:47-51: predictions correlate with sign
+        from tslearn_spark.svm import TimeSeriesSVR
+
+        X = [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0],
+             [2.0, 5.0, 6.0, 7.0, 8.0, 9.0], [3.0, 5.0, 6.0, 7.0, 8.0]]
+        yr = [-1.0, -1.3, 3.2, 4.1]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(yr)), "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesSVR(C=10.0, gamma="auto", epsilon=0.1).fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        assert pred[0] < 0 and pred[1] < 0
+        assert pred[2] > 0 and pred[3] > 0
+
+
+class TestShapelets:
+    def test_transform_locate_predict(self, spark):
+        from tslearn_spark.shapelets import LearningShapelets
+
+        df = DS.random_walk_blobs(spark, n_ts_per_blob=10, sz=16, d=2, n_blobs=3,
+                                  random_state=0)
+        clf = LearningShapelets(n_shapelets_per_size={5: 5}, max_iter=100,
+                                random_state=0).fit(df)
+        t = clf.transform(df).collect()
+        assert len(t) == 30 and len(t[0]["shapelet_dists"]) == 5
+        locs = clf.locate(df).collect()
+        assert all(0 <= p <= 11 for r in locs for p in r["shapelet_locs"])
+        pred = clf.predict(df).join(df.select("series_id", "label"), "series_id")
+        acc = pred.where(F.col("prediction") == F.col("label")).count() / 30
+        assert acc >= 0.8  # separable blobs
+
+    def test_size_heuristic(self):
+        from tslearn_spark.shapelets import grabocka_params_to_shapelet_size_dict
+
+        d = grabocka_params_to_shapelet_size_dict(n_ts=100, ts_sz=32, n_classes=3,
+                                                  l=0.1, r=2)
+        assert set(d) == {3, 6} and all(v >= 1 for v in d.values())
+
+
+class TestMLP:
+    def test_classifier(self, spark):
+        from tslearn_spark.neural_network import TimeSeriesMLPClassifier
+
+        rs = np.random.RandomState(0)
+        X = [rs.randn(8) * 0.2 for _ in range(10)] + \
+            [rs.randn(8) * 0.2 + 3 for _ in range(10)]
+        y = ["a"] * 10 + ["b"] * 10
+        df = DS.dataset_to_df(spark, X, labels=y)
+        clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(16,), max_iter=300,
+                                      lr=1e-2, random_state=0).fit(df)
+        pred = clf.predict(df).join(df.select("series_id", "label"), "series_id")
+        acc = pred.where(F.col("prediction") == F.col("label")).count() / 20
+        assert acc == 1.0
+
+    def test_regressor(self, spark):
+        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
+
+        rs = np.random.RandomState(1)
+        X = [rs.randn(6) for _ in range(30)]
+        ys = [float(np.mean(x)) for x in X]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(32,), max_iter=500,
+                                     lr=1e-2, random_state=0).fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        err = np.mean([(pred[i] - ys[i]) ** 2 for i in range(30)])
+        assert err < np.var(ys)  # beats predicting the mean
+
+
+class TestLabelCategorizer:
+    def test_roundtrip(self, spark):
+        from tslearn_spark.labels import LabelCategorizer
+
+        labels = spark.createDataFrame(
+            [(0, "x"), (1, "y"), (2, "x"), (3, "z")], "series_id long, label string"
+        )
+        lc = LabelCategorizer().fit(labels)
+        assert lc.classes_ == ["x", "y", "z"]
+        oh = lc.transform(labels)
+        got = {r["series_id"]: r["onehot"] for r in oh.collect()}
+        assert got[0] == [1.0, 0.0, 0.0] and got[3] == [0.0, 0.0, 1.0]
+        back = lc.inverse_transform(oh.drop("label"))
+        rt = {r["series_id"]: r["label"] for r in back.collect()}
+        assert rt == {0: "x", 1: "y", 2: "x", 3: "z"}
+
+    def test_binary_single_column(self, spark):
+        from tslearn_spark.labels import LabelCategorizer
+
+        labels = spark.createDataFrame(
+            [(0, "n"), (1, "p")], "series_id long, label string"
+        )
+        lc = LabelCategorizer(single_column_if_binary=True).fit(labels)
+        got = {r["series_id"]: r["onehot"] for r in lc.transform(labels).collect()}
+        assert got == {0: [1.0], 1: [-1.0]}
+
+
+class TestModelIO:
+    def test_sax_roundtrip(self, spark, tmp_path):
+        from tslearn_spark.model_io import load_model, save_model
+        from tslearn_spark.piecewise import SAX
+
+        sax = SAX(n_segments=3, alphabet_size_avg=4)
+        path = str(tmp_path / "sax.json")
+        save_model(sax, path)
+        sax2 = load_model(path)
+        assert sax2.n_segments == 3
+        np.testing.assert_allclose(sax2.breakpoints_avg_, sax.breakpoints_avg_)
+        df = DS.dataset_to_df(spark, [[-1.0, 2.0, 0.1, -1.0, 1.0, -1.0]])
+        a = [r["sax"] for r in sax.transform(df).collect()]
+        b = [r["sax"] for r in sax2.transform(df).collect()]
+        assert a == b
+
+    def test_kmeans_roundtrip(self, spark, tmp_path):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.model_io import load_model, save_model
+
+        rs = np.random.RandomState(0)
+        df = DS.dataset_to_df(
+            spark,
+            [rs.randn(8) * 0.1 for _ in range(4)]
+            + [rs.randn(8) * 0.1 + 9 for _ in range(4)],
+        )
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=5,
+                              random_state=0).fit(df)
+        path = str(tmp_path / "km.json")
+        save_model(km, path)
+        km2 = load_model(path)
+        p1 = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        p2 = {r["series_id"]: r["cluster"] for r in km2.predict(df).collect()}
+        assert p1 == p2

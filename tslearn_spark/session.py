@@ -86,8 +86,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = spark.read.parquet(path)
             for col in _NANO_TS_COLS.get(name, ()):
                 if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+                    # integer div, not float div: float rounding can flip the
+                    # last microsecond vs DuckDB's truncating ns->us cast
                     df = df.withColumn(
-                        col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                        col, F.timestamp_micros(F.expr(f"{col} div 1000"))
                     )
             df.createOrReplaceTempView(name)
             out[name] = df

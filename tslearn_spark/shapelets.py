@@ -1,0 +1,203 @@
+"""Learning Shapelets — transform/locate in Spark, training on the driver.
+
+Reference: tslearn/shapelets/shapelets.py:212-889 (Grabocka'14).  The
+model = per-length shapelet banks + a softmax layer on min-distances:
+
+* distance layer: for each window position t and shapelet s,
+  mean squared distance ||x[t:t+len] - s||^2 / len
+  (LocalSquaredDistanceLayer, shapelets.py:141-148);
+* min-pool over t (GlobalMinPooling1D, shapelets.py:28-55);
+* linear + softmax classifier on the pooled features.
+
+Spark-first split (SURVEY.md §2.9): *transform* and *locate* against a
+fixed shapelet bank are distributed pandas UDFs (shapelets are tiny ->
+broadcast in the closure); *training* is driver-side numpy Adam over a
+collected sample — the fidelity contract is the same loss, minus Keras.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+def _nested(v) -> np.ndarray:
+    """Arrow nested list -> (sz, d) float array."""
+    return np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+
+
+def grabocka_params_to_shapelet_size_dict(n_ts: int, ts_sz: int, n_classes: int,
+                                          l: float = 0.1, r: int = 1) -> dict[int, int]:
+    """Shapelet count/length heuristic (shapelets.py:158-209)."""
+    base_size = int(l * ts_sz)
+    d = {}
+    for sz_idx in range(r):
+        shp_sz = base_size * (sz_idx + 1)
+        if shp_sz < 1:
+            continue
+        n_shp = int(np.log10(n_ts * (ts_sz - shp_sz + 1) * (n_classes - 1)))
+        d[shp_sz] = max(n_shp, 1)
+    return d or {max(base_size, 1): 1}
+
+
+def _min_dists(ts: np.ndarray, bank: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(min distance, argmin position) of each shapelet against a series.
+
+    Distance = mean squared diff over the window (shapelets.py:141-148).
+    """
+    sz, d = ts.shape
+    dists = np.empty(len(bank))
+    locs = np.empty(len(bank), dtype=np.int64)
+    for k, shp in enumerate(bank):
+        L = shp.shape[0]
+        n_win = sz - L + 1
+        if n_win <= 0:
+            dists[k] = np.inf
+            locs[k] = 0
+            continue
+        idx = np.arange(L)[None, :] + np.arange(n_win)[:, None]
+        W = ts[idx]  # (n_win, L, d)
+        dd = ((W - shp[None]) ** 2).sum(axis=(1, 2)) / L
+        locs[k] = int(np.argmin(dd))
+        dists[k] = float(dd[locs[k]])
+    return dists, locs
+
+
+class LearningShapelets:
+    """Shapelet model: numpy Adam training of shapelets + softmax layer.
+
+    Loss = cross-entropy(softmax(W @ mindist + b), y) + 0.5*reg*||W||^2,
+    matching the Keras graph at shapelets.py:355-400.
+    """
+
+    def __init__(self, n_shapelets_per_size: dict[int, int] | None = None,
+                 max_iter: int = 200, batch_size: int = 64, lr: float = 0.05,
+                 weight_regularizer: float = 0.0, random_state: int = 0):
+        self.n_shapelets_per_size = n_shapelets_per_size
+        self.max_iter = max_iter
+        self.batch_size = batch_size
+        self.lr = lr
+        self.weight_regularizer = weight_regularizer
+        self.random_state = random_state
+        self.shapelets_: list[np.ndarray] | None = None
+        self.classes_: np.ndarray | None = None
+
+    # -- training (driver-side over a collected sample) --------------------
+    def fit(self, df: DataFrame, label_col: str = "label",
+            sample_size: int = 2000) -> "LearningShapelets":
+        rows = (
+            df.select("series_id", "values", label_col)
+            .limit(sample_size)
+            .collect()
+        )
+        X = [np.asarray(r["values"], dtype=np.float64) for r in rows]
+        y_raw = np.array([r[label_col] for r in rows])
+        self.classes_ = np.unique(y_raw)
+        y = np.searchsorted(self.classes_, y_raw)
+        n_classes = len(self.classes_)
+        sz = min(x.shape[0] for x in X)
+        d = X[0].shape[1]
+        if self.n_shapelets_per_size is None:
+            self.n_shapelets_per_size = grabocka_params_to_shapelet_size_dict(
+                len(X), sz, n_classes
+            )
+        rs = np.random.RandomState(self.random_state)
+        # init: random windows from the data (k-means init simplified,
+        # shapelets.py:78-91 — windows are cluster seeds)
+        bank: list[np.ndarray] = []
+        for L, n_shp in sorted(self.n_shapelets_per_size.items()):
+            for _ in range(n_shp):
+                xi = X[rs.randint(len(X))]
+                t0 = rs.randint(max(xi.shape[0] - L + 1, 1))
+                bank.append(xi[t0:t0 + L].copy())
+        n_shp_total = len(bank)
+        W = 0.01 * rs.randn(n_shp_total, n_classes)
+        b = np.zeros(n_classes)
+        mW = np.zeros_like(W); vW = np.zeros_like(W)
+        mb = np.zeros_like(b); vb = np.zeros_like(b)
+        mS = [np.zeros_like(s) for s in bank]; vS = [np.zeros_like(s) for s in bank]
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        for step in range(1, self.max_iter + 1):
+            sel = rs.choice(len(X), size=min(self.batch_size, len(X)), replace=False)
+            gW = np.zeros_like(W); gb = np.zeros_like(b)
+            gS = [np.zeros_like(s) for s in bank]
+            for i in sel:
+                ts = X[i]
+                dists, locs = _min_dists(ts, bank)
+                logits = dists @ W + b
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                grad_logits = p.copy()
+                grad_logits[y[i]] -= 1.0
+                gW += np.outer(dists, grad_logits)
+                gb += grad_logits
+                grad_d = W @ grad_logits  # dLoss/d mindist_k
+                for k, shp in enumerate(bank):
+                    L = shp.shape[0]
+                    t0 = locs[k]
+                    win = ts[t0:t0 + L]
+                    gS[k] += grad_d[k] * 2.0 * (shp - win) / L
+            scale = 1.0 / len(sel)
+            gW = gW * scale + self.weight_regularizer * W
+            gb *= scale
+            for k in range(n_shp_total):
+                gS[k] *= scale
+            # Adam
+            for g, m_, v_, target in (
+                [(gW, mW, vW, W), (gb, mb, vb, b)]
+                + [(gS[k], mS[k], vS[k], bank[k]) for k in range(n_shp_total)]
+            ):
+                m_ *= beta1; m_ += (1 - beta1) * g
+                v_ *= beta2; v_ += (1 - beta2) * g * g
+                mhat = m_ / (1 - beta1 ** step)
+                vhat = v_ / (1 - beta2 ** step)
+                target -= self.lr * mhat / (np.sqrt(vhat) + eps)
+        self.shapelets_ = bank
+        self.W_, self.b_ = W, b
+        return self
+
+    # -- distributed transform / locate / predict --------------------------
+    def _bank_udf(self, mode: str):
+        bank = [s.copy() for s in self.shapelets_]
+
+        if mode == "transform":
+            @F.pandas_udf(ArrayType(DoubleType()))
+            def _udf(values: pd.Series) -> pd.Series:
+                return pd.Series([
+                    _min_dists(_nested(v), bank)[0].tolist()
+                    for v in values
+                ])
+            return _udf
+        else:
+            @F.pandas_udf(ArrayType(IntegerType()))
+            def _udf(values: pd.Series) -> pd.Series:
+                return pd.Series([
+                    [int(x) for x in _min_dists(_nested(v), bank)[1]]
+                    for v in values
+                ])
+            return _udf
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Min-distances to every shapelet (shapelets.py:514-540)."""
+        return df.withColumn("shapelet_dists", self._bank_udf("transform")("values"))
+
+    def locate(self, df: DataFrame) -> DataFrame:
+        """Argmin match positions (shapelets.py:541-586)."""
+        return df.withColumn("shapelet_locs", self._bank_udf("locate")("values"))
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        W, b, classes = self.W_, self.b_, self.classes_
+        bank = [s.copy() for s in self.shapelets_]
+
+        @F.pandas_udf("string")
+        def _udf(values: pd.Series) -> pd.Series:
+            out = []
+            for v in values:
+                dists, _ = _min_dists(_nested(v), bank)
+                out.append(str(classes[int(np.argmax(dists @ W + b))]))
+            return pd.Series(out)
+
+        return df.select("series_id", _udf("values").alias("prediction"))

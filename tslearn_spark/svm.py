@@ -1,0 +1,142 @@
+"""TimeSeriesSVC / TimeSeriesSVR — GAK-kernel SVMs.
+
+Reference: tslearn/svm/svm.py:18-568.  fit: GAK Gram (sigma =
+sqrt(gamma/2), gamma auto via gamma_soft_dtw on the training set) ->
+dual solve; predict: distributed query x train Gram join -> broadcast
+dual coefficients -> weighted-sum aggregate.
+
+Scale contract (SURVEY.md §7): the Gram is computed as a distributed
+edge DataFrame; only the n x n float matrix is collected for the
+driver-side dual solve (~20k-series ceiling).  Prediction never
+collects series: the cross-Gram stays distributed and the reduction is
+a grouped aggregate against broadcast duals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tslearn_spark import kernels as K
+from tslearn_spark import metrics as M
+from tslearn_spark.svm_solver import KernelSVR, MulticlassSVC
+
+
+def _collect_gram(edges: DataFrame, ids1: list[int], ids2: list[int]) -> np.ndarray:
+    pos1 = {v: i for i, v in enumerate(ids1)}
+    pos2 = {v: i for i, v in enumerate(ids2)}
+    G = np.zeros((len(ids1), len(ids2)))
+    for r in edges.collect():
+        G[pos1[r["id1"]], pos2[r["id2"]]] = r["dist"]
+    return G
+
+
+class _GakSVMBase:
+    def __init__(self, C: float = 1.0, gamma: str | float = "auto"):
+        self.C = C
+        self.gamma = gamma
+
+    def _fit_gram(self, df: DataFrame):
+        rows = df.select("series_id", "values").orderBy("series_id").collect()
+        self._train_ids = [r["series_id"] for r in rows]
+        self._train_values = [np.asarray(r["values"], dtype=np.float64) for r in rows]
+        if self.gamma == "auto":
+            self.gamma_ = K.gamma_soft_dtw(self._train_values)  # svm.py:30-33
+        else:
+            self.gamma_ = float(self.gamma)
+        self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))  # svm.py:49
+        edges = M.cdist(df, metric="gak", sigma=self.sigma_)
+        return _collect_gram(edges, self._train_ids, self._train_ids)
+
+    def _query_gram_df(self, queries: DataFrame) -> DataFrame:
+        """Distributed query x train normalized-GAK edges."""
+        spark = queries.sparkSession
+        train_df = spark.createDataFrame(
+            [(int(i), [[float(x) for x in row] for row in v])
+             for i, v in zip(self._train_ids, self._train_values)],
+            "series_id long, values array<array<double>>",
+        )
+        return M.cdist(queries, train_df, metric="gak", sigma=self.sigma_)
+
+
+class TimeSeriesSVC(_GakSVMBase):
+    """GAK-kernel SVC (svm.py:68-371); one-vs-one multiclass like libsvm."""
+
+    def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesSVC":
+        Gram = self._fit_gram(df)
+        lab = {r["series_id"]: r[label_col]
+               for r in df.select("series_id", label_col).collect()}
+        y = np.array([lab[i] for i in self._train_ids])
+        self.model_ = MulticlassSVC(self.C).fit(Gram, y)
+        self.classes_ = self.model_.classes_
+        # support vectors: any machine with nonzero dual (svm.py:241-249)
+        sv = np.zeros(len(self._train_ids), dtype=bool)
+        for _, _, m, idx in self.model_.machines_:
+            sv[idx[np.abs(m.dual_coef_) > 1e-8]] = True
+        self.support_ = np.where(sv)[0]
+        return self
+
+    def predict(self, queries: DataFrame) -> DataFrame:
+        """Distributed: cross-Gram edges -> pivot to rows -> OVO vote.
+
+        The per-query Gram row (n_train floats) is assembled with a
+        grouped collect and voted on in a pandas UDF with broadcast
+        duals — no series data leaves the executors.
+        """
+        edges = self._query_gram_df(queries)
+        train_ids = self._train_ids
+        model = self.model_
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast((train_ids, model))
+
+        rows = (
+            edges.groupBy("id1")
+            .agg(F.map_from_arrays(F.collect_list("id2"),
+                                   F.collect_list("dist")).alias("krow"))
+        )
+
+        @F.pandas_udf("string")
+        def vote(krows: pd.Series) -> pd.Series:
+            tids, m = bc.value
+            out = []
+            for kr in krows:
+                vec = np.array([kr[t] for t in tids])[None, :]
+                out.append(str(m.predict(vec)[0]))
+            return pd.Series(out)
+
+        return rows.select(F.col("id1").alias("series_id"),
+                           vote("krow").alias("prediction"))
+
+
+class TimeSeriesSVR(_GakSVMBase):
+    """GAK-kernel epsilon-SVR (svm.py:374-568)."""
+
+    def __init__(self, C: float = 1.0, gamma: str | float = "auto", epsilon: float = 0.1):
+        super().__init__(C, gamma)
+        self.epsilon = epsilon
+
+    def fit(self, df: DataFrame, target_col: str = "y") -> "TimeSeriesSVR":
+        Gram = self._fit_gram(df)
+        tgt = {r["series_id"]: r[target_col]
+               for r in df.select("series_id", target_col).collect()}
+        y = np.array([tgt[i] for i in self._train_ids], dtype=np.float64)
+        self.model_ = KernelSVR(self.C, self.epsilon).fit(Gram, y)
+        return self
+
+    def predict(self, queries: DataFrame) -> DataFrame:
+        """Pure SQL reduction: edges join broadcast duals -> sum + b."""
+        edges = self._query_gram_df(queries)
+        spark = queries.sparkSession
+        duals = spark.createDataFrame(
+            [(int(i), float(b)) for i, b in zip(self._train_ids, self.model_.beta_)],
+            "id2 long, beta double",
+        )
+        return (
+            edges.join(F.broadcast(duals), "id2")
+            .groupBy("id1")
+            .agg((F.sum(F.col("dist") * F.col("beta")) + F.lit(self.model_.b_))
+                 .alias("prediction"))
+            .select(F.col("id1").alias("series_id"), "prediction")
+        )
