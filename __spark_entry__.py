@@ -478,7 +478,7 @@ def knn_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts = resample(
         _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
-    )
+    ).cache()  # the fast path reads the input 3x (shape check, collect, scan)
     nn = kneighbors(ts, ts, k=1, metric="euclidean", drop_self=True)
     return nn.select(
         F.col("id1").alias("user_id"),

@@ -1,0 +1,136 @@
+"""UCR/arff sources, validation, ground-metric variants, early classifier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tslearn_spark import dataset as DS
+from tslearn_spark import kernels as K
+
+
+class TestGroundMetricVariants:
+    def test_dtw_path_from_metric_euclidean(self):
+        a, b = [1.0, 2.0, 3.0], [1.0, 2.0, 2.0, 3.0]
+        path, score = K.dtw_path_from_metric(a, b, metric="euclidean")
+        assert path == [(0, 0), (1, 1), (1, 2), (2, 3)]
+        assert score == pytest.approx(0.0)
+
+    def test_sqeuclidean_matches_dtw_squared(self):
+        rs = np.random.RandomState(0)
+        a, b = rs.randn(10), rs.randn(12)
+        _, score = K.dtw_path_from_metric(a, b, metric="sqeuclidean")
+        assert score == pytest.approx(K.dtw(a, b) ** 2)
+
+    def test_precomputed_matrix(self):
+        rs = np.random.RandomState(1)
+        a, b = rs.randn(6), rs.randn(7)
+        D = K._ground_dist_matrix(a, b, "cityblock")
+        p1, s1 = K.dtw_path_from_metric(D)
+        p2, s2 = K.dtw_path_from_metric(a, b, metric="cityblock")
+        assert p1 == p2 and s1 == pytest.approx(s2)
+
+    def test_lcss_from_metric(self):
+        path, sim = K.lcss_path_from_metric([1.0, 2.0, 3.0], [-2.0, 5.0, 7.0],
+                                            eps=3, metric="euclidean")
+        assert sim == pytest.approx(2.0 / 3.0)
+        assert len(path) == 2
+
+
+class TestSources:
+    def test_ucr_txt(self, spark, tmp_path):
+        from tslearn_spark.sources import load_ucr_txt
+
+        p = tmp_path / "ucr.txt"
+        p.write_text("1 0.5 1.5 2.5\n2 3.0 4.0 5.0\n")
+        df = load_ucr_txt(spark, str(p))
+        rows = {r["series_id"]: r for r in df.collect()}
+        assert rows[0]["label"] == "1"
+        assert [v[0] for v in rows[0]["values"]] == [0.5, 1.5, 2.5]
+        assert rows[1]["label"] == "2"
+
+    def test_arff(self, spark, tmp_path):
+        from tslearn_spark.sources import load_arff_uea
+
+        p = tmp_path / "d.arff"
+        p.write_text(
+            "% comment\n@relation test\n@attribute a numeric\n@data\n"
+            "0.5,1.5,2.5,classA\n3.0,4.0,5.0,classB\n"
+        )
+        df = load_arff_uea(spark, str(p))
+        rows = {r["series_id"]: r for r in df.collect()}
+        assert rows[0]["label"] == "classA"
+        assert [v[0] for v in rows[1]["values"]] == [3.0, 4.0, 5.0]
+
+    def test_check_dataset(self, spark):
+        from tslearn_spark.sources import DatasetValidationError, check_dataset
+
+        ragged = DS.dataset_to_df(spark, [[1.0, 2.0], [1.0, 2.0, 3.0]])
+        check_dataset(ragged)  # fine without constraints
+        with pytest.raises(DatasetValidationError):
+            check_dataset(ragged, force_equal_length=True)
+        with pytest.raises(DatasetValidationError):
+            check_dataset(ragged, force_single_time_series=True)
+        multi = DS.dataset_to_df(spark, [np.array([[1.0, 2.0], [3.0, 4.0]])])
+        with pytest.raises(DatasetValidationError):
+            check_dataset(multi, force_univariate=True)
+
+    def test_check_dims(self, spark):
+        from tslearn_spark.sources import DatasetValidationError, check_dims
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0]])
+        check_dims(df, fit_dims=(3, 1))
+        check_dims(df, fit_dims=(99, 1), check_n_features_only=True)
+        with pytest.raises(DatasetValidationError):
+            check_dims(df, fit_dims=(4, 1))
+        with pytest.raises(DatasetValidationError):
+            check_dims(df, fit_dims=(3, 2))
+
+
+class TestEarlyClassification:
+    def test_reference_fixture(self, spark):
+        """FIXTURES.md §2.8: 8 series of sz 6, 3 patterns."""
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        data = [
+            [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6],
+            [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1],
+            [3, 2, 1, 1, 2, 3], [3, 2, 1, 1, 2, 3],
+        ]
+        y = ["0", "0", "0", "1", "1", "1", "0", "0"]
+        df = DS.dataset_to_df(spark, [[float(v) for v in row] for row in data],
+                              labels=y).cache()
+        df.count()
+        model = NonMyopicEarlyClassifier(n_clusters=3, lamb=1000.0,
+                                         cost_time_parameter=0.1,
+                                         random_state=0).fit(df)
+        out = model.predict_class_and_earliness(df)
+        rows = {r["series_id"]: r for r in out.collect()}
+        # predictions must be exact; earliness <= full length
+        for i in range(8):
+            assert rows[i]["prediction"] == y[i]
+            assert 1 <= rows[i]["pred_time"] <= 6
+        # early stopping: at least some series decided before the end
+        assert any(rows[i]["pred_time"] < 6 for i in range(8))
+        cost = model.early_classification_cost(df)
+        assert cost > 0
+
+    def test_cluster_probas_golden(self, spark):
+        """get_cluster_probas doctest: lamb=0 -> uniform."""
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        data = [
+            [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6],
+            [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1],
+            [3, 2, 1, 1, 2, 3], [3, 2, 1, 1, 2, 3],
+        ]
+        y = ["0", "0", "0", "1", "1", "1", "0", "0"]
+        df = DS.dataset_to_df(spark, [[float(v) for v in row] for row in data],
+                              labels=y).cache()
+        m0 = NonMyopicEarlyClassifier(n_clusters=3, lamb=0.0, random_state=0).fit(df)
+        p = m0.get_cluster_probas(np.array([[1.0], [2.0]]))
+        np.testing.assert_allclose(p, [1 / 3] * 3, atol=1e-9)
+        m1 = NonMyopicEarlyClassifier(n_clusters=3, lamb=10000.0, random_state=0).fit(df)
+        p1 = m1.get_cluster_probas(np.array([[3.0], [2.0]]))
+        assert p1.max() > 0.99  # hard assignment at high lambda

@@ -204,6 +204,105 @@ def dtw_path(s1, s2, global_constraint=None, sakoe_chiba_radius=None,
     return _return_path(C), float(np.sqrt(C[-1, -1]))
 
 
+def _ground_dist_matrix(s1, s2, metric) -> np.ndarray:
+    """Pairwise ground-metric matrix for *_from_metric variants.
+
+    metric: "euclidean" | "sqeuclidean" | "cityblock" | "chebyshev" |
+    callable(x, y) -> float | precomputed 2-D array (passed via s1).
+    """
+    if isinstance(metric, np.ndarray):
+        return metric
+    s1, s2 = to_2d(s1), to_2d(s2)
+    diff = s1[:, None, :] - s2[None, :, :]
+    if metric == "euclidean":
+        return np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
+    if metric == "sqeuclidean":
+        return np.einsum("ijk,ijk->ij", diff, diff)
+    if metric == "cityblock":
+        return np.abs(diff).sum(axis=-1)
+    if metric == "chebyshev":
+        return np.abs(diff).max(axis=-1)
+    if callable(metric):
+        return np.array([[metric(a, b) for b in s2] for a in s1])
+    raise ValueError(f"unknown ground metric {metric!r}")
+
+
+def _dtw_from_dist_matrix(D: np.ndarray) -> np.ndarray:
+    """Accumulated matrix from an arbitrary ground matrix
+    (dtw_variants.py:201-231 _njit_accumulated_matrix_from_dist_matrix)."""
+    sz1, sz2 = D.shape
+    C = np.empty((sz1, sz2))
+    C[0] = np.cumsum(D[0])
+    prev = C[0]
+    for i in range(1, sz1):
+        d = D[i]
+        diag = np.empty_like(prev)
+        diag[0] = np.inf
+        diag[1:] = prev[:-1]
+        a = d + np.minimum(prev, diag)
+        s = np.cumsum(d)
+        C[i] = s + np.minimum.accumulate(a - s)
+        prev = C[i]
+    return C
+
+
+def dtw_from_metric(s1, s2=None, metric="euclidean") -> float:
+    """DTW over an arbitrary ground metric; the returned score is the raw
+    path sum (NOT sqrt'd — matches dtw_path_from_metric semantics,
+    dtw_variants.py:234-381)."""
+    D = _ground_dist_matrix(s1, s2, metric) if not isinstance(s1, np.ndarray) or s2 is not None \
+        else s1
+    if not isinstance(D, np.ndarray) or D.ndim != 2:
+        D = _ground_dist_matrix(s1, s2, metric)
+    C = _dtw_from_dist_matrix(np.asarray(D, dtype=np.float64))
+    return float(C[-1, -1])
+
+
+def dtw_path_from_metric(s1, s2=None, metric="euclidean"):
+    """(path, score) over an arbitrary or precomputed ground metric
+    (dtw_variants.py:234-381)."""
+    if s2 is None and isinstance(s1, np.ndarray) and s1.ndim == 2:
+        D = s1
+    else:
+        D = _ground_dist_matrix(s1, s2, metric)
+    C = _dtw_from_dist_matrix(np.asarray(D, dtype=np.float64))
+    return _return_path(C), float(C[-1, -1])
+
+
+def lcss_path_from_metric(s1, s2=None, eps: float = 1.0, metric="euclidean"):
+    """LCSS path/score with an arbitrary ground metric
+    (dtw_variants.py:1721-1879)."""
+    if s2 is None and isinstance(s1, np.ndarray) and s1.ndim == 2:
+        D = s1
+        sz1, sz2 = D.shape
+    else:
+        D = _ground_dist_matrix(s1, s2, metric)
+        sz1, sz2 = D.shape
+    match = D <= eps
+    acc = np.zeros((sz1 + 1, sz2 + 1), dtype=np.int64)
+    for i in range(sz1):
+        row = acc[i + 1]
+        prev = acc[i]
+        for j in range(sz2):
+            if match[i, j]:
+                row[j + 1] = prev[j] + 1
+            else:
+                row[j + 1] = max(row[j], prev[j + 1])
+    i, j = sz1, sz2
+    path = []
+    while i > 0 and j > 0:
+        if match[i - 1, j - 1] and acc[i, j] == acc[i - 1, j - 1] + 1:
+            path.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+        elif acc[i - 1, j] >= acc[i, j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    path.reverse()
+    return path, float(acc[-1, -1]) / min(sz1, sz2)
+
+
 # ---------------------------------------------------------------------------
 # subsequence DTW (reference: dtw_variants.py:746-903)
 # ---------------------------------------------------------------------------
@@ -629,6 +728,11 @@ def y_shifted_sbd_vec(ref, dataset_arrays):
 
 def euclidean(s1, s2) -> float:
     s1, s2 = to_2d(s1), to_2d(s2)
+    if s1.shape != s2.shape:
+        raise ValueError(
+            f"euclidean requires equal-size series, got {s1.shape} vs {s2.shape}; "
+            "resample first or use an elastic metric (dtw/softdtw/gak)"
+        )
     return float(np.sqrt(np.sum((s1 - s2) ** 2)))
 
 

@@ -18,10 +18,71 @@ strategy.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tslearn_spark import metrics as M
+
+# queries up to this many rows ride the broadcast-matmul fast path for
+# euclidean; beyond it (or for elastic metrics) the generic pair join runs
+_EUCLIDEAN_BROADCAST_LIMIT = 200_000
+
+
+def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
+                    drop_self: bool) -> DataFrame:
+    """Equal-length euclidean kNN via broadcast queries + per-partition
+    BLAS matmul and map-side partial top-k (the simsearch pattern).
+
+    Shuffle volume is O(n_queries x k x n_partitions); the train side is
+    streamed, never collected.
+    """
+    q_rows = queries.select("series_id", "values").collect()
+    q_ids = np.array([r["series_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r["values"], dtype=np.float64).ravel() for r in q_rows])
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    def gen(batches):
+        ids_b, Qm = bc.value
+        q_sq = np.einsum("ij,ij->i", Qm, Qm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array([
+                np.asarray([np.asarray(r, dtype=np.float64) for r in v]).ravel()
+                for v in pdf["values"]
+            ])
+            cid = pdf["series_id"].to_numpy(dtype=np.int64)
+            c_sq = np.einsum("ij,ij->i", C, C)
+            d2 = c_sq[:, None] + q_sq[None, :] - 2.0 * (C @ Qm.T)
+            np.maximum(d2, 0.0, out=d2)
+            if drop_self:
+                d2 = np.where(cid[:, None] == ids_b[None, :], np.inf, d2)
+            kk = min(k, d2.shape[0])
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(d2.shape[1]):
+                rows = part[:, qi]
+                out_q.extend([ids_b[qi]] * len(rows))
+                out_n.extend(cid[rows])
+                out_d.extend(np.sqrt(d2[rows, qi]))
+            yield pd.DataFrame({
+                "id1": np.asarray(out_q, dtype=np.int64),
+                "id2": np.asarray(out_n, dtype=np.int64),
+                "dist": np.asarray(out_d, dtype=np.float64),
+            })
+
+    partial = train.mapInPandas(gen, "id1 long, id2 long, dist double").where(
+        F.col("dist") < float("inf")
+    )
+    w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id1", "id2", "dist", "rank")
+    )
 
 
 def kneighbors(
@@ -35,7 +96,18 @@ def kneighbors(
     """(id1=query, id2=neighbor, dist, rank), rank<=k per query.
 
     drop_self: for self-kNN, exclude the identical id (neighbors.py:163-168).
+    metric="euclidean" on a broadcastable query set takes the BLAS
+    matmul + partial-top-k path; everything else runs the pair join with
+    the Arrow-batched kernel UDF.
     """
+    if metric == "euclidean" and not params:
+        shape = queries.unionByName(train.select("series_id", "values")).select(
+            F.countDistinct(F.size("values")).alias("n_sz"),
+            F.count("*").alias("n"),
+        ).first()
+        # fast path needs equal-length series and a broadcastable query set
+        if shape["n_sz"] == 1 and shape["n"] <= _EUCLIDEAN_BROADCAST_LIMIT:
+            return _euclidean_topk(queries, train, k, drop_self)
     pairs = M.cross_pairs(queries, train)
     if drop_self:
         pairs = pairs.where(F.col("id1") != F.col("id2"))

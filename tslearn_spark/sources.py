@@ -1,0 +1,119 @@
+"""UCR/UEA archive sources + dataset validation.
+
+Reference: tslearn/utils/utils.py:637-714 (_load_txt_uea/_load_arff_uea),
+tslearn/datasets/ucr_uea.py:211-310 (loader), utils.py:24-108/454-525
+(check_dims / check_dataset).
+
+Spark-first: both archive formats are line-oriented, so the scan is
+``spark.read.text`` + expression parsing — fully distributed and
+pushdown-friendly; no driver-side parsing of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_ucr_txt(spark: SparkSession, path: str) -> DataFrame:
+    """UCR .txt scan: whitespace-separated, label in column 0
+    (utils.py:691-714).  Returns ts(series_id, values, label).
+    """
+    lines = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    parsed = lines.select(
+        (F.row_number().over(w) - 1).cast("long").alias("series_id"),
+        F.expr(r"filter(split(trim(value), '\\s+|,'), x -> x != '')").alias("toks"),
+    )
+    return parsed.select(
+        "series_id",
+        F.expr(
+            "transform(slice(toks, 2, size(toks) - 1), x -> array(cast(x as double)))"
+        ).alias("values"),
+        F.col("toks")[0].alias("label"),
+    )
+
+
+def load_arff_uea(spark: SparkSession, path: str) -> DataFrame:
+    """Minimal univariate .arff scan (utils.py:637-688): skips the header
+    (@-lines / comments), data rows are comma-separated with the class
+    label last.  Returns ts(series_id, values, label)."""
+    lines = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    data = (
+        lines.select(F.trim("value").alias("line"))
+        .where(
+            (F.length("line") > 0)
+            & ~F.col("line").startswith("@")
+            & ~F.col("line").startswith("%")
+        )
+        .select((F.row_number().over(w) - 1).cast("long").alias("series_id"),
+                F.split("line", ",").alias("toks"))
+    )
+    return data.select(
+        "series_id",
+        F.expr(
+            "transform(slice(toks, 1, size(toks) - 1), x -> array(cast(trim(x) as double)))"
+        ).alias("values"),
+        F.expr("trim(element_at(toks, -1))").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# validation (check_dims / check_dataset twins)
+# ---------------------------------------------------------------------------
+
+class DatasetValidationError(ValueError):
+    pass
+
+
+def check_dataset(
+    df: DataFrame,
+    force_univariate: bool = False,
+    force_equal_length: bool = False,
+    force_single_time_series: bool = False,
+    values_col: str = "values",
+) -> DataFrame:
+    """Constraint checks of utils.py:454-525, evaluated in one aggregate."""
+    row = df.select(
+        F.countDistinct(F.size(F.col(values_col))).alias("n_lengths"),
+        F.max(F.size(F.col(values_col)[0])).alias("max_d"),
+        F.count("*").alias("n"),
+    ).first()
+    if force_univariate and (row["max_d"] or 0) > 1:
+        raise DatasetValidationError(
+            "Dataset is multivariate but a univariate dataset is required"
+        )
+    if force_equal_length and (row["n_lengths"] or 0) > 1:
+        raise DatasetValidationError(
+            "Dataset has variable-length series but equal length is required"
+        )
+    if force_single_time_series and row["n"] != 1:
+        raise DatasetValidationError(
+            f"Expected a single time series, got {row['n']}"
+        )
+    return df
+
+
+def check_dims(df: DataFrame, fit_dims: tuple[int | None, int],
+               check_n_features_only: bool = False,
+               values_col: str = "values") -> DataFrame:
+    """Transform-time shape check (utils.py:24-108): d must match the
+    fit-time d; rigid estimators also require the fit-time sz."""
+    fit_sz, fit_d = fit_dims
+    row = df.select(
+        F.countDistinct(F.size(F.col(values_col)[0])).alias("n_ds"),
+        F.max(F.size(F.col(values_col)[0])).alias("d"),
+        F.countDistinct(F.size(F.col(values_col))).alias("n_szs"),
+        F.max(F.size(F.col(values_col))).alias("sz"),
+    ).first()
+    if row["d"] != fit_d:
+        raise DatasetValidationError(
+            f"Number of features {row['d']} != fit-time {fit_d}"
+        )
+    if not check_n_features_only and fit_sz is not None:
+        if row["n_szs"] > 1 or row["sz"] != fit_sz:
+            raise DatasetValidationError(
+                f"Series length {row['sz']} != fit-time {fit_sz}"
+            )
+    return df
