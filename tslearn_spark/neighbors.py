@@ -111,6 +111,9 @@ def kneighbors(
     pairs = M.cross_pairs(queries, train)
     if drop_self:
         pairs = pairs.where(F.col("id1") != F.col("id2"))
+    # local sort by series sizes -> Arrow batches become shape-homogeneous
+    # so the batched DTW kernel gets full-size buckets (no extra shuffle)
+    pairs = pairs.sortWithinPartitions(F.size("values1"), F.size("values2"))
     udf = M.pair_metric_udf(metric, **params)
     # project the (large) value arrays away BEFORE the top-k shuffle:
     # only (id1, id2, dist) rows move, not the series payloads
