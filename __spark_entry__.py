@@ -584,7 +584,11 @@ def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.preprocessing import transform_mean_variance
 
     ts = transform_mean_variance(_events_series(spark, sf_dir))
-    labeled = ts.withColumn("label", (F.col("series_id") % 3).cast("string"))
+    # localCheckpoint: the labeled set feeds three consumers (left side,
+    # broadcast right side, label join) — materialize once, truncate lineage
+    labeled = ts.withColumn(
+        "label", (F.col("series_id") % 3).cast("string")
+    ).localCheckpoint()
     train = labeled.where(F.col("series_id") % 2 == 0)
     test = labeled.where(F.col("series_id") % 2 == 1)
     return knn_classify(test, train, k=1, metric="dtw", sakoe_chiba_radius=5)
@@ -665,6 +669,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def silhouette_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette (clustering/utils.py:66-197) under euclidean on
+    resampled-16 series with labels user_id % 3 — the full a/b/s chain is
+    SQL on both engines, so the clustering-quality layer is hash-gated."""
+    from tslearn_spark.preprocessing import resample
+
+    ts = resample(
+        _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
+    )
+    flat = ts.select(
+        F.col("series_id").alias("user_id"),
+        (F.col("series_id") % 3).cast("int").alias("cluster"),
+        F.posexplode("values").alias("t", "p"),
+    ).select("user_id", "cluster", "t", F.col("p")[0].alias("v"))
+    flat.createOrReplaceTempView("_sil_flat")
+    return spark.sql(
+        """
+        WITH dists AS (
+          SELECT a.user_id AS id1, a.cluster AS c1, b.user_id AS id2,
+                 b.cluster AS c2,
+                 sqrt(sum((a.v - b.v) * (a.v - b.v))) AS dist
+          FROM _sil_flat a JOIN _sil_flat b
+            ON a.t = b.t AND a.user_id != b.user_id
+          GROUP BY a.user_id, a.cluster, b.user_id, b.cluster
+        ),
+        per AS (
+          SELECT id1, c1, c2, avg(dist) AS mean_d
+          FROM dists GROUP BY id1, c1, c2
+        ),
+        a_ AS (SELECT id1, mean_d AS a FROM per WHERE c1 = c2),
+        b_ AS (SELECT id1, min(mean_d) AS b FROM per WHERE c1 != c2 GROUP BY id1)
+        SELECT a_.id1 AS user_id,
+               round(a_.a, 6) AS a,
+               round(b_.b, 6) AS b,
+               round((b_.b - a_.a) / greatest(a_.a, b_.b), 6) AS s
+        FROM a_ JOIN b_ ON a_.id1 = b_.id1
+        """
+    )
+
+
+def kshape_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KShape (kshape.py:21-291) on resampled series — iterative NCC
+    assignment + shape extraction; rows-only."""
+    from tslearn_spark.clustering import KShape
+    from tslearn_spark.preprocessing import resample
+
+    ts = resample(
+        _events_series(spark, sf_dir).where(F.size("values") >= 2), 32
+    ).cache()
+    ts.count()
+    ks = KShape(n_clusters=3, max_iter=4, random_state=0).fit(ts)
+    return ks.predict(ts).select("series_id", "cluster")
 
 
 def svc_gak_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative": events_cumulative,
         "revenue_grouping_sets": revenue_grouping_sets,
         "knn_euclidean_16": knn_euclidean_16,
+        "silhouette_euclidean_16": silhouette_euclidean_16,
         # non-SQL-expressible (rows-only)
+        "kshape_clusters": kshape_clusters,
         "knn_dtw_classify": knn_dtw_classify,
         "svc_gak_classify": svc_gak_classify,
         "shapelet_transform": shapelet_transform,
@@ -1241,6 +1301,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "silhouette_euclidean_16": """
+            WITH s AS (
+                SELECT user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS t,
+                       value
+                FROM events
+            ),
+            arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
+                    FROM s GROUP BY user_id HAVING count(*) >= 2),
+            rs AS (
+              SELECT user_id, (user_id % 3)::INT AS cluster, i::INT AS t,
+                     v[(floor(i * (n - 1) / 15.0))::INT + 1]
+                       * (1.0 - (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)))
+                     + v[(ceil(i * (n - 1) / 15.0))::INT + 1]
+                       * (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)) AS rvalue
+              FROM arr, range(16) r(i)
+            ),
+            dists AS (
+              SELECT a.user_id AS id1, a.cluster AS c1, b.user_id AS id2,
+                     b.cluster AS c2,
+                     sqrt(sum((a.rvalue - b.rvalue) * (a.rvalue - b.rvalue))) AS dist
+              FROM rs a JOIN rs b ON a.t = b.t AND a.user_id != b.user_id
+              GROUP BY a.user_id, a.cluster, b.user_id, b.cluster
+            ),
+            per AS (
+              SELECT id1, c1, c2, avg(dist) AS mean_d
+              FROM dists GROUP BY id1, c1, c2
+            ),
+            a_ AS (SELECT id1, mean_d AS a FROM per WHERE c1 = c2),
+            b_ AS (SELECT id1, min(mean_d) AS b FROM per WHERE c1 != c2 GROUP BY id1)
+            SELECT a_.id1 AS user_id,
+                   round(a_.a, 6) AS a,
+                   round(b_.b, 6) AS b,
+                   round((b_.b - a_.a) / greatest(a_.a, b_.b), 6) AS s
+            FROM a_ JOIN b_ ON a_.id1 = b_.id1
         """,
         "knn_euclidean_16": """
             WITH s AS (
