@@ -718,6 +718,91 @@ def gamma_soft_dtw(dataset, n_samples: int = 100, random_state: int = 0) -> floa
 
 
 # ---------------------------------------------------------------------------
+# batched anti-diagonal kernels (executor hot path for soft-DTW / GAK / LCSS)
+# ---------------------------------------------------------------------------
+
+def _sq_dist_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, sz1, sz2) pairwise squared dists for a batch of pairs."""
+    diff = A[:, :, None, :] - B[:, None, :, :]
+    return np.einsum("nijk,nijk->nij", diff, diff)
+
+
+def soft_dtw_batch(A: np.ndarray, B: np.ndarray, gamma: float = 1.0) -> np.ndarray:
+    """Batched soft-DTW scores — anti-diagonal sweep over (n, diag) slices.
+
+    Matches soft_dtw() exactly; one numpy op per anti-diagonal for the
+    whole batch instead of per pair.
+    """
+    n, sz1, _ = A.shape
+    sz2 = B.shape[1]
+    D = _sq_dist_batch(A, B)
+    R = np.full((n, sz1 + 2, sz2 + 2), np.inf)
+    R[:, 0, 0] = 0.0
+    for k in range(sz1 + sz2 - 1):
+        i0 = max(0, k - sz2 + 1)
+        i1 = min(sz1 - 1, k)
+        ii = np.arange(i0, i1 + 1)
+        jj = k - ii
+        a = R[:, ii, jj + 1]
+        b = R[:, ii + 1, jj]
+        c = R[:, ii, jj]
+        R[:, ii + 1, jj + 1] = D[:, ii, jj] + _softmin3(a, b, c, gamma)
+    return R[:, sz1, sz2]
+
+
+def gak_batch(A: np.ndarray, B: np.ndarray, sigma: float = 1.0,
+              normalized: bool = True) -> np.ndarray:
+    """Batched (optionally normalized) GAK — anti-diagonal sum-product."""
+
+    def _unnorm(X, Y):
+        n, s1, _ = X.shape
+        s2 = Y.shape[1]
+        d2 = _sq_dist_batch(X, Y)
+        kk = np.exp(-d2 / (2.0 * sigma ** 2))
+        gram = kk / (2.0 - kk)
+        R = np.zeros((n, s1 + 1, s2 + 1))
+        R[:, 0, 0] = 1.0
+        for k in range(s1 + s2 - 1):
+            i0 = max(0, k - s2 + 1)
+            i1 = min(s1 - 1, k)
+            ii = np.arange(i0, i1 + 1)
+            jj = k - ii
+            R[:, ii + 1, jj + 1] = gram[:, ii, jj] * (
+                R[:, ii, jj + 1] + R[:, ii + 1, jj] + R[:, ii, jj]
+            )
+        return R[:, s1, s2]
+
+    num = _unnorm(A, B)
+    if not normalized:
+        return num
+    den = np.sqrt(_unnorm(A, A) * _unnorm(B, B))
+    return num / den
+
+
+def lcss_batch(A: np.ndarray, B: np.ndarray, eps: float = 1.0) -> np.ndarray:
+    """Batched LCSS similarity (no global constraint) — anti-diagonal DP.
+
+    Literal reference recurrence (dtw_variants.py:1370-1409):
+    match -> prev_diag + 1, else max(left, up); normalized by min length.
+    """
+    n, sz1, _ = A.shape
+    sz2 = B.shape[1]
+    match = np.sqrt(_sq_dist_batch(A, B)) <= eps
+    acc = np.zeros((n, sz1 + 1, sz2 + 1), dtype=np.int64)
+    for k in range(sz1 + sz2 - 1):
+        i0 = max(0, k - sz2 + 1)
+        i1 = min(sz1 - 1, k)
+        ii = np.arange(i0, i1 + 1)
+        jj = k - ii
+        acc[:, ii + 1, jj + 1] = np.where(
+            match[:, ii, jj],
+            acc[:, ii, jj] + 1,
+            np.maximum(acc[:, ii + 1, jj], acc[:, ii, jj + 1]),
+        )
+    return acc[:, sz1, sz2] / float(min(sz1, sz2))
+
+
+# ---------------------------------------------------------------------------
 # normalized cross-correlation / SBD (reference: cycc.pyx:16-96)
 # ---------------------------------------------------------------------------
 

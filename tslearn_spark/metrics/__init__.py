@@ -126,6 +126,34 @@ def _make_ctw(max_iter: int = 100, n_components=None):
     return f
 
 
+def _batch_kernel(metric: str, params: dict):
+    """Return a (A, B) -> scores batch kernel when the metric+params combo
+    is batchable across same-shape pairs, else None."""
+    if metric == "dtw" and params.get("global_constraint") != "itakura" \
+            and params.get("itakura_max_slope") is None:
+        radius = params.get("sakoe_chiba_radius")
+        if params.get("global_constraint") == "sakoe_chiba" and radius is None:
+            radius = 1
+        return lambda A, B: K.dtw_banded_batch(A, B, radius)
+    if metric == "softdtw":
+        gamma = params.get("gamma", 1.0)
+        if gamma > 0:
+            return lambda A, B: K.soft_dtw_batch(A, B, gamma)
+    if metric == "gak":
+        sigma = params.get("sigma", 1.0)
+        return lambda A, B: K.gak_batch(A, B, sigma, normalized=True)
+    if metric == "unnormalized_gak":
+        sigma = params.get("sigma", 1.0)
+        return lambda A, B: K.gak_batch(A, B, sigma, normalized=False)
+    if metric == "lcss" and not any(
+        params.get(k) for k in
+        ("global_constraint", "sakoe_chiba_radius", "itakura_max_slope")
+    ):
+        eps = params.get("eps", 1.0)
+        return lambda A, B: K.lcss_batch(A, B, eps)
+    return None
+
+
 def pair_metric_udf(metric: str, **params):
     """Build a scalar pandas UDF computing ``metric(a, b)`` per row.
 
@@ -136,13 +164,8 @@ def pair_metric_udf(metric: str, **params):
     Callers that sort pairs by series sizes (sortWithinPartitions) make
     the buckets batch-sized.  Other metrics loop the per-pair kernel.
     """
-    batchable_dtw = metric == "dtw" and not params.get("global_constraint") in (
-        "itakura",
-    ) and params.get("itakura_max_slope") is None
-    if batchable_dtw:
-        radius = params.get("sakoe_chiba_radius")
-        if params.get("global_constraint") == "sakoe_chiba" and radius is None:
-            radius = 1
+    batch_fn = _batch_kernel(metric, params)
+    if batch_fn is not None:
 
         @F.pandas_udf(DoubleType())
         def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -152,11 +175,10 @@ def pair_metric_udf(metric: str, **params):
             buckets: dict[tuple, list[int]] = {}
             for i, (x, y) in enumerate(zip(arrs_a, arrs_b)):
                 buckets.setdefault((x.shape, y.shape), []).append(i)
-            for (_, _), idxs in buckets.items():
+            for idxs in buckets.values():
                 A = np.stack([arrs_a[i] for i in idxs])
                 B = np.stack([arrs_b[i] for i in idxs])
-                r = radius if radius is not None else None
-                out[idxs] = K.dtw_banded_batch(A, B, r)
+                out[idxs] = batch_fn(A, B)
             return pd.Series(out)
 
         return _udf

@@ -32,6 +32,13 @@ MERSENNE_P = (1 << 61) - 1
 MINHASH_P = (1 << 31) - 1
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Small-but-compute-heavy doc tables (one parquet split) must be
+    spread across cores before md5/regex-heavy map stages — Spark sizes
+    splits by bytes, so a 2 MB file otherwise runs on one task."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def _norm_text(col: str = "text") -> Column:
     return F.lower(F.trim(F.col(col)))
 
@@ -144,7 +151,7 @@ def minhash_signatures(
     permutation — map-side combinable, single shuffle by doc_id.
     """
     coefs = minhash_coefficients(num_hashes, seed)
-    tok = _doc_tokens(docs, text_col, n_shingle)
+    tok = _doc_tokens(_spread_docs(docs), text_col, n_shingle)
     tok = tok.select("doc_id", token_id28_col(F.col("token")).alias("tid"))
     aggs = [
         F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
@@ -222,7 +229,7 @@ def simhash_signatures(
     Fully SQL: explode tokens, per-bit +/-1 contributions aggregated,
     repacked with bit arithmetic.  One shuffle by doc_id.
     """
-    tok = _doc_tokens(docs, text_col)
+    tok = _doc_tokens(_spread_docs(docs), text_col)
     tok = tok.select("doc_id", token_id_col(F.col("token")).alias("tid"))
     # 60 usable bits from the md5-derived id
     bits = min(bits, 60)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tslearn_spark.pipeline.dedup import tokens_col
+from tslearn_spark.pipeline.dedup import _spread_docs, tokens_col
 
 # Tiny per-language stopword marker sets (top function words).  Public
 # knowledge; the oracle SQL uses the identical lists.
@@ -57,7 +57,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = text_col
     toks = tokens_col(text_col)
     en_stop = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
-    return docs.select(
+    return _spread_docs(docs).select(
         "doc_id",
         F.length(t).alias("n_chars_q"),
         F.size(toks).alias("n_words"),
@@ -110,7 +110,7 @@ def document_fingerprints(docs: DataFrame, text_col: str = "text",
     fingerprint are near-dup candidates.  Pure SQL.
     """
     t = text_col
-    return docs.select(
+    return _spread_docs(docs).select(
         "doc_id",
         F.expr(
             f"""
