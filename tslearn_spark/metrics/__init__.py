@@ -287,6 +287,8 @@ def cdist(
     copy, and adds the diagonal (0 for distances; kernel(x,x) for
     softdtw/gak whose self-score is nonzero — softdtw_variants.py:451-532).
     """
+    if metric == "gak":
+        return _cdist_gak_normalized(d1, d2, **params)
     udf = pair_metric_udf(metric, **params)
     if d2 is None:
         if symmetric_zero_diag is None:
@@ -326,6 +328,60 @@ def cdist(
         F.size("values1"), F.size("values2")
     )
     return pairs.withColumn("dist", udf("values1", "values2")).select("id1", "id2", "dist")
+
+
+def _self_gak_udf(sigma: float):
+    @F.pandas_udf(DoubleType())
+    def _udf(v: pd.Series) -> pd.Series:
+        arrs = [_to_arr(x) for x in v]
+        return pd.Series([K.unnormalized_gak(a, a, sigma) for a in arrs])
+
+    return _udf
+
+
+def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.0) -> DataFrame:
+    """Normalized GAK Gram with cached diagonals (softdtw_variants.py:185-217).
+
+    The naive per-pair normalization runs THREE DPs per pair (xy, xx, yy);
+    here each series' self-kernel is computed once and joined back — the
+    reference's diagonal cache, as broadcast joins.  Unnormalized pair
+    kernels still ride the batched anti-diagonal path.
+    """
+    def selfs(df: DataFrame) -> DataFrame:
+        return _spread(df.select("series_id", "values")).select(
+            "series_id", _self_gak_udf(sigma)("values").alias("kself")
+        )
+
+    udf = pair_metric_udf("unnormalized_gak", sigma=sigma)
+    s1 = selfs(d1)
+    if d2 is None:
+        upper = self_pairs(d1).sortWithinPartitions(
+            F.size("values1"), F.size("values2")
+        ).withColumn("kxy", udf("values1", "values2")).select("id1", "id2", "kxy")
+        both = upper.unionByName(
+            upper.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "kxy")
+        )
+        k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"),
+                                   F.col("kself").alias("k1")))
+        k2 = F.broadcast(s1.select(F.col("series_id").alias("id2"),
+                                   F.col("kself").alias("k2")))
+        off = both.join(k1, "id1").join(k2, "id2").select(
+            "id1", "id2", (F.col("kxy") / F.sqrt(F.col("k1") * F.col("k2"))).alias("dist")
+        )
+        diag = d1.select(
+            F.col("series_id").alias("id1"), F.col("series_id").alias("id2"),
+            F.lit(1.0).alias("dist"),
+        )
+        return off.unionByName(diag)
+    s2 = selfs(d2)
+    pairs = cross_pairs(d1, d2).sortWithinPartitions(
+        F.size("values1"), F.size("values2")
+    ).withColumn("kxy", udf("values1", "values2")).select("id1", "id2", "kxy")
+    k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"), F.col("kself").alias("k1")))
+    k2 = F.broadcast(s2.select(F.col("series_id").alias("id2"), F.col("kself").alias("k2")))
+    return pairs.join(k1, "id1").join(k2, "id2").select(
+        "id1", "id2", (F.col("kxy") / F.sqrt(F.col("k1") * F.col("k2"))).alias("dist")
+    )
 
 
 # ---------------------------------------------------------------------------
