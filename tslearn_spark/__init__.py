@@ -19,4 +19,41 @@ __version__ = "0.1.0"
 
 from tslearn_spark.session import get_spark, load_tables
 
-__all__ = ["get_spark", "load_tables", "__version__"]
+# lazy re-exports of the estimator/operator surface: a reference user's
+# `from tslearn.clustering import TimeSeriesKMeans` becomes
+# `from tslearn_spark import TimeSeriesKMeans` (Spark DataFrames in/out)
+_LAZY = {
+    "TimeSeriesKMeans": "tslearn_spark.clustering",
+    "KShape": "tslearn_spark.clustering",
+    "KernelKMeans": "tslearn_spark.clustering",
+    "silhouette_score": "tslearn_spark.clustering",
+    "kneighbors": "tslearn_spark.neighbors",
+    "knn_classify": "tslearn_spark.neighbors",
+    "knn_regress": "tslearn_spark.neighbors",
+    "TimeSeriesSVC": "tslearn_spark.svm",
+    "TimeSeriesSVR": "tslearn_spark.svm",
+    "TimeSeriesMLPClassifier": "tslearn_spark.neural_network",
+    "TimeSeriesMLPRegressor": "tslearn_spark.neural_network",
+    "LearningShapelets": "tslearn_spark.shapelets",
+    "NonMyopicEarlyClassifier": "tslearn_spark.early_classification",
+    "SAX": "tslearn_spark.piecewise",
+    "OneDSAX": "tslearn_spark.piecewise",
+    "LabelCategorizer": "tslearn_spark.labels",
+    "cdist": "tslearn_spark.metrics",
+    "dtw_barycenter_averaging": "tslearn_spark.barycenters",
+    "softdtw_barycenter": "tslearn_spark.barycenters",
+    "euclidean_barycenter": "tslearn_spark.barycenters",
+    "save_model": "tslearn_spark.model_io",
+    "load_model": "tslearn_spark.model_io",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'tslearn_spark' has no attribute {name!r}")
+
+
+__all__ = ["get_spark", "load_tables", "__version__", *sorted(_LAZY)]
