@@ -79,11 +79,29 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     from pyspark.sql.types import LongType
 
+    # The driver harness passes its OWN SparkSession (not get_spark()'s), so
+    # set the nanos conf here too — events.parquet stores TIMESTAMP(NANOS)
+    # which Spark can't read natively. This is a dynamic SQL conf in
+    # PySpark 4.x, safe to set at runtime on any session.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable on some builds; get_spark() sessions already have it
+
     out: dict[str, DataFrame] = {}
+    errors: dict[str, Exception] = {}
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            try:
+                df = spark.read.parquet(path)
+            except Exception as exc:  # noqa: BLE001 — isolate per-table failures
+                # One unreadable file must not take down queries that never
+                # touch it; drop any stale view so users of THIS table still
+                # fail loudly at resolution time.
+                errors[name] = exc
+                spark.catalog.dropTempView(name)
+                continue
             for col in _NANO_TS_COLS.get(name, ()):
                 if col in df.columns and isinstance(df.schema[col].dataType, LongType):
                     # integer div, not float div: float rounding can flip the
