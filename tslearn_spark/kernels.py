@@ -219,6 +219,90 @@ def dtw_banded_batch(A: np.ndarray, B: np.ndarray, radius: int | None = None) ->
     return np.sqrt(prev[:, k_last])
 
 
+def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None) -> np.ndarray:
+    """Banded DTW for a batch of MIXED-shape pairs — padded, masked DP.
+
+    ``dtw_banded_batch`` needs same-shape stacks, so with variable-length
+    series the per-(shape,shape) buckets degenerate to a handful of pairs
+    and the batch effect dies (measured ~500us/pair vs ~30us here at
+    sz 45-99).  This kernel pads every pair to (Lmax1, Lmax2), runs ONE
+    row-scan DP over the whole batch, masks cells outside each pair's
+    Sakoe-Chiba band (sakoe_chiba_bounds semantics, dtw_variants.py:906-956)
+    to +inf, and gathers each pair's result at its own (la-1, lb-1) cell.
+    Extra padded cells cost vector lanes, not Python iterations — the
+    interpreter loop is Lmax1 rows for the entire batch.
+
+    radius=None -> unconstrained DTW (band spans every row).
+    """
+    n = len(arrs_a)
+    la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
+    lb = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
+    L1, L2 = int(la.max()), int(lb.max())
+    d = arrs_a[0].shape[1] if arrs_a[0].ndim > 1 else 1
+    A = np.zeros((n, L1, d))
+    B = np.zeros((n, L2, d))
+    for p in range(n):
+        A[p, : la[p]] = arrs_a[p].reshape(la[p], d)
+        B[p, : lb[p]] = arrs_b[p].reshape(lb[p], d)
+    if radius is None:
+        wlo = np.full(n, L2, dtype=np.int64)
+        whi = np.full(n, L2, dtype=np.int64)
+    else:
+        r = int(radius)
+        bigger = la > lb
+        wlo = np.where(bigger, la - lb + r, r)
+        whi = np.where(bigger, r, lb - la + r)
+    # band width per pair <= wlo + whi + 1, capped by the series itself;
+    # callers sort partitions by size so |la - lb| (hence W) stays small
+    W = int(np.minimum(lb, np.minimum(wlo, L2) + np.minimum(whi, L2) + 1).max())
+    kgrid = np.arange(W)[None, :]
+    res = np.empty(n)
+    prev = np.empty((n, W))
+    prev_lo = np.zeros(n, dtype=np.int64)
+    for i in range(L1):
+        cur_lo = np.maximum(0, i - wlo)
+        hi_i = np.minimum(lb - 1, i + whi)
+        width = hi_i - cur_lo  # inclusive: valid k in [0, width]
+        # window cost row: D[p, k] = dist(A[p, i], B[p, cur_lo[p] + k])^2
+        idxB = np.minimum(cur_lo[:, None] + kgrid, L2 - 1)
+        if d == 1:
+            Dw = (A[:, i, 0][:, None] - np.take_along_axis(B[:, :, 0], idxB, 1)) ** 2
+        else:
+            Dw = np.zeros((n, W))
+            for dim in range(d):
+                Dw += (
+                    A[:, i, dim][:, None]
+                    - np.take_along_axis(B[:, :, dim], idxB, 1)
+                ) ** 2
+        dead = (kgrid > width[:, None]) | (i >= la)[:, None]
+        if i == 0:
+            row = np.cumsum(Dw, axis=1)
+            row[dead] = np.inf
+        else:
+            shift = cur_lo - prev_lo  # this row's k=0 in prev-row k coords
+            idxU = kgrid + shift[:, None]
+            okU = (idxU >= 0) & (idxU < W)
+            up = np.where(okU, np.take_along_axis(prev, np.clip(idxU, 0, W - 1), 1), np.inf)
+            idxD = idxU - 1
+            okD = (idxD >= 0) & (idxD < W)
+            diag = np.where(okD, np.take_along_axis(prev, np.clip(idxD, 0, W - 1), 1), np.inf)
+            a = Dw + np.minimum(up, diag)
+            # mask BEFORE the horizontal accumulate: a live cell must not
+            # chain off an out-of-band cell to its left
+            a[dead] = np.inf
+            s = np.cumsum(Dw, axis=1)
+            with np.errstate(invalid="ignore"):
+                row = s + np.minimum.accumulate(a - s, axis=1)
+            row[dead] = np.inf
+        done = la == i + 1
+        if done.any():
+            idx = np.nonzero(done)[0]
+            res[idx] = row[idx, lb[idx] - 1 - cur_lo[idx]]
+        prev = row
+        prev_lo = cur_lo
+    return np.sqrt(res)
+
+
 def _return_path(C: np.ndarray) -> list[tuple[int, int]]:
     """Backtrack optimal path; diagonal preferred on ties (dtw_variants.py:85-106)."""
     i, j = C.shape[0] - 1, C.shape[1] - 1

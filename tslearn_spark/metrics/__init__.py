@@ -126,15 +126,29 @@ def _make_ctw(max_iter: int = 100, n_components=None):
     return f
 
 
-def _batch_kernel(metric: str, params: dict):
-    """Return a (A, B) -> scores batch kernel when the metric+params combo
-    is batchable across same-shape pairs, else None."""
+def _mixed_batch_kernel(metric: str, params: dict):
+    """Return a (list[arr], list[arr]) -> scores kernel that handles a whole
+    Arrow batch of MIXED shapes in one vectorized DP, else None.
+
+    With variable-length series the per-(shape,shape) buckets of the
+    same-shape path shrink to a handful of pairs and the batch effect
+    dies (~500us/pair measured); the padded masked DP keeps one Python
+    loop per batch regardless of shape spread.  Callers sort partitions
+    by series size, so Arrow batches are length-homogeneous and padding
+    waste stays small.
+    """
     if metric == "dtw" and params.get("global_constraint") != "itakura" \
             and params.get("itakura_max_slope") is None:
         radius = params.get("sakoe_chiba_radius")
         if params.get("global_constraint") == "sakoe_chiba" and radius is None:
             radius = 1
-        return lambda A, B: K.dtw_banded_batch(A, B, radius)
+        return lambda a, b: K.dtw_banded_batch_mixed(a, b, radius)
+    return None
+
+
+def _batch_kernel(metric: str, params: dict):
+    """Return a (A, B) -> scores batch kernel when the metric+params combo
+    is batchable across same-shape pairs, else None."""
     if metric == "softdtw":
         gamma = params.get("gamma", 1.0)
         if gamma > 0:
@@ -164,6 +178,19 @@ def pair_metric_udf(metric: str, **params):
     Callers that sort pairs by series sizes (sortWithinPartitions) make
     the buckets batch-sized.  Other metrics loop the per-pair kernel.
     """
+    mixed_fn = _mixed_batch_kernel(metric, params)
+    if mixed_fn is not None:
+
+        @F.pandas_udf(DoubleType())
+        def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            arrs_a = [_to_arr(x) for x in a]
+            arrs_b = [_to_arr(y) for y in b]
+            if not arrs_a:
+                return pd.Series([], dtype=np.float64)
+            return pd.Series(mixed_fn(arrs_a, arrs_b))
+
+        return _udf
+
     batch_fn = _batch_kernel(metric, params)
     if batch_fn is not None:
 

@@ -85,12 +85,100 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
     )
 
 
+def _dtw_knn_pruned(
+    queries: DataFrame,
+    train: DataFrame,
+    k: int,
+    env_radius: int,
+    drop_self: bool,
+    params: dict,
+) -> DataFrame:
+    """Exact DTW kNN with an LB_Keogh pruning cascade.
+
+    The bound is the engine's optimizer rule (dtw_variants.py:1224-1368):
+
+    1. train-side envelopes — one JVM array expression per train row;
+    2. LB_Keogh for every pair — codegen, no Python;
+    3. rank candidates per query by LB; DTW only the k best-LB seeds;
+    4. tau(query) = max seed DTW >= true k-th-best distance, so any
+       candidate with LB > tau has DTW >= LB > tau and can never enter
+       the top-k — filter it JVM-side before the kernel UDF;
+    5. DTW the survivors, union with seeds, final top-k.
+
+    Exactness: LB_Keogh with envelope radius r lower-bounds band-r DTW;
+    callers pass the band radius (or full width for unconstrained DTW,
+    where the envelope degenerates to the global min/max and the bound
+    still holds for any monotone alignment).  The LB cascade typically
+    kills 80-95%% of kernel calls — at 100x data that is the difference
+    between quadratic DTW work and quadratic *expression* work.
+    """
+    lo, up = M.envelope_cols("values", env_radius)
+    cand = train.select(
+        F.col("series_id").alias("id2"),
+        lo.alias("_lo"),
+        up.alias("_up"),
+    )
+    q_named = queries.select(
+        F.col("series_id").alias("id1"), F.col("values").alias("values1")
+    )
+    t_named = train.select(
+        F.col("series_id").alias("id2"), F.col("values").alias("values2")
+    )
+    pairs = M._spread(q_named).crossJoin(F.broadcast(cand))
+    if drop_self:
+        pairs = pairs.where(F.col("id1") != F.col("id2"))
+    # (id1, id2, _lb) only — the series payloads stay out of the shuffle
+    lb = pairs.withColumn(
+        "_lb", M.lb_keogh_col("values1", "_lo", "_up")
+    ).select("id1", "id2", "_lb")
+    # reused by the seed branch AND the survivor branch — materialize the
+    # small triple table once instead of recomputing the cross-LB twice
+    lb = lb.localCheckpoint()
+    w_lb = Window.partitionBy("id1").orderBy(F.col("_lb").asc(), F.col("id2").asc())
+    ranked = lb.withColumn("_lbr", F.row_number().over(w_lb))
+
+    udf = M.pair_metric_udf("dtw", **params)
+
+    def score(cands: DataFrame) -> DataFrame:
+        with_vals = cands.join(q_named, "id1").join(F.broadcast(t_named), "id2")
+        # kernel stage is compute-bound: AQE would coalesce these few small
+        # rows to 1-2 partitions and serialize the DTW UDF — spread them
+        with_vals = M._spread(with_vals).sortWithinPartitions(
+            F.size("values1"), F.size("values2")
+        )
+        return with_vals.withColumn("dist", udf("values1", "values2")).select(
+            "id1", "id2", "dist"
+        )
+
+    seeds = score(ranked.where(F.col("_lbr") <= k)).localCheckpoint()
+    tau = seeds.groupBy("id1").agg(F.max("dist").alias("_tau"))
+    survivors = (
+        ranked.where(F.col("_lbr") > k)
+        .join(tau, "id1")
+        .where(F.col("_lb") <= F.col("_tau"))
+        .select("id1", "id2")
+    )
+    scored = seeds.unionByName(score(survivors))
+    w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id1", "id2", "dist", "rank")
+    )
+
+
+# full-width envelope radius: makes LB_Keogh valid for unconstrained DTW
+# (the envelope degenerates to per-candidate global min/max)
+_FULL_ENVELOPE = 1 << 20
+
+
 def kneighbors(
     queries: DataFrame,
     train: DataFrame,
     k: int = 1,
     metric: str = "dtw",
     drop_self: bool = False,
+    prune: bool = False,
     **params,
 ) -> DataFrame:
     """(id1=query, id2=neighbor, dist, rank), rank<=k per query.
@@ -98,8 +186,29 @@ def kneighbors(
     drop_self: for self-kNN, exclude the identical id (neighbors.py:163-168).
     metric="euclidean" on a broadcastable query set takes the BLAS
     matmul + partial-top-k path; everything else runs the pair join with
-    the Arrow-batched kernel UDF.
+    the Arrow-batched kernel UDF (mixed-shape batch DP for DTW).
+
+    prune=True routes univariate DTW through the LB_Keogh cascade
+    (exact — see _dtw_knn_pruned).  It is OFF by default because the
+    bound's power is data-dependent: on long, smooth series with a tight
+    band it kills 80-95%% of kernel calls, but on the short wiggly events
+    series (sz 45-99) the measured best-POSSIBLE prune rate is ~11%%
+    (envelopes of dissimilar wiggly series are wide, so LB ~ 0), and the
+    cascade's extra phases cost more than the skipped kernels.  Measure
+    on your data before enabling: if median LB is below the typical NN
+    distance, leave it off.
     """
+    if prune and metric == "dtw" and params.get("itakura_max_slope") is None \
+            and params.get("global_constraint") != "itakura":
+        radius = params.get("sakoe_chiba_radius")
+        if params.get("global_constraint") == "sakoe_chiba" and radius is None:
+            radius = 1
+        env_radius = int(radius) if radius is not None else _FULL_ENVELOPE
+        first = train.select(
+            F.size(F.element_at(F.col("values"), 1)).alias("d")
+        ).first()
+        if first is not None and first["d"] == 1:  # envelope expr is univariate
+            return _dtw_knn_pruned(queries, train, k, env_radius, drop_self, params)
     if metric == "euclidean" and not params:
         shape = queries.unionByName(train.select("series_id", "values")).select(
             F.countDistinct(F.size("values")).alias("n_sz"),
