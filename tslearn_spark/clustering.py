@@ -217,25 +217,97 @@ class KShape:
         )
 
     @staticmethod
-    def _shape_extraction(members: list[np.ndarray], center: np.ndarray) -> np.ndarray:
-        """kshape.py:118-137: align members to center, solve the Rayleigh
-        quotient of S = X'X on centered, aligned data; sign-fix; z-norm."""
-        sz, d = center.shape
-        aligned = K.y_shifted_sbd_vec(center, members)
-        X = np.stack([a[:, 0] for a in aligned])  # univariate core
-        n = X.shape[0]
+    def _solve_shape(S: np.ndarray, sum_x: np.ndarray, ss: float, n: int) -> np.ndarray:
+        """Finish shape extraction from sufficient statistics.
+
+        kshape.py:118-137 solves the Rayleigh quotient of S = X'X on
+        centered aligned data.  Everything it needs reduces to
+        (S, sum_x, sum||x||^2, n), so the members themselves never have
+        to be co-located.  Sign fix follows the reference (kshape.py
+        _shape_extraction): compare ||X - mu||_F vs ||X + mu||_F summed
+        over ALL aligned members — expanded, the squared norms are
+        ss -+ 2*sum_x.mu + n*||mu||^2.
+        """
+        sz = S.shape[0]
         Q = np.eye(sz) - np.ones((sz, sz)) / sz
-        S = X.T @ X
         M = Q.T @ S @ Q
-        w, V = np.linalg.eigh(M)
+        _, V = np.linalg.eigh(M)
         mu = V[:, -1]
-        # sign fix: centroid should correlate positively with members
-        dist_plus = float(np.linalg.norm(X[0] - mu))
-        dist_minus = float(np.linalg.norm(X[0] + mu))
+        mu_sq = float(mu @ mu)
+        dist_plus = ss - 2.0 * float(sum_x @ mu) + n * mu_sq
+        dist_minus = ss + 2.0 * float(sum_x @ mu) + n * mu_sq
         if dist_minus < dist_plus:
             mu = -mu
         mu = (mu - mu.mean()) / (mu.std() if mu.std() > 0 else 1.0)
         return mu.reshape(-1, 1)
+
+    @classmethod
+    def _shape_extraction(cls, members: list[np.ndarray], center: np.ndarray) -> np.ndarray:
+        """Single-node variant (unit tests / tiny clusters)."""
+        aligned = K.y_shifted_sbd_vec(center, members)
+        X = np.stack([a[:, 0] for a in aligned])
+        return cls._solve_shape(X.T @ X, X.sum(0), float((X * X).sum()), X.shape[0])
+
+    @staticmethod
+    def _shape_partials(centers: list[np.ndarray]):
+        """mapInPandas generator: per input partition, per cluster, emit the
+        partial sufficient statistics of the aligned-member matrix.
+
+        Map-side combine with NO shuffle of members: each task reduces its
+        own rows to a (sz*sz + sz + 2)-float row per cluster it sees; the
+        driver sums ~n_partitions * k such rows.  This replaces the old
+        per-cluster driver collect (the round-1 scale ceiling).
+        """
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for c, grp in pdf.groupby("cluster"):
+                    c = int(c)
+                    members = [
+                        np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                        for v in grp["values"]
+                    ]
+                    aligned = K.y_shifted_sbd_vec(centers[c], members)
+                    X = np.stack([a[:, 0] for a in aligned])
+                    S = X.T @ X
+                    yield pd.DataFrame(
+                        {
+                            "cluster": [c],
+                            "n": [int(X.shape[0])],
+                            "s_flat": [S.ravel().tolist()],
+                            "sum_x": [X.sum(0).tolist()],
+                            "ss": [float((X * X).sum())],
+                        }
+                    )
+
+        return gen
+
+    def _extract_shapes(self, assigned: DataFrame, centers) -> list[np.ndarray]:
+        """Distributed shape extraction: partial stats per (partition,
+        cluster), eigenproblem on the driver from k (sz x sz) sums."""
+        sz = centers[0].shape[0]
+        partials = assigned.select("cluster", "values").mapInPandas(
+            self._shape_partials(centers),
+            "cluster int, n long, s_flat array<double>, sum_x array<double>, ss double",
+        ).collect()
+        acc: dict[int, list] = {}
+        for r in partials:
+            S = np.asarray(r["s_flat"], dtype=np.float64).reshape(sz, sz)
+            sx = np.asarray(r["sum_x"], dtype=np.float64)
+            ent = acc.setdefault(r["cluster"], [np.zeros((sz, sz)), np.zeros(sz), 0.0, 0])
+            ent[0] += S
+            ent[1] += sx
+            ent[2] += r["ss"]
+            ent[3] += r["n"]
+        new_centers = []
+        for c in range(self.n_clusters):
+            if c not in acc:
+                raise EmptyClusterError()
+            S, sx, ss, n = acc[c]
+            new_centers.append(self._solve_shape(S, sx, ss, n))
+        return new_centers
 
     def fit(self, df: DataFrame) -> "KShape":
         from tslearn_spark.preprocessing import transform_mean_variance
@@ -251,17 +323,7 @@ class KShape:
             if inertia > prev_inertia:  # rollback (kshape.py:180-184)
                 assigned.unpersist()
                 break
-            # shape extraction per cluster: members fit in one task per
-            # cluster (documented ceiling; distributed variant = grouped
-            # covariance aggregate, later round)
-            new_centers = []
-            for c in range(self.n_clusters):
-                rows = assigned.where(F.col("cluster") == c).select("values").collect()
-                if not rows:
-                    raise EmptyClusterError()
-                members = [np.asarray(r["values"], dtype=np.float64) for r in rows]
-                new_centers.append(self._shape_extraction(members, centers[c]))
-            centers = new_centers
+            centers = self._extract_shapes(assigned, centers)
             assigned.unpersist()
             if abs(prev_inertia - inertia) < self.tol:
                 prev_inertia = inertia
