@@ -662,6 +662,23 @@ def kmeans_euclidean_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.predict(ts).select("series_id", "cluster")
 
 
+def kernel_kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KernelKMeans(gak) fit on even ids, predict on odd ids via the
+    cross-Gram (kmeans.py:136-457 incl. predict :433-455).  Rows-only
+    (DP kernel)."""
+    from tslearn_spark.clustering import KernelKMeans
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+
+    ts = transform_mean_variance(
+        resample(_events_series(spark, sf_dir), 16)
+    ).localCheckpoint()
+    train = ts.where(F.col("series_id") % 2 == 0)
+    test = ts.where(F.col("series_id") % 2 == 1)
+    kk = KernelKMeans(n_clusters=3, kernel="gak", max_iter=5, random_state=0,
+                      kernel_params={"sigma": 2.0}).fit(train)
+    return kk.predict(test).select("series_id", "cluster")
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate ANN — the scale path (rows-only)."""
     from tslearn_spark.pipeline import lsh_topk
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_pair_sample": metrics_pair_sample,
         "dba_barycenter_sample": dba_barycenter_sample,
         "kmeans_euclidean_clusters": kmeans_euclidean_clusters,
+        "kernel_kmeans_predict": kernel_kmeans_predict,
         "ann_lsh_topk": ann_lsh_topk,
         "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
     }

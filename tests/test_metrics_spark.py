@@ -226,3 +226,41 @@ class TestClustering:
         labs = {r["series_id"]: r["cluster"] for r in kk.labels_.collect()}
         assert len(set(labs.values())) == 2
         assert len({labs[i] for i in range(4)}) == 1
+
+    def test_kernel_kmeans_predict(self, spark):
+        # predict on the training rows must reproduce the fitted labels
+        # (kmeans.py:433-455: same argmin over the same Gram terms)
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(5)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(4)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        kk = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                          random_state=0, kernel_params={"sigma": 2.0}).fit(df)
+        fit_labs = {r["series_id"]: r["cluster"] for r in kk.labels_.collect()}
+        pred_labs = {r["series_id"]: r["cluster"] for r in kk.predict(df).collect()}
+        assert pred_labs == fit_labs
+
+    def test_kmeans_plusplus_deterministic_by_seed(self, spark):
+        # reference tests/test_clustering.py: same seed -> same clustering
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        rs = np.random.RandomState(6)
+        blobs = [rs.randn(8) * 0.3 + c for c in (0, 5, 10) for _ in range(4)]
+        df = DS.dataset_to_df(spark, blobs)
+        runs = []
+        for _ in range(2):
+            km = TimeSeriesKMeans(n_clusters=3, metric="euclidean", max_iter=10,
+                                  random_state=7, init="k-means++").fit(df)
+            runs.append(
+                tuple(sorted((r["series_id"], r["cluster"])
+                             for r in km.predict(df).collect()))
+            )
+        assert runs[0] == runs[1]
+        # and k-means++ on well-separated blobs lands one center per blob
+        km = TimeSeriesKMeans(n_clusters=3, metric="euclidean", max_iter=10,
+                              random_state=7, init="k-means++").fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        for b in range(3):
+            assert len({pred[i] for i in range(4 * b, 4 * b + 4)}) == 1

@@ -30,11 +30,63 @@ class EmptyClusterError(Exception):
     """clustering/utils.py:13-26."""
 
 
+# driver-side sample cap for seeding (k-means++ candidate pool): at 100 TB
+# the full dataset never reaches the driver — a hash-ordered sample does
+_SEED_SAMPLE_CAP = 4096
+
+
+def _collect_sample(df: DataFrame, cap: int, seed: int) -> list[np.ndarray]:
+    """Deterministic pseudo-random sample of series values (driver-side).
+
+    Hash-ordering with the seed mixed in gives a reproducible sample
+    without a full shuffle: the limit is pushed into a TakeOrdered.
+    """
+    rows = (
+        df.select("series_id", "values")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("series_id")))
+        .limit(cap)
+        .collect()
+    )
+    return [np.asarray(r["values"], dtype=np.float64) for r in rows]
+
+
 def _collect_small(df: DataFrame, n: int, seed: int) -> list[np.ndarray]:
-    rows = df.select("series_id", "values").orderBy("series_id").collect()
+    sample = _collect_sample(df, max(n, 512), seed)
     rs = np.random.RandomState(seed)
-    idx = rs.choice(len(rows), size=min(n, len(rows)), replace=False)
-    return [np.asarray(rows[i]["values"], dtype=np.float64) for i in idx]
+    idx = rs.choice(len(sample), size=min(n, len(sample)), replace=False)
+    return [sample[i] for i in idx]
+
+
+def _k_init(sample: list[np.ndarray], k: int, rs: np.random.RandomState, dist_fn) -> list[np.ndarray]:
+    """k-means++ seeding over a driver sample (kmeans.py:50-133).
+
+    Mirrors the reference _k_init_metric: first center uniform, each next
+    drawn proportionally to squared distance to the closest chosen center,
+    with 2 + log(k) greedy local trials keeping the candidate that most
+    reduces total potential.
+    """
+    n = len(sample)
+    n_local_trials = 2 + int(np.log(k))
+    centers = [sample[int(rs.randint(n))]]
+    closest = np.array([float(dist_fn(centers[0], x)) ** 2 for x in sample])
+    for _ in range(1, k):
+        pot = closest.sum()
+        if pot <= 0.0:  # all points coincide with a center: any pick works
+            centers.append(sample[int(rs.randint(n))])
+            continue
+        rand_vals = rs.uniform(size=n_local_trials) * pot
+        cand_ids = np.searchsorted(np.cumsum(closest), rand_vals)
+        np.clip(cand_ids, None, n - 1, out=cand_ids)
+        best = None
+        for cid in cand_ids:
+            d = np.array([float(dist_fn(sample[cid], x)) ** 2 for x in sample])
+            new_closest = np.minimum(closest, d)
+            npot = new_closest.sum()
+            if best is None or npot < best[0]:
+                best = (npot, int(cid), new_closest)
+        centers.append(sample[best[1]])
+        closest = best[2]
+    return centers
 
 
 def _assign_udf(centers: list[np.ndarray], metric: str, metric_params: dict):
@@ -79,6 +131,7 @@ class TimeSeriesKMeans:
         random_state: int = 0,
         max_iter_barycenter: int = 100,
         metric_params: dict | None = None,
+        init: str = "k-means++",
     ):
         self.n_clusters = n_clusters
         self.metric = metric
@@ -88,6 +141,7 @@ class TimeSeriesKMeans:
         self.random_state = random_state
         self.max_iter_barycenter = max_iter_barycenter
         self.metric_params = metric_params or {}
+        self.init = init  # "k-means++" (reference default) or "random"
         self.cluster_centers_: list[np.ndarray] | None = None
         self.inertia_: float = np.inf
         self.n_iter_: int = 0
@@ -109,12 +163,12 @@ class TimeSeriesKMeans:
             if self.metric == "dtw":
                 nc = dtw_barycenter_averaging(
                     sub, init_barycenter=centers[c],
-                    max_iter=min(self.max_iter_barycenter, 10),
+                    max_iter=self.max_iter_barycenter,
                 )
             elif self.metric == "softdtw":
                 nc = softdtw_barycenter(
                     sub, gamma=self.metric_params.get("gamma", 1.0),
-                    init=centers[c], max_iter=min(self.max_iter_barycenter, 10),
+                    init=centers[c], max_iter=self.max_iter_barycenter,
                 )
             else:
                 from tslearn_spark.barycenters import euclidean_barycenter
@@ -132,13 +186,21 @@ class TimeSeriesKMeans:
         n = df.count()
         if n < self.n_clusters:
             raise ValueError("n_clusters > n_series")
+        # reference retry semantics (kmeans.py:775-788): an init attempt
+        # that hits an empty cluster is retried with a fresh seed, up to
+        # max(n_init, 10) total attempts for n_init successful fits
         best = (np.inf, None, 0)
-        for init_no in range(self.n_init):
-            seed = self.random_state + init_no
+        successful = 0
+        max_attempts = max(self.n_init, 10)
+        for attempt in range(max_attempts):
+            if successful >= self.n_init:
+                break
+            seed = self.random_state + attempt
             try:
                 centers, inertia, n_iter = self._fit_one(df, seed)
             except EmptyClusterError:
                 continue
+            successful += 1
             if inertia < best[0]:
                 best = (inertia, centers, n_iter)
         if best[1] is None:
@@ -147,8 +209,19 @@ class TimeSeriesKMeans:
         self._df = df
         return self
 
+    def _init_centers(self, df: DataFrame, seed: int) -> list[np.ndarray]:
+        if self.init == "k-means++":
+            from tslearn_spark import metrics as M
+
+            sample = _collect_sample(df, _SEED_SAMPLE_CAP, seed)
+            dist_fn = M.METRIC_PARAMS[self.metric](**self.metric_params)
+            return _k_init(
+                sample, self.n_clusters, np.random.RandomState(seed), dist_fn
+            )
+        return _collect_small(df, self.n_clusters, seed)
+
     def _fit_one(self, df: DataFrame, seed: int):
-        centers = _collect_small(df, self.n_clusters, seed)
+        centers = self._init_centers(df, seed)
         prev_inertia = np.inf
         inertia = np.inf
         for it in range(self.max_iter):
@@ -376,7 +449,8 @@ class KernelKMeans:
         self_k = gram.where(F.col("id1") == F.col("id2")).select(
             F.col("id1").alias("series_id"), F.col("dist").alias("kii")
         )
-        prev_labels_sig = None
+        prev_labels = None
+        within = None
         for _ in range(self.max_iter):
             labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
             # sum_{j in C} K_ij per (i, C)
@@ -416,13 +490,91 @@ class KernelKMeans:
                 .where(F.col("_rn") == 1)
                 .select(F.col("id1").alias("series_id"), "cluster")
             ).cache()
-            sig = tuple(sorted((r["series_id"], r["cluster"]) for r in labels.collect()))
-            if sig == prev_labels_sig:
-                break
-            prev_labels_sig = sig
+            # scalar convergence check: the driver sees one count, never
+            # the label rows (round-1 collected all labels per iteration)
+            if prev_labels is not None:
+                changed = (
+                    labels.join(
+                        prev_labels.withColumnRenamed("cluster", "_prev"), "series_id"
+                    )
+                    .where(F.col("cluster") != F.col("_prev"))
+                    .count()
+                )
+                if changed == 0:
+                    break
+            prev_labels = labels
         self.labels_ = labels
         self._gram = gram
+        self._df = df
+        # within-cluster stats of the FINAL labels, reused by predict()
+        labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
+        self._within = (
+            gram.join(F.broadcast(labj.withColumnRenamed("id2", "id1")), "id1")
+            .join(
+                F.broadcast(
+                    labels.select(F.col("series_id").alias("id2"),
+                                  F.col("cluster").alias("cl2"))
+                ),
+                "id2",
+            )
+            .where(F.col("cluster") == F.col("cl2"))
+            .groupBy("cluster")
+            .agg(F.sum("dist").alias("sW"), F.countDistinct("id1").alias("n"))
+        ).cache()
         return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        """Assign new series to the fitted clusters via the cross-Gram.
+
+        Reference kmeans.py:433-455: dist^2(x, C) = k(x,x)
+        - 2/|C| sum_{j in C} k(x, j) + 1/|C|^2 sum_{j,l in C} k(j, l).
+        The k(x,x) term is constant per x and kept for parity of the
+        distance values; the cross-Gram K(new, train) is an edges
+        DataFrame, same as fit.
+        """
+        assert self.labels_ is not None, "fit before predict"
+        from pyspark.sql import Window
+
+        from tslearn_spark import metrics as M
+
+        gram = M.cdist(df, self._df, metric=self.kernel, **self.kernel_params)
+        labj = self.labels_.select(F.col("series_id").alias("id2"), F.col("cluster"))
+        cross = (
+            gram.join(F.broadcast(labj), "id2")
+            .groupBy("id1", "cluster")
+            .agg(F.sum("dist").alias("sK"))
+        )
+        if self.kernel == "gak":  # normalized kernel: k(x,x) = 1
+            kii = df.select(F.col("series_id").alias("id1"), F.lit(1.0).alias("kii"))
+        else:
+            kernel = M.METRIC_PARAMS[self.kernel](**self.kernel_params)
+
+            @F.pandas_udf(DoubleType())
+            def _self_udf(values: pd.Series) -> pd.Series:
+                out = []
+                for v in values:
+                    ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                    out.append(float(kernel(ts, ts)))
+                return pd.Series(out)
+
+            kii = df.select(
+                F.col("series_id").alias("id1"), _self_udf("values").alias("kii")
+            )
+        scored = (
+            cross.join(F.broadcast(self._within), "cluster")
+            .join(F.broadcast(kii), "id1")
+            .select(
+                "id1", "cluster",
+                (F.col("kii") - 2.0 * F.col("sK") / F.col("n")
+                 + F.col("sW") / (F.col("n") * F.col("n"))).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("id1").alias("series_id"), "cluster", F.col("d2").alias("dist"))
+        )
 
 
 def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **params) -> float:
