@@ -94,29 +94,58 @@ class _MLPBase:
 
 
 class TimeSeriesMLPClassifier(_MLPBase):
-    """neural_network.py:9-105 twin."""
+    """neural_network.py:9-105 twin, delegated to MLlib.
+
+    The reference runs sklearn's MLPClassifier on flattened (sz*d,)
+    features; the Spark-first mapping (SURVEY.md §2.9) is MLlib's
+    MultilayerPerceptronClassifier on a vector column — fit is
+    distributed (L-BFGS on executors), nothing is collected to the
+    driver.  Flattening is a JVM-side ``flatten`` + array_to_vector.
+    """
 
     def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesMLPClassifier":
-        rows = df.select("series_id", "values", label_col).collect()
-        X = self._flatten(rows)
-        y_raw = np.array([r[label_col] for r in rows])
-        self.classes_ = np.unique(y_raw)
-        y = np.searchsorted(self.classes_, y_raw)
-        sizes = [X.shape[1], *self.hidden_layer_sizes, len(self.classes_)]
-        self.mlp_ = _MLP(sizes, classifier=True, lr=self.lr,
-                         max_iter=self.max_iter, seed=self.random_state).fit(X, y)
+        from pyspark.ml.classification import MultilayerPerceptronClassifier
+        from pyspark.ml.functions import array_to_vector
+
+        classes = [
+            r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()
+        ]
+        self.classes_ = np.array(classes)
+        idx = F.lit(None)
+        for i, c in enumerate(classes):
+            cond = F.col(label_col) == F.lit(c)
+            idx = F.when(cond, float(i)) if i == 0 else idx.when(cond, float(i))
+        feats = df.select(
+            "series_id",
+            array_to_vector(F.flatten("values")).alias("features"),
+            idx.alias("_label_idx"),
+        )
+        n_feat = int(df.select(F.size(F.flatten("values")).alias("n")).first()["n"])
+        layers = [n_feat, *self.hidden_layer_sizes, len(classes)]
+        clf = MultilayerPerceptronClassifier(
+            layers=layers,
+            maxIter=self.max_iter,
+            seed=self.random_state,
+            featuresCol="features",
+            labelCol="_label_idx",
+        )
+        self.model_ = clf.fit(feats)
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
-        mlp, classes = self.mlp_, self.classes_
+        from pyspark.ml.functions import array_to_vector
 
-        @F.pandas_udf("string")
-        def _udf(values: pd.Series) -> pd.Series:
-            X = np.array([np.asarray([np.asarray(r, dtype=np.float64) for r in v]).ravel() for v in values])
-            pred = np.argmax(mlp.predict_raw(X), axis=1)
-            return pd.Series([str(classes[i]) for i in pred])
-
-        return df.select("series_id", _udf("values").alias("prediction"))
+        feats = df.select(
+            "series_id", array_to_vector(F.flatten("values")).alias("features")
+        )
+        out = self.model_.transform(feats)
+        class_arr = F.array(*[F.lit(str(c)) for c in self.classes_])
+        return out.select(
+            "series_id",
+            F.element_at(class_arr, F.col("prediction").cast("int") + 1).alias(
+                "prediction"
+            ),
+        )
 
 
 class TimeSeriesMLPRegressor(_MLPBase):
