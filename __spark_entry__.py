@@ -369,6 +369,28 @@ def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_sax_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN under the SAX MINDIST metric (neighbors.py:459-500), synthetic
+    labels = user_id %% 3.  Fully SQL-expressible: symbols are integers and
+    the candidate ranking compares identical doubles in both engines."""
+    from tslearn_spark.neighbors import knn_classify
+    from tslearn_spark.preprocessing import transform_mean_variance
+
+    ts = transform_mean_variance(
+        _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    )
+    labeled = ts.withColumn(
+        "label", (F.col("series_id") % 3).cast("int")
+    ).localCheckpoint()
+    train = labeled.where(F.col("series_id") % 2 == 0)
+    test = labeled.where(F.col("series_id") % 2 == 1)
+    pred = knn_classify(
+        test, train, k=1, metric="sax",
+        n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET,
+    )
+    return pred.select("series_id", F.col("prediction").cast("int").alias("prediction"))
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the relational twin
     of Structured Streaming session windows."""
@@ -857,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative": events_cumulative,
         "revenue_grouping_sets": revenue_grouping_sets,
         "knn_euclidean_16": knn_euclidean_16,
+        "knn_sax_classify": knn_sax_classify,
         "silhouette_euclidean_16": silhouette_euclidean_16,
         # non-SQL-expressible (rows-only)
         "kshape_clusters": kshape_clusters,
@@ -1225,6 +1248,54 @@ def oracle_sql() -> dict[str, str]:
                    ) * max(a.n) / {float(seg)}), 6) AS sax_dist
             FROM sym a JOIN sym b ON a.seg = b.seg AND a.user_id < b.user_id
             GROUP BY a.user_id, b.user_id
+        """,
+        "knn_sax_classify": f"""
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            st AS (
+              SELECT user_id, avg(value) AS mu,
+                     CASE WHEN stddev_pop(value) = 0 OR stddev_pop(value) IS NULL
+                          THEN 1.0 ELSE stddev_pop(value) END AS sd,
+                     count(*) AS n
+              FROM s GROUP BY user_id HAVING count(*) >= {seg}
+            ),
+            z AS (
+              SELECT s.user_id, s.t, (s.value - st.mu) / st.sd AS z, st.n
+              FROM s JOIN st ON s.user_id = st.user_id
+              WHERE s.t < (st.n // {seg}) * {seg}
+            ),
+            paa AS (
+              SELECT user_id, (t // (n // {seg}))::INT AS seg, avg(z) AS m,
+                     max(n) AS n
+              FROM z GROUP BY user_id, t // (n // {seg})
+            ),
+            sym AS (
+              SELECT user_id, seg, n,
+                     (CASE WHEN m >= {bp[0]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[1]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
+              FROM paa
+            ),
+            -- squared MINDIST ranks identically to the sqrt the engine
+            -- compares (monotone), so the 1-NN choice is hash-stable
+            d AS (
+              SELECT q.user_id AS id1, c.user_id AS id2,
+                     sum(CASE WHEN abs(q.symbol - c.symbol) > 1
+                          THEN pow([{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
+                                     [greatest(q.symbol, c.symbol)]
+                                   - [{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
+                                     [least(q.symbol, c.symbol) + 1], 2)
+                          ELSE 0.0 END) * max(q.n) / {float(seg)} AS d2
+              FROM sym q JOIN sym c
+                ON q.seg = c.seg AND q.user_id % 2 = 1 AND c.user_id % 2 = 0
+              GROUP BY q.user_id, c.user_id
+            ),
+            nn AS (
+              SELECT id1, id2,
+                     row_number() OVER (PARTITION BY id1 ORDER BY d2, id2) AS rn
+              FROM d
+            )
+            SELECT id1 AS series_id, (id2 % 3)::INT AS prediction
+            FROM nn WHERE rn = 1
         """,
         "ts_lb_keogh_pairs": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),

@@ -112,6 +112,47 @@ class TestKNN:
         got = {r["id1"]: r["id2"] for r in nn.collect()}
         assert got == {0: 1, 1: 0, 2: 3, 3: 2}
 
+    def test_sax_metric_matches_mindist(self, spark):
+        # kNN sax distances must equal the piecewise MINDIST expression
+        # (tslearn/neighbors/neighbors.py:459-500 pre-transforms with SAX
+        # and ranks by MINDIST)
+        from tslearn_spark.neighbors import kneighbors
+        from tslearn_spark.piecewise import SAX
+
+        rs = np.random.RandomState(11)
+        X = [rs.randn(16).tolist() for _ in range(6)]
+        df = DS.dataset_to_df(spark, X)
+        nn = kneighbors(df, df, k=5, metric="sax", drop_self=True,
+                        n_segments=4, alphabet_size_avg=4)
+        got = {(r["id1"], r["id2"]): r["dist"] for r in nn.collect()}
+        sax = SAX(n_segments=4, alphabet_size_avg=4)
+        t = sax.transform(df).select("series_id", "sax")
+        a = t.select(F.col("series_id").alias("id1"), F.col("sax").alias("sax1"))
+        b = t.select(F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))
+        ref = (
+            a.join(b, F.col("id1") != F.col("id2"))
+            .withColumn("dist", sax.distance_col("sax1", "sax2", 16))
+            .collect()
+        )
+        want = {(r["id1"], r["id2"]): r["dist"] for r in ref}
+        assert got  # 6 queries x 5 neighbors
+        for key, d in got.items():
+            assert d == pytest.approx(want[key], abs=1e-12)
+
+    def test_sax_knn_prefers_identical_series(self, spark):
+        from tslearn_spark.neighbors import knn_classify
+
+        # +-5 so symbols differ by >1 (adjacent symbols contribute 0 to
+        # MINDIST and would make the two groups tie at distance 0)
+        X = [[-5.0, -5, -5, -5, 5, 5, 5, 5], [-5.1, -5, -5, -5, 5, 5, 5, 5.1],
+             [5.0, 5, 5, 5, -5, -5, -5, -5], [5.1, 5, 5, 5, -5, -5, -5, -5.1]]
+        y = ["a", "a", "b", "b"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        pred = knn_classify(df, df, k=1, metric="sax",
+                            n_segments=4, alphabet_size_avg=4)
+        got = {r["series_id"]: r["prediction"] for r in pred.collect()}
+        assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
+
     def test_regression(self, spark):
         from tslearn_spark.neighbors import knn_regress
 

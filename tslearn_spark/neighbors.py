@@ -172,6 +172,45 @@ def _dtw_knn_pruned(
 _FULL_ENVELOPE = 1 << 20
 
 
+def _sax_knn(queries: DataFrame, train: DataFrame, k: int,
+             drop_self: bool, params: dict) -> DataFrame:
+    """kNN under the SAX MINDIST metric — fully SQL, no Python kernel.
+
+    Mirrors KNeighborsTimeSeriesClassifier(metric="sax")
+    (tslearn/neighbors/neighbors.py:459-500): both sides are
+    SAX-transformed once (the fit-time pre-transform), then the distance
+    is the MINDIST expression evaluated in codegen over the pair join.
+    The scale factor uses the query series' own original length, which
+    reduces to the reference's fixed sz on equal-length data and extends
+    it to variable-length datasets.
+    """
+    from tslearn_spark.piecewise import SAX
+
+    n_segments = int(params.get("n_segments", 10))
+    alphabet = int(params.get("alphabet_size_avg", 5))
+    sax = SAX(n_segments=n_segments, alphabet_size_avg=alphabet)
+    q = sax.transform(queries).select(
+        F.col("series_id").alias("id1"),
+        F.col("sax").alias("sax1"),
+        F.size("values").alias("sz1"),
+    )
+    t = sax.transform(train).select(
+        F.col("series_id").alias("id2"), F.col("sax").alias("sax2")
+    )
+    pairs = M._spread(q).crossJoin(F.broadcast(t))
+    if drop_self:
+        pairs = pairs.where(F.col("id1") != F.col("id2"))
+    scored = pairs.withColumn(
+        "dist", sax.distance_col("sax1", "sax2", "sz1")
+    ).select("id1", "id2", "dist")
+    w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id1", "id2", "dist", "rank")
+    )
+
+
 def kneighbors(
     queries: DataFrame,
     train: DataFrame,
@@ -209,6 +248,8 @@ def kneighbors(
         ).first()
         if first is not None and first["d"] == 1:  # envelope expr is univariate
             return _dtw_knn_pruned(queries, train, k, env_radius, drop_self, params)
+    if metric == "sax":
+        return _sax_knn(queries, train, k, drop_self, params)
     if metric == "euclidean" and not params:
         shape = queries.unionByName(train.select("series_id", "values")).select(
             F.countDistinct(F.size("values")).alias("n_sz"),

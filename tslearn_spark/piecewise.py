@@ -167,10 +167,19 @@ class SAX:
             .drop("__paa")
         )
 
-    def distance_col(self, sax1: str, sax2: str, original_size: int) -> Column:
+    def distance_col(self, sax1: str, sax2: str, original_size: int | str) -> Column:
         """MINDIST (cysax.pyx:39-54): pairs differing by >1 symbol contribute
-        (bp[max-1]-bp[min])^2; total scaled by sqrt(sz/n)."""
+        (bp[max-1]-bp[min])^2; total scaled by sqrt(sz/n).
+
+        original_size: the fitted series length — an int, or the name of a
+        per-row column for variable-length datasets (kNN sax metric).
+        """
         bps = _lit_array(self.breakpoints_avg_)
+        sz_expr = (
+            f"{float(original_size)}D"
+            if isinstance(original_size, (int, float))
+            else f"cast({original_size} as double)"
+        )
         return F.expr(
             f"""
             sqrt(
@@ -181,7 +190,7 @@ class SAX:
                        ELSE 0.0D END),
                   0.0D, (acc, z) -> acc + z)),
                 0.0D, (acc, s) -> acc + s)
-              * {float(original_size)}D / size({sax1})
+              * {sz_expr} / size({sax1})
             )
             """
         )
