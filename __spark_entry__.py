@@ -534,6 +534,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materializer: connected components over the 3-gram Jaccard
+    near-dup graph -> (doc_id, keep_doc_id = min id in component).  The
+    step that actually DROPS duplicates rather than listing pairs; the
+    oracle closes the same graph with a recursive CTE."""
+    from tslearn_spark.pipeline import canonicalize, ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(t["documents"], n_shingle=3, threshold=0.5)
+    return canonicalize(pairs).select("doc_id", "keep_doc_id")
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import minhash_signatures
 
@@ -864,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-pipeline operators
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_canonical": dedup_canonical,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "text_langid": text_langid,
@@ -1118,6 +1131,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
+        """,
+        "dedup_canonical": f"""
+            WITH RECURSIVE words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM words, unnest(list_transform(
+                     range(1, greatest(len(tk) - 1, 2)),
+                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS t(tok)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            jac AS (
+              SELECT id1, id2 FROM common
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+              WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
+            ),
+            edges AS (SELECT id1, id2 FROM jac UNION SELECT id2, id1 FROM jac),
+            reach(doc_id, r) AS (
+              SELECT id1, id1 FROM edges
+              UNION
+              SELECT e.id1, reach.r FROM edges e JOIN reach ON reach.doc_id = e.id2
+            )
+            SELECT doc_id, min(r) AS keep_doc_id FROM reach GROUP BY doc_id
         """,
         "dedup_minhash": f"""
             WITH tok AS (

@@ -67,6 +67,34 @@ class TestDedup:
         assert near[(0, 1)] == 0
 
 
+    def test_connected_components_chain(self, spark):
+        # a 5-node chain needs multiple propagation rounds; plus an
+        # isolated pair and a node absent from any edge (not returned)
+        from tslearn_spark.pipeline import canonicalize, connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id1 long, id2 long"
+        )
+        comp = {r["doc_id"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+        keep = {r["doc_id"]: r["keep_doc_id"]
+                for r in canonicalize(edges).collect()}
+        assert keep[5] == 1 and keep[11] == 10
+
+    def test_connected_components_reversed_chain(self, spark):
+        # min id at the FAR end, edges pointing away from it: worst case
+        # for min propagation direction
+        from tslearn_spark.pipeline import connected_components
+
+        edges = spark.createDataFrame(
+            [(9, 8), (8, 7), (7, 6), (6, 1)], "id1 long, id2 long"
+        )
+        comp = {r["doc_id"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert set(comp.values()) == {1}
+
+
 class TestText:
     def test_langid(self, spark):
         from tslearn_spark.pipeline import language_id

@@ -11,6 +11,8 @@ source; the token-frequency cap below is the salting-free fix).
 """
 
 from tslearn_spark.pipeline.dedup import (
+    canonicalize,
+    connected_components,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -29,6 +31,8 @@ from tslearn_spark.pipeline.simsearch import (
 )
 
 __all__ = [
+    "canonicalize",
+    "connected_components",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_lsh_candidates",

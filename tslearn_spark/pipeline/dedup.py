@@ -279,3 +279,71 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                 F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pair edges -> (doc_id, component).
+
+    component = the smallest doc_id reachable through the pair graph —
+    iterative min-label propagation, the standard Spark pattern: each
+    round joins current labels across edges and keeps the per-node min.
+    Rounds needed = graph diameter; near-dup clusters are shallow (most
+    are cliques from the same template), so a handful of rounds closes
+    them.  Each round is one broadcast-or-shuffle join + one groupBy on
+    (id, component) pairs — never an adjacency matrix — and the frontier
+    is localCheckpoint'ed so lineage stays flat across iterations.
+    """
+    edges = pairs.select(
+        F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
+    ).distinct()
+    sym = edges.unionByName(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).localCheckpoint()
+    comp = (
+        sym.groupBy(F.col("id1").alias("doc_id"))
+        .agg(F.min("id2").alias("_min_nb"))
+        .select("doc_id", F.least("doc_id", "_min_nb").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = (
+            sym.join(
+                comp.select(F.col("doc_id").alias("id2"),
+                            F.col("component").alias("nb_comp")),
+                "id2",
+            )
+            .groupBy(F.col("id1").alias("doc_id"))
+            .agg(F.min("nb_comp").alias("nb_comp"))
+        )
+        new_comp = (
+            comp.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"),
+                        F.coalesce("nb_comp", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.join(
+                comp.select("doc_id", F.col("component").alias("_old")), "doc_id"
+            )
+            .where(F.col("component") != F.col("_old"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalize(pairs: DataFrame) -> DataFrame:
+    """Near-dup materializer: (doc_id, keep_doc_id) for every document in
+    a near-dup cluster; keep_doc_id = the cluster's smallest doc_id.
+
+    The "dedup-then-keep-canonical" step a real pipeline runs after pair
+    generation: anti-join the corpus against rows where
+    doc_id != keep_doc_id to drop duplicates.
+    """
+    comp = connected_components(pairs)
+    return comp.select("doc_id", F.col("component").alias("keep_doc_id"))
