@@ -918,6 +918,23 @@ def _minhash_coef_values() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coefs))
 
 
+def _lsh_plane_values(dim: int = 64, bits: int = 6, n_tables: int = 4,
+                      seed: int = 42) -> str:
+    """(tbl, bit, i, w) rows for every hyperplane component — the same
+    RandomState draws lsh_topk uses, inlined so DuckDB replays the
+    bucket assignment bit-for-bit.  i is 1-based to line up with
+    generate_subscripts."""
+    from tslearn_spark.pipeline.simsearch import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        for b, plane in enumerate(planes):
+            for i, w in enumerate(plane):
+                rows.append(f"({t}, {b}, {i + 1}, {float(w)!r})")
+    return ", ".join(rows)
+
+
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
 _EN_STOP = "['the','and','of','to','in','is','that','it','for','was']"
@@ -1501,6 +1518,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, neighbor_id, round(dist, 6) AS dist
             FROM rk WHERE rnk = 1
+        """,
+        "matrix_profile_events": f"""
+            -- m=8, scale=False, exclusion |i-j| <= ceil(m/4) = 2.
+            -- d2 uses the SAME dot-product identity as the engine
+            -- (sq_i + sq_j - 2*dot): the ~1e-10 gap between the identity
+            -- and direct differences would otherwise flip round-6 digits.
+            -- range(128) covers the longest events series at every sf.
+            WITH s AS ({_EVENTS_LONG_SQL}),
+            arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
+                    FROM s GROUP BY user_id HAVING count(*) >= 16),
+            sqs AS (
+              SELECT user_id, i.i AS w,
+                     sum(v[(i.i + k.k)::INT + 1] * v[(i.i + k.k)::INT + 1]) AS sq
+              FROM arr, range(128) i(i), range(8) k(k)
+              WHERE i.i <= n - 8
+              GROUP BY user_id, i.i
+            ),
+            dots AS (
+              SELECT a.user_id, i.i AS i, j.j AS j,
+                     sum(a.v[(i.i + k.k)::INT + 1] * a.v[(j.j + k.k)::INT + 1]) AS dot
+              FROM arr a, range(128) i(i), range(128) j(j), range(8) k(k)
+              WHERE i.i <= a.n - 8 AND j.j <= a.n - 8 AND abs(i.i - j.j) > 2
+              GROUP BY a.user_id, i.i, j.j
+            ),
+            d2 AS (
+              SELECT d.user_id, d.i, d.j,
+                     greatest(si.sq + sj.sq - 2.0 * d.dot, 0.0) AS d2
+              FROM dots d
+              JOIN sqs si ON si.user_id = d.user_id AND si.w = d.i
+              JOIN sqs sj ON sj.user_id = d.user_id AND sj.w = d.j
+            )
+            SELECT user_id, i::INT AS t, round(sqrt(min(d2)), 6) AS mp
+            FROM d2 GROUP BY user_id, i
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+            ),
+            planes(tbl, bit, i, w) AS (VALUES {_lsh_plane_values()}),
+            dots AS (
+              SELECT e.vec_id, p.tbl, p.bit, sum(e.v * p.w) AS dot
+              FROM e JOIN planes p ON p.i = e.i
+              GROUP BY e.vec_id, p.tbl, p.bit
+            ),
+            buckets AS (
+              SELECT vec_id, tbl,
+                     sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit::INT)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM dots GROUP BY vec_id, tbl
+            ),
+            cands AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM buckets q JOIN buckets c
+                ON q.tbl = c.tbl AND q.bucket = c.bucket
+                   AND q.vec_id != c.vec_id
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+            pair_dots AS (
+              SELECT cd.query_id, cd.neighbor_id, sum(a.v * b.v) AS dot
+              FROM cands cd
+              JOIN e a ON a.vec_id = cd.query_id
+              JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+              GROUP BY cd.query_id, cd.neighbor_id
+            ),
+            cos AS (
+              SELECT query_id, neighbor_id,
+                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0
+                            ELSE na.nrm * nb.nrm END) AS cosine
+              FROM pair_dots
+              JOIN norms na ON na.vec_id = query_id
+              JOIN norms nb ON nb.vec_id = neighbor_id
+            ),
+            rk AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM cos
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+            FROM rk WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH e AS (
