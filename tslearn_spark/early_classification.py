@@ -1,65 +1,79 @@
 """Non-myopic early classification (Dachraoui et al. 2015).
 
 Reference: tslearn/early_classification/early_classification.py:16-580.
-Faithful numpy re-implementation of the fitted state:
+Fitted state mirrors the reference:
 
-* ``cluster_``: euclidean k-means on the full-length series;
-* per-prefix-length classifiers (default: 1-NN euclidean on prefixes,
-  the reference default at early_classification.py:156-160);
+* ``centers_``: euclidean k-means centers on the full-length series;
 * ``pyck_``: P(y | c_k) from cluster/label co-occurrence;
 * ``pyhatyck_``: per (t, cluster) confusion matrices with zeroed
-  diagonal, estimated on a held-out half (stratified by cluster);
+  diagonal, estimated on a held-out half (stratified by cluster) with a
+  1-NN-on-prefixes base classifier (the reference default,
+  early_classification.py:156-160);
 * prediction: scan growing prefixes, stop at the first t whose expected
   cost (cluster-probability-weighted misclassification + alpha*t) is
   minimized at horizon 0 (early_classification.py:285-359).
 
-Fit is driver-side over a collected sample (the reference is equally
-in-memory); predict is a distributed pandas UDF with the broadcast model.
+Spark-first structure — nothing larger than the (k, sz, d) centers and
+the (sz, k, c, c) confusion tensor ever reaches the driver:
+
+* clustering delegates to the distributed TimeSeriesKMeans;
+* ALL per-prefix-length confusion stats come from ONE pair-join plan:
+  per-position squared diffs -> cumulative sum over position (so every
+  prefix length shares the same scan) -> per-(query, t) argmin via a
+  window -> groupBy (t, cluster, y, yhat) counts;
+* prediction is two-phase: the stopping time needs only the broadcast
+  small model; the class at the stopping time is a distributed
+  prefix-sliced 1-NN join against the (DataFrame) classifier half.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 
-def _kmeans_euclidean(X: np.ndarray, k: int, seed: int, n_iter: int = 50):
-    """Lloyd's with empty-cluster repair: an empty cluster is re-seeded at
-    the point farthest from its assigned center (mirrors the reference's
-    empty-cluster retry, clustering/utils.py:13-44)."""
-    rs = np.random.RandomState(seed)
-    centers = X[rs.choice(len(X), size=k, replace=False)].copy()
-    lab = np.zeros(len(X), dtype=int)
-    for _ in range(n_iter):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-        lab = d.argmin(axis=1)
-        for j in range(k):
-            if not (lab == j).any():
-                far = int(np.argmax(d[np.arange(len(X)), lab]))
-                centers[j] = X[far]
-                lab[far] = j
-                d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-                lab = d.argmin(axis=1)
-        new = np.array([X[lab == j].mean(axis=0) for j in range(k)])
-        if np.allclose(new, centers):
-            break
-        centers = new
-    return centers, lab
+def _cum_prefix_d2(v1: str = "values1", v2: str = "values2"):
+    """Per-position squared distance between two equal-length nested
+    series — the building block for every prefix distance at once."""
+    return F.expr(
+        f"""
+        zip_with({v1}, {v2}, (r1, r2) ->
+          aggregate(zip_with(r1, r2, (x, y) -> (x - y) * (x - y)),
+                    0.0D, (acc, z) -> acc + z))
+        """
+    )
 
 
-class _OneNN:
-    """1-NN euclidean on flattened prefixes (reference default base)."""
+def _make_stopper(centers, pyck, pyhatyck, sz, d, min_t, lamb, alpha, k):
+    """Self-contained stopping-time function from the small model arrays
+    (early_classification.py:213-359) — safe to ship in a UDF closure."""
+    centers3 = centers.reshape(k, sz, d)
 
-    def fit(self, X: np.ndarray, y: np.ndarray):
-        self.X_, self.y_ = X, y
-        return self
+    def probas(Xi):
+        t = Xi.shape[0]
+        diffs = Xi[None, :, :] - centers3[:, :t]
+        dist = np.sqrt((diffs ** 2).sum(axis=(1, 2)))
+        avg = dist.mean()
+        delta = 1.0 - dist / (avg if avg > 0 else 1.0)
+        s = 1.0 / (1.0 + np.exp(np.clip(-lamb * delta, -500, 500)))
+        return s / s.sum()
 
-    def predict(self, X: np.ndarray) -> np.ndarray:
-        d = ((X[:, None, :] - self.X_[None, :, :]) ** 2).sum(-1)
-        return self.y_[d.argmin(axis=1)]
+    def costs(Xi):
+        t = max(Xi.shape[0], min_t)
+        p = probas(Xi)
+        sum_yhat = pyhatyck[t - min_t:].sum(axis=-1)
+        sum_y = (sum_yhat * pyck.T[None, :, :]).sum(axis=-1)
+        return sum_y @ p + alpha * np.arange(t, sz + 1)
+
+    def stop(Xi):
+        for t in range(min_t, sz + 1):
+            if t == sz or int(np.argmin(costs(Xi[:t]))) == 0:
+                return t
+        raise AssertionError("unreachable")
+
+    return stop
 
 
 class NonMyopicEarlyClassifier:
@@ -71,59 +85,102 @@ class NonMyopicEarlyClassifier:
         self.cost_time_parameter = cost_time_parameter
         self.random_state = random_state
 
-    # -- fit (driver-side) --------------------------------------------------
+    # -- fit (distributed) --------------------------------------------------
     def fit(self, df: DataFrame, label_col: str = "label") -> "NonMyopicEarlyClassifier":
-        rows = df.select("series_id", "values", label_col).orderBy("series_id").collect()
-        X3 = np.array([np.asarray(r["values"], dtype=np.float64) for r in rows])
-        n, sz, d = X3.shape
-        X = X3.reshape(n, sz * d)
-        y_raw = np.array([r[label_col] for r in rows])
-        self.classes_ = np.unique(y_raw)
-        y = np.searchsorted(self.classes_, y_raw)
-        n_classes = len(self.classes_)
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        data = df.select("series_id", "values", F.col(label_col).alias("_y"))
+        data = data.localCheckpoint()
+        first = data.select(
+            F.size("values").alias("sz"),
+            F.size(F.element_at("values", 1)).alias("d"),
+        ).first()
+        sz, d = int(first["sz"]), int(first["d"])
         self._sz, self._d = sz, d
-        self.centers_, c_k = _kmeans_euclidean(X, self.n_clusters, self.random_state)
-        # P(y | c_k) (early_classification.py:181-186)
+        self.classes_ = np.array(
+            [r[0] for r in data.select("_y").distinct().orderBy("_y").collect()]
+        )
+        n_classes = len(self.classes_)
+
+        km = TimeSeriesKMeans(
+            n_clusters=self.n_clusters, metric="euclidean",
+            random_state=self.random_state,
+        ).fit(data)
+        self.centers_ = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in km.cluster_centers_]
+        ).reshape(self.n_clusters, sz * d)
+        assigned = km.predict(data).select("series_id", "cluster")
+        labeled = data.join(assigned, "series_id").localCheckpoint()
+
+        # P(y | c_k) (early_classification.py:181-186) — tiny aggregate
         self.pyck_ = np.zeros((n_classes, self.n_clusters))
-        for yi, ck in zip(y, c_k):
-            self.pyck_[yi, ck] += 1
+        for r in labeled.groupBy("cluster", "_y").count().collect():
+            yi = int(np.searchsorted(self.classes_, r["_y"]))
+            self.pyck_[yi, r["cluster"]] += r["count"]
         denom = self.pyck_.sum(axis=0, keepdims=True)
         denom[denom == 0] = 1
         self.pyck_ /= denom
-        # stratified half split by cluster (early_classification.py:170-176)
-        rs = np.random.RandomState(self.random_state)
-        idx1, idx2 = [], []
-        for ck in range(self.n_clusters):
-            members = np.where(c_k == ck)[0]
-            rs.shuffle(members)
-            half = len(members) // 2
-            idx1.extend(members[:half])
-            idx2.extend(members[half:])
-        idx1, idx2 = np.array(idx1, dtype=int), np.array(idx2, dtype=int)
-        if len(idx1) == 0 or len(idx2) == 0:
-            idx1 = idx2 = np.arange(n)
-        self.classifiers_ = {}
+
+        # stratified half split by cluster (early_classification.py:170-176):
+        # hash-ordered row_number per cluster — deterministic, no driver pass
+        w = Window.partitionBy("cluster").orderBy(
+            F.xxhash64(F.lit(self.random_state), F.col("series_id"))
+        )
+        cnt = Window.partitionBy("cluster")
+        split = labeled.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count("*").over(cnt)
+        )
+        half1 = split.where(F.col("_rn") <= F.col("_n") / 2)  # classifier half
+        half2 = split.where(F.col("_rn") > F.col("_n") / 2)   # estimation half
+        if half1.limit(1).count() == 0 or half2.limit(1).count() == 0:
+            half1 = half2 = labeled
+        self._clf_df = half1.select("series_id", "values", "_y").localCheckpoint()
+
+        # ONE plan for every prefix length: pair join -> per-position d2 ->
+        # running sum over position -> 1-NN per (query, t) -> confusion
+        q = half2.select(
+            F.col("series_id").alias("qid"), F.col("values").alias("values1"),
+            F.col("cluster").alias("ck"), F.col("_y").alias("y_true"),
+        )
+        t_ = self._clf_df.select(
+            F.col("series_id").alias("tid"), F.col("values").alias("values2"),
+            F.col("_y").alias("y_hat"),
+        )
+        pairs = q.crossJoin(F.broadcast(t_)).withColumn(
+            "_d2seq", _cum_prefix_d2()
+        )
+        long = pairs.select(
+            "qid", "ck", "y_true", "tid", "y_hat",
+            F.posexplode("_d2seq").alias("_pos", "_d2"),
+        )
+        wcum = (
+            Window.partitionBy("qid", "tid").orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = long.withColumn("_cum", F.sum("_d2").over(wcum)).withColumn(
+            "t", F.col("_pos") + 1
+        ).where(F.col("t") >= self.min_t)
+        wnn = Window.partitionBy("qid", "t").orderBy(
+            F.col("_cum").asc(), F.col("tid").asc()
+        )
+        nn = cum.withColumn("_rn", F.row_number().over(wnn)).where(F.col("_rn") == 1)
+        stats = nn.groupBy("t", "ck", "y_true", "y_hat").count().collect()
+
         self.pyhatyck_ = np.zeros(
             (sz - self.min_t + 1, self.n_clusters, n_classes, n_classes)
         )
-        for t in range(self.min_t, sz + 1):
-            clf = _OneNN().fit(X3[idx1, :t].reshape(len(idx1), -1), y[idx1])
-            self.classifiers_[t] = clf
+        for r in stats:
+            a = int(np.searchsorted(self.classes_, r["y_true"]))
+            b = int(np.searchsorted(self.classes_, r["y_hat"]))
+            self.pyhatyck_[r["t"] - self.min_t, r["ck"], a, b] += r["count"]
+        # normalize like the reference: per-yhat column totals, zero diag
+        for ti in range(self.pyhatyck_.shape[0]):
             for ck in range(self.n_clusters):
-                mask = c_k[idx2] == ck
-                if not mask.any():
-                    continue
-                Xc = X3[idx2][mask, :t].reshape(mask.sum(), -1)
-                yc = y[idx2][mask]
-                yhat = clf.predict(Xc)
-                conf = np.zeros((n_classes, n_classes))
-                for a, b in zip(yc, yhat):
-                    conf[a, b] += 1
+                conf = self.pyhatyck_[ti, ck]
                 norm = conf.sum(axis=0, keepdims=True)
                 norm[norm == 0] = 1
-                conf = conf / norm
-                np.fill_diagonal(conf, 0.0)  # delta_{y != yhat}
-                self.pyhatyck_[t - self.min_t, ck] = conf
+                conf /= norm
+                np.fill_diagonal(conf, 0.0)
         return self
 
     # -- cost machinery (early_classification.py:213-359) -------------------
@@ -147,39 +204,77 @@ class NonMyopicEarlyClassifier:
         cost = sum_y @ probas
         return cost + self.cost_time_parameter * np.arange(t, self._sz + 1)
 
-    def _predict_single(self, Xi: np.ndarray) -> tuple[str, int]:
+    def _stopping_time(self, Xi: np.ndarray) -> int:
+        """First t where the cost argmin is 'now' (early_classification.py
+        :285-359) — needs only the small broadcast model, no training data."""
         for t in range(self.min_t, self._sz + 1):
             tau_star = int(np.argmin(self._expected_costs(Xi[:t])))
             if t == self._sz or tau_star == 0:
-                pred = self.classifiers_[t].predict(
-                    Xi[:t].reshape(1, -1)
-                )[0]
-                return str(self.classes_[pred]), t
+                return t
         raise AssertionError("unreachable")
 
     # -- distributed predict ------------------------------------------------
     def predict_class_and_earliness(self, df: DataFrame) -> DataFrame:
-        model = self
+        """Two-phase distributed prediction.
 
-        schema = StructType([
-            StructField("prediction", StringType()),
-            StructField("pred_time", IntegerType()),
-        ])
+        Phase 1: stopping time per series from the broadcast cost model
+        (a narrow pandas UDF).  Phase 2: 1-NN over prefixes of each
+        series' own stopping length — a pair join against the classifier
+        half with slice() lengths taken from a column, so the training
+        half is never collected anywhere.
+        """
+        from pyspark.sql.types import IntegerType
 
-        @F.pandas_udf(schema)
-        def _udf(values: pd.Series) -> pd.DataFrame:
-            preds, times = [], []
+        # close over ONLY the small numpy state — self holds DataFrames,
+        # which must not ride into the UDF closure
+        stopping = _make_stopper(
+            self.centers_, self.pyck_, self.pyhatyck_, self._sz, self._d,
+            self.min_t, self.lamb, self.cost_time_parameter, self.n_clusters,
+        )
+
+        @F.pandas_udf(IntegerType())
+        def _stop_udf(values: pd.Series) -> pd.Series:
+            out = []
             for v in values:
                 Xi = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
-                p, t = model._predict_single(Xi)
-                preds.append(p)
-                times.append(t)
-            return pd.DataFrame({"prediction": preds, "pred_time": times})
+                out.append(stopping(Xi))
+            return pd.Series(out, dtype=np.int32)
 
-        return df.select(
-            "series_id", _udf("values").alias("_r")
-        ).select("series_id", F.col("_r.prediction").alias("prediction"),
-                 F.col("_r.pred_time").alias("pred_time"))
+        staged = df.select(
+            "series_id", "values", _stop_udf("values").alias("pred_time")
+        ).localCheckpoint()
+        q = staged.select(
+            F.col("series_id").alias("qid"),
+            F.col("values").alias("values1"),
+            "pred_time",
+        )
+        t_ = self._clf_df.select(
+            F.col("series_id").alias("tid"), F.col("values").alias("values2"),
+            F.col("_y").alias("y_hat"),
+        )
+        pairs = q.crossJoin(F.broadcast(t_)).withColumn(
+            "_d2",
+            F.expr(
+                """
+                aggregate(
+                  zip_with(slice(values1, 1, pred_time),
+                           slice(values2, 1, pred_time), (r1, r2) ->
+                    aggregate(zip_with(r1, r2, (x, y) -> (x - y) * (x - y)),
+                              0.0D, (acc, z) -> acc + z)),
+                  0.0D, (acc, z) -> acc + z)
+                """
+            ),
+        )
+        wnn = Window.partitionBy("qid").orderBy(F.col("_d2").asc(), F.col("tid").asc())
+        return (
+            pairs.withColumn("_rn", F.row_number().over(wnn))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("qid").alias("series_id"),
+                F.col("y_hat").cast("string").alias("prediction"),
+                F.col("pred_time"),
+            )
+        )
 
     def early_classification_cost(self, df: DataFrame, label_col: str = "label") -> float:
         """(1 - acc) + alpha * mean(t) (early_classification.py:519-574)."""
