@@ -528,7 +528,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import ngram_jaccard_pairs
 
     t = load_tables(spark, sf_dir)
-    out = ngram_jaccard_pairs(t["documents"], n_shingle=3, threshold=0.5)
+    # df_cap kills hot-shingle candidate blowup (boilerplate text); the
+    # oracle replicates the same cap so results stay hash-identical
+    out = ngram_jaccard_pairs(t["documents"], n_shingle=3, threshold=0.5,
+                              df_cap=256)
     return out.select(
         "id1", "id2", "inter", "n1", "n2", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1130,11 +1133,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-            tok AS (
+            tok0 AS (
               SELECT DISTINCT doc_id, t.tok
               FROM words, unnest(list_transform(
                      range(1, greatest(len(tk) - 1, 2)),
                      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS t(tok)
+            ),
+            -- df_cap = 256, matching the engine's hot-shingle cut
+            tok AS (
+              SELECT * FROM tok0 WHERE tok NOT IN (
+                SELECT tok FROM tok0 GROUP BY tok HAVING count(*) > 256)
             ),
             sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
             common AS (

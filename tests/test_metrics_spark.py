@@ -49,6 +49,13 @@ class TestCdist:
         assert e[(0, 0)] == pytest.approx(1.0)
         assert e[(0, 1)] == pytest.approx(K.gak(QUARTET[0], QUARTET[1], 2.0))
 
+    def test_lcss_diag_one(self, spark):
+        # LCSS is a similarity: self-score is 1 (lcss.py), like gak/ncc
+        df = DS.dataset_to_df(spark, QUARTET[:2])
+        e = edge_map(M.cdist(df, metric="lcss", eps=1.0))
+        assert e[(0, 0)] == pytest.approx(1.0)
+        assert e[(1, 1)] == pytest.approx(1.0)
+
     def test_lb_pruned_join(self, spark):
         rs = np.random.RandomState(0)
         data = [rs.randn(20) for _ in range(8)]

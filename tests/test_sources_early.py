@@ -88,6 +88,20 @@ class TestSources:
             check_dims(df, fit_dims=(3, 2))
 
 
+class TestBaselineAccuracy:
+    def test_parse_and_filter(self, tmp_path):
+        # ucr_uea.py:85-133: first unnamed column = dataset, blanks skipped
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        p = tmp_path / "singleTrainTest.csv"
+        p.write_text(",C45,NB\nAdiac,0.5422,0.61\nCoffee,0.9,\n")
+        u = UCR_UEA_datasets(baseline_scores_file=str(p))
+        assert u.baseline_accuracy() == {
+            "Adiac": {"C45": 0.5422, "NB": 0.61}, "Coffee": {"C45": 0.9}
+        }
+        assert u.baseline_accuracy(["Adiac"], ["C45"]) == {"Adiac": {"C45": 0.5422}}
+
+
 class TestEarlyClassification:
     def test_reference_fixture(self, spark):
         """FIXTURES.md §2.8: 8 series of sz 6, 3 patterns."""

@@ -328,9 +328,9 @@ def cdist(
             F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
         )
         if symmetric_zero_diag:
-            if metric == "gak":  # normalized kernel: k(x,x)=1
-                diag_val = F.lit(1.0)
-            elif metric == "ncc":
+            if metric in ("gak", "ncc", "lcss"):
+                # similarities, not distances: self-score is 1
+                # (gak normalized k(x,x)=1; ncc(x,x)=1; lcss(x,x)=1)
                 diag_val = F.lit(1.0)
             else:
                 diag_val = F.lit(0.0)

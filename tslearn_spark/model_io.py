@@ -4,8 +4,31 @@ Reference: tslearn/bases/bases.py:31-287 (to_json/from_json persist
 hyper-parameters + trailing-underscore fitted params; HDF5/pickle are
 alternate codecs of the same dict).  The engine persists the same
 two-part dict as JSON; numpy arrays round-trip via nested lists with a
-dtype tag.  (HDF5 is not available in this container; pickle is
-intentionally avoided for a portable on-disk format.)
+dtype tag.
+
+Codec accept/reject matrix (reference: to_hdf5/to_json/to_pickle at
+bases.py:164-287 — all three serialize the SAME param dict):
+
+=======================  ====  ==================================
+codec                    here  why
+=======================  ====  ==================================
+JSON                     yes   portable, diff-able, replayable
+HDF5                     no    h5py not in the container; the dict
+                               payload is identical to JSON's
+pickle                   no    intentionally rejected: not stable
+                               across Python/numpy versions, and a
+                               code-execution vector for shared
+                               model artifacts
+=======================  ====  ==================================
+
+Per-estimator support matches the reference: every estimator whose
+fitted state is numpy-representable round-trips (KMeans/KShape centers,
+SAX breakpoints, SVM dual coefs, MLP weights, shapelets, early-
+classification tensors).  Estimators whose fitted state is a DataFrame
+(KernelKMeans labels_, KNeighbors index) persist their small numpy side
+only — the DataFrame side is re-derivable and must be re-attached via
+fit/transform on load, mirroring the reference's refusal to pickle
+raw training data into HDF5 (bases.py:conv_blacklist).
 """
 
 from __future__ import annotations

@@ -115,11 +115,23 @@ def ngram_jaccard_pairs(
         hot = tok.groupBy("token").count().where(F.col("count") > df_cap).select("token")
         tok = tok.join(F.broadcast(hot), "token", "left_anti")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    t1 = tok.select(F.col("doc_id").alias("id1"), "token")
-    t2 = tok.select(F.col("doc_id").alias("id2"), "token")
+    # size-ratio prefilter, applied DURING the index join: jaccard <=
+    # min(n1,n2)/max(n1,n2), so a pair whose token-set sizes differ by
+    # more than the threshold ratio can never qualify — dropping it
+    # before the per-pair aggregate is semantics-preserving and kills
+    # the boilerplate-vs-short-doc candidate explosion at scale
+    t1 = tok.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("id1"), "token", F.col("n_tok").alias("_n1")
+    )
+    t2 = tok.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("id2"), "token", F.col("n_tok").alias("_n2")
+    )
     common = (
         t1.join(t2, "token")
         .where(F.col("id1") < F.col("id2"))
+        .where(
+            F.least("_n1", "_n2") >= F.lit(threshold) * F.greatest("_n1", "_n2")
+        )
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
     )

@@ -117,3 +117,42 @@ def check_dims(df: DataFrame, fit_dims: tuple[int | None, int],
                 f"Series length {row['sz']} != fit-time {fit_sz}"
             )
     return df
+
+
+class UCR_UEA_datasets:
+    """UCR/UEA archive helper (tslearn/datasets/ucr_uea.py:45-210).
+
+    The reference downloads the archive's summary CSVs from
+    timeseriesclassification.com; this container has no network, so the
+    CSV paths are injected instead (``baseline_scores_file``).  Dataset
+    loading itself maps to load_ucr_txt / load_arff_uea.
+    """
+
+    def __init__(self, baseline_scores_file: str | None = None):
+        self._baseline_scores_filename = baseline_scores_file
+
+    def baseline_accuracy(self, list_datasets=None, list_methods=None) -> dict:
+        """Baseline accuracies per dataset/method from the archive CSV
+        (ucr_uea.py:85-133): first (unnamed) column = dataset name, other
+        columns = method scores; unparseable scores are skipped.
+        """
+        import csv
+
+        if self._baseline_scores_filename is None:
+            raise ValueError(
+                "no baseline_scores_file configured (the reference downloads "
+                "singleTrainTest.csv; pass a local copy)"
+            )
+        with open(self._baseline_scores_filename, "r") as f:
+            d_out: dict = {}
+            for perfs_dict in csv.DictReader(f, delimiter=","):
+                dataset_name = perfs_dict[""]
+                if list_datasets is None or dataset_name in list_datasets:
+                    d_out[dataset_name] = {}
+                    for m in perfs_dict.keys():
+                        if m != "" and (list_methods is None or m in list_methods):
+                            try:
+                                d_out[dataset_name][m] = float(perfs_dict[m])
+                            except ValueError:  # missing score (== "")
+                                pass
+            return d_out
