@@ -38,11 +38,40 @@ __all__ = [
 
 
 def _to_arr(v) -> np.ndarray:
-    # ndarray-of-ndarray -> (sz, d); .tolist() + np.array is ~2x faster
-    # than stacking the object rows (measured on Arrow-delivered batches)
+    # fast path: a FLAT numeric array (callers flatten univariate series
+    # JVM-side — see _kernel_args) is already the right buffer, ~25x
+    # cheaper than the nested tolist round-trip below
     if isinstance(v, np.ndarray):
+        if v.dtype != object:
+            return v.reshape(-1, 1)
+        # ndarray-of-ndarray -> (sz, d); .tolist() + np.array is ~2x faster
+        # than stacking the object rows (measured on Arrow-delivered batches)
         return np.array(v.tolist(), dtype=np.float64)
     return np.asarray([np.asarray(r, dtype=np.float64) for r in v], dtype=np.float64)
+
+
+def dim_of(df: DataFrame, values_col: str = "values") -> int | None:
+    """Feature dimension d of a nested series column (one tiny job)."""
+    try:
+        r = df.select(
+            F.size(F.element_at(F.col(values_col), 1)).alias("d")
+        ).first()
+        return int(r["d"]) if r is not None and r["d"] is not None else None
+    except Exception:  # noqa: BLE001 — empty input / missing column
+        return None
+
+
+def _kernel_args(dim: int | None) -> tuple[Column, Column]:
+    """Kernel UDF argument columns for a pair join.
+
+    Univariate series are flattened JVM-side so Arrow ships plain
+    array<double> — the Python side then skips the per-row nested
+    conversion (~17us/row -> ~0.7us/row measured).  Multivariate keeps
+    the nested layout.
+    """
+    if dim == 1:
+        return F.flatten("values1"), F.flatten("values2")
+    return F.col("values1"), F.col("values2")
 
 
 METRIC_PARAMS: dict[str, Callable[..., Callable]] = {}
@@ -317,12 +346,13 @@ def cdist(
     if metric == "gak":
         return _cdist_gak_normalized(d1, d2, **params)
     udf = pair_metric_udf(metric, **params)
+    a1, a2 = _kernel_args(dim_of(d1))
     if d2 is None:
         if symmetric_zero_diag is None:
             symmetric_zero_diag = metric not in ("softdtw", "unnormalized_gak")
         upper = self_pairs(d1).sortWithinPartitions(
             F.size("values1"), F.size("values2")
-        ).withColumn("dist", udf("values1", "values2"))
+        ).withColumn("dist", udf(a1, a2))
         up = upper.select("id1", "id2", "dist")
         mirror = upper.select(
             F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
@@ -347,14 +377,14 @@ def cdist(
                     F.col("values").alias("values1"),
                     F.col("values").alias("values2"),
                 )
-                .withColumn("dist", udf("values1", "values2"))
+                .withColumn("dist", udf(a1, a2))
                 .select("id1", "id2", "dist")
             )
         return up.unionByName(mirror).unionByName(diag)
     pairs = cross_pairs(d1, d2).sortWithinPartitions(
         F.size("values1"), F.size("values2")
     )
-    return pairs.withColumn("dist", udf("values1", "values2")).select("id1", "id2", "dist")
+    return pairs.withColumn("dist", udf(a1, a2)).select("id1", "id2", "dist")
 
 
 def _self_gak_udf(sigma: float):
@@ -374,9 +404,13 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
     reference's diagonal cache, as broadcast joins.  Unnormalized pair
     kernels still ride the batched anti-diagonal path.
     """
+    dim = dim_of(d1)
+    vcol = F.flatten("values") if dim == 1 else F.col("values")
+    a1, a2 = _kernel_args(dim)
+
     def selfs(df: DataFrame) -> DataFrame:
         return _spread(df.select("series_id", "values")).select(
-            "series_id", _self_gak_udf(sigma)("values").alias("kself")
+            "series_id", _self_gak_udf(sigma)(vcol).alias("kself")
         )
 
     udf = pair_metric_udf("unnormalized_gak", sigma=sigma)
@@ -384,7 +418,7 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
     if d2 is None:
         upper = self_pairs(d1).sortWithinPartitions(
             F.size("values1"), F.size("values2")
-        ).withColumn("kxy", udf("values1", "values2")).select("id1", "id2", "kxy")
+        ).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
         both = upper.unionByName(
             upper.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "kxy")
         )
@@ -403,7 +437,7 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
     s2 = selfs(d2)
     pairs = cross_pairs(d1, d2).sortWithinPartitions(
         F.size("values1"), F.size("values2")
-    ).withColumn("kxy", udf("values1", "values2")).select("id1", "id2", "kxy")
+    ).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
     k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"), F.col("kself").alias("k1")))
     k2 = F.broadcast(s2.select(F.col("series_id").alias("id2"), F.col("kself").alias("k2")))
     return pairs.join(k1, "id1").join(k2, "id2").select(

@@ -146,9 +146,10 @@ def _dtw_knn_pruned(
         with_vals = M._spread(with_vals).sortWithinPartitions(
             F.size("values1"), F.size("values2")
         )
-        return with_vals.withColumn("dist", udf("values1", "values2")).select(
-            "id1", "id2", "dist"
-        )
+        # this path is univariate-only (gated in kneighbors): flat arrays
+        return with_vals.withColumn(
+            "dist", udf(F.flatten("values1"), F.flatten("values2"))
+        ).select("id1", "id2", "dist")
 
     seeds = score(ranked.where(F.col("_lbr") <= k)).localCheckpoint()
     tau = seeds.groupBy("id1").agg(F.max("dist").alias("_tau"))
@@ -265,9 +266,10 @@ def kneighbors(
     # so the batched DTW kernel gets full-size buckets (no extra shuffle)
     pairs = pairs.sortWithinPartitions(F.size("values1"), F.size("values2"))
     udf = M.pair_metric_udf(metric, **params)
+    a1, a2 = M._kernel_args(M.dim_of(train))
     # project the (large) value arrays away BEFORE the top-k shuffle:
     # only (id1, id2, dist) rows move, not the series payloads
-    scored = pairs.withColumn("dist", udf("values1", "values2")).select(
+    scored = pairs.withColumn("dist", udf(a1, a2)).select(
         "id1", "id2", "dist"
     )
     w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
