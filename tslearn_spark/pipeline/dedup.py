@@ -80,9 +80,17 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_tokens(docs: DataFrame, text_col: str, n_shingle: int = 1) -> DataFrame:
-    """(doc_id, token) distinct; token = word or word-n-gram shingle."""
-    base = docs.select("doc_id", tokens_col(text_col).alias("toks"))
+def _doc_token_arrays(docs: DataFrame, text_col: str, n_shingle: int = 1) -> DataFrame:
+    """(doc_id, toks array<string>) with per-doc distinct tokens.
+
+    Dedup happens via array_distinct INSIDE each row — a map-side
+    expression — instead of a cluster-wide ``.distinct()`` shuffle of the
+    exploded table (the distinct key is (doc_id, token), so per-row
+    dedup is equivalent and free).  Input is spread first: doc tables
+    are small-by-bytes but md5/regex-heavy, the classic AQE
+    one-partition trap.
+    """
+    base = _spread_docs(docs).select("doc_id", tokens_col(text_col).alias("toks"))
     if n_shingle > 1:
         base = base.select(
             "doc_id",
@@ -91,7 +99,14 @@ def _doc_tokens(docs: DataFrame, text_col: str, n_shingle: int = 1) -> DataFrame
                 f"array_join(slice(toks, i + 1, {n_shingle}), ' '))"
             ).alias("toks"),
         )
-    return base.select("doc_id", F.explode("toks").alias("token")).distinct()
+    return base.select("doc_id", F.array_distinct("toks").alias("toks"))
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, n_shingle: int = 1) -> DataFrame:
+    """(doc_id, token) distinct; token = word or word-n-gram shingle."""
+    return _doc_token_arrays(docs, text_col, n_shingle).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -110,22 +125,36 @@ def ngram_jaccard_pairs(
     tokens generate quadratic candidates and no signal — and they are
     exactly the skewed keys AQE would otherwise have to split).
     """
-    tok = _doc_tokens(docs, text_col, n_shingle).cache()
+    base = _doc_token_arrays(docs, text_col, n_shingle).cache()
+    hot_exists = False
     if df_cap is not None:
-        hot = tok.groupBy("token").count().where(F.col("count") > df_cap).select("token")
-        tok = tok.join(F.broadcast(hot), "token", "left_anti")
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    # size-ratio prefilter, applied DURING the index join: jaccard <=
+        # cache pre-cap tokens: consumed by the hot-token aggregate and,
+        # when hot tokens exist, the anti-join probe + size recount
+        tok_pre = base.select("doc_id", F.explode("toks").alias("token")).cache()
+        hot = tok_pre.groupBy("token").count().where(
+            F.col("count") > df_cap
+        ).select("token").cache()
+        hot_exists = hot.limit(1).count() > 0
+    if hot_exists:
+        tok = tok_pre.join(F.broadcast(hot), "token", "left_anti")
+        # sizes count the SURVIVING tokens so jaccard is the true
+        # similarity of the capped token sets
+        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+        tok = tok.join(sizes, "doc_id")
+    else:
+        # no token above the cap (or no cap): the capped token sets equal
+        # the raw ones, so n_tok rides along free — no aggregate, no join
+        tok = base.select(
+            "doc_id", F.size("toks").alias("n_tok"), F.explode("toks").alias("token")
+        )
+    tok = tok.cache()
+    t1 = tok.select(F.col("doc_id").alias("id1"), "token", F.col("n_tok").alias("_n1"))
+    t2 = tok.select(F.col("doc_id").alias("id2"), "token", F.col("n_tok").alias("_n2"))
+    # size-ratio prefilter DURING the index join: jaccard <=
     # min(n1,n2)/max(n1,n2), so a pair whose token-set sizes differ by
-    # more than the threshold ratio can never qualify — dropping it
-    # before the per-pair aggregate is semantics-preserving and kills
-    # the boilerplate-vs-short-doc candidate explosion at scale
-    t1 = tok.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("id1"), "token", F.col("n_tok").alias("_n1")
-    )
-    t2 = tok.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("id2"), "token", F.col("n_tok").alias("_n2")
-    )
+    # more than the threshold ratio can never qualify — dropped before
+    # the per-pair aggregate (semantics-preserving; kills the
+    # boilerplate-vs-short-doc candidate explosion at scale)
     common = (
         t1.join(t2, "token")
         .where(F.col("id1") < F.col("id2"))
@@ -133,19 +162,16 @@ def ngram_jaccard_pairs(
             F.least("_n1", "_n2") >= F.lit(threshold) * F.greatest("_n1", "_n2")
         )
         .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "id1")
-                    .withColumnRenamed("n_tok", "n1"), "id1")
-        .join(sizes.withColumnRenamed("doc_id", "id2")
-              .withColumnRenamed("n_tok", "n2"), "id2")
-        .select(
-            "id1", "id2", "inter", "n1", "n2",
-            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("_n1").alias("n1"),
+            F.first("_n2").alias("n2"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
+    return common.select(
+        "id1", "id2", "inter", "n1", "n2",
+        (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
