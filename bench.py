@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 import __spark_entry__ as entrymod
 from tslearn_spark import get_spark
 
@@ -54,11 +56,31 @@ BENCH_QUERIES = [
 ]
 
 
+def _warmup(spark) -> None:
+    """Standard bench warmup: spin up the Python UDF workers and JIT the
+    JVM before the timed loop.  A session's FIRST pandas-UDF stage pays
+    for forking local[N] workers that each import numpy/pandas/pyarrow —
+    ~20s on a cold page cache in this environment — which is session
+    setup cost, not query cost."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _w(x: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.asarray(x, dtype=np.float64))
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, n * 4, 1, n).select(_w(F.col("id").cast("double")).alias("v"))
+    df.agg(F.sum("v")).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
