@@ -201,9 +201,11 @@ def softdtw_barycenter(
     """Minimize sum_i w_i softDTW(Z, x_i) over Z (softdtw.py:36-112).
 
     The reference uses scipy L-BFGS-B; scipy is unavailable here, so the
-    driver runs gradient descent with backtracking line search on the
-    distributed (value, sum-of-grads) aggregate — the MLlib
-    "treeAggregate + driver optimizer" pattern.
+    driver runs its own L-BFGS (two-loop recursion, memory 10, Armijo
+    backtracking — the unbounded case of L-BFGS-B) on the distributed
+    (value, sum-of-grads) aggregate — the MLlib "treeAggregate + driver
+    optimizer" pattern.  Each function evaluation is one Spark job; the
+    executors never see the optimizer state.
     """
     if init is None:
         sz = int(df.select(F.max(F.size("values")).alias("m")).first()["m"])
@@ -236,23 +238,55 @@ def softdtw_barycenter(
         )
         return float(row["val"]), np.asarray(row["gsum"], dtype=np.float64)
 
-    fval, grad = objective(Z)
-    step = 1.0 / max(1.0, np.linalg.norm(grad))
+    shape = Z.shape
+
+    def fg(x: np.ndarray) -> tuple[float, np.ndarray]:
+        f, g = objective(x.reshape(shape))
+        return f, g.ravel()
+
+    x = Z.ravel().copy()
+    f, g = fg(x)
+    S: list[np.ndarray] = []
+    Y: list[np.ndarray] = []
     for _ in range(max_iter):
-        gnorm = float(np.linalg.norm(grad))
-        if gnorm < tol:
+        if float(np.linalg.norm(g)) < tol:
             break
-        # backtracking line search
-        improved = False
-        for _ls in range(12):
-            Z_new = Z - step * grad
-            f_new, g_new = objective(Z_new)
-            if f_new < fval - 1e-4 * step * gnorm * gnorm:
-                Z, fval, grad = Z_new, f_new, g_new
-                step *= 1.3
-                improved = True
+        # two-loop recursion over the last 10 curvature pairs
+        q = g.copy()
+        hist = []
+        for s, y in zip(reversed(S), reversed(Y)):
+            rho = 1.0 / float(y @ s)
+            a = rho * float(s @ q)
+            hist.append((a, rho, s, y))
+            q -= a * y
+        if Y:
+            q *= float(S[-1] @ Y[-1]) / float(Y[-1] @ Y[-1])
+        for a, rho, s, y in reversed(hist):
+            b = rho * float(y @ q)
+            q += (a - b) * s
+        d = -q
+        gtd = float(g @ d)
+        if gtd >= 0.0:  # not a descent direction: reset to steepest descent
+            d = -g
+            gtd = -float(g @ g)
+            S.clear()
+            Y.clear()
+        # Armijo backtracking; first iteration scales like scipy's init
+        t = 1.0 if S else min(1.0, 1.0 / max(1.0, float(np.linalg.norm(g))))
+        ok = False
+        for _ls in range(20):
+            xn = x + t * d
+            fn, gn = fg(xn)
+            if fn <= f + 1e-4 * t * gtd:
+                ok = True
                 break
-            step *= 0.5
-        if not improved:
+            t *= 0.5
+        if not ok:
             break
-    return Z
+        s_vec, y_vec = xn - x, gn - g
+        if float(s_vec @ y_vec) > 1e-10:  # keep curvature pairs SPD
+            S.append(s_vec)
+            Y.append(y_vec)
+            S, Y = S[-10:], Y[-10:]
+        x, f, g = xn, fn, gn
+    return x.reshape(shape)
