@@ -391,6 +391,35 @@ def knn_sax_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select("series_id", F.col("prediction").cast("int").alias("prediction"))
 
 
+_RUNNING_Z_SQL = """
+    WITH s AS ({base}),
+    w AS (
+      SELECT user_id, t, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS n_prev
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, CAST(t AS INT) AS t, value,
+           round(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 6) AS z,
+           (n_prev >= 10 AND
+            abs(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END) > 3.0)
+             AS is_anomaly
+    FROM w
+"""
+
+
+def events_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-key z-score anomaly flags — batch twin of the custom
+    stateful streaming operator (streaming.stream_running_zscore): each
+    event scored against the Welford stats of the events before it.
+    stddev_samp over the preceding-rows window == sqrt(M2/(n-1))."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL))
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the relational twin
     of Structured Streaming session windows."""
@@ -890,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity joins + relational extensions (SQL-expressible)
         "ts_sax_dist_pairs": ts_sax_dist_pairs,
         "ts_lb_keogh_pairs": ts_lb_keogh_pairs,
+        "events_running_zscore": events_running_zscore,
         "events_sessionize": events_sessionize,
         "events_asof_orders": events_asof_orders,
         "events_cumulative": events_cumulative,
@@ -1390,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rs q JOIN env e ON q.t = e.t AND q.user_id < e.user_id
             GROUP BY q.user_id, e.user_id
         """,
+        "events_running_zscore": _RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL),
         "events_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, value,

@@ -213,6 +213,51 @@ class TestStreamingBatch:
         rows = [r for r in out.collect() if r["user_id"] == 0]
         assert all(r["env_lower"] <= r["env_upper"] for r in rows)
 
+    def test_running_zscore_stateful(self, spark, tmp_path):
+        """applyInPandasWithState custom operator over a real stream:
+        per-event z against the PRIOR history, checked against a
+        straight pandas replay of the Welford recurrence."""
+        import datetime
+
+        import numpy as np
+
+        from tslearn_spark.streaming import stream_running_zscore
+
+        base = datetime.datetime(2024, 1, 1)
+        rng = np.random.RandomState(7)
+        vals = rng.randn(30).tolist() + [50.0]  # big spike at the end
+        rows = [(0, base + datetime.timedelta(seconds=i), float(v))
+                for i, v in enumerate(vals)]
+        src_dir = str(tmp_path / "zsrc")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src_dir)
+        out = stream_running_zscore(stream, threshold=3.0, min_obs=10)
+        q = (
+            out.writeStream.format("memory").queryName("run_z")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["ts"]: (r["z"], r["is_anomaly"])
+               for r in spark.sql("SELECT * FROM run_z").collect()}
+        assert len(got) == len(vals)
+        # pandas replay of the same recurrence
+        n, mean, m2 = 0, 0.0, 0.0
+        for i, v in enumerate(vals):
+            std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+            z = (v - mean) / std if std > 0 else 0.0
+            ts = base + datetime.timedelta(seconds=i)
+            assert got[ts][0] == pytest.approx(z, abs=1e-9)
+            assert got[ts][1] == (abs(z) > 3.0 and n >= 10)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        assert got[base + datetime.timedelta(seconds=30)][1]  # spike flagged
+
     def test_sessions(self, spark):
         import datetime
 

@@ -10,14 +10,21 @@ Patterns provided:
 * stream_zscore — sliding-window aggregate stats joined back to events
   (streaming z-normalization against a trailing window);
 * stream_envelope — per-key running min/max over a sliding window
-  (streaming LB_Keogh envelope).
+  (streaming LB_Keogh envelope);
+* stream_running_zscore — CUSTOM STATEFUL operator
+  (applyInPandasWithState): per-key Welford running stats + online
+  anomaly flags; state is 3 floats per key regardless of stream length.
 
-All are plain readStream->transform->writeStream graphs; state stays in
-the streaming aggregation store, sized by (keys x windows-in-watermark).
+The window ops are plain readStream->transform->writeStream graphs with
+state in the streaming aggregation store, sized by (keys x
+windows-in-watermark); the stateful op's store is (keys x 3 doubles).
 """
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +85,64 @@ def stream_envelope(
             "env_lower",
             "env_upper",
         )
+    )
+
+
+def stream_running_zscore(
+    events: DataFrame,
+    threshold: float = 3.0,
+    min_obs: int = 10,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ONLINE z-score anomaly flags — a custom stateful operator.
+
+    No built-in streaming construct expresses "running stats over the
+    whole history of a key" (windows bound state by time); this is the
+    applyInPandasWithState case: state per key = Welford (n, mean, M2),
+    three numbers regardless of stream length, updated per micro-batch.
+    Each event is scored against the statistics of the events BEFORE it
+    (so the first points of a burst are judged by history, not by the
+    burst itself), then folded into the state.
+
+    Batch twin (same semantics, SQL window functions): the
+    events_running_zscore driver query — use it to validate results.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {ts_col} timestamp, {value_col} double, "
+        "z double, is_anomaly boolean"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def score(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = float(v)
+                std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                z = (v - mean) / std if std > 0.0 else 0.0
+                out_rows.append(
+                    (key[0], ts, v, z, bool(abs(z) > threshold and n >= min_obs))
+                )
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            out_rows, columns=[key_col, ts_col, value_col, "z", "is_anomaly"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        score, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
