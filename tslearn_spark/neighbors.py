@@ -143,9 +143,7 @@ def _dtw_knn_pruned(
         with_vals = cands.join(q_named, "id1").join(F.broadcast(t_named), "id2")
         # kernel stage is compute-bound: AQE would coalesce these few small
         # rows to 1-2 partitions and serialize the DTW UDF — spread them
-        with_vals = M._spread(with_vals).sortWithinPartitions(
-            F.size("values1"), F.size("values2")
-        )
+        with_vals = M._pair_sort(M._spread(with_vals))
         # this path is univariate-only (gated in kneighbors): flat arrays
         return with_vals.withColumn(
             "dist", udf(F.flatten("values1"), F.flatten("values2"))
@@ -171,6 +169,92 @@ def _dtw_knn_pruned(
 # full-width envelope radius: makes LB_Keogh valid for unconstrained DTW
 # (the envelope degenerates to per-candidate global min/max)
 _FULL_ENVELOPE = 1 << 20
+
+# train sets up to ~this many float64s ride the broadcast DTW fast path;
+# bigger train sides fall back to the generic pair join
+_DTW_BROADCAST_LIMIT_VALUES = 8_000_000  # ~64 MB
+
+
+def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
+                        radius, drop_self: bool, params: dict) -> DataFrame:
+    """DTW kNN via broadcast train + per-partition batched DP.
+
+    The pair-join plan ships every train series once PER QUERY through
+    Arrow (n_q x n_t nested rows — the dominant stage cost, not the
+    kernel).  Here the train set is broadcast once per executor, each
+    query partition runs the mixed-shape batched DP against ALL train
+    series in numpy, and only the per-partition top-k candidate rows
+    (id1, id2, dist) are emitted — Arrow traffic drops from O(n_q*n_t)
+    series payloads to O(n_q) + O(n_q*k) scalars, the same shape as the
+    euclidean BLAS path.  Exact: every pair is still evaluated.
+    """
+    from tslearn_spark import kernels as K
+
+    t_rows = train.select("series_id", "values").collect()
+    t_ids = np.array([r["series_id"] for r in t_rows], dtype=np.int64)
+    t_arrs = [
+        np.asarray([np.asarray(x, dtype=np.float64) for x in r["values"]])
+        for r in t_rows
+    ]
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((t_ids, t_arrs))
+    n_t = len(t_arrs)
+    chunk_q = max(1, 65536 // max(n_t, 1))  # ~64k pairs per kernel call
+
+    def gen(batches):
+        ids_t, T = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["series_id"].to_numpy(dtype=np.int64)
+            q_arrs = [
+                np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+                for v in pdf["values"]
+            ]
+            out_q, out_n, out_d = [], [], []
+            for s in range(0, len(q_arrs), chunk_q):
+                qs = q_arrs[s : s + chunk_q]
+                qi = qids[s : s + chunk_q]
+                arrs_a = [q for q in qs for _ in range(n_t)]
+                arrs_b = T * len(qs)
+                # each kernel sub-batch pays Lmax x Wmax padded cells per
+                # pair; W tracks |la - lb| + 2r + 1, so sort by the LENGTH
+                # DIFFERENCE first (then la) — sub-batches get homogeneous
+                # band width AND similar rows, keeping padding tight
+                la = np.fromiter((a.shape[0] for a in arrs_a), np.int64)
+                lb = np.fromiter((b.shape[0] for b in arrs_b), np.int64)
+                order = np.lexsort((la, np.abs(la - lb)))
+                flat = np.empty(len(arrs_a))
+                for bs in range(0, len(order), 8192):
+                    sel = order[bs : bs + 8192]
+                    flat[sel] = K.dtw_banded_batch_mixed(
+                        [arrs_a[i] for i in sel], [arrs_b[i] for i in sel], radius
+                    )
+                dists = flat.reshape(len(qs), n_t)
+                if drop_self:
+                    dists[qi[:, None] == ids_t[None, :]] = np.inf
+                kk = min(k, n_t)
+                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+                for row in range(len(qs)):
+                    sel = part[row]
+                    out_q.extend([qi[row]] * len(sel))
+                    out_n.extend(ids_t[sel])
+                    out_d.extend(dists[row, sel])
+            yield pd.DataFrame({
+                "id1": np.asarray(out_q, dtype=np.int64),
+                "id2": np.asarray(out_n, dtype=np.int64),
+                "dist": np.asarray(out_d, dtype=np.float64),
+            })
+
+    partial = M._spread(queries.select("series_id", "values")).mapInPandas(
+        gen, "id1 long, id2 long, dist double"
+    ).where(F.col("dist") < float("inf"))
+    w = Window.partitionBy("id1").orderBy(F.col("dist").asc(), F.col("id2").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id1", "id2", "dist", "rank")
+    )
 
 
 def _sax_knn(queries: DataFrame, train: DataFrame, k: int,
@@ -238,17 +322,32 @@ def kneighbors(
     on your data before enabling: if median LB is below the typical NN
     distance, leave it off.
     """
-    if prune and metric == "dtw" and params.get("itakura_max_slope") is None \
+    if metric == "dtw" and params.get("itakura_max_slope") is None \
             and params.get("global_constraint") != "itakura":
         radius = params.get("sakoe_chiba_radius")
         if params.get("global_constraint") == "sakoe_chiba" and radius is None:
             radius = 1
-        env_radius = int(radius) if radius is not None else _FULL_ENVELOPE
-        first = train.select(
-            F.size(F.element_at(F.col("values"), 1)).alias("d")
-        ).first()
-        if first is not None and first["d"] == 1:  # envelope expr is univariate
-            return _dtw_knn_pruned(queries, train, k, env_radius, drop_self, params)
+        if prune:
+            env_radius = int(radius) if radius is not None else _FULL_ENVELOPE
+            first = train.select(
+                F.size(F.element_at(F.col("values"), 1)).alias("d")
+            ).first()
+            if first is not None and first["d"] == 1:  # envelope expr univariate
+                return _dtw_knn_pruned(
+                    queries, train, k, env_radius, drop_self, params
+                )
+        else:
+            stats = train.select(
+                F.count("*").alias("n"),
+                F.sum(F.size("values") * F.size(F.element_at("values", 1))).alias(
+                    "n_vals"
+                ),
+            ).first()
+            if stats is not None and stats["n"] and stats["n_vals"] is not None \
+                    and stats["n_vals"] <= _DTW_BROADCAST_LIMIT_VALUES:
+                return _dtw_topk_broadcast(
+                    queries, train, k, radius, drop_self, params
+                )
     if metric == "sax":
         return _sax_knn(queries, train, k, drop_self, params)
     if metric == "euclidean" and not params:
@@ -264,7 +363,7 @@ def kneighbors(
         pairs = pairs.where(F.col("id1") != F.col("id2"))
     # local sort by series sizes -> Arrow batches become shape-homogeneous
     # so the batched DTW kernel gets full-size buckets (no extra shuffle)
-    pairs = pairs.sortWithinPartitions(F.size("values1"), F.size("values2"))
+    pairs = M._pair_sort(pairs)
     udf = M.pair_metric_udf(metric, **params)
     a1, a2 = M._kernel_args(M.dim_of(train))
     # project the (large) value arrays away BEFORE the top-k shuffle:
