@@ -160,6 +160,28 @@ class TestKNN:
         got = {r["series_id"]: r["prediction"] for r in pred.collect()}
         assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
 
+    def test_class_api(self, spark):
+        # reference parity: KNeighborsTimeSeries* classes (neighbors.py:172-717)
+        from tslearn_spark import (
+            KNeighborsTimeSeries,
+            KNeighborsTimeSeriesClassifier,
+            KNeighborsTimeSeriesRegressor,
+        )
+
+        X = [[1.0, 2.0, 3.0], [1.1, 2.1, 3.1], [9.0, 9.0, 9.0], [9.1, 9.2, 9.0]]
+        df = DS.dataset_to_df(spark, X, labels=["a", "a", "b", "b"])
+        nn = KNeighborsTimeSeries(n_neighbors=1, metric="dtw").fit(df)
+        got = {r["id1"]: r["id2"] for r in nn.kneighbors().collect()}
+        assert got == {0: 1, 1: 0, 2: 3, 3: 2}
+        clf = KNeighborsTimeSeriesClassifier(n_neighbors=1, metric="dtw").fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in clf.predict(df).collect()}
+        assert pred == {0: "a", 1: "a", 2: "b", 3: "b"}
+        reg = KNeighborsTimeSeriesRegressor(n_neighbors=2, metric="euclidean").fit(
+            df.withColumn("y", F.col("series_id").cast("double")), target_col="y"
+        )
+        got_r = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        assert got_r[0] == pytest.approx(0.5)
+
     def test_regression(self, spark):
         from tslearn_spark.neighbors import knn_regress
 

@@ -30,6 +30,10 @@ _LAZY = {
     "kneighbors": "tslearn_spark.neighbors",
     "knn_classify": "tslearn_spark.neighbors",
     "knn_regress": "tslearn_spark.neighbors",
+    "KNeighborsTimeSeries": "tslearn_spark.neighbors",
+    "KNeighborsTimeSeriesClassifier": "tslearn_spark.neighbors",
+    "KNeighborsTimeSeriesRegressor": "tslearn_spark.neighbors",
+    "UCR_UEA_datasets": "tslearn_spark.sources",
     "TimeSeriesSVC": "tslearn_spark.svm",
     "TimeSeriesSVR": "tslearn_spark.svm",
     "TimeSeriesMLPClassifier": "tslearn_spark.neural_network",

@@ -351,7 +351,9 @@ def kneighbors(
     if metric == "sax":
         return _sax_knn(queries, train, k, drop_self, params)
     if metric == "euclidean" and not params:
-        shape = queries.unionByName(train.select("series_id", "values")).select(
+        shape = queries.select("series_id", "values").unionByName(
+            train.select("series_id", "values")
+        ).select(
             F.countDistinct(F.size("values")).alias("n_sz"),
             F.count("*").alias("n"),
         ).first()
@@ -441,3 +443,79 @@ def knn_regress(
         .agg((F.sum(F.col(target_col) * wexpr) / F.sum(wexpr)).alias("prediction"))
         .select(F.col("id1").alias("series_id"), "prediction")
     )
+
+
+# ---------------------------------------------------------------------------
+# class API (reference parity: neighbors.py:172-717)
+# ---------------------------------------------------------------------------
+
+class KNeighborsTimeSeries:
+    """Unsupervised kNN index (neighbors.py:172-350).
+
+    fit() caches the candidate table (the "index" — Spark's analog of
+    storing the training array); kneighbors() runs the metric-dispatched
+    top-k join.  All heavy lifting lives in the functional layer above.
+    """
+
+    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
+                 metric_params: dict | None = None):
+        self.n_neighbors = n_neighbors
+        self.metric = metric
+        self.metric_params = metric_params or {}
+
+    def fit(self, df: DataFrame) -> "KNeighborsTimeSeries":
+        self._index = df.select("series_id", "values").cache()
+        return self
+
+    def kneighbors(self, queries: DataFrame | None = None,
+                   n_neighbors: int | None = None) -> DataFrame:
+        """(id1, id2, dist, rank).  queries=None -> self-kNN excluding the
+        identical id, like the reference's X=None contract."""
+        assert hasattr(self, "_index"), "fit before kneighbors"
+        k = n_neighbors or self.n_neighbors
+        if queries is None:
+            return kneighbors(self._index, self._index, k=k,
+                              metric=self.metric, drop_self=True,
+                              **self.metric_params)
+        return kneighbors(queries, self._index, k=k, metric=self.metric,
+                          **self.metric_params)
+
+
+class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
+    """neighbors.py:353-562 twin over knn_classify."""
+
+    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
+                 weights: str = "uniform", metric_params: dict | None = None):
+        super().__init__(n_neighbors, metric, metric_params)
+        self.weights = weights
+
+    def fit(self, df: DataFrame, label_col: str = "label") -> "KNeighborsTimeSeriesClassifier":
+        self._label_col = label_col
+        self._index = df.select("series_id", "values", label_col).cache()
+        return self
+
+    def predict(self, queries: DataFrame) -> DataFrame:
+        assert hasattr(self, "_index"), "fit before predict"
+        return knn_classify(queries, self._index, k=self.n_neighbors,
+                            metric=self.metric, weights=self.weights,
+                            label_col=self._label_col, **self.metric_params)
+
+
+class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
+    """neighbors.py:565-717 twin over knn_regress."""
+
+    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
+                 weights: str = "uniform", metric_params: dict | None = None):
+        super().__init__(n_neighbors, metric, metric_params)
+        self.weights = weights
+
+    def fit(self, df: DataFrame, target_col: str = "y") -> "KNeighborsTimeSeriesRegressor":
+        self._target_col = target_col
+        self._index = df.select("series_id", "values", target_col).cache()
+        return self
+
+    def predict(self, queries: DataFrame) -> DataFrame:
+        assert hasattr(self, "_index"), "fit before predict"
+        return knn_regress(queries, self._index, k=self.n_neighbors,
+                           metric=self.metric, weights=self.weights,
+                           target_col=self._target_col, **self.metric_params)
