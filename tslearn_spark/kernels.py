@@ -811,11 +811,16 @@ def _sq_dist_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.einsum("nijk,nijk->nij", diff, diff)
 
 
-def soft_dtw_batch(A: np.ndarray, B: np.ndarray, gamma: float = 1.0) -> np.ndarray:
+def soft_dtw_batch(A: np.ndarray, B: np.ndarray, gamma: float = 1.0,
+                   la: np.ndarray | None = None,
+                   lb: np.ndarray | None = None) -> np.ndarray:
     """Batched soft-DTW scores — anti-diagonal sweep over (n, diag) slices.
 
     Matches soft_dtw() exactly; one numpy op per anti-diagonal for the
-    whole batch instead of per pair.
+    whole batch instead of per pair.  With (la, lb) per-pair lengths the
+    stacks may be zero-PADDED mixed shapes: the recursion only moves
+    forward, so cells beyond a pair's (la, lb) never reach its result
+    cell — each pair's score is simply gathered at R[p, la_p, lb_p].
     """
     n, sz1, _ = A.shape
     sz2 = B.shape[1]
@@ -831,14 +836,21 @@ def soft_dtw_batch(A: np.ndarray, B: np.ndarray, gamma: float = 1.0) -> np.ndarr
         b = R[:, ii + 1, jj]
         c = R[:, ii, jj]
         R[:, ii + 1, jj + 1] = D[:, ii, jj] + _softmin3(a, b, c, gamma)
-    return R[:, sz1, sz2]
+    if la is None:
+        return R[:, sz1, sz2]
+    return R[np.arange(n), la, lb]
 
 
 def gak_batch(A: np.ndarray, B: np.ndarray, sigma: float = 1.0,
-              normalized: bool = True) -> np.ndarray:
-    """Batched (optionally normalized) GAK — anti-diagonal sum-product."""
+              normalized: bool = True,
+              la: np.ndarray | None = None,
+              lb: np.ndarray | None = None) -> np.ndarray:
+    """Batched (optionally normalized) GAK — anti-diagonal sum-product.
 
-    def _unnorm(X, Y):
+    (la, lb) allow zero-padded mixed-shape stacks (see soft_dtw_batch).
+    """
+
+    def _unnorm(X, Y, lx=None, ly=None):
         n, s1, _ = X.shape
         s2 = Y.shape[1]
         d2 = _sq_dist_batch(X, Y)
@@ -854,20 +866,26 @@ def gak_batch(A: np.ndarray, B: np.ndarray, sigma: float = 1.0,
             R[:, ii + 1, jj + 1] = gram[:, ii, jj] * (
                 R[:, ii, jj + 1] + R[:, ii + 1, jj] + R[:, ii, jj]
             )
-        return R[:, s1, s2]
+        if lx is None:
+            return R[:, s1, s2]
+        # padded mixed shapes: forward-only recursion, gather per pair
+        return R[np.arange(n), lx, ly]
 
-    num = _unnorm(A, B)
+    num = _unnorm(A, B, la, lb)
     if not normalized:
         return num
-    den = np.sqrt(_unnorm(A, A) * _unnorm(B, B))
+    den = np.sqrt(_unnorm(A, A, la, la) * _unnorm(B, B, lb, lb))
     return num / den
 
 
-def lcss_batch(A: np.ndarray, B: np.ndarray, eps: float = 1.0) -> np.ndarray:
+def lcss_batch(A: np.ndarray, B: np.ndarray, eps: float = 1.0,
+               la: np.ndarray | None = None,
+               lb: np.ndarray | None = None) -> np.ndarray:
     """Batched LCSS similarity (no global constraint) — anti-diagonal DP.
 
     Literal reference recurrence (dtw_variants.py:1370-1409):
     match -> prev_diag + 1, else max(left, up); normalized by min length.
+    (la, lb) allow zero-padded mixed-shape stacks (see soft_dtw_batch).
     """
     n, sz1, _ = A.shape
     sz2 = B.shape[1]
@@ -883,7 +901,9 @@ def lcss_batch(A: np.ndarray, B: np.ndarray, eps: float = 1.0) -> np.ndarray:
             acc[:, ii, jj] + 1,
             np.maximum(acc[:, ii + 1, jj], acc[:, ii, jj + 1]),
         )
-    return acc[:, sz1, sz2] / float(min(sz1, sz2))
+    if la is None:
+        return acc[:, sz1, sz2] / float(min(sz1, sz2))
+    return acc[np.arange(n), la, lb] / np.minimum(la, lb).astype(np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -959,3 +979,33 @@ KERNELS = {
     "lcss": lcss,
     "ncc": normalized_cc_max,
 }
+
+
+def _pad_pair_stacks(arrs_a: list, arrs_b: list):
+    """Zero-pad two lists of (sz, d) arrays into batch stacks + lengths."""
+    n = len(arrs_a)
+    la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
+    lb = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
+    d = arrs_a[0].shape[1] if arrs_a[0].ndim > 1 else 1
+    A = np.zeros((n, int(la.max()), d))
+    B = np.zeros((n, int(lb.max()), d))
+    for p in range(n):
+        A[p, : la[p]] = arrs_a[p].reshape(la[p], d)
+        B[p, : lb[p]] = arrs_b[p].reshape(lb[p], d)
+    return A, B, la, lb
+
+
+def soft_dtw_batch_mixed(arrs_a: list, arrs_b: list, gamma: float = 1.0) -> np.ndarray:
+    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
+    return soft_dtw_batch(A, B, gamma, la, lb)
+
+
+def gak_batch_mixed(arrs_a: list, arrs_b: list, sigma: float = 1.0,
+                    normalized: bool = True) -> np.ndarray:
+    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
+    return gak_batch(A, B, sigma, normalized, la, lb)
+
+
+def lcss_batch_mixed(arrs_a: list, arrs_b: list, eps: float = 1.0) -> np.ndarray:
+    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
+    return lcss_batch(A, B, eps, la, lb)

@@ -172,40 +172,35 @@ def _mixed_batch_kernel(metric: str, params: dict):
         if params.get("global_constraint") == "sakoe_chiba" and radius is None:
             radius = 1
         return lambda a, b: K.dtw_banded_batch_mixed(a, b, radius)
-    return None
-
-
-def _batch_kernel(metric: str, params: dict):
-    """Return a (A, B) -> scores batch kernel when the metric+params combo
-    is batchable across same-shape pairs, else None."""
     if metric == "softdtw":
         gamma = params.get("gamma", 1.0)
         if gamma > 0:
-            return lambda A, B: K.soft_dtw_batch(A, B, gamma)
+            return lambda a, b: K.soft_dtw_batch_mixed(a, b, gamma)
     if metric == "gak":
         sigma = params.get("sigma", 1.0)
-        return lambda A, B: K.gak_batch(A, B, sigma, normalized=True)
+        return lambda a, b: K.gak_batch_mixed(a, b, sigma, normalized=True)
     if metric == "unnormalized_gak":
         sigma = params.get("sigma", 1.0)
-        return lambda A, B: K.gak_batch(A, B, sigma, normalized=False)
+        return lambda a, b: K.gak_batch_mixed(a, b, sigma, normalized=False)
     if metric == "lcss" and not any(
         params.get(k) for k in
         ("global_constraint", "sakoe_chiba_radius", "itakura_max_slope")
     ):
         eps = params.get("eps", 1.0)
-        return lambda A, B: K.lcss_batch(A, B, eps)
+        return lambda a, b: K.lcss_batch_mixed(a, b, eps)
     return None
 
 
 def pair_metric_udf(metric: str, **params):
     """Build a scalar pandas UDF computing ``metric(a, b)`` per row.
 
-    Arrow ships value arrays in columnar batches.  For DTW with a
-    Sakoe-Chiba band (or unconstrained), pairs are bucketed by shape
-    inside each batch and evaluated by the *batched* band kernel — one
-    numpy op per DP row for the whole bucket (~30x per-pair cost).
-    Callers that sort pairs by series sizes (sortWithinPartitions) make
-    the buckets batch-sized.  Other metrics loop the per-pair kernel.
+    Arrow ships value arrays in columnar batches.  The DP metrics (DTW
+    band, soft-DTW, GAK, LCSS) evaluate each whole batch in ONE
+    vectorized mixed-shape kernel call — pairs are zero-padded, the
+    Python-level loop is over DP rows/anti-diagonals for the entire
+    batch, and each pair's score is gathered at its own (la, lb) cell.
+    Callers sort partitions with _pair_sort so batch padding stays
+    tight.  Other metrics loop the per-pair kernel.
     """
     mixed_fn = _mixed_batch_kernel(metric, params)
     if mixed_fn is not None:
@@ -217,25 +212,6 @@ def pair_metric_udf(metric: str, **params):
             if not arrs_a:
                 return pd.Series([], dtype=np.float64)
             return pd.Series(mixed_fn(arrs_a, arrs_b))
-
-        return _udf
-
-    batch_fn = _batch_kernel(metric, params)
-    if batch_fn is not None:
-
-        @F.pandas_udf(DoubleType())
-        def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-            arrs_a = [_to_arr(x) for x in a]
-            arrs_b = [_to_arr(y) for y in b]
-            out = np.empty(len(arrs_a))
-            buckets: dict[tuple, list[int]] = {}
-            for i, (x, y) in enumerate(zip(arrs_a, arrs_b)):
-                buckets.setdefault((x.shape, y.shape), []).append(i)
-            for idxs in buckets.values():
-                A = np.stack([arrs_a[i] for i in idxs])
-                B = np.stack([arrs_b[i] for i in idxs])
-                out[idxs] = batch_fn(A, B)
-            return pd.Series(out)
 
         return _udf
 
@@ -294,15 +270,21 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 
-def _pair_sort(df: DataFrame) -> DataFrame:
+def _pair_sort(df: DataFrame, band: bool = True) -> DataFrame:
     """Local sort making Arrow batches length-homogeneous for the batch
-    kernels.  Key order matters: the padded band DP pays Lmax x Wmax
-    cells per pair and W tracks |sz1 - sz2| + 2r + 1, so sorting by the
-    length DIFFERENCE first (then length) keeps both the band width and
-    the row count tight within each batch (~2.5x vs sorting by sizes)."""
-    return df.sortWithinPartitions(
-        F.abs(F.size("values1") - F.size("values2")), F.size("values1")
-    )
+    kernels.  Key order matters per kernel family:
+
+    * band=True (banded DTW): the padded DP pays Lmax x Wmax cells per
+      pair and W tracks |sz1 - sz2| + 2r + 1, so sort by the length
+      DIFFERENCE first, then length (~2.5x vs size-sorted batches);
+    * band=False (full-grid soft-DTW/GAK/LCSS): cost is Lmax1 x Lmax2,
+      so plain size sorting minimizes padding.
+    """
+    if band:
+        return df.sortWithinPartitions(
+            F.abs(F.size("values1") - F.size("values2")), F.size("values1")
+        )
+    return df.sortWithinPartitions(F.size("values1"), F.size("values2"))
 
 def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True) -> DataFrame:
     """Full rectangle d1 × d2 with columns (id1, values1, id2, values2).
@@ -361,7 +343,7 @@ def cdist(
     if d2 is None:
         if symmetric_zero_diag is None:
             symmetric_zero_diag = metric not in ("softdtw", "unnormalized_gak")
-        upper = _pair_sort(self_pairs(d1)).withColumn("dist", udf(a1, a2))
+        upper = _pair_sort(self_pairs(d1), band=metric == "dtw").withColumn("dist", udf(a1, a2))
         up = upper.select("id1", "id2", "dist")
         mirror = upper.select(
             F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
@@ -390,7 +372,7 @@ def cdist(
                 .select("id1", "id2", "dist")
             )
         return up.unionByName(mirror).unionByName(diag)
-    pairs = _pair_sort(cross_pairs(d1, d2))
+    pairs = _pair_sort(cross_pairs(d1, d2), band=metric == "dtw")
     return pairs.withColumn("dist", udf(a1, a2)).select("id1", "id2", "dist")
 
 
@@ -423,7 +405,7 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
     udf = pair_metric_udf("unnormalized_gak", sigma=sigma)
     s1 = selfs(d1)
     if d2 is None:
-        upper = _pair_sort(self_pairs(d1)).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
+        upper = _pair_sort(self_pairs(d1), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
         both = upper.unionByName(
             upper.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "kxy")
         )
@@ -440,7 +422,7 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
         )
         return off.unionByName(diag)
     s2 = selfs(d2)
-    pairs = _pair_sort(cross_pairs(d1, d2)).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
+    pairs = _pair_sort(cross_pairs(d1, d2), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
     k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"), F.col("kself").alias("k1")))
     k2 = F.broadcast(s2.select(F.col("series_id").alias("id2"), F.col("kself").alias("k2")))
     return pairs.join(k1, "id1").join(k2, "id2").select(

@@ -365,7 +365,7 @@ def kneighbors(
         pairs = pairs.where(F.col("id1") != F.col("id2"))
     # local sort by series sizes -> Arrow batches become shape-homogeneous
     # so the batched DTW kernel gets full-size buckets (no extra shuffle)
-    pairs = M._pair_sort(pairs)
+    pairs = M._pair_sort(pairs, band=metric == "dtw")
     udf = M.pair_metric_udf(metric, **params)
     a1, a2 = M._kernel_args(M.dim_of(train))
     # project the (large) value arrays away BEFORE the top-k shuffle:
