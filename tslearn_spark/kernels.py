@@ -995,17 +995,44 @@ def _pad_pair_stacks(arrs_a: list, arrs_b: list):
     return A, B, la, lb
 
 
+# full-grid anti-diagonal kernels have a cache sweet spot: the R tensor is
+# (nb, Lmax^2) floats, so ~64 pairs keeps it L2/L3-resident while still
+# amortizing the Python anti-diagonal loop (measured 10x vs per-pair and
+# vs whole-batch at 2048 pairs alike)
+_GRID_SUBBATCH = 64
+
+
+def _grid_mixed(core, arrs_a: list, arrs_b: list) -> np.ndarray:
+    """Run a full-grid batch core over length-sorted cache-sized chunks."""
+    n = len(arrs_a)
+    la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
+    lb = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
+    order = np.lexsort((lb, la))
+    out = np.empty(n)
+    for s in range(0, n, _GRID_SUBBATCH):
+        sel = order[s : s + _GRID_SUBBATCH]
+        A, B, sla, slb = _pad_pair_stacks(
+            [arrs_a[i] for i in sel], [arrs_b[i] for i in sel]
+        )
+        out[sel] = core(A, B, sla, slb)
+    return out
+
+
 def soft_dtw_batch_mixed(arrs_a: list, arrs_b: list, gamma: float = 1.0) -> np.ndarray:
-    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
-    return soft_dtw_batch(A, B, gamma, la, lb)
+    return _grid_mixed(
+        lambda A, B, la, lb: soft_dtw_batch(A, B, gamma, la, lb), arrs_a, arrs_b
+    )
 
 
 def gak_batch_mixed(arrs_a: list, arrs_b: list, sigma: float = 1.0,
                     normalized: bool = True) -> np.ndarray:
-    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
-    return gak_batch(A, B, sigma, normalized, la, lb)
+    return _grid_mixed(
+        lambda A, B, la, lb: gak_batch(A, B, sigma, normalized, la, lb),
+        arrs_a, arrs_b,
+    )
 
 
 def lcss_batch_mixed(arrs_a: list, arrs_b: list, eps: float = 1.0) -> np.ndarray:
-    A, B, la, lb = _pad_pair_stacks(arrs_a, arrs_b)
-    return lcss_batch(A, B, eps, la, lb)
+    return _grid_mixed(
+        lambda A, B, la, lb: lcss_batch(A, B, eps, la, lb), arrs_a, arrs_b
+    )
