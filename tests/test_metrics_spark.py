@@ -160,6 +160,26 @@ class TestKNN:
         got = {r["series_id"]: r["prediction"] for r in pred.collect()}
         assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
 
+    def test_dtw_broadcast_topk_matches_cdist(self, spark):
+        # broadcast-train fast path must reproduce the full cdist ranking
+        # at k>1 with drop_self and variable lengths
+        from tslearn_spark.neighbors import kneighbors
+
+        rs = np.random.RandomState(13)
+        X = [rs.randn(rs.randint(6, 14)).tolist() for _ in range(10)]
+        df = DS.dataset_to_df(spark, X)
+        nn = kneighbors(df, df, k=3, metric="dtw", drop_self=True,
+                        sakoe_chiba_radius=2)
+        got = {(r["id1"], r["rank"]): (r["id2"], round(r["dist"], 9))
+               for r in nn.collect()}
+        edges = M.cdist(df, metric="dtw", sakoe_chiba_radius=2)
+        pdf = edges.where(F.col("id1") != F.col("id2")).toPandas()
+        for qid, grp in pdf.groupby("id1"):
+            grp = grp.sort_values(["dist", "id2"]).reset_index(drop=True)
+            for rank in range(1, 4):
+                want = (grp.loc[rank - 1, "id2"], round(grp.loc[rank - 1, "dist"], 9))
+                assert got[(qid, rank)] == want
+
     def test_class_api(self, spark):
         # reference parity: KNeighborsTimeSeries* classes (neighbors.py:172-717)
         from tslearn_spark import (
