@@ -15,14 +15,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _stable_line_ids(df: DataFrame) -> DataFrame:
+    """Assign dense 0-based ids following the file's line order WITHOUT a
+    global single-task window.
+
+    zipWithIndex-style two-pass: rank within each partition (cheap local
+    sort over monotonically_increasing_id, which encodes (partition,
+    line#) and is file-order-monotone for text scans), count rows per
+    partition, then add the exclusive prefix offset — a large archive
+    scan stays parallel instead of serializing on one window task.
+    """
+    with_pid = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_mid")
+    local = with_pid.withColumn("_rn", F.row_number().over(w_local) - 1)
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        local.groupBy("_pid").count()
+        .select("_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("series_id", (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_mid", "_rn", "_off")
+    )
+
+
 def load_ucr_txt(spark: SparkSession, path: str) -> DataFrame:
     """UCR .txt scan: whitespace-separated, label in column 0
     (utils.py:691-714).  Returns ts(series_id, values, label).
     """
     lines = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    parsed = lines.select(
-        (F.row_number().over(w) - 1).cast("long").alias("series_id"),
+    parsed = _stable_line_ids(lines).select(
+        "series_id",
         F.expr(r"filter(split(trim(value), '\\s+|,'), x -> x != '')").alias("toks"),
     )
     return parsed.select(
@@ -39,17 +68,13 @@ def load_arff_uea(spark: SparkSession, path: str) -> DataFrame:
     (@-lines / comments), data rows are comma-separated with the class
     label last.  Returns ts(series_id, values, label)."""
     lines = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    data = (
-        lines.select(F.trim("value").alias("line"))
-        .where(
+    data = _stable_line_ids(
+        lines.select(F.trim("value").alias("line")).where(
             (F.length("line") > 0)
             & ~F.col("line").startswith("@")
             & ~F.col("line").startswith("%")
         )
-        .select((F.row_number().over(w) - 1).cast("long").alias("series_id"),
-                F.split("line", ",").alias("toks"))
-    )
+    ).select("series_id", F.split("line", ",").alias("toks"))
     return data.select(
         "series_id",
         F.expr(
