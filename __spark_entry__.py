@@ -860,7 +860,9 @@ def mlp_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = ts.withColumn("label", (F.col("series_id") % 3).cast("string")).cache()
     labeled.count()
-    clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(32,), max_iter=200,
+    # max_iter=60: L-BFGS runs one serial job per iteration, and this
+    # rows-only query checks the distributed-fit plumbing, not convergence
+    clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(32,), max_iter=60,
                                   random_state=0).fit(labeled)
     return clf.predict(labeled)
 

@@ -35,6 +35,33 @@ class TestDTW:
             _, d1 = K.dtw_path(a, b)
             assert d1 == pytest.approx(K.dtw(a, b))
 
+    def test_mixed_batch_unconstrained_fuzz(self):
+        # radius=None must match per-pair unconstrained dtw even when one
+        # series is far longer than every other-side series in the batch
+        # (regression: wlo=L2 emptied the window for la-1 > L2)
+        rs = np.random.RandomState(7)
+        arrs_a = [rs.randn(n, 1) for n in (13, 5, 40, 8, 21, 3)]
+        arrs_b = [rs.randn(n, 1) for n in (5, 13, 7, 30, 4, 19)]
+        got = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius=None)
+        want = [K.dtw(a, b) for a, b in zip(arrs_a, arrs_b)]
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        # single extreme pair from the advice counterexample shape (13 vs 5)
+        a, b = rs.randn(13, 1), rs.randn(5, 1)
+        got1 = K.dtw_banded_batch_mixed([a], [b], radius=None)[0]
+        assert np.isfinite(got1)
+        assert got1 == pytest.approx(K.dtw(a, b))
+
+    def test_mixed_batch_banded_fuzz(self):
+        rs = np.random.RandomState(11)
+        arrs_a = [rs.randn(n, 1) for n in (10, 25, 14, 31)]
+        arrs_b = [rs.randn(n, 1) for n in (22, 9, 17, 12)]
+        for r in (1, 3, 10):
+            got = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius=r)
+            want = [
+                K.dtw(a, b, sakoe_chiba_radius=r) for a, b in zip(arrs_a, arrs_b)
+            ]
+            np.testing.assert_allclose(got, want, atol=1e-9)
+
     def test_band_matches_unconstrained_when_wide(self):
         rs = np.random.RandomState(1)
         a, b = rs.randn(12), rs.randn(12)

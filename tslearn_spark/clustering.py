@@ -296,10 +296,17 @@ class KShape:
         kshape.py:118-137 solves the Rayleigh quotient of S = X'X on
         centered aligned data.  Everything it needs reduces to
         (S, sum_x, sum||x||^2, n), so the members themselves never have
-        to be co-located.  Sign fix follows the reference (kshape.py
-        _shape_extraction): compare ||X - mu||_F vs ||X + mu||_F summed
-        over ALL aligned members — expanded, the squared norms are
+        to be co-located.  Sign fix: compare ||X - mu||_F vs ||X + mu||_F
+        summed over ALL aligned members — expanded, the squared norms are
         ss -+ 2*sum_x.mu + n*||mu||^2.
+
+        DELIBERATE DEVIATION from the reference: kshape.py:132-133 sums
+        NON-squared per-member norms (sum_i ||x_i - mu||), which is not
+        expressible from these sufficient statistics.  The two criteria
+        agree unless member distances are heterogeneous enough that the
+        sqrt reweighting flips the comparison — rare in practice, but a
+        centroid sign may differ from the reference on such clusters and
+        can then propagate to later assignments.
         """
         sz = S.shape[0]
         Q = np.eye(sz) - np.ones((sz, sz)) / sz
@@ -437,7 +444,12 @@ class KernelKMeans:
     def fit(self, df: DataFrame) -> "KernelKMeans":
         from tslearn_spark import metrics as M
 
-        gram = M.cdist(df, metric=self.kernel, **self.kernel_params).cache()
+        # localCheckpoint, not cache(): cache keeps the full cdist plan in
+        # every downstream logical plan, and the iterative loop below would
+        # nest it k times over — Catalyst re-optimization grows superlinearly
+        # and dominated wall clock (measured 410s -> ~10s at sf0.01).
+        # Checkpointing truncates lineage to the materialized blocks.
+        gram = M.cdist(df, metric=self.kernel, **self.kernel_params).localCheckpoint()
         spark = df.sparkSession
         ids = df.select("series_id").cache()
         rs = np.random.RandomState(self.random_state)
@@ -459,19 +471,19 @@ class KernelKMeans:
                 .groupBy("id1", "cluster")
                 .agg(F.sum("dist").alias("sK"), F.count("*").alias("nC"))
             )
-            # within-cluster total sum_{j,l in C} K_jl
+            # within-cluster total sum_{j,l in C} K_jl = sum_{i in C} sK(i, C)
+            # — folds over the already-aggregated (n x k) cross table joined
+            # with labels, NOT a second pass over the n^2 gram edges
             within = (
-                gram.join(F.broadcast(labj.withColumnRenamed("id2", "id1")), "id1")
-                .join(
+                cross.join(
                     F.broadcast(
-                        labels.select(F.col("series_id").alias("id2"),
-                                      F.col("cluster").alias("cl2"))
+                        labels.select(F.col("series_id").alias("id1"),
+                                      F.col("cluster"))
                     ),
-                    "id2",
+                    ["id1", "cluster"],
                 )
-                .where(F.col("cluster") == F.col("cl2"))
                 .groupBy("cluster")
-                .agg(F.sum("dist").alias("sW"), F.countDistinct("id1").alias("n"))
+                .agg(F.sum("sK").alias("sW"), F.count("*").alias("n"))
             )
             scored = (
                 cross.join(F.broadcast(within), "cluster")
@@ -485,11 +497,14 @@ class KernelKMeans:
             from pyspark.sql import Window
 
             w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+            # eager localCheckpoint: each iteration's labels feed THREE
+            # broadcast joins in the next round — without truncation the
+            # plan nests every prior iteration and analysis time explodes
             labels = (
                 scored.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .select(F.col("id1").alias("series_id"), "cluster")
-            ).cache()
+            ).localCheckpoint()
             # scalar convergence check: the driver sees one count, never
             # the label rows (round-1 collected all labels per iteration)
             if prev_labels is not None:
@@ -506,20 +521,23 @@ class KernelKMeans:
         self.labels_ = labels
         self._gram = gram
         self._df = df
-        # within-cluster stats of the FINAL labels, reused by predict()
+        # within-cluster stats of the FINAL labels, reused by predict():
+        # K_ij summed per (i in C) first (n x k rows), then per cluster
         labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
+        final_cross = (
+            gram.join(F.broadcast(labj), "id2")
+            .groupBy("id1", "cluster")
+            .agg(F.sum("dist").alias("sK"))
+        )
         self._within = (
-            gram.join(F.broadcast(labj.withColumnRenamed("id2", "id1")), "id1")
-            .join(
+            final_cross.join(
                 F.broadcast(
-                    labels.select(F.col("series_id").alias("id2"),
-                                  F.col("cluster").alias("cl2"))
+                    labels.select(F.col("series_id").alias("id1"), F.col("cluster"))
                 ),
-                "id2",
+                ["id1", "cluster"],
             )
-            .where(F.col("cluster") == F.col("cl2"))
             .groupBy("cluster")
-            .agg(F.sum("dist").alias("sW"), F.countDistinct("id1").alias("n"))
+            .agg(F.sum("sK").alias("sW"), F.count("*").alias("n"))
         ).cache()
         return self
 

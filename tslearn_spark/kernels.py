@@ -245,7 +245,13 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
         A[p, : la[p]] = arrs_a[p].reshape(la[p], d)
         B[p, : lb[p]] = arrs_b[p].reshape(lb[p], d)
     if radius is None:
-        wlo = np.full(n, L2, dtype=np.int64)
+        # Unconstrained DTW: the window at DP row i must span the whole B
+        # axis for EVERY row, i.e. cur_lo = max(0, i - wlo) == 0 up to
+        # i = la - 1.  wlo must therefore be >= la - 1 (use L1, the batch
+        # max); using L2 here empties the window whenever a pair has
+        # la - 1 > L2 (A twice as long as every B), returning inf or a
+        # silently band-constrained (too large) distance.
+        wlo = np.full(n, L1, dtype=np.int64)
         whi = np.full(n, L2, dtype=np.int64)
     else:
         r = int(radius)

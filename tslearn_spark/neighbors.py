@@ -38,9 +38,12 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
     Shuffle volume is O(n_queries x k x n_partitions); the train side is
     streamed, never collected.
     """
-    q_rows = queries.select("series_id", "values").collect()
-    q_ids = np.array([r["series_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([np.asarray(r["values"], dtype=np.float64).ravel() for r in q_rows])
+    q_pdf = queries.select("series_id", "values").toPandas()
+    q_ids = q_pdf["series_id"].to_numpy(dtype=np.int64)
+    Q = np.array([
+        np.asarray([np.asarray(x, dtype=np.float64) for x in v]).ravel()
+        for v in q_pdf["values"]
+    ])
     spark = train.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, Q))
 
@@ -105,10 +108,12 @@ def _dtw_knn_pruned(
        the top-k — filter it JVM-side before the kernel UDF;
     5. DTW the survivors, union with seeds, final top-k.
 
-    Exactness: LB_Keogh with envelope radius r lower-bounds band-r DTW;
-    callers pass the band radius (or full width for unconstrained DTW,
-    where the envelope degenerates to the global min/max and the bound
-    still holds for any monotone alignment).  The LB cascade typically
+    Exactness: LB_Keogh with envelope radius r lower-bounds band-r DTW
+    on equal lengths; on unequal lengths the band itself widens to
+    |la - lb| + r, so the CALLER passes env_radius = r + max length
+    difference across the dataset (kneighbors does this), or full width
+    for unconstrained DTW, where the envelope degenerates to the global
+    min/max and the bound holds for any monotone alignment.  The LB cascade typically
     kills 80-95%% of kernel calls — at 100x data that is the difference
     between quadratic DTW work and quadratic *expression* work.
     """
@@ -190,11 +195,14 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
     """
     from tslearn_spark import kernels as K
 
-    t_rows = train.select("series_id", "values").collect()
-    t_ids = np.array([r["series_id"] for r in t_rows], dtype=np.int64)
+    # Arrow transfer (toPandas), not collect(): Row objects wrap nested
+    # lists in per-element Python objects — ~5-10x the heap of the raw
+    # doubles, which matters near _DTW_BROADCAST_LIMIT_VALUES
+    t_pdf = train.select("series_id", "values").toPandas()
+    t_ids = t_pdf["series_id"].to_numpy(dtype=np.int64)
     t_arrs = [
-        np.asarray([np.asarray(x, dtype=np.float64) for x in r["values"]])
-        for r in t_rows
+        np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        for v in t_pdf["values"]
     ]
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((t_ids, t_arrs))
@@ -329,6 +337,24 @@ def kneighbors(
             radius = 1
         if prune:
             env_radius = int(radius) if radius is not None else _FULL_ENVELOPE
+            if radius is not None:
+                # The Sakoe-Chiba band on an (la, lb) pair widens to
+                # |la - lb| + r (kernels.sakoe_chiba_bounds), so an
+                # envelope built with radius r alone can EXCEED banded
+                # DTW on unequal lengths (q=[9,9,0] vs c=[9,9,9,9,0],
+                # r=1: LB=9 but DTW=0) and prune true neighbors.  Widen
+                # by the worst-case length difference across the two
+                # sides so LB lower-bounds every pair's banded DTW.
+                ln = (
+                    queries.select(F.size("values").alias("n"))
+                    .unionAll(train.select(F.size("values").alias("n")))
+                    .agg(F.max("n").alias("mx"), F.min("n").alias("mn"))
+                    .first()
+                )
+                if ln is not None and ln["mx"] is not None:
+                    env_radius = min(
+                        env_radius + int(ln["mx"] - ln["mn"]), _FULL_ENVELOPE
+                    )
             first = train.select(
                 F.size(F.element_at(F.col("values"), 1)).alias("d")
             ).first()

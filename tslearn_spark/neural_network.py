@@ -120,6 +120,14 @@ class TimeSeriesMLPClassifier(_MLPBase):
             array_to_vector(F.flatten("values")).alias("features"),
             idx.alias("_label_idx"),
         )
+        # L-BFGS runs ONE job per iteration over these partitions; size
+        # them to the data (~50k rows/partition) so maxIter x n_partitions
+        # task overhead doesn't dominate on small inputs, then cache —
+        # every iteration re-reads the features otherwise
+        n_rows = df.count()
+        n_par = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                           n_rows // 50_000 + 1))
+        feats = feats.repartition(n_par).cache()
         n_feat = int(df.select(F.size(F.flatten("values")).alias("n")).first()["n"])
         layers = [n_feat, *self.hidden_layer_sizes, len(classes)]
         clf = MultilayerPerceptronClassifier(

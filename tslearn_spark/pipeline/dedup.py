@@ -372,6 +372,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round, so a component
+        # whose diameter exceeds max_iter exits with stale labels — fail
+        # loudly instead of returning silently unconverged components
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter for "
+            "long-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return comp
 
 

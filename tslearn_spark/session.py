@@ -88,6 +88,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     except Exception:
         pass  # immutable on some builds; get_spark() sessions already have it
 
+    # Performance confs for harness-owned sessions (all dynamic SQL confs,
+    # scoped to this session, semantics-neutral).  A vanilla session runs
+    # 200 shuffle partitions — at local[32] on sf-scale data that is pure
+    # scheduling overhead (iterative ops like kshape pay it per round);
+    # Arrow keeps the pandas-UDF kernel path batched instead of pickled.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for key, val in (
+        ("spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "2048"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
+
     out: dict[str, DataFrame] = {}
     errors: dict[str, Exception] = {}
     for name in TPCH_TABLES:
