@@ -1031,6 +1031,16 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             ) t WHERE rnk <= 5
         """,
+        # streaming tumbling-window PAA exercised in batch mode: the same
+        # tumbling group-by is plain SQL (Spark 1-hour windows align to
+        # epoch hours = date_trunc)
+        "stream_tumbling_paa_batch": """
+            SELECT user_id,
+                   date_trunc('hour', ts)::VARCHAR AS win_start,
+                   round(avg(value), 4) AS segment_mean,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
         "events_hourly_stats": """
             SELECT date_trunc('hour', ts)::VARCHAR AS hour,
                    event_type, count(*) AS n_events,

@@ -219,6 +219,76 @@ def dtw_banded_batch(A: np.ndarray, B: np.ndarray, radius: int | None = None) ->
     return np.sqrt(prev[:, k_last])
 
 
+# unconstrained row-scan DP works on (n, L2) rows (not the (n, L^2) grid of
+# the anti-diagonal kernels), so the sweet spot is larger than _GRID_SUBBATCH:
+# ~512 pairs keeps the ~6 live (n, L2) row buffers L2-cache-resident
+# (measured 136us/pair at 512 vs 506us/pair at 8192, events-like lengths)
+_DTW_FULL_SUBBATCH = 512
+
+
+def _dtw_full_core(A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Unconstrained DTW row-scan over padded stacks — gather-free.
+
+    With no band, every DP row spans the full B axis: `up` IS the previous
+    row and `diag` is the previous row shifted one cell right, so the two
+    take_along_axis gathers of the banded kernel (its dominant cost on
+    full-width windows) disappear.  Dead cells (k >= lb or i >= la) are
+    masked to +inf before the horizontal min-accumulate, exactly like the
+    banded kernel.
+    """
+    n, L1, d = A.shape
+    res = np.empty(n)
+    kgrid = np.arange(B.shape[1])[None, :]
+    dead_cols = kgrid >= lb[:, None]  # fixed per pair: beyond its own B
+    Bf = B[:, :, 0]
+    prev = None
+    for i in range(L1):
+        if d == 1:
+            Dw = (A[:, i, 0][:, None] - Bf) ** 2
+        else:
+            Dw = ((A[:, i : i + 1, :] - B) ** 2).sum(-1)
+        if i == 0:
+            row = np.cumsum(Dw, axis=1)
+            row[dead_cols] = np.inf
+        else:
+            dead = dead_cols | (i >= la)[:, None]
+            diag = np.empty_like(prev)
+            diag[:, 0] = np.inf
+            diag[:, 1:] = prev[:, :-1]
+            a = Dw + np.minimum(prev, diag)
+            a[dead] = np.inf
+            s = np.cumsum(Dw, axis=1)
+            with np.errstate(invalid="ignore"):
+                row = s + np.minimum.accumulate(a - s, axis=1)
+            row[dead] = np.inf
+        done = la == i + 1
+        if done.any():
+            idx = np.nonzero(done)[0]
+            res[idx] = row[idx, lb[idx] - 1]
+        prev = row
+    return np.sqrt(res)
+
+
+def dtw_full_batch_mixed(arrs_a: list, arrs_b: list) -> np.ndarray:
+    """Unconstrained DTW for a mixed-shape batch: size-sorted cache-sized
+    chunks through the gather-free row scan (the radius=None fast path of
+    ``dtw_banded_batch_mixed``)."""
+    n = len(arrs_a)
+    la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
+    lb = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
+    # size sort, not diff sort: with no band the padded cost is L1 x L2,
+    # so homogeneous (la, lb) chunks minimize padding
+    order = np.lexsort((lb, la))
+    out = np.empty(n)
+    for s in range(0, n, _DTW_FULL_SUBBATCH):
+        sel = order[s : s + _DTW_FULL_SUBBATCH]
+        A, B, sla, slb = _pad_pair_stacks(
+            [arrs_a[i] for i in sel], [arrs_b[i] for i in sel]
+        )
+        out[sel] = _dtw_full_core(A, B, sla, slb)
+    return out
+
+
 def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None) -> np.ndarray:
     """Banded DTW for a batch of MIXED-shape pairs — padded, masked DP.
 
@@ -232,9 +302,29 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
     Extra padded cells cost vector lanes, not Python iterations — the
     interpreter loop is Lmax1 rows for the entire batch.
 
-    radius=None -> unconstrained DTW (band spans every row).
+    radius=None -> unconstrained DTW, delegated to the gather-free
+    full-grid row scan (``dtw_full_batch_mixed``, ~3.7x faster).
+
+    Large batches are internally split into diff-sorted cache-sized
+    chunks (W tracks |la - lb| + 2r + 1, so the diff-first sort keeps
+    each chunk's band width homogeneous): measured 152us/pair at 512 vs
+    236us/pair at 8192 on events-like lengths — callers can hand over
+    whole Arrow batches without their own sub-batching.
     """
+    if radius is None:
+        return dtw_full_batch_mixed(arrs_a, arrs_b)
     n = len(arrs_a)
+    if n > _DTW_FULL_SUBBATCH:
+        la_all = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
+        lb_all = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
+        order = np.lexsort((la_all, np.abs(la_all - lb_all)))
+        out = np.empty(n)
+        for s in range(0, n, _DTW_FULL_SUBBATCH):
+            sel = order[s : s + _DTW_FULL_SUBBATCH]
+            out[sel] = dtw_banded_batch_mixed(
+                [arrs_a[i] for i in sel], [arrs_b[i] for i in sel], radius
+            )
+        return out
     la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
     lb = np.fromiter((b.shape[0] for b in arrs_b), dtype=np.int64, count=n)
     L1, L2 = int(la.max()), int(lb.max())

@@ -225,19 +225,9 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                 qi = qids[s : s + chunk_q]
                 arrs_a = [q for q in qs for _ in range(n_t)]
                 arrs_b = T * len(qs)
-                # each kernel sub-batch pays Lmax x Wmax padded cells per
-                # pair; W tracks |la - lb| + 2r + 1, so sort by the LENGTH
-                # DIFFERENCE first (then la) — sub-batches get homogeneous
-                # band width AND similar rows, keeping padding tight
-                la = np.fromiter((a.shape[0] for a in arrs_a), np.int64)
-                lb = np.fromiter((b.shape[0] for b in arrs_b), np.int64)
-                order = np.lexsort((la, np.abs(la - lb)))
-                flat = np.empty(len(arrs_a))
-                for bs in range(0, len(order), 8192):
-                    sel = order[bs : bs + 8192]
-                    flat[sel] = K.dtw_banded_batch_mixed(
-                        [arrs_a[i] for i in sel], [arrs_b[i] for i in sel], radius
-                    )
+                # the mixed kernel sorts (diff-first banded, size-first
+                # full-grid) and splits into cache-sized chunks internally
+                flat = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius)
                 dists = flat.reshape(len(qs), n_t)
                 if drop_self:
                     dists[qi[:, None] == ids_t[None, :]] = np.inf
