@@ -582,6 +582,18 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize(pairs).select("doc_id", "keep_doc_id")
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact blocked-BLAS path): every
+    (id1 < id2) pair at cosine >= 0.35.  The threshold is tuned to the
+    synthetic embeddings (random vectors, max pair cosine ~0.5) so the
+    operator has a non-trivial result to hash-check."""
+    from tslearn_spark.pipeline import embedding_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    out = embedding_neardup_pairs(t["embeddings"], threshold=0.35)
+    return out.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import minhash_signatures
 
@@ -915,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_canonical": dedup_canonical,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "text_langid": text_langid,
@@ -1202,6 +1215,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            ),
+            cos AS (
+              SELECT id1, id2,
+                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0
+                                 ELSE na.nrm * nb.nrm END) AS cosine
+              FROM dots
+              JOIN norms na ON na.vec_id = id1
+              JOIN norms nb ON nb.vec_id = id2
+            )
+            SELECT id1, id2, round(cosine, 6) AS cosine
+            FROM cos WHERE cosine >= 0.35
         """,
         "dedup_canonical": f"""
             WITH RECURSIVE words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

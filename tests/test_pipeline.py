@@ -67,6 +67,47 @@ class TestDedup:
         assert near[(0, 1)] == 0
 
 
+    def test_embedding_neardup_exact(self, spark):
+        from tslearn_spark.pipeline import embedding_neardup_pairs
+
+        rs = np.random.RandomState(3)
+        base = rs.randn(8)
+        vecs = [base + rs.randn(8) * 0.05, base + rs.randn(8) * 0.05,
+                rs.randn(8), rs.randn(8), -base]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {(r["id1"], r["id2"]): r["cosine"]
+               for r in embedding_neardup_pairs(df, threshold=0.9).collect()}
+        assert set(out) == {(0, 1)}
+        V = np.array(vecs)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        assert out[(0, 1)] == pytest.approx(float(Vn[0] @ Vn[1]), abs=1e-12)
+
+    def test_embedding_neardup_lsh_subset(self, spark):
+        # LSH path returns a SUBSET of the exact pairs (recall < 1), with
+        # identical cosines on shared pairs
+        from tslearn_spark.pipeline import embedding_neardup_pairs
+
+        rs = np.random.RandomState(5)
+        vecs = rs.randn(30, 8)
+        vecs[11] = vecs[4] + rs.randn(8) * 0.03
+        vecs[22] = vecs[4] + rs.randn(8) * 0.03
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        exact = {(r["id1"], r["id2"]): r["cosine"]
+                 for r in embedding_neardup_pairs(df, threshold=0.9).collect()}
+        lsh = {(r["id1"], r["id2"]): r["cosine"]
+               for r in embedding_neardup_pairs(
+                   df, threshold=0.9, bits=4, n_tables=8).collect()}
+        assert set(lsh) <= set(exact)
+        assert (4, 11) in exact and (4, 22) in exact
+        for k, v in lsh.items():
+            assert v == pytest.approx(exact[k], abs=1e-9)
+
     def test_connected_components_chain(self, spark):
         # a 5-node chain needs multiple propagation rounds; plus an
         # isolated pair and a node absent from any edge (not returned)

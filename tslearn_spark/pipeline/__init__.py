@@ -13,6 +13,7 @@ source; the token-frequency cap below is the salting-free fix).
 from tslearn_spark.pipeline.dedup import (
     canonicalize,
     connected_components,
+    embedding_neardup_pairs,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -33,6 +34,7 @@ from tslearn_spark.pipeline.simsearch import (
 __all__ = [
     "canonicalize",
     "connected_components",
+    "embedding_neardup_pairs",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -319,6 +319,93 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
+    id1 < id2 and cosine >= threshold — the semantic twin of the text
+    near-dup generators over an embedding column, feeding the same
+    ``canonicalize`` / ``connected_components`` materializer.
+
+    bits=None (exact): the normalized matrix is broadcast, every
+    partition runs one BLAS matmul against its candidate rows and emits
+    ONLY above-threshold pairs (the n^2 similarity matrix never
+    materializes anywhere, and the shuffle carries just the survivor
+    triples).  Needs a broadcastable embedding set — the correctness
+    baseline and the right plan up to ~1M vectors.
+
+    bits=k (scale path): random-hyperplane LSH bucketing
+    (simsearch.lsh_bucket_col, literal planes — replayable in SQL), one
+    equi-join per table, exact cosine re-scoring of the candidate union.
+    Recall < 1 like every LSH scheme; candidates per table drop ~2^bits.
+    """
+    from tslearn_spark.pipeline.simsearch import (
+        _hyperplanes, cosine_pandas_udf, lsh_bucket_col,
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    if bits is None:
+        e_pdf = embeddings.select(F.col(id_col), F.col(vec_col)).toPandas()
+        ids = e_pdf[id_col].to_numpy(dtype=np.int64)
+        Q = np.array([list(v) for v in e_pdf[vec_col]], dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        spark = embeddings.sparkSession
+        bc = spark.sparkContext.broadcast((ids, Qn))
+        thr = float(threshold)
+
+        def gen(batches):
+            ids_b, Qn_b = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                cid = pdf[id_col].to_numpy(dtype=np.int64)
+                Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+                sims = Cn @ Qn_b.T  # (n_cand, n_all)
+                # emit each unordered pair once: candidate id strictly below
+                keep = (sims >= thr) & (cid[:, None] < ids_b[None, :])
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame({
+                    "id1": cid[r],
+                    "id2": ids_b[c],
+                    "cosine": sims[r, c],
+                })
+
+        return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            gen, "id1 long, id2 long, cosine double"
+        )
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        side = embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            lsh_bucket_col(vec_col, planes).alias("bucket"),
+        )
+        a = side.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
+        b = side.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("id1") < F.col("id2")).select(
+            "id1", "id2", "v1", "v2"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["id1", "id2"])
+    return (
+        cands.withColumn("cosine", cosine_pandas_udf()("v1", "v2"))
+        .where(F.col("cosine") >= float(threshold))
+        .select("id1", "id2", "cosine")
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id, component).
 
