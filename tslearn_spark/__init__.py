@@ -49,6 +49,28 @@ _LAZY = {
     "euclidean_barycenter": "tslearn_spark.barycenters",
     "save_model": "tslearn_spark.model_io",
     "load_model": "tslearn_spark.model_io",
+    "dtw_barycenter_averaging_petitjean": "tslearn_spark.barycenters",
+    "dtw_barycenter_averaging_subgradient": "tslearn_spark.barycenters",
+    "SoftDTW": "tslearn_spark.kernels",
+    "SquaredEuclidean": "tslearn_spark.kernels",
+    "ts_zeros": "tslearn_spark.dataset",
+    "to_sklearn_dataset": "tslearn_spark.cast",
+    "to_pyts_dataset": "tslearn_spark.cast",
+    "from_pyts_dataset": "tslearn_spark.cast",
+    "to_seglearn_dataset": "tslearn_spark.cast",
+    "from_seglearn_dataset": "tslearn_spark.cast",
+    "to_stumpy_dataset": "tslearn_spark.cast",
+    "from_stumpy_dataset": "tslearn_spark.cast",
+    "to_sktime_dataset": "tslearn_spark.cast",
+    "from_sktime_dataset": "tslearn_spark.cast",
+    "to_pyflux_dataset": "tslearn_spark.cast",
+    "from_pyflux_dataset": "tslearn_spark.cast",
+    "to_tsfresh_dataset": "tslearn_spark.cast",
+    "from_tsfresh_dataset": "tslearn_spark.cast",
+    "to_cesium_dataset": "tslearn_spark.cast",
+    "from_cesium_dataset": "tslearn_spark.cast",
+    "TSLEARN_VALID_METRICS": "tslearn_spark.metrics",
+    "VARIABLE_LENGTH_METRICS": "tslearn_spark.metrics",
 }
 
 

@@ -164,6 +164,87 @@ def dtw_barycenter_averaging(
     return center
 
 
+# reference alias: dtw_barycenter_averaging IS the Petitjean E-M variant
+# (dba.py:514-604 exposes both names for the same algorithm)
+dtw_barycenter_averaging_petitjean = dtw_barycenter_averaging
+
+
+def dtw_barycenter_averaging_subgradient(
+    df: DataFrame,
+    barycenter_size: int | None = None,
+    init_barycenter: np.ndarray | None = None,
+    max_iter: int = 30,
+    initial_step_size: float = 0.05,
+    final_step_size: float = 0.005,
+    tol: float = 1e-5,
+    random_state: int | None = None,
+    weight_col: str | None = None,
+    metric_params: dict | None = None,
+) -> np.ndarray:
+    """Stochastic-subgradient DBA (dba.py:607-741, Schultz & Jain 2017).
+
+    The algorithm updates the barycenter once PER SERIES in a shuffled
+    order with a decaying step size — an inherently sequential recursion
+    (each update depends on the previous one), so there is no useful
+    distributed formulation: the engine runs it driver-side on the
+    collected series, mirroring how the reference iterates the in-memory
+    array.  DataFrame in, numpy barycenter out, same contract as
+    ``dtw_barycenter_averaging``; for large inputs prefer the
+    distributed E-M variant (the reference's default too).
+    """
+    from tslearn_spark.kernels import dtw_path
+
+    metric_params = metric_params or {}
+    rng = np.random.RandomState(random_state)
+    wcol_sel = [F.col(weight_col).alias("_w")] if weight_col else [F.lit(1.0).alias("_w")]
+    pdf = df.select(F.col("series_id"), F.col("values"), *wcol_sel).toPandas()
+    series = [
+        np.asarray([np.asarray(r, dtype=np.float64) for r in v]) for v in pdf["values"]
+    ]
+    weights = pdf["_w"].to_numpy(dtype=np.float64)
+    n = len(series)
+    d = series[0].shape[1]
+    if init_barycenter is not None:
+        center = np.asarray(init_barycenter, dtype=np.float64)
+        if center.ndim == 1:
+            center = center.reshape(-1, 1)
+        barycenter_size = center.shape[0]
+    else:
+        if barycenter_size is None:
+            barycenter_size = max(s.shape[0] for s in series)
+        # init = mean of linearly-resampled series (dba.py:14-22)
+        grid = np.linspace(0.0, 1.0, barycenter_size)
+        acc = np.zeros((barycenter_size, d))
+        for s in series:
+            src = np.linspace(0.0, 1.0, s.shape[0])
+            for dim in range(d):
+                acc[:, dim] += np.interp(grid, src, s[:, dim])
+        center = acc / n
+    cost_prev = np.inf
+    eta = initial_step_size
+    for _ in range(max_iter):
+        cost = np.inf
+        for idx in rng.permutation(n):
+            x = series[idx]
+            path, dist = dtw_path(center, x, **metric_params)
+            cost = dist * dist  # squared-cost subgradient, per the paper
+            w = weights[idx]
+            # V diag: #x-points aligned per barycenter position; W.x: their sum
+            v = np.zeros(barycenter_size)
+            wx = np.zeros((barycenter_size, d))
+            for i, j in path:
+                v[i] += 1.0
+                wx[i] += x[j]
+            delta = w * (v[:, None] * center - wx)
+            center = center - (2.0 * eta / w) * delta
+            if eta > final_step_size:
+                eta -= (initial_step_size - final_step_size) / n
+        if abs(cost_prev - cost) < tol or cost_prev < cost:
+            break
+        cost_prev = cost
+    return center
+
+
 # ---------------------------------------------------------------------------
 # soft-DTW barycenter (softdtw.py:17-112)
 # ---------------------------------------------------------------------------

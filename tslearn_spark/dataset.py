@@ -174,6 +174,11 @@ def load_time_series_txt(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def ts_zeros(sz: int, d: int = 1) -> np.ndarray:
+    """All-zero (sz, d) series (utils/utils.py:427-452)."""
+    return np.zeros((sz, d))
+
+
 # ---------------------------------------------------------------------------
 # generators (reference: generators/generators.py:7-112)
 # ---------------------------------------------------------------------------

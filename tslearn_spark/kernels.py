@@ -760,18 +760,13 @@ def _softmin3(a, b, c, gamma):
     return out
 
 
-def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
-    """Soft-DTW score; gamma=0 reduces to squared DTW (softdtw_variants.py:316-374).
-
-    Anti-diagonal vectorized forward pass of soft_dtw_fast.pyx:40-67.
-    R is the (sz1+2, sz2+2) accumulated matrix with the classic border.
-    """
-    s1, s2 = to_2d(s1), to_2d(s2)
-    D = sq_dist_matrix(s1, s2)
+def _sdtw_forward(D: np.ndarray, gamma: float) -> np.ndarray:
+    """Anti-diagonal forward pass over a precomputed cost matrix
+    (soft_dtw_fast.pyx:40-67).  Returns the (sz1+2, sz2+2) accumulated
+    matrix with the classic border."""
     sz1, sz2 = D.shape
     R = np.full((sz1 + 2, sz2 + 2), np.inf)
     R[0, 0] = 0.0
-    # anti-diagonal sweep over the (sz1, sz2) interior
     for k in range(sz1 + sz2 - 1):
         i0 = max(0, k - sz2 + 1)
         i1 = min(sz1 - 1, k)
@@ -781,6 +776,19 @@ def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
         b = R[ii + 1, jj]       # R[i, j-1]
         c = R[ii, jj]           # R[i-1, j-1]
         R[ii + 1, jj + 1] = D[ii, jj] + _softmin3(a, b, c, gamma)
+    return R
+
+
+def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
+    """Soft-DTW score; gamma=0 reduces to squared DTW (softdtw_variants.py:316-374).
+
+    Anti-diagonal vectorized forward pass of soft_dtw_fast.pyx:40-67.
+    R is the (sz1+2, sz2+2) accumulated matrix with the classic border.
+    """
+    s1, s2 = to_2d(s1), to_2d(s2)
+    D = sq_dist_matrix(s1, s2)
+    sz1, sz2 = D.shape
+    R = _sdtw_forward(D, gamma)
     if return_matrix:
         return R
     return float(R[sz1, sz2])
@@ -801,8 +809,15 @@ def soft_dtw_alignment(s1, s2, gamma: float = 1.0):
         for (i, j) in _return_path(C):
             E[i, j] = 1.0
         return E, float(C[-1, -1])
-    R = soft_dtw(s1, s2, gamma=gamma, return_matrix=True)
+    R = _sdtw_forward(D, gamma)
     score = float(R[sz1, sz2])
+    return _sdtw_backward(D, R, gamma), score
+
+
+def _sdtw_backward(D: np.ndarray, R: np.ndarray, gamma: float) -> np.ndarray:
+    """Anti-diagonal backward pass (soft_dtw_fast.pyx:70-104): the soft
+    alignment matrix E = dScore/dD over a cost matrix and its forward R."""
+    sz1, sz2 = D.shape
     # pad D with a zero row/col; R border per reference backward pass
     Dp = np.zeros((sz1 + 1, sz2 + 1))
     Dp[:sz1, :sz2] = D
@@ -827,7 +842,50 @@ def soft_dtw_alignment(s1, s2, gamma: float = 1.0):
         eb = np.nan_to_num(eb, nan=0.0, posinf=0.0)
         ec = np.nan_to_num(ec, nan=0.0, posinf=0.0)
         E[i_, j_] = E[i_ + 1, j_] * ea + E[i_, j_ + 1] * eb + E[i_ + 1, j_ + 1] * ec
-    return E[1:sz1 + 1, 1:sz2 + 1], score
+    return E[1:sz1 + 1, 1:sz2 + 1]
+
+
+class SquaredEuclidean:
+    """Pairwise squared-euclidean cost-matrix helper
+    (softdtw_variants.py:681-728): the D producer for the SoftDTW class."""
+
+    def __init__(self, X, Y):
+        self.X = to_2d(X).astype(np.float64)
+        self.Y = to_2d(Y).astype(np.float64)
+
+    def compute(self) -> np.ndarray:
+        return sq_dist_matrix(self.X, self.Y)
+
+    def jacobian_product(self, E: np.ndarray) -> np.ndarray:
+        """[m x d, m x n] * [m x n] -> (m, d): grad wrt X given dScore/dD."""
+        E = np.asarray(E, dtype=np.float64)
+        return 2.0 * (self.X * E.sum(axis=1, keepdims=True) - E @ self.Y)
+
+
+class SoftDTW:
+    """Cost-matrix soft-DTW with stored accumulated matrix
+    (softdtw_variants.py:608-678): compute() -> score, grad() -> dScore/dD.
+
+    Accepts a raw (m, n) cost array or anything with a ``compute()``
+    method (e.g. SquaredEuclidean), like the reference.
+    """
+
+    def __init__(self, D, gamma: float = 1.0):
+        self.D = D.compute() if hasattr(D, "compute") else np.asarray(D)
+        self.D = self.D.astype(np.float64)
+        self.gamma = float(gamma)
+        self.computed = False
+
+    def compute(self) -> float:
+        m, n = self.D.shape
+        self.R_ = _sdtw_forward(self.D, self.gamma)
+        self.computed = True
+        return float(self.R_[m, n])
+
+    def grad(self) -> np.ndarray:
+        if not self.computed:
+            raise ValueError("Needs to call compute() first.")
+        return _sdtw_backward(self.D, self.R_, self.gamma)
 
 
 def soft_dtw_grad(s1, s2, gamma: float = 1.0):

@@ -26,6 +26,12 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, S
 
 from tslearn_spark import kernels as K
 
+# reference metric registries (tslearn/metrics/__init__.py:28-29): the
+# metric names accepted by estimators, all of which tolerate
+# variable-length inputs in this engine too
+TSLEARN_VALID_METRICS = ["ctw", "dtw", "gak", "sax", "softdtw", "lcss"]
+VARIABLE_LENGTH_METRICS = ["ctw", "dtw", "gak", "sax", "softdtw", "lcss"]
+
 __all__ = [
     "pair_metric_udf",
     "cross_pairs",
