@@ -609,6 +609,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(t["documents"], bits=32)
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads
+    (pipeline/multimodal.py:48-89).  Media table synthesized from the
+    documents table (payload = UTF-8 bytes); the deterministic sha256
+    fake decode is replayed byte-for-byte by the DuckDB oracle, so the
+    mapInPandas plumbing (binary column -> Arrow -> features) is
+    hash-gated, not just rows-only."""
+    from tslearn_spark.pipeline.multimodal import extract_features
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pipeline/multimodal.py:92-103):
+    metadata-bounded sequence explode, one row per sampled frame."""
+    from tslearn_spark.pipeline.multimodal import frame_sample
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.octet_length("text") * 10).cast("int").alias("duration_ms"),
+    )
+    return frame_sample(media, every_ms=500)
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import language_id
 
@@ -930,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "multimodal_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_token_counts": text_token_counts,
@@ -1043,6 +1082,29 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
               FROM customer
             ) t WHERE rnk <= 5
+        """,
+        # multimodal: the deterministic sha256 fake decode replays exactly —
+        # feat_vec bytes are the digest repeated twice, so population
+        # mean/std over the 64 values equal those over the 32 hash bytes
+        "multimodal_features": """
+            WITH b AS (SELECT doc_id AS media_id, sha256(text) AS h
+                       FROM documents),
+            v AS (
+              SELECT media_id,
+                     ('0x' || substr(h, 2 * i.i + 1, 2))::INT / 255.0 AS byte
+              FROM b, range(32) i(i)
+            )
+            SELECT media_id,
+                   round(avg(byte), 6) AS feat_mean,
+                   round(stddev_pop(byte), 6) AS feat_std
+            FROM v GROUP BY media_id
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(
+                       0, greatest(octet_length(encode(text)) * 10 - 1, 0), 500
+                   ))::INT AS frame_ts_ms
+            FROM documents WHERE doc_id % 3 = 0
         """,
         # streaming tumbling-window PAA exercised in batch mode: the same
         # tumbling group-by is plain SQL (Spark 1-hour windows align to
