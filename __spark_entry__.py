@@ -646,6 +646,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=500)
 
 
+def stream_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen-wins dedup, exercised in batch mode (the
+    stateful operator's batch twin — streaming/__init__.py).  Returns
+    the surviving doc ids."""
+    from tslearn_spark.streaming import stream_exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    return stream_exact_dedup(t["documents"]).select("doc_id")
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import language_id
 
@@ -999,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_kmeans_predict": kernel_kmeans_predict,
         "ann_lsh_topk": ann_lsh_topk,
         "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
+        "stream_exact_dedup_batch": stream_exact_dedup_batch,
     }
 
 
@@ -1105,6 +1116,13 @@ def oracle_sql() -> dict[str, str]:
                        0, greatest(octet_length(encode(text)) * 10 - 1, 0), 500
                    ))::INT AS frame_ts_ms
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        # streaming first-seen dedup in batch mode: survivor = min doc_id
+        # per normalized-content hash (md5 collisions are content-equal at
+        # these scales for both engines)
+        "stream_exact_dedup_batch": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(lower(trim(text)))
         """,
         # streaming tumbling-window PAA exercised in batch mode: the same
         # tumbling group-by is plain SQL (Spark 1-hour windows align to

@@ -299,6 +299,36 @@ class TestStreamingBatch:
             m2 += d * (v - mean)
         assert got[base + datetime.timedelta(seconds=30)][1]  # spike flagged
 
+    def test_stream_exact_dedup_stateful(self, spark, tmp_path):
+        """First-seen-wins dedup over a real stream: duplicate payloads
+        across micro-batches are dropped by the per-hash state."""
+        from tslearn_spark.streaming import stream_exact_dedup
+
+        rows = [
+            (0, "alpha text"), (1, "beta text"), (2, "alpha text"),
+            (3, "  ALPHA TEXT "), (4, "gamma text"), (5, "beta text"),
+        ]
+        src_dir = str(tmp_path / "dsrc")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        out = stream_exact_dedup(stream)
+        q = (
+            out.writeStream.format("memory").queryName("dedup_s")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_s").collect()}
+        assert got == {0, 1, 4}  # 2/3 dup alpha (normalized), 5 dup beta
+
+    def test_stream_exact_dedup_batch_twin(self, spark):
+        from tslearn_spark.streaming import stream_exact_dedup
+
+        rows = [(0, "a"), (1, "b"), (2, "a"), (3, "c"), (4, "b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"] for r in stream_exact_dedup(df).collect()}
+        assert got == {0, 1, 3}
+
     def test_sessions(self, spark):
         import datetime
 

@@ -146,6 +146,68 @@ def stream_running_zscore(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — first-seen wins, per content hash.
+
+    The streaming twin of ``pipeline.dedup.exact_duplicates``: state per
+    md5(normalized text) is the single first-seen doc id (one long per
+    distinct content — the minimum possible dedup state), and only
+    first-seen documents are emitted downstream.  Late duplicates are
+    dropped forever; a training-data ingest pipeline puts this right
+    after the source so duplicate payloads never reach feature
+    extraction.
+
+    Batch twin for validation (same first-seen-by-min-id semantics on a
+    static frame): the ``stream_exact_dedup_batch`` driver query.  Works
+    on batch DataFrames via groupBy(hash) -> min id when the input is
+    not streaming.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.col(text_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h"),
+    )
+    if not docs.isStreaming:
+        # batch mode: first-seen = smallest id per hash, same output schema
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+        return (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, text_col)
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{id_col} long, {text_col} string"
+    state_schema = "first_id long"
+
+    def keep_first(key, pdfs, state: GroupState):
+        if state.exists:
+            yield pd.DataFrame(columns=[id_col, text_col])
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf[id_col].idxmin()]
+            if best is None or row[id_col] < best[id_col]:
+                best = row
+        if best is None:
+            yield pd.DataFrame(columns=[id_col, text_col])
+            return
+        state.update((int(best[id_col]),))
+        yield pd.DataFrame({id_col: [best[id_col]], text_col: [best[text_col]]})
+
+    return hashed.groupBy("_h").applyInPandasWithState(
+        keep_first, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_session_stats(
     events: DataFrame,
     gap: str = "5 minutes",
