@@ -25,6 +25,19 @@ SAX_ALPHABET = 4
 SAX_SEGMENTS = 8
 _BPS = [float(x) for x in sax_breakpoints(SAX_ALPHABET)]  # [-0.6744..., 0.0, 0.6744...]
 
+# MINDIST gap^2 lookup: G[a][b] = (bp[max-1] - bp[min])^2 if |a-b| > 1 else 0.
+# Precomputed in Python and inlined as the SAME literal doubles in the Spark
+# query and the DuckDB oracle, so neither engine evaluates pow() at all and
+# the round-1 CollapseProject lesson (shared subexpressions re-evaluated per
+# element) cannot bite.
+_SAX_GAP2 = [
+    [
+        (_BPS[max(a, b) - 1] - _BPS[min(a, b)]) ** 2 if abs(a - b) > 1 else 0.0
+        for b in range(SAX_ALPHABET)
+    ]
+    for a in range(SAX_ALPHABET)
+]
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -129,7 +142,7 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 4) AS avg_value,
+               floor(round(sum(value), 4) / count(*) * 1e4 + 0.5) / 1e4 AS avg_value,
                count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
@@ -185,28 +198,28 @@ def orders_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time-series operators over the events table (SURVEY.md §2.2/2.3/2.4/2.6)
 # ---------------------------------------------------------------------------
 
-def ts_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimeSeriesScalerMeanVariance on the nested layout, exploded back to
-    long for the oracle (preprocessing.py:204-298)."""
-    from tslearn_spark.preprocessing import transform_mean_variance
+def ts_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeriesScalerMeanVariance + TimeSeriesScalerMinMax on the nested
+    layout, exploded back to long for the oracle (preprocessing.py:204-298).
+    One query covers both scalers (driver caps the board at 50 queries)."""
+    from tslearn_spark.preprocessing import transform_mean_variance, transform_min_max
 
     ts = _events_series(spark, sf_dir)
-    z = transform_mean_variance(ts, out_col="zvalues")
-    return z.select(
-        F.col("series_id").alias("user_id"),
-        F.posexplode("zvalues").alias("t", "point"),
-    ).select("user_id", "t", F.round(F.col("point")[0], 6).alias("zvalue"))
-
-
-def ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tslearn_spark.preprocessing import transform_min_max
-
-    ts = _events_series(spark, sf_dir)
-    z = transform_min_max(ts, out_col="mvalues")
-    return z.select(
-        F.col("series_id").alias("user_id"),
-        F.posexplode("mvalues").alias("t", "point"),
-    ).select("user_id", "t", F.round(F.col("point")[0], 6).alias("mvalue"))
+    both = transform_min_max(
+        transform_mean_variance(ts, out_col="zvalues"), out_col="mvalues"
+    )
+    return (
+        both.select(
+            F.col("series_id").alias("user_id"),
+            F.arrays_zip("zvalues", "mvalues").alias("zm"),
+        )
+        .select("user_id", F.posexplode("zm").alias("t", "p"))
+        .select(
+            "user_id", "t",
+            F.round(F.col("p.zvalues")[0], 6).alias("zvalue"),
+            F.round(F.col("p.mvalues")[0], 6).alias("mvalue"),
+        )
+    )
 
 
 def ts_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,29 +243,29 @@ def ts_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ts_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PAA segment means, 8 segments/user (piecewise.py:143-153)."""
-    from tslearn_spark.piecewise import paa_col
-
-    ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
-    paa = ts.select("series_id", paa_col("values", SAX_SEGMENTS).alias("paa"))
-    return paa.select(
-        F.col("series_id").alias("user_id"), F.posexplode("paa").alias("seg", "m")
-    ).select("user_id", "seg", F.round(F.col("m")[0], 6).alias("seg_mean"))
-
-
-def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """z-scale + PAA + Gaussian-breakpoint quantization (piecewise.py:261-505)."""
-    from tslearn_spark.piecewise import SAX
+def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA segment means on the raw series (piecewise.py:143-153) joined
+    with the SAX symbols of the z-scaled series (piecewise.py:261-505) —
+    one query covers both operators at the same (user, seg) grain."""
+    from tslearn_spark.piecewise import SAX, paa_col
     from tslearn_spark.preprocessing import transform_mean_variance
 
     ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
+    paa = (
+        ts.select("series_id", paa_col("values", SAX_SEGMENTS).alias("paa"))
+        .select("series_id", F.posexplode("paa").alias("seg", "m"))
+        .select("series_id", "seg", F.round(F.col("m")[0], 6).alias("seg_mean"))
+    )
     z = transform_mean_variance(ts)
     sax = SAX(n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET).fit(z)
-    out = sax.transform(z)
-    return out.select(
-        F.col("series_id").alias("user_id"), F.posexplode("sax").alias("seg", "s")
-    ).select("user_id", "seg", F.col("s")[0].cast("int").alias("symbol"))
+    sym = (
+        sax.transform(z)
+        .select("series_id", F.posexplode("sax").alias("seg", "s"))
+        .select("series_id", "seg", F.col("s")[0].cast("int").alias("symbol"))
+    )
+    return paa.join(sym, ["series_id", "seg"]).select(
+        F.col("series_id").alias("user_id"), "seg", "seg_mean", "symbol"
+    )
 
 
 def ts_barycenter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,10 +344,7 @@ def ts_sax_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"""
                     aggregate(zip_with(sax1, sax2, (r1, r2) ->
                       aggregate(zip_with(r1, r2, (a, b) ->
-                        CASE WHEN abs(a - b) > 1
-                             THEN pow({_bp_arr()}[greatest(a, b) - 1]
-                                      - {_bp_arr()}[least(a, b)], 2)
-                             ELSE 0.0D END),
+                        {_gap2_arr()}[CAST(a AS INT)][CAST(b AS INT)]),
                         0.0D, (acc, z) -> acc + z)),
                       0.0D, (acc, s) -> acc + s)
                     """
@@ -346,8 +356,20 @@ def ts_sax_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bp_arr() -> str:
-    return "array(" + ", ".join(f"{b!r}D" for b in _BPS) + ")"
+def _gap2_arr() -> str:
+    """Spark SQL literal for _SAX_GAP2 (constant-folded to one Literal)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in _SAX_GAP2
+    )
+    return f"array({rows})"
+
+
+def _gap2_duck() -> str:
+    """DuckDB list literal for _SAX_GAP2 (same doubles, 1-based indexing)."""
+    rows = ", ".join(
+        "[" + ", ".join(f"{v!r}" for v in row) + "]" for row in _SAX_GAP2
+    )
+    return f"[{rows}]"
 
 
 def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,7 +520,8 @@ def events_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT user_id, event_id,
                round(sum(value) OVER w, 4) AS cum_sum,
-               round(avg(value) OVER w, 6) AS cum_avg,
+               floor(round(sum(value) OVER w, 4) / (count(*) OVER w) * 1e6 + 0.5)
+                 / 1e6 AS cum_avg,
                round(min(value) OVER w, 6) AS cum_min,
                round(max(value) OVER w, 6) AS cum_max
         FROM events
@@ -664,11 +687,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tslearn_spark.pipeline import quality_scores
+    """Quality scoring + token counting in one doc_id-grain query (the
+    driver caps the board at 50 queries; both operators stay hash-gated)."""
+    from tslearn_spark.pipeline import quality_scores, token_counts
 
     t = load_tables(spark, sf_dir)
-    q = quality_scores(t["documents"])
-    return q.select(
+    q = quality_scores(t["documents"]).select(
         "doc_id", "n_chars_q", "n_words",
         F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
@@ -676,13 +700,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("digit_ratio", 6).alias("digit_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
-
-
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tslearn_spark.pipeline import token_counts
-
-    t = load_tables(spark, sf_dir)
-    return token_counts(t["documents"])
+    tc = token_counts(t["documents"]).select("doc_id", "n_ws_tokens", "n_subwords")
+    return q.join(tc, "doc_id")
 
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,8 +970,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: the driver's correctness gate runs at most 50
+    queries in registration order (r3 cut entries 51-53), so all 40 oracled
+    queries come first and the 10 rows-only iterative/model queries last —
+    a count or time cap then costs only the weakest checks."""
     return {
-        # relational passthrough
+        # relational passthrough (oracled)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -961,16 +984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": part_brand_stats,
         "nation_order_rollup": nation_order_rollup,
         "orders_priority_dist": orders_priority_dist,
-        # time-series operators
-        "ts_znorm": ts_znorm,
-        "ts_minmax": ts_minmax,
+        # time-series operators (oracled)
+        "ts_scale": ts_scale,
         "ts_envelope": ts_envelope,
-        "ts_paa": ts_paa,
-        "ts_sax": ts_sax,
+        "ts_paa_sax": ts_paa_sax,
         "ts_barycenter": ts_barycenter,
         "ts_resample": ts_resample,
         "ts_paa_dist_pairs": ts_paa_dist_pairs,
-        # data-pipeline operators
+        # data-pipeline operators (oracled)
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_canonical": dedup_canonical,
@@ -981,10 +1002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "text_langid": text_langid,
         "text_quality": text_quality,
-        "text_token_counts": text_token_counts,
         "text_fingerprints": text_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
-        # similarity joins + relational extensions (SQL-expressible)
+        "ann_lsh_topk": ann_lsh_topk,
+        # streaming batch twins (oracled)
+        "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
+        "stream_exact_dedup_batch": stream_exact_dedup_batch,
+        # similarity joins + relational extensions (oracled)
         "ts_sax_dist_pairs": ts_sax_dist_pairs,
         "ts_lb_keogh_pairs": ts_lb_keogh_pairs,
         "events_running_zscore": events_running_zscore,
@@ -995,21 +1019,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean_16": knn_euclidean_16,
         "knn_sax_classify": knn_sax_classify,
         "silhouette_euclidean_16": silhouette_euclidean_16,
-        # non-SQL-expressible (rows-only)
-        "kshape_clusters": kshape_clusters,
-        "knn_dtw_classify": knn_dtw_classify,
-        "svc_gak_classify": svc_gak_classify,
-        "shapelet_transform": shapelet_transform,
-        "mlp_classify": mlp_classify,
         "matrix_profile_events": matrix_profile_events,
+        # non-SQL-expressible (rows-only), heaviest last
         "cdist_dtw_sample": cdist_dtw_sample,
         "metrics_pair_sample": metrics_pair_sample,
         "dba_barycenter_sample": dba_barycenter_sample,
+        "knn_dtw_classify": knn_dtw_classify,
+        "mlp_classify": mlp_classify,
+        "shapelet_transform": shapelet_transform,
+        "svc_gak_classify": svc_gak_classify,
+        "kshape_clusters": kshape_clusters,
         "kmeans_euclidean_clusters": kmeans_euclidean_clusters,
         "kernel_kmeans_predict": kernel_kmeans_predict,
-        "ann_lsh_topk": ann_lsh_topk,
-        "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
-        "stream_exact_dedup_batch": stream_exact_dedup_batch,
     }
 
 
@@ -1138,7 +1159,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts)::VARCHAR AS hour,
                    event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value,
-                   round(avg(value), 4) AS avg_value,
+                   -- avg from the ROUNDED sum: raw avg() differs by 1 ulp
+                   -- across engines (summation order) and the 2-decimal
+                   -- event values park averages exactly on round-4
+                   -- boundaries; round-4 of the sum is boundary-free, and
+                   -- from there both engines do identical IEEE arithmetic
+                   floor(round(sum(value), 4) / count(*) * 1e4 + 0.5) / 1e4
+                     AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
@@ -1164,26 +1191,20 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(o_totalprice), 4) AS avg_total
             FROM orders GROUP BY o_orderpriority
         """,
-        "ts_znorm": f"""
+        "ts_scale": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),
             st AS (
               SELECT user_id, avg(value) AS mu,
                      CASE WHEN stddev_pop(value) = 0 OR stddev_pop(value) IS NULL
-                          THEN 1.0 ELSE stddev_pop(value) END AS sd
-              FROM s GROUP BY user_id
-            )
-            SELECT s.user_id, s.t::INT AS t, round((s.value - st.mu) / st.sd, 6) AS zvalue
-            FROM s JOIN st ON s.user_id = st.user_id
-        """,
-        "ts_minmax": f"""
-            WITH s AS ({_EVENTS_LONG_SQL}),
-            st AS (
-              SELECT user_id, min(value) AS mn,
+                          THEN 1.0 ELSE stddev_pop(value) END AS sd,
+                     min(value) AS mn,
                      CASE WHEN max(value) - min(value) = 0 THEN 1.0
                           ELSE max(value) - min(value) END AS rng
               FROM s GROUP BY user_id
             )
-            SELECT s.user_id, s.t::INT AS t, round((s.value - st.mn) / st.rng, 6) AS mvalue
+            SELECT s.user_id, s.t::INT AS t,
+                   round((s.value - st.mu) / st.sd, 6) AS zvalue,
+                   round((s.value - st.mn) / st.rng, 6) AS mvalue
             FROM s JOIN st ON s.user_id = st.user_id
         """,
         "ts_envelope": f"""
@@ -1195,17 +1216,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY t
                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         """,
-        "ts_paa": f"""
-            WITH s AS ({_EVENTS_LONG_SQL}),
-            sz AS (SELECT user_id, count(*) AS n FROM s GROUP BY user_id
-                   HAVING count(*) >= {seg})
-            SELECT s.user_id, (s.t // (sz.n // {seg}))::INT AS seg,
-                   round(avg(s.value), 6) AS seg_mean
-            FROM s JOIN sz ON s.user_id = sz.user_id
-            WHERE s.t < (sz.n // {seg}) * {seg}
-            GROUP BY s.user_id, s.t // (sz.n // {seg})
-        """,
-        "ts_sax": f"""
+        "ts_paa_sax": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),
             st AS (
               SELECT user_id, avg(value) AS mu,
@@ -1213,6 +1224,13 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1.0 ELSE stddev_pop(value) END AS sd,
                      count(*) AS n
               FROM s GROUP BY user_id HAVING count(*) >= {seg}
+            ),
+            praw AS (
+              SELECT s.user_id, (s.t // (st.n // {seg}))::INT AS seg,
+                     round(avg(s.value), 6) AS seg_mean
+              FROM s JOIN st ON s.user_id = st.user_id
+              WHERE s.t < (st.n // {seg}) * {seg}
+              GROUP BY s.user_id, s.t // (st.n // {seg})
             ),
             z AS (
               SELECT s.user_id, s.t, (s.value - st.mu) / st.sd AS z, st.n
@@ -1222,12 +1240,16 @@ def oracle_sql() -> dict[str, str]:
             paa AS (
               SELECT user_id, (t // (n // {seg}))::INT AS seg, avg(z) AS m
               FROM z GROUP BY user_id, t // (n // {seg})
+            ),
+            sym AS (
+              SELECT user_id, seg,
+                     (CASE WHEN m >= {bp[0]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[1]!r} THEN 1 ELSE 0 END
+                      + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
+              FROM paa
             )
-            SELECT user_id, seg,
-                   (CASE WHEN m >= {bp[0]!r} THEN 1 ELSE 0 END
-                    + CASE WHEN m >= {bp[1]!r} THEN 1 ELSE 0 END
-                    + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
-            FROM paa
+            SELECT praw.user_id, praw.seg, praw.seg_mean, sym.symbol
+            FROM praw JOIN sym ON praw.user_id = sym.user_id AND praw.seg = sym.seg
         """,
         "ts_barycenter": f"""
             WITH s AS ({_EVENTS_LONG_SQL})
@@ -1413,12 +1435,7 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
                          / greatest(length(text), 1), 6) AS digit_ratio,
                    round(len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) * 1.0
-                         / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
-            FROM documents
-        """,
-        "text_token_counts": f"""
-            SELECT doc_id,
-                   len({_TOKS})::INT AS n_words,
+                         / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
                    len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))::INT
                      AS n_ws_tokens,
                    list_aggregate(
@@ -1463,16 +1480,11 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN m >= {bp[2]!r} THEN 1 ELSE 0 END) AS symbol
               FROM paa
             )
-            -- MINDIST: DuckDB lists are 1-based, so bp[max] here equals the
-            -- 0-based bp[max-1] of the Spark expression
+            -- MINDIST via the precomputed gap^2 lookup (same literals as
+            -- the Spark side; DuckDB lists are 1-based)
             SELECT a.user_id AS id1, b.user_id AS id2,
                    round(sqrt(sum(
-                     CASE WHEN abs(a.symbol - b.symbol) > 1
-                          THEN pow([{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
-                                     [greatest(a.symbol, b.symbol)]
-                                   - [{bp[0]!r}, {bp[1]!r}, {bp[2]!r}]
-                                     [least(a.symbol, b.symbol) + 1], 2)
-                          ELSE 0.0 END
+                     {_gap2_duck()}[a.symbol + 1][b.symbol + 1]
                    ) * max(a.n) / {float(seg)}), 6) AS sax_dist
             FROM sym a JOIN sym b ON a.seg = b.seg AND a.user_id < b.user_id
             GROUP BY a.user_id, b.user_id
@@ -1567,8 +1579,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             numbered AS (
               SELECT user_id, ts, value,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                            ROWS UNBOUNDED PRECEDING) AS session_no
+                     -- ::BIGINT: DuckDB's sum(int) is INT128 and would hash
+                     -- as a float; Spark's window sum is BIGINT
+                     (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING))::BIGINT
+                       AS session_no
               FROM flagged
             )
             SELECT user_id, session_no, count(*) AS n_events,
@@ -1605,7 +1620,10 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative": """
             SELECT user_id, event_id,
                    round(sum(value) OVER w, 4) AS cum_sum,
-                   round(avg(value) OVER w, 6) AS cum_avg,
+                   -- see events_hourly_stats: divide the rounded sum so both
+                   -- engines round identical IEEE quotients
+                   floor(round(sum(value) OVER w, 4) / (count(*) OVER w) * 1e6 + 0.5)
+                     / 1e6 AS cum_avg,
                    round(min(value) OVER w, 6) AS cum_min,
                    round(max(value) OVER w, 6) AS cum_max
             FROM events

@@ -28,9 +28,8 @@ BENCH_QUERIES = [
     "events_hourly_stats",
     "top_customers_per_segment",
     # time-series operators (SQL-native path)
-    "ts_znorm",
-    "ts_paa",
-    "ts_sax",
+    "ts_scale",
+    "ts_paa_sax",
     "ts_envelope",
     "ts_barycenter",
     "ts_resample",
