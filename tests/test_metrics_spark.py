@@ -291,6 +291,52 @@ class TestClustering:
         pred = {r["series_id"]: r["cluster"] for r in ks.predict(df).collect()}
         assert len(set(pred.values())) == 2
 
+    @staticmethod
+    def _sign_fixture():
+        """Members whose aligned matrix makes the reference's NON-squared
+        sign criterion (kshape.py:132-133) disagree with the squared
+        sufficient-statistics shortcut — found by deterministic search;
+        pins that shape extraction follows the reference criterion."""
+        rs = np.random.RandomState(2683)
+        sz = int(rs.choice([8, 12, 16]))
+        n = rs.randint(3, 9)
+        t = np.arange(sz)
+        base = np.sin(2 * np.pi * t / sz * rs.randint(1, 3))
+        members = []
+        for _ in range(n):
+            scale = 10 ** rs.uniform(-1.5, 1.5)
+            w = base * rs.choice([-1, 1]) * rs.uniform(0, 2) + rs.randn(sz) * rs.uniform(0.1, 3)
+            members.append((w * scale).reshape(-1, 1))
+        return members, base.reshape(-1, 1)
+
+    def test_kshape_sign_criterion_exact(self, spark):
+        """Shape-extraction sign follows kshape.py:132-133 (sum of
+        non-squared member norms), on a fixture where the squared
+        criterion decides the OPPOSITE sign; local and distributed paths
+        agree."""
+        from tslearn_spark.clustering import KShape
+
+        members, center = self._sign_fixture()
+        aligned = K.y_shifted_sbd_vec(center, members)
+        X = np.stack([a[:, 0] for a in aligned])
+        mu = KShape._solve_mu(X.T @ X)
+        d_plus, d_minus = KShape._sign_dists(X, mu)
+        flip_ref = d_minus < d_plus
+        flip_sq = ((X + mu) ** 2).sum() < ((X - mu) ** 2).sum()
+        assert flip_ref != flip_sq  # fixture genuinely discriminates
+        mu_signed = -mu if flip_ref else mu
+        expected = (mu_signed - mu_signed.mean()) / mu_signed.std()
+
+        got_local = KShape._shape_extraction(members, center)
+        np.testing.assert_allclose(got_local[:, 0], expected, atol=1e-9)
+
+        df = DS.dataset_to_df(spark, [m[:, 0] for m in members]).withColumn(
+            "cluster", F.lit(0)
+        ).repartition(4)
+        ks = KShape(n_clusters=1)
+        got_dist = ks._extract_shapes(df, [center])[0]
+        np.testing.assert_allclose(got_dist[:, 0], expected, atol=1e-9)
+
     def test_silhouette_range(self, spark):
         from tslearn_spark.clustering import silhouette_score
 

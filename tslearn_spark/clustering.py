@@ -290,34 +290,29 @@ class KShape:
         )
 
     @staticmethod
-    def _solve_shape(S: np.ndarray, sum_x: np.ndarray, ss: float, n: int) -> np.ndarray:
-        """Finish shape extraction from sufficient statistics.
-
-        kshape.py:118-137 solves the Rayleigh quotient of S = X'X on
-        centered aligned data.  Everything it needs reduces to
-        (S, sum_x, sum||x||^2, n), so the members themselves never have
-        to be co-located.  Sign fix: compare ||X - mu||_F vs ||X + mu||_F
-        summed over ALL aligned members — expanded, the squared norms are
-        ss -+ 2*sum_x.mu + n*||mu||^2.
-
-        DELIBERATE DEVIATION from the reference: kshape.py:132-133 sums
-        NON-squared per-member norms (sum_i ||x_i - mu||), which is not
-        expressible from these sufficient statistics.  The two criteria
-        agree unless member distances are heterogeneous enough that the
-        sqrt reweighting flips the comparison — rare in practice, but a
-        centroid sign may differ from the reference on such clusters and
-        can then propagate to later assignments.
-        """
+    def _solve_mu(S: np.ndarray) -> np.ndarray:
+        """Rayleigh-quotient eigenvector of the centered S = X'X
+        (kshape.py:118-131), sign not yet fixed.  S is a sufficient
+        statistic, so members never have to be co-located."""
         sz = S.shape[0]
         Q = np.eye(sz) - np.ones((sz, sz)) / sz
         M = Q.T @ S @ Q
         _, V = np.linalg.eigh(M)
-        mu = V[:, -1]
-        mu_sq = float(mu @ mu)
-        dist_plus = ss - 2.0 * float(sum_x @ mu) + n * mu_sq
-        dist_minus = ss + 2.0 * float(sum_x @ mu) + n * mu_sq
-        if dist_minus < dist_plus:
-            mu = -mu
+        return V[:, -1]
+
+    @staticmethod
+    def _sign_dists(X: np.ndarray, mu: np.ndarray) -> tuple[float, float]:
+        """The reference's exact sign criterion (kshape.py:132-133): sums
+        of NON-squared per-member norms sum_i ||x_i -+ mu||.  Unlike the
+        squared form it is not a function of (sum_x, ss), so the
+        distributed path pays one extra pass over the aligned members to
+        evaluate it exactly."""
+        d_plus = float(np.sqrt(((X - mu) ** 2).sum(axis=1)).sum())
+        d_minus = float(np.sqrt(((X + mu) ** 2).sum(axis=1)).sum())
+        return d_plus, d_minus
+
+    @staticmethod
+    def _finalize_mu(mu: np.ndarray) -> np.ndarray:
         mu = (mu - mu.mean()) / (mu.std() if mu.std() > 0 else 1.0)
         return mu.reshape(-1, 1)
 
@@ -326,7 +321,11 @@ class KShape:
         """Single-node variant (unit tests / tiny clusters)."""
         aligned = K.y_shifted_sbd_vec(center, members)
         X = np.stack([a[:, 0] for a in aligned])
-        return cls._solve_shape(X.T @ X, X.sum(0), float((X * X).sum()), X.shape[0])
+        mu = cls._solve_mu(X.T @ X)
+        d_plus, d_minus = cls._sign_dists(X, mu)
+        if d_minus < d_plus:
+            mu = -mu
+        return cls._finalize_mu(mu)
 
     @staticmethod
     def _shape_partials(centers: list[np.ndarray]):
@@ -334,7 +333,7 @@ class KShape:
         partial sufficient statistics of the aligned-member matrix.
 
         Map-side combine with NO shuffle of members: each task reduces its
-        own rows to a (sz*sz + sz + 2)-float row per cluster it sees; the
+        own rows to a (sz*sz + 1)-float row per cluster it sees; the
         driver sums ~n_partitions * k such rows.  This replaces the old
         per-cluster driver collect (the round-1 scale ceiling).
         """
@@ -357,36 +356,74 @@ class KShape:
                             "cluster": [c],
                             "n": [int(X.shape[0])],
                             "s_flat": [S.ravel().tolist()],
-                            "sum_x": [X.sum(0).tolist()],
-                            "ss": [float((X * X).sum())],
                         }
+                    )
+
+        return gen
+
+    @staticmethod
+    def _sign_partials(centers: list[np.ndarray], mus: dict[int, np.ndarray]):
+        """mapInPandas generator for the exact sign pass: per partition,
+        per cluster, the partial sums of the reference's non-squared sign
+        criterion (kshape.py:132-133) against the broadcast candidate mu.
+        Alignment is recomputed exactly as in _shape_partials, so the two
+        passes see the same aligned matrix."""
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for c, grp in pdf.groupby("cluster"):
+                    c = int(c)
+                    members = [
+                        np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                        for v in grp["values"]
+                    ]
+                    aligned = K.y_shifted_sbd_vec(centers[c], members)
+                    X = np.stack([a[:, 0] for a in aligned])
+                    d_plus, d_minus = KShape._sign_dists(X, mus[c])
+                    yield pd.DataFrame(
+                        {"cluster": [c], "d_plus": [d_plus], "d_minus": [d_minus]}
                     )
 
         return gen
 
     def _extract_shapes(self, assigned: DataFrame, centers) -> list[np.ndarray]:
         """Distributed shape extraction: partial stats per (partition,
-        cluster), eigenproblem on the driver from k (sz x sz) sums."""
+        cluster), eigenproblem on the driver from k (sz x sz) sums, then
+        one extra distributed pass evaluating the reference's exact
+        non-squared sign criterion (kshape.py:132-133) against the
+        candidate eigenvectors."""
         sz = centers[0].shape[0]
-        partials = assigned.select("cluster", "values").mapInPandas(
+        src = assigned.select("cluster", "values")
+        partials = src.mapInPandas(
             self._shape_partials(centers),
-            "cluster int, n long, s_flat array<double>, sum_x array<double>, ss double",
+            "cluster int, n long, s_flat array<double>",
         ).collect()
-        acc: dict[int, list] = {}
+        acc: dict[int, np.ndarray] = {}
         for r in partials:
             S = np.asarray(r["s_flat"], dtype=np.float64).reshape(sz, sz)
-            sx = np.asarray(r["sum_x"], dtype=np.float64)
-            ent = acc.setdefault(r["cluster"], [np.zeros((sz, sz)), np.zeros(sz), 0.0, 0])
-            ent[0] += S
-            ent[1] += sx
-            ent[2] += r["ss"]
-            ent[3] += r["n"]
-        new_centers = []
+            acc[r["cluster"]] = acc.get(r["cluster"], np.zeros((sz, sz))) + S
+        mus: dict[int, np.ndarray] = {}
         for c in range(self.n_clusters):
             if c not in acc:
                 raise EmptyClusterError()
-            S, sx, ss, n = acc[c]
-            new_centers.append(self._solve_shape(S, sx, ss, n))
+            mus[c] = self._solve_mu(acc[c])
+        sign_partials = src.mapInPandas(
+            self._sign_partials(centers, mus),
+            "cluster int, d_plus double, d_minus double",
+        ).collect()
+        dsum: dict[int, list[float]] = {c: [0.0, 0.0] for c in mus}
+        for r in sign_partials:
+            dsum[r["cluster"]][0] += r["d_plus"]
+            dsum[r["cluster"]][1] += r["d_minus"]
+        new_centers = []
+        for c in range(self.n_clusters):
+            mu = mus[c]
+            d_plus, d_minus = dsum[c]
+            if d_minus < d_plus:
+                mu = -mu
+            new_centers.append(self._finalize_mu(mu))
         return new_centers
 
     def fit(self, df: DataFrame) -> "KShape":
