@@ -155,27 +155,39 @@ class TimeSeriesKMeans:
         )
 
     def _update_centroids(self, assigned: DataFrame, centers) -> list[np.ndarray]:
-        new_centers = []
-        for c in range(self.n_clusters):
+        """Metric-matched barycenter per cluster (kmeans.py:544-600).
+
+        The k updates run CONCURRENTLY from a thread pool: each DBA /
+        soft-DTW update is a chain of Spark jobs over one cluster's
+        members, which underutilizes the cluster when run serially
+        (small clusters leave most executor slots idle).  Submitting
+        the k chains together lets the scheduler interleave their
+        stages, cutting Lloyd-iteration latency up to k-fold; results
+        keep cluster order, so fits are unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(c: int) -> np.ndarray:
             sub = assigned.where(F.col("cluster") == c).select("series_id", "values")
             if sub.limit(1).count() == 0:
                 raise EmptyClusterError()
             if self.metric == "dtw":
-                nc = dtw_barycenter_averaging(
+                return dtw_barycenter_averaging(
                     sub, init_barycenter=centers[c],
                     max_iter=self.max_iter_barycenter,
                 )
-            elif self.metric == "softdtw":
-                nc = softdtw_barycenter(
+            if self.metric == "softdtw":
+                return softdtw_barycenter(
                     sub, gamma=self.metric_params.get("gamma", 1.0),
                     init=centers[c], max_iter=self.max_iter_barycenter,
                 )
-            else:
-                from tslearn_spark.barycenters import euclidean_barycenter
+            from tslearn_spark.barycenters import euclidean_barycenter
 
-                nc = euclidean_barycenter(sub)
-            new_centers.append(nc)
-        return new_centers
+            return euclidean_barycenter(sub)
+
+        if self.n_clusters == 1:
+            return [one(0)]
+        with ThreadPoolExecutor(max_workers=min(self.n_clusters, 8)) as ex:
+            return list(ex.map(one, range(self.n_clusters)))
 
     def fit(self, df: DataFrame) -> "TimeSeriesKMeans":
         # spread across cores before caching: assignment UDF stages are
