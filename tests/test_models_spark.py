@@ -89,11 +89,43 @@ class TestMLP:
             spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
             "series_id",
         )
-        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(32,), max_iter=500,
-                                     lr=1e-2, random_state=0).fit(df)
+        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(32,), max_iter=200,
+                                     lr=2e-2, random_state=0).fit(df)
         pred = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
         err = np.mean([(pred[i] - ys[i]) ** 2 for i in range(30)])
         assert err < np.var(ys)  # beats predicting the mean
+
+    def test_regressor_distributed_parity(self, spark):
+        """The distributed full-batch Adam fit matches a driver-side
+        full-batch loop built from the same grad/Adam helpers — i.e. no
+        trainset collect, same math (float-association drift only)."""
+        from tslearn_spark.neural_network import _MLP, TimeSeriesMLPRegressor
+
+        rs = np.random.RandomState(7)
+        X = [rs.randn(5) for _ in range(24)]
+        ys = [float(x[0] - 2 * x[3]) for x in X]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(8,), max_iter=40,
+                                     lr=1e-2, random_state=0).fit(df)
+
+        Xm = np.array(X)
+        yarr = np.array(ys)
+        mu, sd = yarr.mean(), yarr.std()
+        yn = (yarr - mu) / sd
+        local = _MLP([5, 8, 1], classifier=False, lr=1e-2, max_iter=40, seed=0)
+        local.init()
+        state = local.adam_init()
+        for step in range(1, 41):
+            gWs, gbs = _MLP.grad_sums(local.Ws, local.bs, Xm, yn, classifier=False)
+            local.adam_step([g / 24 for g in gWs], [g / 24 for g in gbs], step, state)
+        expected = local.predict_raw(Xm).ravel() * sd + mu
+
+        pred = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        got = np.array([pred[i] for i in range(24)])
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
 
 
 class TestLabelCategorizer:

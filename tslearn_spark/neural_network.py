@@ -1,11 +1,12 @@
 """TimeSeriesMLPClassifier / Regressor — flatten + MLP.
 
 Reference: tslearn/neural_network/neural_network.py:9-168 (verbatim
-sklearn MLP on flattened (sz*d,) features).  No sklearn here, so a
-compact numpy MLP (ReLU hidden layers, Adam, softmax-CE / MSE loss)
-trains driver-side on collected features; inference is a distributed
-pandas UDF with broadcast weights — same split as the reference
-(sklearn trains in memory; prediction vectorizes).
+sklearn MLP on flattened (sz*d,) features).  The classifier delegates
+to MLlib's MultilayerPerceptronClassifier (distributed L-BFGS); the
+regressor (no MLlib twin) runs a distributed full-batch Adam loop —
+per-partition gradient-sum partials aggregated driver-side, the
+softdtw_barycenter treeAggregate pattern.  Inference is a distributed
+pandas UDF with broadcast weights.
 """
 
 from __future__ import annotations
@@ -41,36 +42,63 @@ class _MLP:
             acts.append(h)
         return acts
 
+    @staticmethod
+    def grad_sums(Ws, bs, X, y, classifier: bool):
+        """UN-normalized gradient sums over the rows of X — additive
+        across row blocks, so executor partials sum exactly to the
+        full-batch gradient (the treeAggregate trick)."""
+        acts = [X]
+        h = X
+        for i, (W, b) in enumerate(zip(Ws, bs)):
+            z = h @ W + b
+            h = np.maximum(z, 0.0) if i < len(Ws) - 1 else z
+            acts.append(h)
+        out = acts[-1]
+        if classifier:
+            p = np.exp(out - out.max(axis=1, keepdims=True))
+            p /= p.sum(axis=1, keepdims=True)
+            delta = p
+            delta[np.arange(len(X)), y.astype(int)] -= 1.0
+        else:
+            delta = out - y[:, None]
+        gWs, gbs = [], []
+        for i in range(len(Ws) - 1, -1, -1):
+            gWs.append(acts[i].T @ delta)
+            gbs.append(delta.sum(axis=0))
+            if i > 0:
+                delta = (delta @ Ws[i].T) * (acts[i] > 0)
+        return gWs[::-1], gbs[::-1]
+
+    def adam_init(self):
+        return {
+            "ms": [np.zeros_like(W) for W in self.Ws],
+            "vs": [np.zeros_like(W) for W in self.Ws],
+            "mbs": [np.zeros_like(b) for b in self.bs],
+            "vbs": [np.zeros_like(b) for b in self.bs],
+        }
+
+    def adam_step(self, gWs, gbs, step, state):
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for i in range(len(self.Ws)):
+            for g, m_, v_, t in ((gWs[i], state["ms"][i], state["vs"][i], self.Ws[i]),
+                                 (gbs[i], state["mbs"][i], state["vbs"][i], self.bs[i])):
+                m_ *= b1; m_ += (1 - b1) * g
+                v_ *= b2; v_ += (1 - b2) * g * g
+                t -= self.lr * (m_ / (1 - b1 ** step)) / (
+                    np.sqrt(v_ / (1 - b2 ** step)) + eps)
+
     def fit(self, X, y):
+        """Driver-side minibatch Adam (used by unit tests and as the
+        local twin of the distributed regressor fit)."""
         self.init()
         n = len(X)
         rs = np.random.RandomState(self.seed + 1)
-        ms = [np.zeros_like(W) for W in self.Ws]; vs = [np.zeros_like(W) for W in self.Ws]
-        mbs = [np.zeros_like(b) for b in self.bs]; vbs = [np.zeros_like(b) for b in self.bs]
-        b1, b2, eps = 0.9, 0.999, 1e-8
+        state = self.adam_init()
         for step in range(1, self.max_iter + 1):
             sel = rs.choice(n, size=min(self.batch_size, n), replace=False)
-            acts = self.forward(X[sel])
-            out = acts[-1]
-            if self.classifier:
-                p = np.exp(out - out.max(axis=1, keepdims=True))
-                p /= p.sum(axis=1, keepdims=True)
-                delta = p
-                delta[np.arange(len(sel)), y[sel]] -= 1.0
-            else:
-                delta = out - y[sel][:, None]
-            delta /= len(sel)
-            for i in range(len(self.Ws) - 1, -1, -1):
-                gW = acts[i].T @ delta
-                gb = delta.sum(axis=0)
-                if i > 0:
-                    delta = (delta @ self.Ws[i].T) * (acts[i] > 0)
-                for g, m_, v_, t in ((gW, ms[i], vs[i], self.Ws[i]),
-                                     (gb, mbs[i], vbs[i], self.bs[i])):
-                    m_ *= b1; m_ += (1 - b1) * g
-                    v_ *= b2; v_ += (1 - b2) * g * g
-                    t -= self.lr * (m_ / (1 - b1 ** step)) / (
-                        np.sqrt(v_ / (1 - b2 ** step)) + eps)
+            gWs, gbs = self.grad_sums(self.Ws, self.bs, X[sel], y[sel], self.classifier)
+            k = float(len(sel))
+            self.adam_step([g / k for g in gWs], [g / k for g in gbs], step, state)
         return self
 
     def predict_raw(self, X):
@@ -157,17 +185,78 @@ class TimeSeriesMLPClassifier(_MLPBase):
 
 
 class TimeSeriesMLPRegressor(_MLPBase):
-    """neural_network.py:108-168 twin."""
+    """neural_network.py:108-168 twin.
+
+    MLlib has no MLP regressor, so the fit is a distributed full-batch
+    Adam loop: weights are shipped in the task closure each step, every
+    partition reduces its rows to one flattened gradient-sum vector
+    (grad_sums is additive across row blocks), and the driver sums
+    ~n_partitions vectors and applies the Adam update — the same
+    treeAggregate shape as softdtw_barycenter (barycenters.py:274).
+    Nothing row-shaped ever reaches the driver; traffic per step is
+    O(n_partitions * n_weights)."""
 
     def fit(self, df: DataFrame, target_col: str = "y") -> "TimeSeriesMLPRegressor":
-        rows = df.select("series_id", "values", target_col).collect()
-        X = self._flatten(rows)
-        y = np.array([r[target_col] for r in rows], dtype=np.float64)
-        self._y_mean, self._y_std = float(y.mean()), float(y.std() or 1.0)
-        yn = (y - self._y_mean) / self._y_std
-        sizes = [X.shape[1], *self.hidden_layer_sizes, 1]
-        self.mlp_ = _MLP(sizes, classifier=False, lr=self.lr,
-                         max_iter=self.max_iter, seed=self.random_state).fit(X, yn)
+        flat = df.select(
+            F.flatten("values").alias("x"),
+            F.col(target_col).cast("double").alias("y"),
+        )
+        agg = flat.agg(
+            F.count("*").alias("n"), F.avg("y").alias("mu"),
+            F.coalesce(F.stddev_pop("y"), F.lit(0.0)).alias("sd"),
+        ).first()
+        n = int(agg["n"])
+        # one Spark job per Adam step: size partitions to the data
+        # (~10k rows each) so maxIter x n_partitions task overhead does
+        # not dominate small fits, as in the classifier's L-BFGS setup
+        sc = df.sparkSession.sparkContext
+        n_par = max(1, min(sc.defaultParallelism, n // 10_000 + 1))
+        flat = flat.repartition(n_par).cache()
+        self._y_mean = float(agg["mu"])
+        self._y_std = float(agg["sd"]) or 1.0
+        n_feat = int(flat.select(F.size("x").alias("k")).first()["k"])
+        sizes = [n_feat, *self.hidden_layer_sizes, 1]
+        mlp = _MLP(sizes, classifier=False, lr=self.lr,
+                   max_iter=self.max_iter, seed=self.random_state)
+        mlp.init()
+        state = mlp.adam_init()
+        mu, sd = self._y_mean, self._y_std
+        shapes = [W.shape for W in mlp.Ws]
+
+        def _unpack(vec):
+            gWs, gbs, off = [], [], 0
+            for a, b in shapes:
+                gWs.append(vec[off:off + a * b].reshape(a, b)); off += a * b
+            for _, b in shapes:
+                gbs.append(vec[off:off + b]); off += b
+            return gWs, gbs
+
+        for step in range(1, self.max_iter + 1):
+            Ws, bs = [W.copy() for W in mlp.Ws], [b.copy() for b in mlp.bs]
+
+            def _partial(batches, Ws=Ws, bs=bs):
+                acc = None
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+                    yn = (pdf["y"].to_numpy(dtype=np.float64) - mu) / sd
+                    gWs, gbs = _MLP.grad_sums(Ws, bs, X, yn, classifier=False)
+                    vec = np.concatenate(
+                        [g.ravel() for g in gWs] + [g for g in gbs]
+                    )
+                    acc = vec if acc is None else acc + vec
+                if acc is not None:
+                    yield pd.DataFrame({"g": [acc.tolist()]})
+
+            parts = flat.mapInPandas(_partial, "g array<double>").collect()
+            total = np.sum(
+                [np.asarray(r["g"], dtype=np.float64) for r in parts], axis=0
+            ) / float(n)
+            gWs, gbs = _unpack(total)
+            mlp.adam_step(gWs, gbs, step, state)
+        flat.unpersist()
+        self.mlp_ = mlp
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
