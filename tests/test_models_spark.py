@@ -189,3 +189,27 @@ class TestModelIO:
         p1 = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
         p2 = {r["series_id"]: r["cluster"] for r in km2.predict(df).collect()}
         assert p1 == p2
+
+    def test_unsupported_formats_fail_loudly(self, tmp_path):
+        """hdf5/pickle are rejected with the documented reason, both via
+        extension inference and the explicit fmt argument (reference
+        exposes all three at bases.py:164-287)."""
+        import pytest
+
+        from tslearn_spark.model_io import load_model, save_model
+        from tslearn_spark.piecewise import SAX
+
+        sax = SAX(n_segments=3, alphabet_size_avg=4)
+        with pytest.raises(NotImplementedError, match="HDF5"):
+            save_model(sax, str(tmp_path / "m.h5"))
+        with pytest.raises(NotImplementedError, match="HDF5"):
+            save_model(sax, str(tmp_path / "m.json"), fmt="hdf5")
+        with pytest.raises(ValueError, match="pickle.*rejected"):
+            save_model(sax, str(tmp_path / "m.pkl"))
+        with pytest.raises(ValueError, match="unknown model format"):
+            save_model(sax, str(tmp_path / "m.json"), fmt="msgpack")
+        # load side enforces the same matrix
+        save_model(sax, str(tmp_path / "m.json"))
+        with pytest.raises(NotImplementedError, match="HDF5"):
+            load_model(str(tmp_path / "m.json"), fmt="hdf5")
+        assert load_model(str(tmp_path / "m.json")).n_segments == 3

@@ -21,14 +21,33 @@ pickle                   no    intentionally rejected: not stable
                                model artifacts
 =======================  ====  ==================================
 
-Per-estimator support matches the reference: every estimator whose
-fitted state is numpy-representable round-trips (KMeans/KShape centers,
-SAX breakpoints, SVM dual coefs, MLP weights, shapelets, early-
-classification tensors).  Estimators whose fitted state is a DataFrame
-(KernelKMeans labels_, KNeighbors index) persist their small numpy side
-only — the DataFrame side is re-derivable and must be re-attached via
-fit/transform on load, mirroring the reference's refusal to pickle
-raw training data into HDF5 (bases.py:conv_blacklist).
+Per-estimator matrix (reference: each estimator inherits all three
+codecs from BaseModelPackage; here "json" is the one live codec):
+
+=========================  =========  ==============================
+estimator                  json       notes
+=========================  =========  ==============================
+TimeSeriesKMeans           yes        cluster_centers_, inertia_
+KShape                     yes        cluster_centers_, inertia_
+KernelKMeans               partial    numpy side only; labels_ is a
+                                      DataFrame — re-derive via fit
+SAX / OneDSAX              yes        breakpoints + segment params
+TimeSeriesSVC/SVR          yes        dual coefs, support vectors
+TimeSeriesMLPClassifier    no         MLlib model — use model_.save()
+                                      (Spark-native persistence)
+TimeSeriesMLPRegressor     yes        _MLP weight list
+LearningShapelets          yes        shapelet array + weights
+NonMyopicEarlyClassifier   yes        per-prefix tensors
+KNeighbors*                partial    hyper-params only; the index IS
+                                      the training DataFrame — refit
+=========================  =========  ==============================
+
+DataFrame-shaped state is never serialized, mirroring the reference's
+refusal to persist raw training data (bases.py:conv_blacklist).
+
+``save_model``/``load_model`` accept an explicit ``fmt`` or infer it
+from the extension; hdf5 and pickle fail loudly with the reason above
+rather than silently writing JSON.
 """
 
 from __future__ import annotations
@@ -82,7 +101,35 @@ def model_to_dict(model: Any) -> dict:
     }
 
 
-def save_model(model: Any, path: str) -> None:
+def _resolve_fmt(path: str, fmt: str | None) -> str:
+    """Map (path, fmt) to a codec, failing loudly on unsupported ones
+    (reference exposes to_json/to_hdf5/to_pickle at bases.py:164-287)."""
+    if fmt is None:
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else "json"
+        fmt = {"h5": "hdf5", "hdf5": "hdf5", "pkl": "pickle",
+               "pickle": "pickle"}.get(ext, "json")
+    fmt = fmt.lower()
+    if fmt == "hdf5":
+        raise NotImplementedError(
+            "HDF5 persistence is not available: h5py is absent in this "
+            "environment and the HDF5 payload would be the same "
+            "hyper/fitted-param dict JSON already stores — save with a "
+            ".json path instead (see model_io module docstring)."
+        )
+    if fmt == "pickle":
+        raise ValueError(
+            "pickle persistence is intentionally rejected: it is not "
+            "stable across Python/numpy versions and is a code-execution "
+            "vector for shared model artifacts — save with a .json path "
+            "instead (see model_io module docstring)."
+        )
+    if fmt != "json":
+        raise ValueError(f"unknown model format: {fmt!r} (only 'json' is supported)")
+    return fmt
+
+
+def save_model(model: Any, path: str, fmt: str | None = None) -> None:
+    _resolve_fmt(path, fmt)
     with open(path, "w") as f:
         json.dump(model_to_dict(model), f)
 
@@ -119,6 +166,7 @@ def model_from_dict(d: dict) -> Any:
     return model
 
 
-def load_model(path: str) -> Any:
+def load_model(path: str, fmt: str | None = None) -> Any:
+    _resolve_fmt(path, fmt)
     with open(path) as f:
         return model_from_dict(json.load(f))
