@@ -256,6 +256,30 @@ class TestMatrixProfile:
         exp = [6.8556, 1.4142, 6.1644, 7.9372, 11.4017, 13.5647, 18.0, 13.9642, 1.4142, 6.1644]
         np.testing.assert_allclose(got, exp, atol=1e-3)
 
+    @pytest.mark.parametrize("scale", [False, True])
+    def test_long_variant_matches_short(self, spark, scale):
+        """transform_long (chunked window self-join) reproduces the
+        single-task transform exactly, with block_size small enough to
+        force multiple blocks and cross-block pairs."""
+        from tslearn_spark import dataset as DS
+        from tslearn_spark import matrix_profile as MP
+
+        rs = np.random.RandomState(11)
+        series = [rs.randn(n).cumsum() for n in (70, 55, 33)]
+        df = DS.dataset_to_df(spark, series)
+        m = 8
+        short = {
+            r["series_id"]: r["profile"]
+            for r in MP.transform(df, m, scale=scale).collect()
+        }
+        long_ = {
+            r["series_id"]: r["profile"]
+            for r in MP.transform_long(df, m, scale=scale, block_size=16).collect()
+        }
+        assert set(short) == set(long_)
+        for sid in short:
+            np.testing.assert_allclose(long_[sid], short[sid], rtol=1e-9, atol=1e-9)
+
 
 class TestNormPPF:
     def test_breakpoint_goldens(self):
