@@ -679,17 +679,24 @@ def stream_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_exact_dedup(t["documents"]).select("doc_id")
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tslearn_spark.pipeline import language_id
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (pipeline/simsearch.py ivf_topk): the
+    deterministic lowest-id centroids let the DuckDB oracle replay the
+    assignment/probe/rerank chain bit-for-bit."""
+    from tslearn_spark.pipeline import ivf_topk
 
     t = load_tables(spark, sf_dir)
-    return language_id(t["documents"])
+    out = ivf_topk(t["embeddings"], t["embeddings"], k=5, n_lists=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting in one doc_id-grain query (the
-    driver caps the board at 50 queries; both operators stay hash-gated)."""
-    from tslearn_spark.pipeline import quality_scores, token_counts
+    """Quality scoring + token counting + language-ID in one doc_id-grain
+    query (the driver caps the board at 50 queries; all three operators
+    stay hash-gated)."""
+    from tslearn_spark.pipeline import language_id, quality_scores, token_counts
 
     t = load_tables(spark, sf_dir)
     q = quality_scores(t["documents"]).select(
@@ -701,7 +708,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
     tc = token_counts(t["documents"]).select("doc_id", "n_ws_tokens", "n_subwords")
-    return q.join(tc, "doc_id")
+    lang = language_id(t["documents"]).select("doc_id", "pred_lang", "score")
+    return q.join(tc, "doc_id").join(lang, "doc_id")
 
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,11 +1008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
-        "text_langid": text_langid,
         "text_quality": text_quality,
         "text_fingerprints": text_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         # streaming batch twins (oracled)
         "stream_tumbling_paa_batch": stream_tumbling_paa_batch,
         "stream_exact_dedup_batch": stream_exact_dedup_batch,
@@ -1402,29 +1410,26 @@ def oracle_sql() -> dict[str, str]:
                      AS simhash
             FROM bits GROUP BY doc_id
         """,
-        "text_langid": f"""
-            WITH tok AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ),
-            hits AS (
-              SELECT doc_id,
-                     len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) AS h_en,
-                     len(list_filter(toks, t -> list_contains({_DE_STOP}, t))) AS h_de,
-                     len(list_filter(toks, t -> list_contains({_FR_STOP}, t))) AS h_fr,
-                     len(list_filter(toks, t -> list_contains({_ES_STOP}, t))) AS h_es
-              FROM tok
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unknown'
-                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
-                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
-                        ELSE 'es' END AS pred_lang,
-                   greatest(h_en, h_de, h_fr, h_es)::INT AS score
-            FROM hits
-        """,
         "text_quality": f"""
-            SELECT doc_id,
+            WITH hits AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS h_en,
+                     len(list_filter({_TOKS}, t -> list_contains({_DE_STOP}, t))) AS h_de,
+                     len(list_filter({_TOKS}, t -> list_contains({_FR_STOP}, t))) AS h_fr,
+                     len(list_filter({_TOKS}, t -> list_contains({_ES_STOP}, t))) AS h_es
+              FROM documents
+            ),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unknown'
+                          WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                          WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                          ELSE 'es' END AS pred_lang,
+                     greatest(h_en, h_de, h_fr, h_es)::INT AS score
+              FROM hits
+            )
+            SELECT d.doc_id,
                    length(text)::INT AS n_chars_q,
                    len({_TOKS})::INT AS n_words,
                    round(length(text) * 1.0 / greatest(len({_TOKS}), 1), 6) AS mean_word_len,
@@ -1440,8 +1445,9 @@ def oracle_sql() -> dict[str, str]:
                      AS n_ws_tokens,
                    list_aggregate(
                      list_transform({_TOKS}, w -> ceil(length(w) / 4.0)::BIGINT),
-                     'sum')::BIGINT AS n_subwords
-            FROM documents
+                     'sum')::BIGINT AS n_subwords,
+                   lang.pred_lang, lang.score
+            FROM documents d JOIN lang ON lang.doc_id = d.doc_id
         """,
         "text_fingerprints": """
             -- range() needs constant bounds in DuckDB; 4096 safely exceeds
@@ -1772,6 +1778,68 @@ def oracle_sql() -> dict[str, str]:
               JOIN e a ON a.vec_id = cd.query_id
               JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
               GROUP BY cd.query_id, cd.neighbor_id
+            ),
+            cos AS (
+              SELECT query_id, neighbor_id,
+                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0
+                            ELSE na.nrm * nb.nrm END) AS cosine
+              FROM pair_dots
+              JOIN norms na ON na.vec_id = query_id
+              JOIN norms nb ON nb.vec_id = neighbor_id
+            ),
+            rk AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM cos
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+            FROM rk WHERE rank <= 5
+        """,
+        # IVF: centroids = 16 lowest-id vectors (deterministic quantizer,
+        # replayed exactly); assignment = argmax centroid cosine (ties ->
+        # lowest centroid id, matching np.argmax first-max); probes = top-4
+        # lists per query; exact rerank within probed lists
+        "ann_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+            cent_ids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 16),
+            ce AS (SELECT c.cid, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cid),
+            cnorm AS (SELECT cid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY cid),
+            simc AS (
+              SELECT e.vec_id, ce.cid,
+                     sum(e.v * ce.v)
+                       / (CASE WHEN n1.nrm * n2.nrm = 0 THEN 1.0
+                               ELSE n1.nrm * n2.nrm END) AS cos
+              FROM e JOIN ce ON ce.i = e.i
+              JOIN norms n1 ON n1.vec_id = e.vec_id
+              JOIN cnorm n2 ON n2.cid = ce.cid
+              GROUP BY e.vec_id, ce.cid, n1.nrm, n2.nrm
+            ),
+            ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM simc
+            ),
+            assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid AS list_id
+                       FROM ranked WHERE rn <= 4),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.list_id = p.list_id
+              WHERE a.vec_id != p.query_id
+            ),
+            pair_dots AS (
+              SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+              FROM cand c
+              JOIN e a ON a.vec_id = c.query_id
+              JOIN e b ON b.vec_id = c.neighbor_id AND b.i = a.i
+              GROUP BY c.query_id, c.neighbor_id
             ),
             cos AS (
               SELECT query_id, neighbor_id,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprints",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     # UDF kernel path
     "cdist_dtw_sample",
     "matrix_profile_events",

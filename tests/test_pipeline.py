@@ -202,6 +202,36 @@ class TestSimsearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5  # 8 tables x 4 bits on 50 vecs: should be high
 
+    def test_ivf_exhaustive_probe_is_exact(self, spark):
+        """n_probe == n_lists probes every inverted list, so IVF must
+        reproduce the brute-force ranking exactly."""
+        from tslearn_spark.pipeline import brute_force_topk, ivf_topk
+
+        df, _ = self.make_vecs(spark, n=40)
+        exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in brute_force_topk(df, df, k=3).collect()}
+        ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in ivf_topk(df, df, k=3, n_lists=8, n_probe=8).collect()}
+        assert ivf == exact
+
+    def test_ivf_recall_on_clustered_vectors(self, spark):
+        """With clustered vectors the true neighbor shares the query's
+        list, so a 2-of-8 probe keeps recall high while scoring a
+        fraction of the pairs."""
+        from tslearn_spark.pipeline import brute_force_topk, ivf_topk
+
+        rs = np.random.RandomState(3)
+        centers = rs.randn(8, 8) * 4
+        v = np.vstack([c + rs.randn(8, 8) * 0.2 for c in centers])
+        rows = [(int(i), v[i].tolist()) for i in range(len(v))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(df, df, k=1).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_topk(df, df, k=1, n_lists=8, n_probe=2).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):

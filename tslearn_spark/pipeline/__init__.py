@@ -28,6 +28,7 @@ from tslearn_spark.pipeline.text import (
 )
 from tslearn_spark.pipeline.simsearch import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -45,5 +46,6 @@ __all__ = [
     "token_counts",
     "document_fingerprints",
     "brute_force_topk",
+    "ivf_topk",
     "lsh_topk",
 ]

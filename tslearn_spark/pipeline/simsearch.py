@@ -118,6 +118,100 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    drop_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
+    scale path complementing lsh_topk's hyperplane buckets.
+
+    Structure: (1) coarse centroids; (2) one BLAS pass assigns every
+    candidate to its nearest centroid's inverted list (equi-joinable
+    ``list_id`` — cost |D| x n_lists, embarrassingly parallel); (3) each
+    query probes its ``n_probe`` nearest lists; (4) exact cosine re-rank
+    inside the probed lists only, so scored pairs drop to roughly
+    |D| x n_probe / n_lists per query instead of |D|.
+
+    Centroids default to the ``n_lists`` lowest-id candidate vectors — a
+    deterministic quantizer that a SQL oracle replays bit-for-bit, which
+    is what the driver's hash gate checks.  Production would train
+    k-means centroids (MLlib KMeans over the embedding column) and pass
+    them via ``centroids``; every stage downstream of the centroid
+    matrix is identical.
+
+    Ties break identically on both engines: assignment by lowest
+    centroid index, probe order and final rank by (cosine DESC, id ASC).
+    """
+    spark = candidates.sparkSession
+    if centroids is None:
+        rows = (
+            candidates.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        )
+        centroids = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    Cen = np.asarray(centroids, dtype=np.float64)
+    Cen = Cen / np.maximum(np.linalg.norm(Cen, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast(Cen)
+
+    def assign_gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ C.T
+            # argmax returns the FIRST max -> lowest centroid index on ties
+            pdf = pdf.assign(list_id=np.argmax(sims, axis=1).astype(np.int32))
+            yield pdf[[id_col, vec_col, "list_id"]]
+
+    def probe_gen(batches):
+        C = bc.value
+        np_ = min(n_probe, C.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ C.T
+            # stable argsort of -sims -> ties in ascending centroid order
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+            n = len(pdf)
+            out = pdf.iloc[np.repeat(np.arange(n), np_)][[id_col, vec_col]]
+            out = out.assign(list_id=order.ravel().astype(np.int32))
+            yield out
+
+    vec_t = candidates.schema[vec_col].dataType.simpleString()
+    lists = candidates.select(id_col, vec_col).mapInPandas(
+        assign_gen, f"{id_col} long, {vec_col} {vec_t}, list_id int"
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_gen, f"{id_col} long, {vec_col} {vec_t}, list_id int"
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "list_id")
+    pairs = lists.join(F.broadcast(probes), "list_id").select(
+        "query_id", "neighbor_id", "qv", "cv"
+    )
+    if drop_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cosine", cosine_pandas_udf()("qv", "cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rs = np.random.RandomState(seed)
     return rs.randn(bits, dim).tolist()
