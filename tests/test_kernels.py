@@ -237,6 +237,51 @@ class TestCTW:
         a, b = rs.randn(10, 2), rs.randn(12, 3)
         assert np.isfinite(ctw(a, b))
 
+    def test_cca_perfect_correlation(self):
+        """Analytic CCA corner case: two views that are invertible linear
+        maps of one latent have canonical correlation 1 and aligned
+        projections — the property sklearn's NIPALS would certify."""
+        from tslearn_spark.metrics.ctw import _cca_project
+
+        rs = np.random.RandomState(12)
+        Z = rs.randn(40, 2)
+        X = Z @ rs.randn(2, 3)           # view 1: latent -> 3 dims
+        Y = Z @ np.array([[2.0, -1.0], [0.5, 3.0]])  # view 2: invertible map
+        Xp, Yp, _, _ = _cca_project(X, Y, 2)
+        for c in range(2):
+            r = np.corrcoef(Xp[:, c], Yp[:, c])[0, 1]
+            assert abs(r) == pytest.approx(1.0, abs=1e-6)
+
+    def test_linear_map_invariance(self):
+        """ctw(X, X @ M) ~ 0 for invertible M: CCA must fully align
+        views that differ only by an invertible linear transform
+        (reference ctw.py's defining property)."""
+        from tslearn_spark.metrics.ctw import ctw
+
+        rs = np.random.RandomState(13)
+        X = rs.randn(15, 2).cumsum(axis=0)
+        M = np.array([[1.5, 0.3], [-0.2, 2.0]])
+        assert ctw(X, X @ M) == pytest.approx(0.0, abs=1e-5)
+
+    def test_ctw_le_dtw_on_shared_subspace(self):
+        """After CCA projection the DTW cost can only shrink relative to
+        DTW on z-scored raw features when a 1-d shared subspace explains
+        both views (fixpoint sanity, not a general theorem — fixture
+        chosen so the shared latent dominates)."""
+        from tslearn_spark.metrics.ctw import ctw_path
+
+        rs = np.random.RandomState(14)
+        t = np.linspace(0, 2 * np.pi, 20)
+        latent = np.sin(t)
+        X = np.stack([latent, 0.05 * rs.randn(20)], axis=1)
+        Y = np.stack([2.0 * latent + 0.05 * rs.randn(20),
+                      0.05 * rs.randn(20)], axis=1)
+        path, A, B, score = ctw_path(X, Y, n_components=1)
+        assert np.isfinite(score)
+        # the CCA directions must load on the latent (first) feature
+        assert abs(A[0, 0]) > 5 * abs(A[1, 0])
+        assert abs(B[0, 0]) > 5 * abs(B[1, 0])
+
 
 class TestHeuristics:
     def test_sigma_gamma_positive(self):
