@@ -146,6 +146,13 @@ def ivf_topk(
     them via ``centroids``; every stage downstream of the centroid
     matrix is identical.
 
+    Execution is ONE pass over the candidates (assignment and scoring
+    fused — no pair join, no vector pairs on the wire): each partition
+    assigns its rows to lists, runs one BLAS block per list against the
+    broadcast probing queries, and emits only its partial top-k per
+    query; the final window reduce sees O(q x k x partitions) scalar
+    rows, like brute_force_topk but with the per-list candidate cut.
+
     Ties break identically on both engines: assignment by lowest
     centroid index, probe order and final rank by (cosine DESC, id ASC).
     """
@@ -157,56 +164,62 @@ def ivf_topk(
         centroids = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     Cen = np.asarray(centroids, dtype=np.float64)
     Cen = Cen / np.maximum(np.linalg.norm(Cen, axis=1, keepdims=True), 1e-300)
-    bc = spark.sparkContext.broadcast(Cen)
 
-    def assign_gen(batches):
-        C = bc.value
+    # probes on the driver: queries are broadcastable by contract (same
+    # assumption as brute_force_topk); stable argsort -> ascending
+    # centroid index on ties
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(Qn @ Cen.T), axis=1, kind="stable")[:, : min(n_probe, len(Cen))]
+    probers = {
+        int(l): np.where((order == l).any(axis=1))[0] for l in range(len(Cen))
+    }
+    bc = spark.sparkContext.broadcast((q_ids, Qn, Cen, probers))
+
+    def score_gen(batches):
+        q_ids_b, Qn_b, C, probers_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            sims = Vn @ C.T
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
             # argmax returns the FIRST max -> lowest centroid index on ties
-            pdf = pdf.assign(list_id=np.argmax(sims, axis=1).astype(np.int32))
-            yield pdf[[id_col, vec_col, "list_id"]]
+            lists = np.argmax(Vn @ C.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for l in np.unique(lists):
+                qsel = probers_b.get(int(l))
+                if qsel is None or len(qsel) == 0:
+                    continue
+                rows = np.where(lists == l)[0]
+                sims = Vn[rows] @ Qn_b[qsel].T  # (n_list_cand, n_probing_q)
+                if drop_self:
+                    mask = cid[rows][:, None] == q_ids_b[qsel][None, :]
+                    sims = np.where(mask, -np.inf, sims)
+                kk = min(k, sims.shape[0])
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                for qi in range(sims.shape[1]):
+                    rr = part[:, qi]
+                    out_q.extend([q_ids_b[qsel[qi]]] * len(rr))
+                    out_n.extend(cid[rows[rr]])
+                    out_c.extend(sims[rr, qi])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                })
 
-    def probe_gen(batches):
-        C = bc.value
-        np_ = min(n_probe, C.shape[0])
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            sims = Vn @ C.T
-            # stable argsort of -sims -> ties in ascending centroid order
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
-            n = len(pdf)
-            out = pdf.iloc[np.repeat(np.arange(n), np_)][[id_col, vec_col]]
-            out = out.assign(list_id=order.ravel().astype(np.int32))
-            yield out
-
-    vec_t = candidates.schema[vec_col].dataType.simpleString()
-    lists = candidates.select(id_col, vec_col).mapInPandas(
-        assign_gen, f"{id_col} long, {vec_col} {vec_t}, list_id int"
-    ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
-    )
-    probes = queries.select(id_col, vec_col).mapInPandas(
-        probe_gen, f"{id_col} long, {vec_col} {vec_t}, list_id int"
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "list_id")
-    pairs = lists.join(F.broadcast(probes), "list_id").select(
-        "query_id", "neighbor_id", "qv", "cv"
-    )
-    if drop_self:
-        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cosine", cosine_pandas_udf()("qv", "cv"))
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        score_gen, "query_id long, neighbor_id long, cosine double"
+    ).where(F.col("cosine") > float("-inf"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
