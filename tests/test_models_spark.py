@@ -190,6 +190,71 @@ class TestModelIO:
         p2 = {r["series_id"]: r["cluster"] for r in km2.predict(df).collect()}
         assert p1 == p2
 
+    def test_mlp_regressor_roundtrip(self, spark, tmp_path):
+        """Nested _MLP object codec: reloaded regressor predicts
+        identically (weights round-trip via the __object__ envelope)."""
+        from tslearn_spark.model_io import load_model, save_model
+        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
+
+        rs = np.random.RandomState(5)
+        X = [rs.randn(6) for _ in range(12)]
+        ys = [float(np.mean(x)) for x in X]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(4,), max_iter=10,
+                                     random_state=0).fit(df)
+        path = str(tmp_path / "reg.json")
+        save_model(reg, path)
+        reg2 = load_model(path)
+        p1 = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        p2 = {r["series_id"]: r["prediction"] for r in reg2.predict(df).collect()}
+        for i in p1:
+            assert p1[i] == pytest.approx(p2[i], abs=1e-12)
+
+    def test_svc_dual_state_roundtrip(self, spark, tmp_path):
+        """SVC persists its dual state (per the documented partial row):
+        solver machines, classes, and support indices survive; the
+        _-prefixed training series are deliberately absent."""
+        from tslearn_spark.model_io import load_model, save_model
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        rs = np.random.RandomState(6)
+        X = [rs.randn(8) * 0.2 for _ in range(6)] + \
+            [rs.randn(8) * 0.2 + 3 for _ in range(6)]
+        df = DS.dataset_to_df(spark, X, labels=[str(i // 6) for i in range(12)])
+        clf = TimeSeriesSVC(C=1.0, gamma=1.0).fit(df)
+        path = str(tmp_path / "svc.json")
+        save_model(clf, path)
+        clf2 = load_model(path)
+        assert list(clf2.classes_) == list(clf.classes_)
+        np.testing.assert_array_equal(clf2.support_, clf.support_)
+        for (a1, b1, m1, i1), (a2, b2, m2, i2) in zip(
+            clf.model_.machines_, clf2.model_.machines_
+        ):
+            assert (a1, b1) == (a2, b2)
+            np.testing.assert_allclose(m2.dual_coef_, m1.dual_coef_)
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        assert not hasattr(clf2, "_train_values")  # never serialized
+
+    def test_mllib_model_rejected(self, spark, tmp_path):
+        """TimeSeriesMLPClassifier wraps an MLlib model: model_io must
+        refuse with a pointer to Spark-native persistence."""
+        import pytest as _pytest
+
+        from tslearn_spark.model_io import save_model
+        from tslearn_spark.neural_network import TimeSeriesMLPClassifier
+
+        rs = np.random.RandomState(7)
+        X = [rs.randn(6) * 0.2 for _ in range(6)] + \
+            [rs.randn(6) * 0.2 + 3 for _ in range(6)]
+        df = DS.dataset_to_df(spark, X, labels=[str(i // 6) for i in range(12)])
+        clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(4,), max_iter=5,
+                                      random_state=0).fit(df)
+        with _pytest.raises(NotImplementedError, match="MLlib"):
+            save_model(clf, str(tmp_path / "clf.json"))
+
     def test_unsupported_formats_fail_loudly(self, tmp_path):
         """hdf5/pickle are rejected with the documented reason, both via
         extension inference and the explicit fmt argument (reference

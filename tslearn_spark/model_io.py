@@ -32,10 +32,16 @@ KShape                     yes        cluster_centers_, inertia_
 KernelKMeans               partial    numpy side only; labels_ is a
                                       DataFrame — re-derive via fit
 SAX / OneDSAX              yes        breakpoints + segment params
-TimeSeriesSVC/SVR          yes        dual coefs, support vectors
-TimeSeriesMLPClassifier    no         MLlib model — use model_.save()
+TimeSeriesSVC/SVR          partial    dual state (alphas, b, classes)
+                                      round-trips; the training series
+                                      live in _-prefixed attrs and are
+                                      never serialized — re-attach them
+                                      (set _train_ids/_train_values or
+                                      refit) before predict
+TimeSeriesMLPClassifier    no         MLlib model — _encode raises,
+                                      pointing at model_.save()
                                       (Spark-native persistence)
-TimeSeriesMLPRegressor     yes        _MLP weight list
+TimeSeriesMLPRegressor     yes        nested _MLP object codec
 LearningShapelets          yes        shapelet array + weights
 NonMyopicEarlyClassifier   yes        per-prefix tensors
 KNeighbors*                partial    hyper-params only; the index IS
@@ -58,6 +64,21 @@ from typing import Any
 import numpy as np
 
 
+_HELPER_REGISTRY: dict[str, type] = {}
+
+
+def _helper_registry() -> dict[str, type]:
+    """Nested non-estimator objects that appear in fitted state (solver
+    duals, numpy MLP) — encoded as {"__object__": cls, "state": vars}."""
+    if not _HELPER_REGISTRY:
+        from tslearn_spark.neural_network import _MLP
+        from tslearn_spark.svm_solver import BinarySVC, KernelSVR, MulticlassSVC
+
+        for cls in (_MLP, BinarySVC, MulticlassSVC, KernelSVR):
+            _HELPER_REGISTRY[cls.__name__] = cls
+    return _HELPER_REGISTRY
+
+
 def _encode(obj: Any):
     if isinstance(obj, np.ndarray):
         return {"__ndarray__": obj.tolist(), "dtype": str(obj.dtype)}
@@ -65,10 +86,18 @@ def _encode(obj: Any):
         return int(obj)
     if isinstance(obj, (np.floating,)):
         return float(obj)
-    if isinstance(obj, list):
+    if isinstance(obj, (list, tuple)):
         return [_encode(x) for x in obj]
     if isinstance(obj, dict):
         return {k: _encode(v) for k, v in obj.items()}
+    cls = type(obj).__module__ or ""
+    if cls.startswith("pyspark.ml"):
+        raise NotImplementedError(
+            f"{type(obj).__name__} is an MLlib model — persist it with its "
+            "own .save(path) (Spark-native persistence), not model_io JSON."
+        )
+    if type(obj).__name__ in _helper_registry():
+        return {"__object__": type(obj).__name__, "state": _encode(vars(obj))}
     return obj
 
 
@@ -76,6 +105,12 @@ def _decode(obj: Any):
     if isinstance(obj, dict):
         if "__ndarray__" in obj:
             return np.array(obj["__ndarray__"], dtype=obj.get("dtype", "float64"))
+        if "__object__" in obj:
+            cls = _helper_registry()[obj["__object__"]]
+            inst = cls.__new__(cls)
+            for k, v in _decode(obj["state"]).items():
+                setattr(inst, k, v)
+            return inst
         return {k: _decode(v) for k, v in obj.items()}
     if isinstance(obj, list):
         return [_decode(x) for x in obj]
@@ -145,9 +180,25 @@ def register_model(cls: type) -> type:
 def _registry() -> dict[str, type]:
     if not _REGISTRY:
         from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+        from tslearn_spark.labels import LabelCategorizer
+        from tslearn_spark.neighbors import (
+            KNeighborsTimeSeries,
+            KNeighborsTimeSeriesClassifier,
+            KNeighborsTimeSeriesRegressor,
+        )
+        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
         from tslearn_spark.piecewise import SAX, OneDSAX
+        from tslearn_spark.shapelets import LearningShapelets
+        from tslearn_spark.svm import TimeSeriesSVC, TimeSeriesSVR
 
-        for cls in (TimeSeriesKMeans, KShape, KernelKMeans, SAX, OneDSAX):
+        for cls in (
+            TimeSeriesKMeans, KShape, KernelKMeans, SAX, OneDSAX,
+            TimeSeriesSVC, TimeSeriesSVR, TimeSeriesMLPRegressor,
+            LearningShapelets, NonMyopicEarlyClassifier, LabelCategorizer,
+            KNeighborsTimeSeries, KNeighborsTimeSeriesClassifier,
+            KNeighborsTimeSeriesRegressor,
+        ):
             _REGISTRY[cls.__name__] = cls
     return _REGISTRY
 

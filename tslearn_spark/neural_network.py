@@ -212,15 +212,15 @@ class TimeSeriesMLPRegressor(_MLPBase):
         sc = df.sparkSession.sparkContext
         n_par = max(1, min(sc.defaultParallelism, n // 10_000 + 1))
         flat = flat.repartition(n_par).cache()
-        self._y_mean = float(agg["mu"])
-        self._y_std = float(agg["sd"]) or 1.0
+        self.y_mean_ = float(agg["mu"])
+        self.y_std_ = float(agg["sd"]) or 1.0
         n_feat = int(flat.select(F.size("x").alias("k")).first()["k"])
         sizes = [n_feat, *self.hidden_layer_sizes, 1]
         mlp = _MLP(sizes, classifier=False, lr=self.lr,
                    max_iter=self.max_iter, seed=self.random_state)
         mlp.init()
         state = mlp.adam_init()
-        mu, sd = self._y_mean, self._y_std
+        mu, sd = self.y_mean_, self.y_std_
         shapes = [W.shape for W in mlp.Ws]
 
         def _unpack(vec):
@@ -260,7 +260,7 @@ class TimeSeriesMLPRegressor(_MLPBase):
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
-        mlp, mu, sd = self.mlp_, self._y_mean, self._y_std
+        mlp, mu, sd = self.mlp_, self.y_mean_, self.y_std_
 
         @F.pandas_udf("double")
         def _udf(values: pd.Series) -> pd.Series:
