@@ -1,0 +1,117 @@
+"""Property-based invariants of the kernel layer (hypothesis, no Spark).
+
+These are the reference's own documented guarantees: LB_Keogh
+lower-bounds banded DTW (dtw_variants.py:1224-1310), PAA distance
+lower-bounds Euclidean (Keogh et al., piecewise.py:191-213), soft-DTW
+converges to squared DTW as gamma -> 0, GAK is a normalized PSD kernel,
+LCSS is a bounded similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tslearn_spark import kernels as K
+
+finite = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                   allow_infinity=False, width=32)
+
+
+def series(min_size=2, max_size=16):
+    return st.lists(finite, min_size=min_size, max_size=max_size)
+
+
+@settings(max_examples=40, deadline=None)
+@given(series(), series())
+def test_dtw_identity_symmetry_nonneg(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    assert K.dtw(a, a) == pytest.approx(0.0, abs=1e-9)
+    d1, d2 = K.dtw(a, b), K.dtw(b, a)
+    assert d1 >= 0.0
+    assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 16), st.integers(1, 3))
+def test_lb_keogh_lower_bounds_banded_dtw(seed, sz, radius):
+    rs = np.random.RandomState(seed)
+    q = rs.randn(sz)
+    c = rs.randn(sz)
+    lb = K.lb_keogh(q, c, radius=radius)
+    d = K.dtw(q, c, global_constraint="sakoe_chiba", sakoe_chiba_radius=radius)
+    assert lb <= d + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 16), st.integers(1, 3))
+def test_lb_envelope_brackets_series(seed, sz, radius):
+    rs = np.random.RandomState(seed)
+    ts = rs.randn(sz)
+    lo, up = K.lb_envelope(ts, radius=radius)
+    assert (lo.ravel() <= ts + 1e-12).all()
+    assert (up.ravel() >= ts - 1e-12).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 4))
+def test_paa_distance_lower_bounds_euclidean(seed, n_segments):
+    """sqrt(n/s * sum (mean_i - mean'_i)^2) <= ||x - y||_2 for equal-size
+    series whose length is a multiple of the segment count."""
+    rs = np.random.RandomState(seed)
+    seg_sz = rs.randint(1, 5)
+    n = n_segments * seg_sz
+    x, y = rs.randn(n), rs.randn(n)
+    mx = x.reshape(n_segments, seg_sz).mean(axis=1)
+    my = y.reshape(n_segments, seg_sz).mean(axis=1)
+    paa_dist = np.sqrt(((mx - my) ** 2).sum() * n / n_segments)
+    assert paa_dist <= np.linalg.norm(x - y) + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 10))
+def test_soft_dtw_gamma_to_zero_is_squared_dtw(seed, sz):
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    d2 = K.dtw(a, b) ** 2
+    sd = K.soft_dtw(a, b, gamma=1e-4)
+    # soft-min underestimates min; the gap is O(gamma * log #paths)
+    assert sd <= d2 + 1e-9
+    assert d2 - sd <= 1e-4 * 4 * sz
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 10))
+def test_gak_normalized_kernel(seed, sz):
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    assert K.gak(a, a, sigma=2.0) == pytest.approx(1.0, abs=1e-9)
+    g = K.gak(a, b, sigma=2.0)
+    assert 0.0 < g <= 1.0 + 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 10))
+def test_lcss_bounded_similarity(seed, sz):
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    assert K.lcss(a, a, eps=0.1) == pytest.approx(1.0)
+    s = K.lcss(a, b, eps=0.5)
+    assert 0.0 <= s <= 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 12), st.integers(4, 12))
+def test_dtw_band_widening_monotone(seed, sz1, sz2):
+    """Widening the Sakoe-Chiba band can only lower (or keep) the DTW
+    cost; the unconstrained DTW is the infimum."""
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz1), rs.randn(sz2)
+    free = K.dtw(a, b)
+    prev = np.inf
+    for r in (1, 2, 4, max(sz1, sz2)):
+        d = K.dtw(a, b, global_constraint="sakoe_chiba", sakoe_chiba_radius=r)
+        assert d <= prev + 1e-9
+        assert d >= free - 1e-9
+        prev = d
