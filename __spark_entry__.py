@@ -244,27 +244,33 @@ def ts_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PAA segment means on the raw series (piecewise.py:143-153) joined
-    with the SAX symbols of the z-scaled series (piecewise.py:261-505) —
-    one query covers both operators at the same (user, seg) grain."""
+    """PAA segment means on the raw series (piecewise.py:143-153) plus
+    the SAX symbols of the z-scaled series (piecewise.py:261-505) — one
+    query covers both operators at the same (user, seg) grain.  Both are
+    per-row expressions over the same series row, so the plan is a
+    single scan + projections: no join, no second shuffle."""
     from tslearn_spark.piecewise import SAX, paa_col
     from tslearn_spark.preprocessing import transform_mean_variance
 
     ts = _events_series(spark, sf_dir).where(F.size("values") >= SAX_SEGMENTS)
-    paa = (
-        ts.select("series_id", paa_col("values", SAX_SEGMENTS).alias("paa"))
-        .select("series_id", F.posexplode("paa").alias("seg", "m"))
-        .select("series_id", "seg", F.round(F.col("m")[0], 6).alias("seg_mean"))
+    z = transform_mean_variance(ts, out_col="zv")
+    sax = SAX(n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET).fit(
+        z, values_col="zv"
     )
-    z = transform_mean_variance(ts)
-    sax = SAX(n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET).fit(z)
-    sym = (
-        sax.transform(z)
-        .select("series_id", F.posexplode("sax").alias("seg", "s"))
-        .select("series_id", "seg", F.col("s")[0].cast("int").alias("symbol"))
+    both = sax.transform(
+        z.withColumn("praw", paa_col("values", SAX_SEGMENTS)),
+        values_col="zv", out_col="sax",
     )
-    return paa.join(sym, ["series_id", "seg"]).select(
-        F.col("series_id").alias("user_id"), "seg", "seg_mean", "symbol"
+    return (
+        both.select(
+            F.col("series_id").alias("user_id"),
+            F.posexplode(F.arrays_zip("praw", "sax")).alias("seg", "p"),
+        )
+        .select(
+            "user_id", "seg",
+            F.round(F.col("p.praw")[0], 6).alias("seg_mean"),
+            F.col("p.sax")[0].cast("int").alias("symbol"),
+        )
     )
 
 
