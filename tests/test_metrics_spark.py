@@ -278,6 +278,32 @@ class TestClustering:
         assert len({pred[i] for i in range(4)}) == 1
         assert len({pred[i] for i in range(4, 8)}) == 1
 
+    def test_multivariate_estimators(self, spark):
+        """d=2 series flow through the distributed kmeans-dtw, kNN, and
+        DBA paths (the reference supports multivariate everywhere; pins
+        the nested array<array<double>> handling end-to-end)."""
+        from tslearn_spark.barycenters import dtw_barycenter_averaging
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.neighbors import kneighbors
+
+        rs = np.random.RandomState(0)
+        b1 = [rs.randn(10, 2) * 0.1 for _ in range(4)]
+        b2 = [rs.randn(10, 2) * 0.1 + 5 for _ in range(4)]
+        df = DS.dataset_to_df(spark, b1 + b2)
+        km = TimeSeriesKMeans(n_clusters=2, metric="dtw", max_iter=3,
+                              random_state=0).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        assert len({pred[i] for i in range(4)}) == 1
+        assert len({pred[i] for i in range(4, 8)}) == 1
+        assert pred[0] != pred[4]
+
+        nn = {r["id1"]: r["id2"]
+              for r in kneighbors(df, df, k=1, metric="dtw", drop_self=True).collect()}
+        assert all((q < 4) == (n < 4) for q, n in nn.items())  # within-blob
+
+        center = dtw_barycenter_averaging(df, barycenter_size=10, max_iter=2)
+        assert np.asarray(center).shape == (10, 2)
+
     def test_kshape_separates(self, spark):
         from tslearn_spark.clustering import KShape
 
