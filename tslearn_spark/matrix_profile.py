@@ -141,6 +141,10 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
     splitting (on in session defaults) spreads pair GENERATION, and the
     explicit round-robin repartition below spreads the expensive block
     COMPUTE regardless.
+
+    Measured (local[32], m=64, B=4096, random walk): 20k points 2.7s
+    here vs 28.5s single-task (identical profiles); 100k points 29.9s
+    here where the single-task O(n_win^2) block would be ~80 GB.
     """
     m = subsequence_length
     B = block_size
