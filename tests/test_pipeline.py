@@ -329,6 +329,64 @@ class TestStreamingBatch:
             m2 += d * (v - mean)
         assert got[base + datetime.timedelta(seconds=30)][1]  # spike flagged
 
+    def test_stream_matrix_profile_stateful(self, spark, tmp_path):
+        """Online matrix profile over a real stream: each point's newest
+        subsequence scored against the bounded-horizon history, checked
+        against a straight numpy replay of the same rolling buffer."""
+        import datetime
+
+        import numpy as np
+
+        from tslearn_spark.streaming import stream_matrix_profile
+
+        m, horizon = 4, 20
+        band, keep = 1, horizon + m - 1
+        base = datetime.datetime(2024, 1, 1)
+        rng = np.random.RandomState(9)
+        vals = np.tile(np.sin(np.linspace(0, 2 * np.pi, 8)), 6).tolist()
+        vals[40] = 9.0  # a discord spike
+        rows = [(0, base + datetime.timedelta(seconds=i), float(v))
+                for i, v in enumerate(vals)]
+        src_dir = str(tmp_path / "mpsrc")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src_dir)
+        out = stream_matrix_profile(stream, subsequence_length=m, horizon=horizon)
+        q = (
+            out.writeStream.format("memory").queryName("mp_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["ts"]: r["mp"]
+               for r in spark.sql("SELECT * FROM mp_stream").collect()}
+
+        # numpy replay of the identical rolling-buffer recurrence
+        buf: list[float] = []
+        expected = {}
+        for i, v in enumerate(vals):
+            buf.append(float(v))
+            if len(buf) > keep:
+                buf = buf[-keep:]
+            n = len(buf)
+            if n < m + band + 1:
+                continue
+            arr = np.asarray(buf)
+            w_new = arr[n - m:]
+            n_prev = n - m - band
+            idx = np.arange(m)[None, :] + np.arange(n_prev)[:, None]
+            d2 = ((arr[idx] - w_new[None, :]) ** 2).sum(axis=1)
+            expected[base + datetime.timedelta(seconds=i)] = float(np.sqrt(d2.min()))
+        assert set(got) == set(expected)
+        for ts in expected:
+            assert got[ts] == pytest.approx(expected[ts], abs=1e-9)
+        # the spike's subsequences stand out from the periodic history
+        spike_ts = base + datetime.timedelta(seconds=40)
+        normal = np.median([v for t, v in got.items() if abs((t - spike_ts).total_seconds()) > 5])
+        assert got[spike_ts] > 5 * max(normal, 1e-9)
+
     def test_stream_exact_dedup_stateful(self, spark, tmp_path):
         """First-seen-wins dedup over a real stream: duplicate payloads
         across micro-batches are dropped by the per-hash state."""

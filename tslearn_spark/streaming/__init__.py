@@ -146,6 +146,80 @@ def stream_running_zscore(
     )
 
 
+def stream_matrix_profile(
+    events: DataFrame,
+    subsequence_length: int = 8,
+    horizon: int = 256,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ONLINE matrix profile — streaming discord detection.
+
+    For each arriving point, the newest closed subsequence (the last
+    ``m`` values) is scored against every earlier subsequence inside a
+    bounded ``horizon``, with the same exclusion band as the batch
+    operator (|i-j| <= ceil(m/4), matrix_profile.py:192-197): the
+    emitted ``mp`` is that minimum distance.  High mp = the pattern just
+    seen never occurred in the recent past (a discord); low mp = a
+    recurring motif.
+
+    No built-in streaming construct expresses "compare against all
+    prior subsequences" (joins/windows bound pairs by time equality,
+    not by pattern offset); this is the applyInPandasWithState case:
+    state per key = the last ``horizon + m - 1`` raw values — bounded
+    regardless of stream length.  Emits one row per point that closes a
+    subsequence with at least one comparable predecessor.
+
+    Batch twin for validation: ``matrix_profile_np`` restricted to
+    j < i within the horizon (see the unit test's numpy replay).
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = subsequence_length
+    band = int(np.ceil(m / 4.0))
+    keep = horizon + m - 1
+    out_schema = f"{key_col} long, {ts_col} timestamp, mp double"
+    state_schema = "buf array<double>"
+
+    def score(key, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        out_ts, out_mp = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                buf.append(float(v))
+                if len(buf) > keep:
+                    buf = buf[-keep:]
+                n = len(buf)
+                if n < m + band + 1:
+                    continue
+                arr = np.asarray(buf, dtype=np.float64)
+                w_new = arr[n - m:]
+                # earlier windows start at 0..n-m-1; newest starts at n-m;
+                # exclusion: skip starts within `band` of the newest
+                n_prev = n - m - band
+                if n_prev <= 0:
+                    continue
+                idx = np.arange(m)[None, :] + np.arange(n_prev)[:, None]
+                W = arr[idx]
+                d2 = ((W - w_new[None, :]) ** 2).sum(axis=1)
+                out_ts.append(ts)
+                out_mp.append(float(np.sqrt(d2.min())))
+        state.update((buf,))
+        if out_ts:
+            yield pd.DataFrame(
+                {key_col: [key[0]] * len(out_ts), ts_col: out_ts, "mp": out_mp}
+            )
+        else:
+            yield pd.DataFrame(columns=[key_col, ts_col, "mp"])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        score, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
