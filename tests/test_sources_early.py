@@ -63,6 +63,40 @@ class TestSources:
         assert rows[0]["label"] == "classA"
         assert [v[0] for v in rows[1]["values"]] == [3.0, 4.0, 5.0]
 
+    def test_write_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Two tables bucketed on the same key join WITHOUT an Exchange —
+        the co-location contract write_bucketed exists to provide."""
+        import io
+        from contextlib import redirect_stdout
+
+        from tslearn_spark.sources import write_bucketed
+
+        a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "x", F.col("k") * 2
+        )
+        b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "y", F.col("k") + 7
+        )
+        write_bucketed(a, "bkt_a", ["k"], 4, path=str(tmp_path / "a"))
+        write_bucketed(b, "bkt_b", ["k"], 4, path=str(tmp_path / "b"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # disable broadcast so the join must pick SMJ — the point is
+            # that bucketing removes the Exchange under it
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "(Exchange" not in plan  # co-located: no shuffle at all
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
+
     def test_check_dataset(self, spark):
         from tslearn_spark.sources import DatasetValidationError, check_dataset
 

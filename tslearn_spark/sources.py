@@ -181,3 +181,24 @@ class UCR_UEA_datasets:
                             except ValueError:  # missing score (== "")
                                 pass
             return d_out
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int, path: str | None = None,
+                   sort_cols: list[str] | None = None) -> None:
+    """Persist a DataFrame bucketed (and bucket-sorted) on join keys.
+
+    The 100-TB co-location pattern: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle — each task zips
+    bucket i with bucket i (SortMergeJoin with no Exchange under it).
+    For repeated joins (fact-to-fact, iterative self-joins) this
+    amortizes the one-time bucketed write across every later query.
+
+    Bucketing requires the session catalog (saveAsTable); plain
+    ``.parquet(path)`` writes cannot carry bucket metadata.
+    """
+    w = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols).sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table_name)
