@@ -135,3 +135,19 @@ class TestEstimatorContract:
                                       random_state=0)
         with pytest.raises(Exception):
             est.fit(df).predict(df).collect()
+
+
+class TestDeprecatedAliases:
+    def test_aliases_warn_and_subclass(self):
+        import warnings
+
+        from tslearn_spark.clustering import GlobalAlignmentKernelKMeans, KernelKMeans
+        from tslearn_spark.shapelets import LearningShapelets, SerializableShapeletModel
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            g = GlobalAlignmentKernelKMeans(n_clusters=2)
+            s = SerializableShapeletModel(n_shapelets_per_size={4: 2})
+        assert [x.category for x in w] == [DeprecationWarning, DeprecationWarning]
+        assert isinstance(g, KernelKMeans) and g.kernel == "gak"
+        assert isinstance(s, LearningShapelets)

@@ -686,3 +686,21 @@ def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **pa
         ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s")
     )
     return float(s.groupBy().agg(F.avg("s").alias("m")).first()["m"])
+
+
+class GlobalAlignmentKernelKMeans(KernelKMeans):
+    """Deprecated alias of KernelKMeans with kernel fixed to GAK
+    (reference kmeans.py:460-473): kept so reference users' imports keep
+    working; warns like the original."""
+
+    def __init__(self, **kwargs):
+        import warnings
+
+        kwargs.pop("kernel", None)
+        warnings.warn(
+            "`GlobalAlignmentKernelKMeans` is deprecated and will be "
+            "removed; use KernelKMeans(kernel='gak') instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(kernel="gak", **kwargs)

@@ -201,3 +201,20 @@ class LearningShapelets:
             return pd.Series(out)
 
         return df.select("series_id", _udf("values").alias("prediction"))
+
+
+class SerializableShapeletModel(LearningShapelets):
+    """Deprecated alias of LearningShapelets (reference
+    shapelets.py:892-907): kept for import parity; warns like the
+    original."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "`SerializableShapeletModel` is deprecated and will be "
+            "removed; use LearningShapelets instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)
