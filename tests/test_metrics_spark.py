@@ -426,3 +426,22 @@ class TestClustering:
         pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
         for b in range(3):
             assert len({pred[i] for i in range(4 * b, 4 * b + 4)}) == 1
+
+
+class TestRaggedSeries:
+    def test_kmeans_dtw_variable_length(self, spark):
+        """Reference kmeans supports variable-length input under DTW
+        (VARIABLE_LENGTH_METRICS); pin the distributed path end-to-end:
+        ragged assignment UDF + DBA centroid updates."""
+        rs = np.random.RandomState(1)
+        b1 = [rs.randn(rs.randint(8, 14)) * 0.1 for _ in range(4)]
+        b2 = [rs.randn(rs.randint(8, 14)) * 0.1 + 5 for _ in range(4)]
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        df = DS.dataset_to_df(spark, b1 + b2)
+        km = TimeSeriesKMeans(n_clusters=2, metric="dtw", max_iter=3,
+                              random_state=0).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        assert len({pred[i] for i in range(4)}) == 1
+        assert len({pred[i] for i in range(4, 8)}) == 1
+        assert pred[0] != pred[4]
