@@ -37,6 +37,16 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def exact_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-hash emulation: every cell stringized, exact compare.
+    Catches what allclose hides — type surface diffs (BIGINT vs INT128
+    rendering '1' vs '1.0') and last-digit rounding ties."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"SCHEMA cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
@@ -56,6 +66,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
                     isinstance(av[i], float) and abs(float(av[i]) - float(bv[i])) < 1e-9))
             )
             return f"VALUES col={c} row{idx}: spark={av[idx]!r} oracle={bv[idx]!r}"
+    # allclose passed -> run the strict driver-style check too
+    ea, eb = exact_frame(sdf), exact_frame(odf)
+    neq = (ea.values != eb.values)
+    if neq.any():
+        r, c = np.argwhere(neq)[0]
+        col = ea.columns[c]
+        return (f"HASH col={col} row{r}: spark={ea.values[r, c]!r} "
+                f"oracle={eb.values[r, c]!r} (allclose passed — type/rounding tie)")
     return "OK"
 
 
