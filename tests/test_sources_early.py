@@ -90,7 +90,10 @@ class TestSources:
                 joined.explain("formatted")
             plan = buf.getvalue()
             assert "SortMergeJoin" in plan
-            assert "(Exchange" not in plan  # co-located: no shuffle at all
+            # formatted plans render shuffles as "(3) Exchange"
+            import re
+
+            assert not re.findall(r"\(\d+\) Exchange", plan)  # co-located
             assert joined.count() == 1000
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
