@@ -354,6 +354,9 @@ class TestStreamingBatch:
         stream = spark.readStream.schema(
             "user_id long, ts timestamp, value double"
         ).parquet(src_dir)
+        # default NoTimeout: with ProcessingTimeTimeout the availableNow
+        # trigger lingers until pending timeouts fire (~timeout duration),
+        # which is correct engine behavior but pointless test wall-time
         out = stream_matrix_profile(stream, subsequence_length=m, horizon=horizon)
         q = (
             out.writeStream.format("memory").queryName("mp_stream")

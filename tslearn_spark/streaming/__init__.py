@@ -153,6 +153,7 @@ def stream_matrix_profile(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "value",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key ONLINE matrix profile — streaming discord detection.
 
@@ -171,6 +172,12 @@ def stream_matrix_profile(
     regardless of stream length.  Emits one row per point that closes a
     subsequence with at least one comparable predecessor.
 
+    ``idle_timeout_ms``: per-key state is dropped after that much
+    processing time without new events — at 100 TB the KEY population is
+    the unbounded axis (per-key state is already bounded), so long-lived
+    jobs should evict churned-out keys; a re-appearing key simply
+    restarts its horizon cold.
+
     Batch twin for validation: ``matrix_profile_np`` restricted to
     j < i within the horizon (see the unit test's numpy replay).
     """
@@ -182,8 +189,16 @@ def stream_matrix_profile(
     keep = horizon + m - 1
     out_schema = f"{key_col} long, {ts_col} timestamp, mp double"
     state_schema = "buf array<double>"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def score(key, pdfs, state: GroupState):
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[key_col, ts_col, "mp"])
+            return
         buf = list(state.get[0]) if state.exists else []
         out_ts, out_mp = [], []
         for pdf in pdfs:
@@ -208,6 +223,8 @@ def stream_matrix_profile(
                 out_ts.append(ts)
                 out_mp.append(float(np.sqrt(d2.min())))
         state.update((buf,))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_ts:
             yield pd.DataFrame(
                 {key_col: [key[0]] * len(out_ts), ts_col: out_ts, "mp": out_mp}
@@ -216,7 +233,7 @@ def stream_matrix_profile(
             yield pd.DataFrame(columns=[key_col, ts_col, "mp"])
 
     return events.groupBy(key_col).applyInPandasWithState(
-        score, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        score, out_schema, state_schema, "append", timeout_conf
     )
 
 
