@@ -251,10 +251,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     drop_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: per-table bucket equi-join, union, exact
     re-rank of the candidate union.  Recall grows with n_tables; cost per
-    table ~ |D| / 2^bits per bucket."""
+    table ~ |D| / 2^bits per bucket.
+
+    ``broadcast_queries=False`` switches the per-table bucket join to a
+    plain shuffle equi-join on the bucket id — use it when the query
+    side itself is TB-scale (both sides then shuffle once per table;
+    same results, no driver/executor memory ceiling on the query set).
+    """
     first = candidates.select(vec_col).first()
     dim = len(first[vec_col])
     cands = None
@@ -268,7 +275,8 @@ def lsh_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
-        pairs = cb.join(F.broadcast(qb), "bucket").select(
+        qside = F.broadcast(qb) if broadcast_queries else qb
+        pairs = cb.join(qside, "bucket").select(
             "query_id", "neighbor_id", "qv", "cv"
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
