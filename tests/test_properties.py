@@ -102,6 +102,49 @@ def test_lcss_bounded_similarity(seed, sz):
 
 
 @settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 12))
+def test_dtw_limited_warping_monotone(seed, sz):
+    """dtw_limited_warping_length is the DTW infimum over paths of
+    bounded length: it can only shrink as the budget grows, and the
+    loosest budget reaches plain DTW."""
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    free = K.dtw(a, b)
+    prev = np.inf
+    for L in (sz, sz + sz // 2, 2 * sz - 1):
+        d = K.dtw_limited_warping_length(a, b, L)
+        assert d <= prev + 1e-9
+        assert d >= free - 1e-9
+        prev = d
+    assert K.dtw_limited_warping_length(a, b, 2 * sz - 1) == pytest.approx(free, rel=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(3, 12))
+def test_symmetry_family(seed, sz):
+    """Every pairwise kernel is symmetric in its arguments."""
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    assert K.soft_dtw(a, b, gamma=0.5) == pytest.approx(K.soft_dtw(b, a, gamma=0.5), rel=1e-9)
+    assert K.gak(a, b, sigma=2.0) == pytest.approx(K.gak(b, a, sigma=2.0), rel=1e-9)
+    assert K.lcss(a, b, eps=0.5) == pytest.approx(K.lcss(b, a, eps=0.5))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 16))
+def test_ncc_and_sbd_ranges(seed, sz):
+    """normalized cross-correlation peaks in [-1, 1]; the shape-based
+    distance 1 - ncc_max therefore lives in [0, 2]; a series against
+    itself peaks at exactly 1."""
+    rs = np.random.RandomState(seed)
+    a, b = rs.randn(sz), rs.randn(sz)
+    m = K.normalized_cc_max(a, b)
+    assert -1.0 - 1e-9 <= m <= 1.0 + 1e-9
+    assert K.normalized_cc_max(a, a) == pytest.approx(1.0, abs=1e-9)
+    assert 0.0 - 1e-9 <= 1.0 - m <= 2.0 + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
 @given(st.integers(0, 2**31 - 1), st.integers(4, 12), st.integers(4, 12))
 def test_dtw_band_widening_monotone(seed, sz1, sz2):
     """Widening the Sakoe-Chiba band can only lower (or keep) the DTW
