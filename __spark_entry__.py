@@ -382,22 +382,27 @@ def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LB_Keogh bound join on resampled-16 series (dtw_variants.py:1224):
     envelope radius 2 on the candidate, exceedance sum from the query —
     expressible as SQL end-to-end."""
-    from tslearn_spark.metrics import _spread, envelope_cols, lb_keogh_col
+    from tslearn_spark.metrics import (
+        _spread, envelope_cols, envelope_struct_col, lb_keogh_env_col,
+    )
     from tslearn_spark.preprocessing import resample
 
     # materialize the series build once (both join sides read it), spread
     # the stream side (the non-equi join's 562k interpreted LB evals were
-    # running on the 2 byte-sized partitions of the series table), and
-    # broadcast the envelope side
+    # running on the 2 byte-sized partitions of the series table),
+    # broadcast the envelope side, and pre-zip the envelope struct ONCE
+    # per candidate row (lb_keogh_col would rebuild the zip per pair)
     ts = resample(
         _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
     ).localCheckpoint()
     lo, up = envelope_cols("values", radius=2)
-    cand = ts.select(F.col("series_id").alias("id2"), lo.alias("lo"), up.alias("up"))
+    cand = ts.select(
+        F.col("series_id").alias("id2"), lo.alias("lo"), up.alias("up")
+    ).select("id2", envelope_struct_col("lo", "up").alias("env")).localCheckpoint()
     q = _spread(ts.select(F.col("series_id").alias("id1"), F.col("values").alias("qv")))
     pairs = q.join(F.broadcast(cand), F.col("id1") < F.col("id2"))
     return pairs.select(
-        "id1", "id2", F.round(lb_keogh_col("qv", "lo", "up"), 6).alias("lb_keogh")
+        "id1", "id2", F.round(lb_keogh_env_col("qv", "env"), 6).alias("lb_keogh")
     )
 
 

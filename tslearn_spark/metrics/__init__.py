@@ -483,6 +483,32 @@ def lb_keogh_col(query_values: str, lower: str, upper: str) -> Column:
     )
 
 
+def envelope_struct_col(lower: str, upper: str) -> Column:
+    """Zip an envelope into one struct array ONCE per row — let-binding
+    for join fan-out: lb_keogh_col rebuilds the zip per PAIR evaluation,
+    so on an all-pairs join the zip runs n^2 times; materialize it on
+    the (broadcast) envelope side and use lb_keogh_env_col instead."""
+    return F.expr(f"zip_with({lower}, {upper}, (l, u) -> struct(l, u))")
+
+
+def lb_keogh_env_col(query_values: str, env: str) -> Column:
+    """LB_Keogh against a pre-zipped envelope struct array — identical
+    arithmetic to lb_keogh_col (same CASE, same fold order), minus the
+    per-pair zip allocation."""
+    return F.expr(
+        f"""
+        sqrt(
+          aggregate(
+            zip_with({query_values}, {env},
+              (q, e) -> CASE WHEN q[0] > e.u THEN (q[0] - e.u) * (q[0] - e.u)
+                             WHEN q[0] < e.l THEN (e.l - q[0]) * (e.l - q[0])
+                             ELSE 0.0D END),
+            0.0D, (a, x) -> a + x)
+        )
+        """
+    )
+
+
 def cdist_with_lb_pruning(
     queries: DataFrame,
     candidates: DataFrame,
