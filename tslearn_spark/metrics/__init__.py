@@ -524,17 +524,22 @@ def cdist_with_lb_pruning(
     JVM-side in codegen, the UDF only sees survivors.
     """
     lo, up = envelope_cols("values", radius)
+    # pre-zip the envelope ONCE per candidate row (the join fan-out
+    # would otherwise rebuild the struct zip per pair — see
+    # envelope_struct_col)
     cand = candidates.select(
         F.col("series_id").alias("id2"),
         F.col("values").alias("values2"),
         lo.alias("_lb_lo"),
         up.alias("_lb_up"),
+    ).select(
+        "id2", "values2", envelope_struct_col("_lb_lo", "_lb_up").alias("_lb_env")
     )
     q = _spread(
         queries.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
     )
     pairs = q.crossJoin(F.broadcast(cand))
-    pairs = pairs.withColumn("_lb", lb_keogh_col("values1", "_lb_lo", "_lb_up"))
+    pairs = pairs.withColumn("_lb", lb_keogh_env_col("values1", "_lb_env"))
     pruned = pairs.where(F.col("_lb") <= F.lit(threshold))
     udf = pair_metric_udf(metric, sakoe_chiba_radius=radius, **params) if metric == "dtw" \
         else pair_metric_udf(metric, **params)
