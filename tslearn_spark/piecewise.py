@@ -174,7 +174,21 @@ class SAX:
         original_size: the fitted series length — an int, or the name of a
         per-row column for variable-length datasets (kNN sax metric).
         """
-        bps = _lit_array(self.breakpoints_avg_)
+        # precomputed gap^2 lookup G[a][b] (constant-folded to ONE literal)
+        # instead of rebuilding two breakpoint array literals + pow per
+        # element per pair — the CollapseProject join-fan-out lesson
+        bp = [float(x) for x in self.breakpoints_avg_]
+        n_sym = len(bp) + 1
+        gap2 = [
+            [
+                (bp[max(a, b) - 1] - bp[min(a, b)]) ** 2 if abs(a - b) > 1 else 0.0
+                for b in range(n_sym)
+            ]
+            for a in range(n_sym)
+        ]
+        g_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in gap2
+        ) + ")"
         sz_expr = (
             f"{float(original_size)}D"
             if isinstance(original_size, (int, float))
@@ -185,9 +199,7 @@ class SAX:
             sqrt(
               aggregate(zip_with({sax1}, {sax2}, (r1, r2) ->
                 aggregate(zip_with(r1, r2, (a, b) ->
-                  CASE WHEN abs(a - b) > 1
-                       THEN pow({bps}[greatest(a, b) - 1] - {bps}[least(a, b)], 2)
-                       ELSE 0.0D END),
+                  {g_lit}[CAST(a AS INT)][CAST(b AS INT)]),
                   0.0D, (acc, z) -> acc + z)),
                 0.0D, (acc, s) -> acc + s)
               * {sz_expr} / size({sax1})
