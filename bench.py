@@ -4,12 +4,22 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query is forced through the noop sink so the full plan (including
 projections Catalyst would prune under count()) executes.
+
+Median protocol: each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3),
+with the runs INTERLEAVED (full pass over all queries, repeated) so a
+transient ambient blip — a co-tenant I/O window, a GC storm — lands on at
+most one sample per query instead of all samples of one query.  The
+reported per-query time is the median across passes; "value" is the sum of
+medians.  Round 4 recorded a contiguous block of four window queries at
+3.8-4.9x their round-1 single-shot times with byte-identical plans — a
+single-sample protocol cannot distinguish that from a regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -82,22 +92,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for pass_no in range(n_runs):
+        # Spark's CacheManager matches logically-identical plans, so a query
+        # that .cache()s an intermediate would reuse pass-1 data in later
+        # passes and under-report.  Every sample must be a cold-cache run.
+        spark.catalog.clearCache()
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"[bench] pass {pass_no + 1}/{n_runs} {name}: {dt}s", file=sys.stderr)
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs": n_runs,
+        "samples": {name: ts for name, ts in samples.items()},
     }))
     spark.stop()
 

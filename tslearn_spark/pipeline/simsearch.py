@@ -140,8 +140,14 @@ def ivf_topk(
     |D| x n_probe / n_lists per query instead of |D|.
 
     Centroids default to the ``n_lists`` lowest-id candidate vectors — a
-    deterministic quantizer that a SQL oracle replays bit-for-bit, which
-    is what the driver's hash gate checks.  Production would train
+    deterministic quantizer a SQL oracle can replay.  (Exactness caveat:
+    Spark normalizes vectors then takes BLAS dot products, while a SQL
+    oracle typically divides a raw aggregated dot by the norm product;
+    the two associations can differ in final ulps, so argmax assignment
+    and rank order agree only when no two cosines are within rounding
+    distance of each other.  The driver's hash gate passes on the test
+    fixtures; on adversarial near-tie data the oracle would need the
+    same normalize-then-sum association.)  Production would train
     k-means centroids (MLlib KMeans over the embedding column) and pass
     them via ``centroids``; every stage downstream of the centroid
     matrix is identical.
@@ -261,10 +267,21 @@ def lsh_topk(
     plain shuffle equi-join on the bucket id — use it when the query
     side itself is TB-scale (both sides then shuffle once per table;
     same results, no driver/executor memory ceiling on the query set).
+
+    Shuffle discipline: each table SCORES its own bucket pairs (the
+    embedding vectors never leave the map side of the bucket join), and
+    the cross-table dedup is a groupBy on (query_id, neighbor_id)
+    carrying ONE double — cosine is table-invariant, so max() of the
+    per-table copies is the value itself.  A pair found in several
+    tables costs one extra BLAS dot per extra table, but the dedup
+    shuffle moves 16 bytes of ids + 8 bytes of score per pair instead
+    of 2 x dim x 8 bytes of vectors; at dim=1024 that is ~680x fewer
+    shuffle bytes, the difference between shuffling scalars and
+    shuffling the corpus n_tables times.
     """
     first = candidates.select(vec_col).first()
     dim = len(first[vec_col])
-    cands = None
+    scored = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
         qb = queries.select(
@@ -276,19 +293,22 @@ def lsh_topk(
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
         qside = F.broadcast(qb) if broadcast_queries else qb
-        pairs = cb.join(qside, "bucket").select(
-            "query_id", "neighbor_id", "qv", "cv"
+        pairs = cb.join(qside, "bucket")
+        scored_t = pairs.select(
+            "query_id", "neighbor_id",
+            cosine_pandas_udf()("qv", "cv").alias("cosine"),
         )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+        scored = scored_t if scored is None else scored.unionByName(scored_t)
+    deduped = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
     if drop_self:
-        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.withColumn("cosine", cosine_pandas_udf()("qv", "cv"))
+        deduped = deduped.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
