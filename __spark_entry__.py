@@ -740,6 +740,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DTW under the hash gate (dtw_variants.py:24-57,384-465).
+
+    Runs the REAL distributed path end-to-end — self_pairs triangle ->
+    mixed-shape batched DP (kernels.py:171,292) -> mirror + zero diagonal
+    via cdist — on tiny integer series where every DP cell is an exact
+    integer: values are floor()-quantized doubles, costs are squared int
+    diffs, and min/+ are exact below 2^53, so both engines produce
+    bit-identical doubles and sqrt is IEEE correctly-rounded on both.
+    Series lengths vary 5..8 by user (rn <= 5 + user_id % 4) so the
+    padded mixed-shape kernel path is the one exercised, not a
+    same-shape fast path.  The DuckDB oracle replays the same DP as a
+    recursive CTE stepping one cell per iteration in row-major order,
+    carrying (prev row, current row prefix) as lists.
+    """
+    from tslearn_spark.metrics import cdist
+
+    load_tables(spark, sf_dir)
+    tiny = spark.sql(
+        """
+        WITH ranked AS (
+            SELECT user_id, CAST(floor(value) AS DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id < 12
+        )
+        SELECT user_id AS series_id,
+               transform(array_sort(collect_list(struct(rn, v))), s -> s.v) AS values
+        FROM ranked WHERE rn <= 5 + user_id % 4
+        GROUP BY user_id
+        """
+    )
+    return cdist(tiny, metric="dtw").select(
+        "id1", "id2", F.round("dist", 6).alias("dtw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -772,18 +808,11 @@ def matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "t", F.round("mp", 6).alias("mp"))
 
 
-def cdist_dtw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-DTW cross matrix over 20 users (dtw_variants.py:1130-1222)."""
-    from tslearn_spark.metrics import cdist
-
-    ts = _events_series(spark, sf_dir).where(F.col("series_id") < 20)
-    return cdist(ts, metric="dtw", sakoe_chiba_radius=5).select(
-        "id1", "id2", F.round("dist", 6).alias("dtw")
-    )
-
-
 def metrics_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """softdtw/gak/lcss/ncc over 10 users' pairs — DP kernels, rows-only."""
+    """banded-dtw/softdtw/gak/lcss/ncc over 10 users' pairs — DP kernels,
+    rows-only.  The dtw column (sakoe_chiba_radius=5, dtw_variants.py:
+    1130-1222) absorbs the old cdist_dtw_sample's banded coverage; the
+    full-grid DTW kernel itself is hash-gated by cdist_dtw_tiny."""
     from tslearn_spark.metrics import pair_metric_udf, self_pairs
     from tslearn_spark.preprocessing import transform_mean_variance
 
@@ -793,6 +822,7 @@ def metrics_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = self_pairs(ts)
     return pairs.select(
         "id1", "id2",
+        F.round(pair_metric_udf("dtw", sakoe_chiba_radius=5)("values1", "values2"), 6).alias("dtw"),
         F.round(pair_metric_udf("softdtw", gamma=1.0)("values1", "values2"), 4).alias("softdtw"),
         F.round(pair_metric_udf("gak", sigma=5.0)("values1", "values2"), 6).alias("gak"),
         F.round(pair_metric_udf("lcss", eps=0.5)("values1", "values2"), 6).alias("lcss"),
@@ -990,9 +1020,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries: the driver's correctness gate runs at most 50
-    queries in registration order (r3 cut entries 51-53), so all 40 oracled
-    queries come first and the 10 rows-only iterative/model queries last —
-    a count or time cap then costs only the weakest checks."""
+    queries in registration order (r3 cut entries 51-53), so all 41 oracled
+    queries come first and the 9 rows-only iterative/model queries last —
+    a count or time cap then costs only the weakest checks.  (r5 freed a
+    slot by folding cdist_dtw_sample's banded DTW into metrics_pair_sample
+    and spent it on the hash-gated cdist_dtw_tiny.)"""
     return {
         # relational passthrough (oracled)
         "q1_pricing_summary": q1_pricing_summary,
@@ -1039,8 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sax_classify": knn_sax_classify,
         "silhouette_euclidean_16": silhouette_euclidean_16,
         "matrix_profile_events": matrix_profile_events,
+        "cdist_dtw_tiny": cdist_dtw_tiny,
         # non-SQL-expressible (rows-only), heaviest last
-        "cdist_dtw_sample": cdist_dtw_sample,
         "metrics_pair_sample": metrics_pair_sample,
         "dba_barycenter_sample": dba_barycenter_sample,
         "knn_dtw_classify": knn_dtw_classify,
@@ -1757,6 +1789,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, i::INT AS t, round(sqrt(min(d2)), 6) AS mp
             FROM d2 GROUP BY user_id, i
+        """,
+        "cdist_dtw_tiny": """
+            -- Exact DTW DP as a recursive CTE: one cell per iteration in
+            -- row-major order; state = (prev = row i-1 complete, cur =
+            -- row i prefix of length j).  Costs are squared diffs of
+            -- floor()-int values, so every cell is an exact integer and
+            -- the final sqrt is correctly rounded on both engines.
+            -- Mirror + zero diagonal replay cdist's self-case emission.
+            WITH RECURSIVE
+            tiny AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events WHERE user_id < 12
+            ),
+            ser AS (
+                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
+                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
+            ),
+            pairs AS (
+                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
+                       a.n AS n1, b.n AS n2
+                FROM ser a JOIN ser b ON a.sid < b.sid
+            ),
+            dp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [(v1[1] - v2[1]) * (v1[1] - v2[1])] AS cur
+                FROM pairs
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])
+                                 + CASE WHEN i > 1
+                                        THEN least(prev[j + 1], prev[j], cur[j])
+                                        ELSE cur[j] END)
+                            ELSE [(v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1]) + cur[1]]
+                       END
+                FROM dp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            res AS (
+                SELECT id1, id2, round(sqrt(cur[n2]), 6) AS dtw
+                FROM dp WHERE i = n1 AND j = n2
+            )
+            SELECT id1, id2, dtw FROM res
+            UNION ALL SELECT id2 AS id1, id1 AS id2, dtw FROM res
+            UNION ALL SELECT sid AS id1, sid AS id2, 0.0 AS dtw FROM ser
         """,
         "ann_lsh_topk": f"""
             WITH e AS (

@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     # UDF kernel path
-    "cdist_dtw_sample",
+    "metrics_pair_sample",
     "matrix_profile_events",
     "knn_dtw_classify",
 ]
