@@ -463,16 +463,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        WITH flagged AS (
+        WITH lagged AS (
+          -- let-bind the lag so the window function is evaluated once
           SELECT user_id, ts, value,
-                 CASE WHEN unix_timestamp(ts)
-                          - unix_timestamp(lag(ts) OVER (PARTITION BY user_id
-                                                         ORDER BY ts, event_id))
-                          > 1800
-                      OR lag(ts) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) IS NULL
-                      THEN 1 ELSE 0 END AS new_session
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
           FROM events
+        ),
+        flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN unix_timestamp(ts) - unix_timestamp(prev_ts) > 1800
+                      OR prev_ts IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM lagged
         ),
         numbered AS (
           SELECT user_id, ts, value,
@@ -754,8 +757,15 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-shape fast path.  The DuckDB oracle replays the same DP as a
     recursive CTE stepping one cell per iteration in row-major order,
     carrying (prev row, current row prefix) as lists.
+
+    The lcss column puts the LCSS DP (dtw_variants.py:1441-1540,
+    kernels.py lcss_accumulated_matrix) under the same gate: counts are
+    integers, eps=1.0 over integer values is an exact comparison, and
+    the final count/min(n1,n2) division is a single correctly-rounded
+    IEEE op on both engines.  Diagonal lcss is 1.0 (self-similarity),
+    unlike the distance diagonal's 0.0.
     """
-    from tslearn_spark.metrics import cdist
+    from tslearn_spark.metrics import cdist, pair_metric_udf, self_pairs
 
     load_tables(spark, sf_dir)
     tiny = spark.sql(
@@ -766,14 +776,28 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE user_id < 12
         )
         SELECT user_id AS series_id,
-               transform(array_sort(collect_list(struct(rn, v))), s -> s.v) AS values
+               transform(array_sort(collect_list(struct(rn, v))),
+                         s -> array(s.v)) AS values
         FROM ranked WHERE rn <= 5 + user_id % 4
         GROUP BY user_id
         """
     )
-    return cdist(tiny, metric="dtw").select(
+    edges = cdist(tiny, metric="dtw").select(
         "id1", "id2", F.round("dist", 6).alias("dtw")
     )
+    tri = self_pairs(tiny).select(
+        "id1", "id2",
+        F.round(pair_metric_udf("lcss", eps=1.0)("values1", "values2"), 6).alias("lcss"),
+    )
+    lc = (
+        tri
+        .unionByName(tri.select(F.col("id2").alias("id1"),
+                                F.col("id1").alias("id2"), "lcss"))
+        .unionByName(tiny.select(F.col("series_id").alias("id1"),
+                                 F.col("series_id").alias("id2"),
+                                 F.lit(1.0).alias("lcss")))
+    )
+    return edges.join(lc, ["id1", "id2"]).select("id1", "id2", "dtw", "lcss")
 
 
 # ---------------------------------------------------------------------------
@@ -1836,10 +1860,54 @@ def oracle_sql() -> dict[str, str]:
             res AS (
                 SELECT id1, id2, round(sqrt(cur[n2]), 6) AS dtw
                 FROM dp WHERE i = n1 AND j = n2
+            ),
+            -- LCSS DP, same row-major single-cell recursion: counts are
+            -- exact integers; match = |v1[i]-v2[j]| <= 1.0 over ints
+            lp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS BIGINT[]) AS prev,
+                       [CASE WHEN abs(v1[1] - v2[1]) <= 1.0
+                             THEN 1::BIGINT ELSE 0::BIGINT END] AS cur
+                FROM pairs
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 CASE WHEN abs(v1[i] - v2[j + 1]) <= 1.0
+                                      THEN 1 + (CASE WHEN i > 1
+                                                THEN prev[j] ELSE 0 END)
+                                      ELSE greatest(
+                                           CASE WHEN i > 1
+                                                THEN prev[j + 1] ELSE 0 END,
+                                           cur[j])
+                                 END)
+                            ELSE [CASE WHEN abs(v1[i + 1] - v2[1]) <= 1.0
+                                       THEN 1::BIGINT ELSE cur[1] END]
+                       END
+                FROM lp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            lres AS (
+                SELECT id1, id2,
+                       round(CAST(cur[n2] AS DOUBLE) / least(n1, n2), 6) AS lcss
+                FROM lp WHERE i = n1 AND j = n2
+            ),
+            full_dtw AS (
+                SELECT id1, id2, dtw FROM res
+                UNION ALL SELECT id2 AS id1, id1 AS id2, dtw FROM res
+                UNION ALL SELECT sid AS id1, sid AS id2, 0.0 AS dtw FROM ser
+            ),
+            full_lcss AS (
+                SELECT id1, id2, lcss FROM lres
+                UNION ALL SELECT id2 AS id1, id1 AS id2, lcss FROM lres
+                UNION ALL SELECT sid AS id1, sid AS id2, 1.0 AS lcss FROM ser
             )
-            SELECT id1, id2, dtw FROM res
-            UNION ALL SELECT id2 AS id1, id1 AS id2, dtw FROM res
-            UNION ALL SELECT sid AS id1, sid AS id2, 0.0 AS dtw FROM ser
+            SELECT d.id1, d.id2, d.dtw, l.lcss
+            FROM full_dtw d
+            JOIN full_lcss l ON d.id1 = l.id1 AND d.id2 = l.id2
         """,
         "ann_lsh_topk": f"""
             WITH e AS (

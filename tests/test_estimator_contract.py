@@ -147,7 +147,15 @@ class TestDeprecatedAliases:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             g = GlobalAlignmentKernelKMeans(n_clusters=2)
+            g_pos = GlobalAlignmentKernelKMeans(2)  # reference positional form
             s = SerializableShapeletModel(n_shapelets_per_size={4: 2})
-        assert [x.category for x in w] == [DeprecationWarning, DeprecationWarning]
+        assert [x.category for x in w] == [DeprecationWarning] * 3
         assert isinstance(g, KernelKMeans) and g.kernel == "gak"
+        assert g_pos.n_clusters == 2
         assert isinstance(s, LearningShapelets)
+        # like the reference alias, a kernel=... kwarg is a TypeError
+        # (kmeans.py:460-473 has no such parameter)
+        with pytest.raises(TypeError):
+            GlobalAlignmentKernelKMeans(n_clusters=2, kernel="rbf")
+        with pytest.raises(TypeError):
+            GlobalAlignmentKernelKMeans(n_clusters=2, kernel="gak")

@@ -310,7 +310,8 @@ class TestMatrixProfile:
         from tslearn_spark import matrix_profile as MP
 
         rs = np.random.RandomState(11)
-        series = [rs.randn(n).cumsum() for n in (70, 55, 33)]
+        # 5 < m: a degenerate series keeps its row (empty profile) in BOTH
+        series = [rs.randn(n).cumsum() for n in (70, 55, 33, 5)]
         df = DS.dataset_to_df(spark, series)
         m = 8
         short = {

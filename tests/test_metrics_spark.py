@@ -363,6 +363,56 @@ class TestClustering:
         got_dist = ks._extract_shapes(df, [center])[0]
         np.testing.assert_allclose(got_dist[:, 0], expected, atol=1e-9)
 
+    def test_kshape_long_series_fallback(self, spark):
+        """sz > sz_stats_cap takes the per-cluster matvec path
+        (_extract_shapes_long); its shapes match the sufficient-statistics
+        path (power iteration converges to eigh's top eigenvector)."""
+        from tslearn_spark.clustering import KShape
+
+        members, center = self._sign_fixture()
+        df = DS.dataset_to_df(spark, [m[:, 0] for m in members]).withColumn(
+            "cluster", F.lit(0)
+        ).repartition(4)
+        stats = KShape(n_clusters=1)._extract_shapes(df, [center])[0]
+        # cap below sz forces the fallback
+        ks_long = KShape(n_clusters=1, sz_stats_cap=center.shape[0] - 1)
+        got_long = ks_long._extract_shapes(df, [center])[0]
+        np.testing.assert_allclose(got_long[:, 0], stats[:, 0], atol=1e-6)
+
+    def test_kshape_power_mu_matches_eigh(self):
+        """_power_mu's matvec iteration == _solve_mu's dense eigh, up to
+        sign, across random matrices."""
+        from tslearn_spark.clustering import KShape
+
+        rs = np.random.RandomState(11)
+        for n, sz in [(5, 12), (20, 7), (3, 30)]:
+            X = rs.randn(n, sz) * rs.uniform(0.5, 3)
+            dense = KShape._solve_mu(X.T @ X)
+            power = KShape._power_mu(X)
+            err = min(np.abs(power - dense).max(), np.abs(power + dense).max())
+            assert err < 1e-6
+
+    def test_kmeans_euclidean_centroid_single_aggregate(self, spark):
+        """metric='euclidean' centroid update is ONE groupBy aggregate;
+        results equal the per-cluster positionwise means."""
+        from tslearn_spark.clustering import EmptyClusterError, TimeSeriesKMeans
+
+        rs = np.random.RandomState(5)
+        data = [rs.randn(6, 2) for _ in range(9)]
+        df = spark.createDataFrame(
+            [(i, [list(map(float, p)) for p in d]) for i, d in enumerate(data)],
+            "series_id long, values array<array<double>>",
+        ).withColumn("cluster", (F.col("series_id") % 3).cast("int"))
+        km = TimeSeriesKMeans(n_clusters=3, metric="euclidean")
+        got = km._update_centroids(df, None)
+        for c in range(3):
+            expected = np.mean([data[i] for i in range(9) if i % 3 == c], axis=0)
+            np.testing.assert_allclose(got[c], expected, atol=1e-12)
+        # an empty cluster raises, as the per-cluster path did
+        km4 = TimeSeriesKMeans(n_clusters=4, metric="euclidean")
+        with pytest.raises(EmptyClusterError):
+            km4._update_centroids(df, None)
+
     def test_silhouette_range(self, spark):
         from tslearn_spark.clustering import silhouette_score
 

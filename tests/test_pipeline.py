@@ -357,7 +357,8 @@ class TestStreamingBatch:
         # default NoTimeout: with ProcessingTimeTimeout the availableNow
         # trigger lingers until pending timeouts fire (~timeout duration),
         # which is correct engine behavior but pointless test wall-time
-        out = stream_matrix_profile(stream, subsequence_length=m, horizon=horizon)
+        out = stream_matrix_profile(stream, subsequence_length=m, horizon=horizon,
+                                    scale=False)
         q = (
             out.writeStream.format("memory").queryName("mp_stream")
             .outputMode("append").trigger(availableNow=True).start()
@@ -389,6 +390,122 @@ class TestStreamingBatch:
         spike_ts = base + datetime.timedelta(seconds=40)
         normal = np.median([v for t, v in got.items() if abs((t - spike_ts).total_seconds()) > 5])
         assert got[spike_ts] > 5 * max(normal, 1e-9)
+
+    def test_stream_matrix_profile_scaled(self, spark, tmp_path):
+        """scale=True (the batch-mirroring default): every window is
+        z-normalized before the distance, checked against a normalized
+        numpy replay."""
+        import datetime
+
+        import numpy as np
+
+        from tslearn_spark.streaming import stream_matrix_profile
+
+        m, horizon = 4, 20
+        band, keep = 1, horizon + m - 1
+        base = datetime.datetime(2024, 1, 1)
+        vals = np.tile(np.sin(np.linspace(0, 2 * np.pi, 8)), 4).tolist()
+        rows = [(0, base + datetime.timedelta(seconds=i), float(v))
+                for i, v in enumerate(vals)]
+        src_dir = str(tmp_path / "mpssrc")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src_dir)
+        out = stream_matrix_profile(stream, subsequence_length=m, horizon=horizon)
+        q = (
+            out.writeStream.format("memory").queryName("mps_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["ts"]: r["mp"]
+               for r in spark.sql("SELECT * FROM mps_stream").collect()}
+
+        def znorm(W):
+            mu = W.mean(axis=-1, keepdims=True)
+            sd = W.std(axis=-1, keepdims=True)
+            sd = np.where(sd == 0.0, 1.0, sd)
+            return (W - mu) / sd
+
+        buf: list[float] = []
+        expected = {}
+        for i, v in enumerate(vals):
+            buf.append(float(v))
+            if len(buf) > keep:
+                buf = buf[-keep:]
+            n = len(buf)
+            if n < m + band + 1:
+                continue
+            arr = np.asarray(buf)
+            w_new = znorm(arr[n - m:])
+            n_prev = n - m - band
+            idx = np.arange(m)[None, :] + np.arange(n_prev)[:, None]
+            W = znorm(arr[idx])
+            d2 = ((W - w_new[None, :]) ** 2).sum(axis=1)
+            expected[base + datetime.timedelta(seconds=i)] = float(np.sqrt(d2.min()))
+        assert set(got) == set(expected)
+        for ts in expected:
+            assert got[ts] == pytest.approx(expected[ts], abs=1e-9)
+
+    def test_stream_matrix_profile_idle_eviction(self, spark, tmp_path):
+        """idle_timeout_ms eviction FIRES: after a quiet period longer
+        than the timeout, the key's buffer state is dropped, so a second
+        burst restarts cold (its early points emit no mp rows where a
+        retained buffer would have scored them all)."""
+        import datetime
+        import time
+
+        from tslearn_spark.streaming import stream_matrix_profile
+
+        m = 4  # band=1 -> a point emits only once its key has >= 6 points
+        base = datetime.datetime(2024, 1, 1)
+
+        def burst(start_s, n):
+            return [(0, base + datetime.timedelta(seconds=start_s + i), float(i % 3))
+                    for i in range(n)]
+
+        src_dir = str(tmp_path / "evsrc")
+        spark.createDataFrame(
+            burst(0, 10), "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src_dir)
+        out = stream_matrix_profile(
+            stream, subsequence_length=m, horizon=20, idle_timeout_ms=1500,
+        )
+        q = (
+            out.writeStream.format("memory").queryName("mp_evict")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM mp_evict").first()["c"] >= 5:
+                    break
+                time.sleep(0.5)
+            n_first = spark.sql("SELECT count(*) c FROM mp_evict").first()["c"]
+            assert n_first == 5  # burst 1: points 6..10 emit
+            # quiet period >> timeout: no-data micro-batches fire the
+            # ProcessingTimeTimeout and the state is removed
+            time.sleep(5)
+            spark.createDataFrame(
+                burst(100, 6), "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM mp_evict").first()["c"] > n_first:
+                    break
+                time.sleep(0.5)
+            n_total = spark.sql("SELECT count(*) c FROM mp_evict").first()["c"]
+            # cold restart: only the 6th point of burst 2 emits.  A
+            # retained buffer would have emitted all 6 (n_total == 11).
+            assert n_total == n_first + 1
+        finally:
+            q.stop()
 
     def test_stream_exact_dedup_stateful(self, spark, tmp_path):
         """First-seen-wins dedup over a real stream: duplicate payloads

@@ -157,14 +157,23 @@ class TimeSeriesKMeans:
     def _update_centroids(self, assigned: DataFrame, centers) -> list[np.ndarray]:
         """Metric-matched barycenter per cluster (kmeans.py:544-600).
 
-        The k updates run CONCURRENTLY from a thread pool: each DBA /
-        soft-DTW update is a chain of Spark jobs over one cluster's
-        members, which underutilizes the cluster when run serially
-        (small clusters leave most executor slots idle).  Submitting
-        the k chains together lets the scheduler interleave their
-        stages, cutting Lloyd-iteration latency up to k-fold; results
-        keep cluster order, so fits are unchanged."""
-        from concurrent.futures import ThreadPoolExecutor
+        metric="euclidean": all k barycenters are ONE
+        groupBy(cluster, t, dim) hash aggregate — a single map-side-
+        combined Spark job per Lloyd iteration, instead of k filtered
+        per-cluster jobs.
+
+        metric in {dtw, softdtw}: each update is its own chain of Spark
+        jobs over one cluster's members, so the k chains run
+        CONCURRENTLY from a thread pool (small clusters would leave
+        most executor slots idle if run serially).  Futures are
+        drained via as_completed so the first EmptyClusterError
+        cancels the not-yet-started chains instead of paying k full
+        barycenter computations per empty-cluster hit; results keep
+        cluster order, so fits are unchanged."""
+        if self.metric == "euclidean":
+            return self._update_centroids_euclidean(assigned)
+
+        from concurrent.futures import ThreadPoolExecutor, as_completed
 
         def one(c: int) -> np.ndarray:
             sub = assigned.where(F.col("cluster") == c).select("series_id", "values")
@@ -175,19 +184,46 @@ class TimeSeriesKMeans:
                     sub, init_barycenter=centers[c],
                     max_iter=self.max_iter_barycenter,
                 )
-            if self.metric == "softdtw":
-                return softdtw_barycenter(
-                    sub, gamma=self.metric_params.get("gamma", 1.0),
-                    init=centers[c], max_iter=self.max_iter_barycenter,
-                )
-            from tslearn_spark.barycenters import euclidean_barycenter
-
-            return euclidean_barycenter(sub)
+            return softdtw_barycenter(
+                sub, gamma=self.metric_params.get("gamma", 1.0),
+                init=centers[c], max_iter=self.max_iter_barycenter,
+            )
 
         if self.n_clusters == 1:
             return [one(0)]
+        results: list[np.ndarray | None] = [None] * self.n_clusters
         with ThreadPoolExecutor(max_workers=min(self.n_clusters, 8)) as ex:
-            return list(ex.map(one, range(self.n_clusters)))
+            futures = {ex.submit(one, c): c for c in range(self.n_clusters)}
+            try:
+                for fut in as_completed(futures):
+                    results[futures[fut]] = fut.result()
+            except EmptyClusterError:
+                ex.shutdown(wait=False, cancel_futures=True)
+                raise
+        return results
+
+    def _update_centroids_euclidean(self, assigned: DataFrame) -> list[np.ndarray]:
+        """All k euclidean barycenters in one positionwise aggregate.
+
+        Same math as euclidean_barycenter per cluster (euclidean.py:8-43):
+        explode to (cluster, t, dim, value) -> one groupBy avg.  Only
+        k*sz*d floats reach the driver."""
+        rows = (
+            assigned.select("cluster", F.posexplode("values").alias("t", "point"))
+            .select("cluster", "t", F.posexplode("point").alias("dim", "value"))
+            .groupBy("cluster", "t", "dim")
+            .agg(F.avg("value").alias("value"))
+            .collect()
+        )
+        present = {r["cluster"] for r in rows}
+        if len(present) < self.n_clusters:
+            raise EmptyClusterError()
+        n_t = max(r["t"] for r in rows) + 1
+        n_d = max(r["dim"] for r in rows) + 1
+        out = [np.zeros((n_t, n_d)) for _ in range(self.n_clusters)]
+        for r in rows:
+            out[r["cluster"]][r["t"], r["dim"]] = r["value"]
+        return out
 
     def fit(self, df: DataFrame) -> "TimeSeriesKMeans":
         # spread across cores before caching: assignment UDF stages are
@@ -279,18 +315,29 @@ class KShape:
     """KShape (kshape.py:21-291): assignment by 1-NCC; centroid = dominant
     eigenvector of the aligned correlation matrix (shape extraction).
 
-    Assignment is the same broadcast-centroid map as k-means; shape
-    extraction gathers each cluster's members via applyInPandas — the
-    eigenproblem is (sz x sz), independent of cluster size in memory
-    terms once the aligned sum matrix is accumulated.
+    Assignment is the same broadcast-centroid map as k-means.  Shape
+    extraction has TWO distributed strategies, picked by series length:
+
+    * sz <= sz_stats_cap (default 2048): per-(partition, cluster)
+      sufficient statistics — each task reduces its rows to one
+      (sz*sz + 1)-float row, the driver sums ~n_partitions * k rows and
+      solves the (sz x sz) eigenproblem.  Shuffle-free w.r.t. members,
+      but the statistics row itself is O(sz^2) floats (sz=2048 -> 32 MB
+      per (partition, cluster) row; sz=10k would be 800 MB — infeasible).
+    * sz > sz_stats_cap: per-cluster applyInPandas — one task per
+      cluster holds the (n_c x sz) aligned matrix and power-iterates
+      M = Q X'X Q via matvecs, never materializing the sz x sz matrix.
+      Memory per task is O(n_c * sz); suited to the long-series /
+      moderate-count regime where the statistics path blows up.
     """
 
     def __init__(self, n_clusters: int = 3, max_iter: int = 100, tol: float = 1e-6,
-                 random_state: int = 0):
+                 random_state: int = 0, sz_stats_cap: int = 2048):
         self.n_clusters = n_clusters
         self.max_iter = max_iter
         self.tol = tol
         self.random_state = random_state
+        self.sz_stats_cap = sz_stats_cap
         self.cluster_centers_: list[np.ndarray] | None = None
         self.inertia_: float = np.inf
 
@@ -400,13 +447,79 @@ class KShape:
 
         return gen
 
+    @staticmethod
+    def _power_mu(X: np.ndarray, n_iter: int = 300, tol: float = 1e-12) -> np.ndarray:
+        """Dominant eigenvector of M = Q X'X Q by power iteration with
+        matvecs only: M v = center(X' (X center(v))) — O(n*sz) work and
+        memory per step, no sz x sz matrix.  M is PSD (Gram of the
+        column-centered X), so the largest eigenvalue dominates and power
+        iteration converges to eigh's top eigenvector up to sign (which
+        the caller's sign criterion fixes).  Deterministic seed start."""
+        sz = X.shape[1]
+        v = np.random.RandomState(0).randn(sz)
+        v -= v.mean()
+        v /= np.linalg.norm(v)
+        for _ in range(n_iter):
+            u = v - v.mean()
+            w = X.T @ (X @ u)
+            w -= w.mean()
+            nrm = np.linalg.norm(w)
+            if nrm == 0.0:
+                break
+            w /= nrm
+            if min(np.linalg.norm(w - v), np.linalg.norm(w + v)) < tol:
+                v = w
+                break
+            v = w
+        return v
+
+    def _extract_shapes_long(self, assigned: DataFrame, centers) -> list[np.ndarray]:
+        """Long-series fallback (sz > sz_stats_cap): each cluster's members
+        flow to ONE applyInPandas task — align, power-iterate for mu via
+        matvecs (never building the sz x sz matrix), apply the exact sign
+        criterion (kshape.py:132-133) locally, emit the final (sz)-vector.
+        One Spark job; per-task memory O(n_c * sz)."""
+
+        def one_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            c = int(key[0])
+            members = [
+                np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                for v in pdf["values"]
+            ]
+            aligned = K.y_shifted_sbd_vec(centers[c], members)
+            X = np.stack([a[:, 0] for a in aligned])
+            mu = KShape._power_mu(X)
+            d_plus, d_minus = KShape._sign_dists(X, mu)
+            if d_minus < d_plus:
+                mu = -mu
+            return pd.DataFrame(
+                {"cluster": [c], "mu": [KShape._finalize_mu(mu).ravel().tolist()]}
+            )
+
+        rows = (
+            assigned.select("cluster", "values")
+            .groupBy("cluster")
+            .applyInPandas(one_cluster, "cluster int, mu array<double>")
+            .collect()
+        )
+        got = {r["cluster"]: np.asarray(r["mu"], dtype=np.float64) for r in rows}
+        out = []
+        for c in range(self.n_clusters):
+            if c not in got:
+                raise EmptyClusterError()
+            out.append(got[c].reshape(-1, 1))
+        return out
+
     def _extract_shapes(self, assigned: DataFrame, centers) -> list[np.ndarray]:
         """Distributed shape extraction: partial stats per (partition,
         cluster), eigenproblem on the driver from k (sz x sz) sums, then
         one extra distributed pass evaluating the reference's exact
         non-squared sign criterion (kshape.py:132-133) against the
-        candidate eigenvectors."""
+        candidate eigenvectors.  Series longer than sz_stats_cap take the
+        matvec fallback (see class docstring)."""
         sz = centers[0].shape[0]
+        if sz > self.sz_stats_cap:
+            return self._extract_shapes_long(assigned, centers)
         src = assigned.select("cluster", "values")
         partials = src.mapInPandas(
             self._shape_partials(centers),
@@ -691,16 +804,32 @@ def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **pa
 class GlobalAlignmentKernelKMeans(KernelKMeans):
     """Deprecated alias of KernelKMeans with kernel fixed to GAK
     (reference kmeans.py:460-473): kept so reference users' imports keep
-    working; warns like the original."""
+    working; warns like the original.  Like the reference class, it does
+    NOT accept a ``kernel`` argument (the reference __init__ has no such
+    parameter and raises TypeError); positional n_clusters is allowed."""
 
-    def __init__(self, **kwargs):
+    def __init__(self, n_clusters: int = 3, max_iter: int = 50, tol: float = 1e-6,
+                 random_state: int = 0, kernel_params: dict | None = None, **kwargs):
         import warnings
 
-        kwargs.pop("kernel", None)
+        if "kernel" in kwargs:
+            raise TypeError(
+                "GlobalAlignmentKernelKMeans.__init__() got an unexpected "
+                "keyword argument 'kernel' (the kernel is fixed to 'gak'; "
+                "use KernelKMeans(kernel=...) to choose one)"
+            )
+        if kwargs:
+            raise TypeError(
+                "GlobalAlignmentKernelKMeans.__init__() got unexpected "
+                f"keyword arguments {sorted(kwargs)}"
+            )
         warnings.warn(
             "`GlobalAlignmentKernelKMeans` is deprecated and will be "
             "removed; use KernelKMeans(kernel='gak') instead.",
             DeprecationWarning,
             stacklevel=2,
         )
-        super().__init__(kernel="gak", **kwargs)
+        super().__init__(
+            n_clusters=n_clusters, kernel="gak", max_iter=max_iter, tol=tol,
+            random_state=random_state, kernel_params=kernel_params,
+        )

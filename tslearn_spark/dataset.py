@@ -17,6 +17,7 @@ trimming, text codec), tslearn/generators/generators.py (random walks).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -194,19 +195,22 @@ def random_walks(
 ) -> DataFrame:
     """Cumulative-sum Gaussian walks, distributed (generators.py:7-54).
 
-    Spark-first: `spark.range(n_ts)` seeds one row per series, the inner
-    cumsum is a higher-order aggregate over a generated randn array — the
-    whole generator is a narrow map over `range`, embarrassingly parallel,
-    no shuffle.  For test determinism a seed pins numpy per-series RNG.
+    Spark-first: `spark.range(n_ts)` seeds one row per series, and an
+    Arrow-batched pandas UDF generates the cumsum walks — the whole
+    generator is a narrow map over `range`, embarrassingly parallel, no
+    shuffle.  For test determinism a seed pins numpy per-series RNG
+    (seed is per series_id, so partitioning cannot change outputs).
     """
     seed = 0 if random_state is None else int(random_state)
 
-    def make(sid: int) -> list[list[float]]:
-        rs = np.random.RandomState(seed + 100003 * sid)
-        steps = mu + std * rs.randn(sz, d)
-        return np.cumsum(steps, axis=0).tolist()
-
-    make_udf = F.udf(make, ArrayType(ArrayType(DoubleType())))
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def make_udf(sids: pd.Series) -> pd.Series:
+        out = []
+        for sid in sids:
+            rs = np.random.RandomState(seed + 100003 * int(sid))
+            steps = mu + std * rs.randn(sz, d)
+            out.append(np.cumsum(steps, axis=0).tolist())
+        return pd.Series(out)
     return (
         spark.range(n_ts)
         .withColumnRenamed("id", "series_id")
@@ -228,12 +232,14 @@ def random_walk_blobs(
     rs = np.random.RandomState(seed)
     base = np.cumsum(rs.randn(n_blobs, sz, d), axis=1)
 
-    def make(sid: int) -> list[list[float]]:
-        blob = sid // n_ts_per_blob
-        rs2 = np.random.RandomState(seed + 13 + 100003 * sid)
-        return (base[blob] + noise_level * rs2.randn(sz, d)).tolist()
-
-    make_udf = F.udf(make, ArrayType(ArrayType(DoubleType())))
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def make_udf(sids: pd.Series) -> pd.Series:
+        out = []
+        for sid in sids:
+            blob = int(sid) // n_ts_per_blob
+            rs2 = np.random.RandomState(seed + 13 + 100003 * int(sid))
+            out.append((base[blob] + noise_level * rs2.randn(sz, d)).tolist())
+        return pd.Series(out)
     return (
         spark.range(n_blobs * n_ts_per_blob)
         .withColumnRenamed("id", "series_id")

@@ -33,6 +33,8 @@ def matrix_profile_np(ts: np.ndarray, m: int, scale: bool = True) -> np.ndarray:
     ts = np.asarray(ts, dtype=np.float64).reshape(-1)
     sz = ts.shape[0]
     n_win = sz - m + 1
+    if n_win < 1:  # degenerate: series shorter than the subsequence length
+        return np.zeros(0, dtype=np.float64)
     idx = np.arange(m)[None, :] + np.arange(n_win)[:, None]
     W = ts[idx]  # (n_win, m)
     if scale:
@@ -149,10 +151,14 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
     m = subsequence_length
     B = block_size
     band = int(np.ceil(m / 4.0))
-    base = (
-        df.select("series_id", values_col)
-        .withColumn("_n_win", F.size(values_col) - m + 1)
-        .where(F.col("_n_win") >= 1)
+    sized = df.select("series_id", values_col).withColumn(
+        "_n_win", F.size(values_col) - m + 1
+    )
+    base = sized.where(F.col("_n_win") >= 1)
+    # degenerate series (shorter than the subsequence length) keep a row
+    # with an empty profile, matching transform's output for them
+    short = sized.where(F.col("_n_win") < 1).select(
+        "series_id", F.expr("array()").cast("array<double>").alias(out_col)
     )
     blocks = base.select(
         "series_id", "_n_win", values_col,
@@ -190,7 +196,7 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
             lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
         ).alias("mins"),
     )
-    return (
+    stitched = (
         block_min.groupBy("series_id")
         .agg(
             F.flatten(
@@ -198,3 +204,4 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
             ).alias(out_col)
         )
     )
+    return stitched.unionByName(short)

@@ -154,6 +154,7 @@ def stream_matrix_profile(
     key_col: str = "user_id",
     value_col: str = "value",
     idle_timeout_ms: int | None = None,
+    scale: bool = True,
 ) -> DataFrame:
     """Per-key ONLINE matrix profile — streaming discord detection.
 
@@ -177,6 +178,12 @@ def stream_matrix_profile(
     the unbounded axis (per-key state is already bounded), so long-lived
     jobs should evict churned-out keys; a re-appearing key simply
     restarts its horizon cold.
+
+    ``scale`` mirrors the batch operator's default (transform /
+    matrix_profile_np, matrix_profile.py:185): every window — the newest
+    and each history window — is z-normalized (mean 0, std 1; std 0 ->
+    1) before the distance, so streaming mp values are comparable to
+    batch profiles.  scale=False scores raw windows.
 
     Batch twin for validation: ``matrix_profile_np`` restricted to
     j < i within the horizon (see the unit test's numpy replay).
@@ -219,6 +226,13 @@ def stream_matrix_profile(
                     continue
                 idx = np.arange(m)[None, :] + np.arange(n_prev)[:, None]
                 W = arr[idx]
+                if scale:
+                    mu = W.mean(axis=1, keepdims=True)
+                    sd = W.std(axis=1, keepdims=True)
+                    sd[sd == 0.0] = 1.0
+                    W = (W - mu) / sd
+                    nsd = w_new.std()
+                    w_new = (w_new - w_new.mean()) / (nsd if nsd > 0 else 1.0)
                 d2 = ((W - w_new[None, :]) ** 2).sum(axis=1)
                 out_ts.append(ts)
                 out_mp.append(float(np.sqrt(d2.min())))
