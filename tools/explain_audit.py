@@ -59,6 +59,19 @@ AUDITS = [
      "broadcast-train batched DTW: each query partition runs the "
      "mixed-shape band DP against the broadcast train set; only "
      "(id, id, dist) candidates reach the top-k window"),
+    ("events_sessionize", ["Window"], 1,
+     "gap sessionization: lag let-bound in a CTE (single window eval), "
+     "both windows + the session aggregate reuse ONE user_id shuffle "
+     "(groupBy(user_id, session_no) is clustering-satisfied by the "
+     "window partitioning)"),
+    ("events_cumulative", ["Window"], 1,
+     "running per-user aggregates: one named window frame, one shuffle "
+     "on user_id"),
+    ("revenue_grouping_sets", ["Expand", "partial_sum"], 1,
+     "grouping sets = single Expand + map-side-combined aggregate; one "
+     "shuffle on the expanded keys"),
+    ("dedup_exact", ["HashAggregate", "partial_"], 1,
+     "exact dedup = one shuffle on uniform md5 keys with map-side combine"),
     ("events_asof_orders", ["Union", "Window"], 1,
      "as-of join = union both streams + ONE shuffle on the key + one "
      "sorted carry-forward window — never a pairwise join"),
