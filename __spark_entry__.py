@@ -743,6 +743,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TINY_INT_SQL = """
+    WITH ranked AS (
+        SELECT user_id, CAST(floor(value) AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 12
+    )
+    SELECT user_id AS series_id,
+           transform(array_sort(collect_list(struct(rn, v))),
+                     s -> array(s.v)) AS values
+    FROM ranked WHERE rn <= 5 + user_id % 4
+    GROUP BY user_id
+"""
+
+
+def _tiny_int_series(spark: SparkSession) -> DataFrame:
+    """12 tiny integer-valued series (lengths 5..8) for the exact-DP hash
+    gates: floor()-quantized values keep every kernel arithmetic step an
+    exact integer so Spark and DuckDB agree bit-for-bit."""
+    return spark.sql(_TINY_INT_SQL)
+
+
 def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DTW under the hash gate (dtw_variants.py:24-57,384-465).
 
@@ -768,20 +789,7 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.metrics import cdist, pair_metric_udf, self_pairs
 
     load_tables(spark, sf_dir)
-    tiny = spark.sql(
-        """
-        WITH ranked AS (
-            SELECT user_id, CAST(floor(value) AS DOUBLE) AS v,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-            FROM events WHERE user_id < 12
-        )
-        SELECT user_id AS series_id,
-               transform(array_sort(collect_list(struct(rn, v))),
-                         s -> array(s.v)) AS values
-        FROM ranked WHERE rn <= 5 + user_id % 4
-        GROUP BY user_id
-        """
-    )
+    tiny = _tiny_int_series(spark)
     edges = cdist(tiny, metric="dtw").select(
         "id1", "id2", F.round("dist", 6).alias("dtw")
     )
@@ -869,18 +877,30 @@ def dba_barycenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "t int, bary double")
 
 
-def kmeans_euclidean_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimeSeriesKMeans(metric=euclidean) on resampled series (kmeans.py:471-859)."""
-    from tslearn_spark.clustering import TimeSeriesKMeans
+def clustering_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeriesKMeans(metric=euclidean) + KShape labels on the same
+    event series (kmeans.py:471-859, kshape.py:21-291) — both iterative,
+    rows-only.  Merged from the former kmeans_euclidean_clusters and
+    kshape_clusters queries (each sub-flow unchanged) to free a query
+    slot for the oracled shapelet_score_fixed."""
+    from tslearn_spark.clustering import KShape, TimeSeriesKMeans
     from tslearn_spark.preprocessing import resample, transform_mean_variance
 
-    ts = transform_mean_variance(
-        resample(_events_series(spark, sf_dir), 16)
-    ).cache()
-    ts.count()  # materialize: pandas-UDF stages need plain-attribute inputs
+    base = _events_series(spark, sf_dir)
+    ts16 = transform_mean_variance(resample(base, 16)).cache()
+    ts16.count()  # materialize: pandas-UDF stages need plain-attribute inputs
     km = TimeSeriesKMeans(n_clusters=3, metric="euclidean", max_iter=5, random_state=0)
-    km.fit(ts)
-    return km.predict(ts).select("series_id", "cluster")
+    km.fit(ts16)
+    kmeans_lab = km.predict(ts16).select(
+        "series_id", F.col("cluster").alias("kmeans_cluster")
+    )
+    ts32 = resample(base.where(F.size("values") >= 2), 32).cache()
+    ts32.count()
+    ks = KShape(n_clusters=3, max_iter=4, random_state=0).fit(ts32)
+    kshape_lab = ks.predict(ts32).select(
+        "series_id", F.col("cluster").alias("kshape_cluster")
+    )
+    return kmeans_lab.join(kshape_lab, "series_id", "left")
 
 
 def kernel_kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,18 +969,42 @@ def silhouette_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kshape_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KShape (kshape.py:21-291) on resampled series — iterative NCC
-    assignment + shape extraction; rows-only."""
-    from tslearn_spark.clustering import KShape
-    from tslearn_spark.preprocessing import resample
+def shapelet_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed shapelet scoring under the hash gate: the transform +
+    locate pandas-UDF path (shapelets.py:514-586; kernel _min_dists) with
+    a DETERMINISTIC bank — shapelet k = the first 4 points of tiny
+    integer series k (k < 3) — so DuckDB can replay the exact
+    min-over-positions mean-squared scan.  Window sums are exact
+    integers, /4 yields exactly-representable quarters, and loc is
+    numpy argmin's first-minimum, replayed as min(position) over exact
+    ties.  (The learned-bank path stays covered by shapelet_transform,
+    whose Adam fit is not SQL-replayable.)"""
+    import numpy as np
 
-    ts = resample(
-        _events_series(spark, sf_dir).where(F.size("values") >= 2), 32
-    ).cache()
-    ts.count()
-    ks = KShape(n_clusters=3, max_iter=4, random_state=0).fit(ts)
-    return ks.predict(ts).select("series_id", "cluster")
+    from tslearn_spark.shapelets import LearningShapelets
+
+    load_tables(spark, sf_dir)
+    tiny = _tiny_int_series(spark).cache()  # two UDF consumers
+    tiny.count()
+    seeds = {
+        r["series_id"]: r["values"]
+        for r in tiny.where(F.col("series_id") < 3).collect()
+    }
+    model = LearningShapelets()
+    model.shapelets_ = [
+        np.asarray(seeds[k], dtype=np.float64)[:4] for k in sorted(seeds)
+    ]
+    dists = model.transform(tiny).select(
+        "series_id", F.posexplode("shapelet_dists").alias("shapelet_idx", "min_dist")
+    )
+    locs = model.locate(tiny).select(
+        "series_id", F.posexplode("shapelet_locs").alias("shapelet_idx", "loc")
+    )
+    return (
+        dists.join(locs, ["series_id", "shapelet_idx"])
+        .select("series_id", "shapelet_idx",
+                F.round("min_dist", 6).alias("min_dist"), "loc")
+    )
 
 
 def svc_gak_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,11 +1088,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries: the driver's correctness gate runs at most 50
-    queries in registration order (r3 cut entries 51-53), so all 41 oracled
-    queries come first and the 9 rows-only iterative/model queries last —
-    a count or time cap then costs only the weakest checks.  (r5 freed a
-    slot by folding cdist_dtw_sample's banded DTW into metrics_pair_sample
-    and spent it on the hash-gated cdist_dtw_tiny.)"""
+    queries in registration order (r3 cut entries 51-53), so all 42 oracled
+    queries come first and the 8 rows-only iterative/model queries last —
+    a count or time cap then costs only the weakest checks.  (r5 freed two
+    slots: cdist_dtw_sample's banded DTW folded into metrics_pair_sample,
+    and kmeans_euclidean_clusters + kshape_clusters merged into
+    clustering_labels; spent on the hash-gated cdist_dtw_tiny and
+    shapelet_score_fixed.)"""
     return {
         # relational passthrough (oracled)
         "q1_pricing_summary": q1_pricing_summary,
@@ -1096,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_euclidean_16": silhouette_euclidean_16,
         "matrix_profile_events": matrix_profile_events,
         "cdist_dtw_tiny": cdist_dtw_tiny,
+        "shapelet_score_fixed": shapelet_score_fixed,
         # non-SQL-expressible (rows-only), heaviest last
         "metrics_pair_sample": metrics_pair_sample,
         "dba_barycenter_sample": dba_barycenter_sample,
@@ -1103,8 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlp_classify": mlp_classify,
         "shapelet_transform": shapelet_transform,
         "svc_gak_classify": svc_gak_classify,
-        "kshape_clusters": kshape_clusters,
-        "kmeans_euclidean_clusters": kmeans_euclidean_clusters,
+        "clustering_labels": clustering_labels,
         "kernel_kmeans_predict": kernel_kmeans_predict,
     }
 
@@ -1908,6 +1954,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.id1, d.id2, d.dtw, l.lcss
             FROM full_dtw d
             JOIN full_lcss l ON d.id1 = l.id1 AND d.id2 = l.id2
+        """,
+        "shapelet_score_fixed": """
+            -- deterministic-bank shapelet scoring: shapelet k = first 4
+            -- values of tiny series k; min_dist = min over positions of
+            -- mean squared diff (exact int sums, /4 = exact quarters);
+            -- loc = first position achieving the min (numpy argmin)
+            WITH tiny AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events WHERE user_id < 12
+            ),
+            ser AS (
+                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
+                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
+            ),
+            shp AS (
+                SELECT sid AS k, vals[1:4] AS sv FROM ser WHERE sid < 3
+            ),
+            pos AS (
+                SELECT s.sid, p.k, s.vals, p.sv,
+                       unnest(generate_series(1, s.n - 3)) AS t0
+                FROM ser s CROSS JOIN shp p
+            ),
+            dd_t AS (
+                SELECT sid, k, t0,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                           (vals[t0 + i - 1] - sv[i]) * (vals[t0 + i - 1] - sv[i])
+                       )) / 4.0 AS dd
+                FROM pos
+            ),
+            win AS (
+                SELECT sid, k, t0, dd,
+                       min(dd) OVER (PARTITION BY sid, k) AS md
+                FROM dd_t
+            )
+            SELECT sid AS series_id,
+                   CAST(k AS INT) AS shapelet_idx,
+                   round(md, 6) AS min_dist,
+                   CAST(min(t0) FILTER (WHERE dd = md) - 1 AS INT) AS loc
+            FROM win
+            GROUP BY sid, k, md
         """,
         "ann_lsh_topk": f"""
             WITH e AS (
