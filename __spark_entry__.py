@@ -785,6 +785,15 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final count/min(n1,n2) division is a single correctly-rounded
     IEEE op on both engines.  Diagonal lcss is 1.0 (self-similarity),
     unlike the distance diagonal's 0.0.
+
+    The dtw_band column gates the BANDED batched DP — the
+    performance-critical masked kernel (kernels.py:178-219 band-
+    coordinate row-scan; mask semantics dtw_variants.py:906-956) — with
+    sakoe_chiba_radius=2 over the same mixed-length pairs: the oracle
+    replays the per-row [lo, hi] band bounds (diagonal-adjusted for
+    unequal lengths) and carries +infinity for out-of-band cells, which
+    IEEE propagates identically on both engines while in-band cells
+    stay exact integers.
     """
     from tslearn_spark.metrics import cdist, pair_metric_udf, self_pairs
 
@@ -805,7 +814,14 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("series_id").alias("id2"),
                                  F.lit(1.0).alias("lcss")))
     )
-    return edges.join(lc, ["id1", "id2"]).select("id1", "id2", "dtw", "lcss")
+    edges_band = cdist(tiny, metric="dtw", sakoe_chiba_radius=2).select(
+        "id1", "id2", F.round("dist", 6).alias("dtw_band")
+    )
+    return (
+        edges.join(lc, ["id1", "id2"])
+        .join(edges_band, ["id1", "id2"])
+        .select("id1", "id2", "dtw", "lcss", "dtw_band")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1941,6 +1957,56 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(cur[n2] AS DOUBLE) / least(n1, n2), 6) AS lcss
                 FROM lp WHERE i = n1 AND j = n2
             ),
+            -- banded DTW DP (sakoe_chiba radius 2): per-row band
+            -- [lo(i), hi(i)] follows the diagonal when n1 != n2
+            -- (dtw_variants.py:906-956); out-of-band cells carry +inf
+            bp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [(v1[1] - v2[1]) * (v1[1] - v2[1])] AS cur
+                FROM pairs
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 CASE WHEN (j + 1) <
+                                           (CASE WHEN n1 > n2
+                                                 THEN greatest(1, i - (n1 - n2 + 2))
+                                                 ELSE greatest(1, i - 2) END)
+                                        OR (j + 1) >
+                                           (CASE WHEN n1 > n2
+                                                 THEN least(n2, i + 2)
+                                                 ELSE least(n2, i + (n2 - n1 + 2)) END)
+                                      THEN 'infinity'::DOUBLE
+                                      ELSE (v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])
+                                           + CASE WHEN i > 1
+                                                  THEN least(prev[j + 1], prev[j], cur[j])
+                                                  ELSE cur[j] END
+                                 END)
+                            ELSE [CASE WHEN 1 <
+                                           (CASE WHEN n1 > n2
+                                                 THEN greatest(1, (i + 1) - (n1 - n2 + 2))
+                                                 ELSE greatest(1, (i + 1) - 2) END)
+                                       THEN 'infinity'::DOUBLE
+                                       ELSE (v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])
+                                            + cur[1]
+                                  END]
+                       END
+                FROM bp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            bres AS (
+                SELECT id1, id2, round(sqrt(cur[n2]), 6) AS dtw_band
+                FROM bp WHERE i = n1 AND j = n2
+            ),
+            full_band AS (
+                SELECT id1, id2, dtw_band FROM bres
+                UNION ALL SELECT id2 AS id1, id1 AS id2, dtw_band FROM bres
+                UNION ALL SELECT sid AS id1, sid AS id2, 0.0 AS dtw_band FROM ser
+            ),
             full_dtw AS (
                 SELECT id1, id2, dtw FROM res
                 UNION ALL SELECT id2 AS id1, id1 AS id2, dtw FROM res
@@ -1951,9 +2017,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT id2 AS id1, id1 AS id2, lcss FROM lres
                 UNION ALL SELECT sid AS id1, sid AS id2, 1.0 AS lcss FROM ser
             )
-            SELECT d.id1, d.id2, d.dtw, l.lcss
+            SELECT d.id1, d.id2, d.dtw, l.lcss, b.dtw_band
             FROM full_dtw d
             JOIN full_lcss l ON d.id1 = l.id1 AND d.id2 = l.id2
+            JOIN full_band b ON d.id1 = b.id1 AND d.id2 = b.id2
         """,
         "shapelet_score_fixed": """
             -- deterministic-bank shapelet scoring: shapelet k = first 4
