@@ -507,6 +507,106 @@ class TestStreamingBatch:
         finally:
             q.stop()
 
+    def test_stream_exact_dedup_ttl_eviction(self, spark, tmp_path):
+        """ttl_ms bounds dedup state (the dropDuplicatesWithinWatermark
+        trade): within the TTL a duplicate is dropped; after a quiet
+        period longer than the TTL the hash is forgotten and the same
+        content is re-admitted."""
+        import time
+
+        from tslearn_spark.streaming import stream_exact_dedup
+
+        src_dir = str(tmp_path / "ttlsrc")
+        spark.createDataFrame(
+            [(0, "alpha text"), (1, "beta text"), (2, "alpha text")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        out = stream_exact_dedup(stream, ttl_ms=1500)
+        q = (
+            out.writeStream.format("memory").queryName("dedup_ttl")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_ttl").collect()}
+                if got >= {0, 1}:
+                    break
+                time.sleep(0.5)
+            # within-TTL duplicate (id 2) dropped, first-seens emitted
+            assert got == {0, 1}
+            time.sleep(5)  # > TTL with no traffic: state evicted
+            spark.createDataFrame(
+                [(10, "alpha text")], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_ttl").collect()}
+                if 10 in got:
+                    break
+                time.sleep(0.5)
+            # the forgotten hash re-admits the late duplicate
+            assert got == {0, 1, 10}
+        finally:
+            q.stop()
+
+    def test_stream_running_zscore_idle_eviction(self, spark, tmp_path):
+        """idle_timeout_ms drops a key's Welford state: after a quiet
+        period a wild value scores z=0 (cold statistics), where retained
+        state would have flagged it."""
+        import datetime
+        import time
+
+        from tslearn_spark.streaming import stream_running_zscore
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [(0, base + datetime.timedelta(seconds=i), float(i % 2))
+                for i in range(12)]
+        src_dir = str(tmp_path / "zevsrc")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src_dir)
+        out = stream_running_zscore(stream, threshold=3.0, min_obs=5,
+                                    idle_timeout_ms=1500)
+        q = (
+            out.writeStream.format("memory").queryName("z_evict")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM z_evict").first()["c"] >= 12:
+                    break
+                time.sleep(0.5)
+            assert spark.sql("SELECT count(*) c FROM z_evict").first()["c"] == 12
+            time.sleep(5)  # > idle timeout: Welford state evicted
+            spike_ts = base + datetime.timedelta(seconds=100)
+            spark.createDataFrame(
+                [(0, spike_ts, 50.0)], "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+            deadline = time.time() + 60
+            row = None
+            while time.time() < deadline:
+                rows2 = spark.sql(
+                    "SELECT * FROM z_evict WHERE value = 50.0"
+                ).collect()
+                if rows2:
+                    row = rows2[0]
+                    break
+                time.sleep(0.5)
+            # cold restart: n=0 -> z defined as 0.0, no anomaly flag.
+            # Retained state would have scored |z| >> 3 with n=12 >= min_obs.
+            assert row is not None
+            assert row["z"] == 0.0 and not row["is_anomaly"]
+        finally:
+            q.stop()
+
     def test_stream_exact_dedup_stateful(self, spark, tmp_path):
         """First-seen-wins dedup over a real stream: duplicate payloads
         across micro-batches are dropped by the per-hash state."""

@@ -95,6 +95,7 @@ def stream_running_zscore(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "value",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key ONLINE z-score anomaly flags — a custom stateful operator.
 
@@ -108,6 +109,12 @@ def stream_running_zscore(
 
     Batch twin (same semantics, SQL window functions): the
     events_running_zscore driver query — use it to validate results.
+
+    ``idle_timeout_ms``: drop a key's Welford state after that much
+    processing time without new events.  Per-key state is three numbers,
+    so the unbounded axis at 100 TB is the KEY population — long-lived
+    jobs evict churned-out keys; a re-appearing key restarts its
+    statistics cold.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -116,8 +123,18 @@ def stream_running_zscore(
         "z double, is_anomaly boolean"
     )
     state_schema = "n long, mean double, m2 double"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def score(key, pdfs, state: GroupState):
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=[key_col, ts_col, value_col, "z", "is_anomaly"]
+            )
+            return
         if state.exists:
             n, mean, m2 = state.get
         else:
@@ -137,12 +154,14 @@ def stream_running_zscore(
                 mean += delta / n
                 m2 += delta * (v - mean)
         state.update((n, mean, m2))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             out_rows, columns=[key_col, ts_col, value_col, "z", "is_anomaly"]
         )
 
     return events.groupBy(key_col).applyInPandasWithState(
-        score, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        score, out_schema, state_schema, "append", timeout_conf
     )
 
 
@@ -255,6 +274,7 @@ def stream_exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup — first-seen wins, per content hash.
 
@@ -270,6 +290,14 @@ def stream_exact_dedup(
     static frame): the ``stream_exact_dedup_batch`` driver query.  Works
     on batch DataFrames via groupBy(hash) -> min id when the input is
     not streaming.
+
+    ``ttl_ms`` bounds state for unbounded corpora — the same trade
+    Spark's own ``dropDuplicatesWithinWatermark`` makes: a hash whose
+    content hasn't recurred for ``ttl_ms`` of processing time is
+    forgotten, so a duplicate arriving later than the TTL is re-admitted
+    (dedup-within-horizon).  At 100 TB the hash population is the
+    unbounded axis (per-key state is already one long), so forever-exact
+    dedup means unbounded state; TTL caps it at the active working set.
     """
     hashed = docs.select(
         F.col(id_col), F.col(text_col),
@@ -290,9 +318,19 @@ def stream_exact_dedup(
 
     out_schema = f"{id_col} long, {text_col} string"
     state_schema = "first_id long"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def keep_first(key, pdfs, state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()  # hash forgotten: a later duplicate re-admits
+            yield pd.DataFrame(columns=[id_col, text_col])
+            return
         if state.exists:
+            if ttl_ms:  # activity re-arms the idle TTL
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(columns=[id_col, text_col])
             return
         best = None
@@ -306,10 +344,12 @@ def stream_exact_dedup(
             yield pd.DataFrame(columns=[id_col, text_col])
             return
         state.update((int(best[id_col]),))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({id_col: [best[id_col]], text_col: [best[text_col]]})
 
     return hashed.groupBy("_h").applyInPandasWithState(
-        keep_first, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        keep_first, out_schema, state_schema, "append", timeout_conf
     )
 
 
