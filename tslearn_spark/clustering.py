@@ -132,6 +132,9 @@ class TimeSeriesKMeans:
         max_iter_barycenter: int = 100,
         metric_params: dict | None = None,
         init: str = "k-means++",
+        n_jobs: int | None = None,
+        dtw_inertia: bool = False,
+        verbose: int = 0,
     ):
         self.n_clusters = n_clusters
         self.metric = metric
@@ -142,6 +145,13 @@ class TimeSeriesKMeans:
         self.max_iter_barycenter = max_iter_barycenter
         self.metric_params = metric_params or {}
         self.init = init  # "k-means++" (reference default) or "random"
+        # accepted for reference-signature parity (kmeans.py:592-595);
+        # parallelism comes from the Spark cluster, not joblib
+        self.n_jobs = n_jobs
+        # kmeans.py:698-704: measure inertia with DTW even when the fit
+        # metric is not dtw (model-selection aid)
+        self.dtw_inertia = dtw_inertia
+        self.verbose = verbose
         self.cluster_centers_: list[np.ndarray] | None = None
         self.inertia_: float = np.inf
         self.n_iter_: int = 0
@@ -268,6 +278,28 @@ class TimeSeriesKMeans:
             )
         return _collect_small(df, self.n_clusters, seed)
 
+    def _inertia_of(self, assigned: DataFrame, centers) -> float:
+        """Mean squared assigned distance (utils.py:47-64).  With
+        dtw_inertia and a non-dtw fit metric, the distance to the
+        ASSIGNED center is re-measured with DTW (kmeans.py:698-704) in
+        one extra map pass — labels are unchanged."""
+        if self.dtw_inertia and self.metric != "dtw":
+            @F.pandas_udf(DoubleType())
+            def _dtw_to_assigned(values: pd.Series, cluster: pd.Series) -> pd.Series:
+                out = []
+                for v, c in zip(values, cluster):
+                    ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+                    out.append(float(K.dtw(centers[int(c)], ts)))
+                return pd.Series(out)
+
+            assigned = assigned.withColumn(
+                "dist", _dtw_to_assigned("values", "cluster")
+            )
+        row = assigned.groupBy().agg(
+            F.avg(F.col("dist") * F.col("dist")).alias("i")
+        ).first()
+        return float(row["i"])
+
     def _fit_one(self, df: DataFrame, seed: int):
         centers = self._init_centers(df, seed)
         prev_inertia = np.inf
@@ -275,14 +307,17 @@ class TimeSeriesKMeans:
         for it in range(self.max_iter):
             assigned = self._assignments(df, centers)
             assigned = assigned.cache()
-            row = assigned.groupBy().agg(F.avg(F.col("dist") * F.col("dist")).alias("i")).first()
-            inertia = float(row["i"])
+            inertia = self._inertia_of(assigned, centers)
+            if self.verbose:
+                print("%.3f" % inertia, end=" --> ")
             centers = self._update_centroids(assigned, centers)
             assigned.unpersist()
             self.n_iter_ = it + 1
             if abs(prev_inertia - inertia) < self.tol:
                 break
             prev_inertia = inertia
+        if self.verbose:
+            print("")
         return centers, inertia, self.n_iter_
 
     def predict(self, df: DataFrame) -> DataFrame:
@@ -332,14 +367,19 @@ class KShape:
     """
 
     def __init__(self, n_clusters: int = 3, max_iter: int = 100, tol: float = 1e-6,
-                 random_state: int = 0, sz_stats_cap: int = 2048):
+                 n_init: int = 1, verbose: bool = False, random_state: int = 0,
+                 init: str = "random", sz_stats_cap: int = 2048):
         self.n_clusters = n_clusters
         self.max_iter = max_iter
         self.tol = tol
+        self.n_init = n_init
+        self.verbose = verbose
         self.random_state = random_state
+        self.init = init  # "random" (kshape.py:96) or a list of (sz, d) arrays
         self.sz_stats_cap = sz_stats_cap
         self.cluster_centers_: list[np.ndarray] | None = None
         self.inertia_: float = np.inf
+        self.n_iter_: int = 0
 
     def _assignments(self, df: DataFrame, centers) -> DataFrame:
         udf = _assign_udf(centers, "sbd", {})
@@ -480,7 +520,7 @@ class KShape:
         criterion (kshape.py:132-133) locally, emit the final (sz)-vector.
         One Spark job; per-task memory O(n_c * sz)."""
 
-        def one_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def one_cluster(key, pdf):
             c = int(key[0])
             members = [
                 np.asarray([np.asarray(r, dtype=np.float64) for r in v])
@@ -551,28 +591,71 @@ class KShape:
             new_centers.append(self._finalize_mu(mu))
         return new_centers
 
-    def fit(self, df: DataFrame) -> "KShape":
-        from tslearn_spark.preprocessing import transform_mean_variance
-
-        df = transform_mean_variance(df.select("series_id", "values")).cache()
-        centers = _collect_small(df, self.n_clusters, self.random_state)
+    def _fit_one(self, df: DataFrame, seed: int):
+        if isinstance(self.init, str):
+            if self.init != "random":
+                raise ValueError(
+                    "Value %r for parameter 'init' is invalid" % self.init
+                )
+            centers = _collect_small(df, self.n_clusters, seed)
+        else:  # explicit initial centers (kshape.py init ndarray form)
+            centers = [np.asarray(c, dtype=np.float64).reshape(-1, 1)
+                       if np.asarray(c).ndim == 1 else np.asarray(c, dtype=np.float64)
+                       for c in self.init]
         prev_inertia = np.inf
+        n_iter = 0
         for it in range(self.max_iter):
             assigned = self._assignments(df, centers).cache()
             inertia = float(
                 assigned.groupBy().agg(F.avg(F.col("dist") * F.col("dist")).alias("i")).first()["i"]
             )
+            if self.verbose:
+                print("%.3f" % inertia, end=" --> ")
             if inertia > prev_inertia:  # rollback (kshape.py:180-184)
                 assigned.unpersist()
                 break
             centers = self._extract_shapes(assigned, centers)
             assigned.unpersist()
+            n_iter = it + 1
             if abs(prev_inertia - inertia) < self.tol:
                 prev_inertia = inertia
                 break
             prev_inertia = inertia
-        self.cluster_centers_ = centers
-        self.inertia_ = prev_inertia
+        if self.verbose:
+            print("")
+        return centers, prev_inertia, n_iter
+
+    def fit(self, df: DataFrame) -> "KShape":
+        """Best of n_init runs by inertia; an init that hits an empty
+        cluster during shape extraction is retried with a fresh seed, up
+        to max(n_init, 10) total attempts (kshape.py:207-243)."""
+        from tslearn_spark.preprocessing import transform_mean_variance
+
+        df = transform_mean_variance(df.select("series_id", "values")).cache()
+        best = (np.inf, None, 0)
+        successful = 0
+        max_attempts = max(self.n_init, 10)
+        for attempt in range(max_attempts):
+            if successful >= self.n_init:
+                break
+            if self.verbose and self.n_init > 1:
+                print("Init %d" % (successful + 1))
+            try:
+                centers, inertia, n_iter = self._fit_one(
+                    df, self.random_state + attempt
+                )
+            except EmptyClusterError:
+                if self.verbose:
+                    print("Resumed because of empty cluster")
+                if not isinstance(self.init, str):
+                    raise  # a fixed explicit init cannot be re-drawn
+                continue
+            successful += 1
+            if inertia < best[0]:
+                best = (inertia, centers, n_iter)
+        if best[1] is None:
+            raise EmptyClusterError("all inits hit empty clusters")
+        self.inertia_, self.cluster_centers_, self.n_iter_ = best
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
@@ -588,165 +671,175 @@ class KShape:
 class KernelKMeans:
     """Kernel k-means on a cached distributed Gram (kmeans.py:136-457).
 
-    dist^2(i, C) = K_ii - 2/|C| sum_{j in C} K_ij + 1/|C|^2 sum_{j,l in C} K_jl.
-    The Gram is an edges DataFrame (never an n^2 driver array); each
-    iteration is two grouped aggregates over the edges.
+    Assignment follows the reference's exact criterion
+    (kmeans.py:390-405): dist(i, C) = 2 - 2 * sum_{j in C} w_j K_ij /
+    sum_{j in C} w_j — a normalized kernel is assumed (k(x,x) = 1), and
+    the reference deliberately omits the within-cluster constant term,
+    so we do too (round-5 fix: the textbook + within/n^2 form can flip
+    assignments vs the reference).  The Gram is an edges DataFrame
+    (never an n^2 driver array); each iteration is two grouped
+    aggregates over the edges.  Inertia = sum of assigned distances
+    (kmeans.py:407-409); convergence on |inertia delta| < tol, best of
+    n_init random inits kept, empty-cluster inits retried up to
+    max(n_init, 10) attempts like the reference.
+
+    ``sigma`` merges into kernel_params for the gak kernel when absent
+    (deprecated alias, kept for signature parity); ``n_jobs`` is
+    accepted for parity — parallelism comes from the Spark cluster.
     """
 
     def __init__(self, n_clusters: int = 3, kernel: str = "gak", max_iter: int = 50,
-                 tol: float = 1e-6, random_state: int = 0, kernel_params: dict | None = None):
+                 tol: float = 1e-6, n_init: int = 1,
+                 kernel_params: dict | None = None, sigma: float = 1.0,
+                 n_jobs: int | None = None, verbose: int = 0,
+                 random_state: int = 0):
         self.n_clusters = n_clusters
         self.kernel = kernel
         self.max_iter = max_iter
         self.tol = tol
+        self.n_init = n_init
+        self.kernel_params = kernel_params
+        self.sigma = sigma
+        self.n_jobs = n_jobs
+        self.verbose = verbose
         self.random_state = random_state
-        self.kernel_params = kernel_params or {}
         self.labels_: DataFrame | None = None
+        self.inertia_: float = np.inf
+        self.n_iter_: int = 0
 
-    def fit(self, df: DataFrame) -> "KernelKMeans":
+    def _get_kernel_params(self) -> dict:
+        """kmeans.py:262-272: sigma feeds gak unless kernel_params sets it."""
+        kp = dict(self.kernel_params or {})
+        if self.kernel == "gak" and "sigma" not in kp:
+            kp["sigma"] = self.sigma
+        return kp
+
+    def _fit_one(self, spark: SparkSession, gram: DataFrame, labw: DataFrame,
+                 id_rows: list[int], seed: int):
+        """One random init -> Lloyd loop over the Gram edges.
+
+        labw: (id2, _w) weight side of the join.  Each iteration is ONE
+        shuffle-side aggregate over the edges plus a per-id argmin
+        window; the empty-cluster check and the inertia read are k-row /
+        1-row collects.  labels are localCheckpoint'd per iteration so
+        the loop's plan does not nest.
+        """
+        from pyspark.sql import Window
+
+        rs = np.random.RandomState(seed)
+        labels = spark.createDataFrame(
+            [(int(i), int(rs.randint(self.n_clusters))) for i in id_rows],
+            "series_id long, cluster int",
+        )
+        prev_inertia = np.inf
+        inertia = np.inf
+        n_iter = 0
+        w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+        for it in range(self.max_iter):
+            sizes = {r["cluster"]: r["cnt"]
+                     for r in labels.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
+            if len(sizes) < self.n_clusters:
+                raise EmptyClusterError(
+                    "try smaller n_cluster or better kernel parameters"
+                )
+            labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
+            scored = (
+                gram.join(F.broadcast(labj.join(labw, "id2")), "id2")
+                .groupBy("id1", "cluster")
+                .agg(F.sum(F.col("_w") * F.col("dist")).alias("sK"),
+                     F.sum("_w").alias("wC"))
+                .select(
+                    "id1", "cluster",
+                    (F.lit(2.0) - 2.0 * F.col("sK") / F.col("wC")).alias("d2"),
+                )
+            )
+            labels = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(F.col("id1").alias("series_id"), "cluster", "d2")
+            ).localCheckpoint()
+            inertia = float(labels.groupBy().agg(F.sum("d2").alias("i")).first()["i"])
+            if self.verbose:
+                print("%.3f" % inertia, end=" --> ")
+            n_iter = it + 1
+            if abs(prev_inertia - inertia) < self.tol:
+                break
+            prev_inertia = inertia
+        if self.verbose:
+            print("")
+        return labels.select("series_id", "cluster"), inertia, n_iter
+
+    def fit(self, df: DataFrame, weight_col: str | None = None) -> "KernelKMeans":
+        """weight_col: optional per-series sample weight (reference fit's
+        sample_weight, kmeans.py:315-388)."""
+        import warnings
+
         from tslearn_spark import metrics as M
 
+        if self.kernel == "gak" and self.sigma != 1.0:
+            warnings.warn(
+                "'sigma' is deprecated; pass kernel_params={'sigma': ...} "
+                "instead", DeprecationWarning, stacklevel=2,
+            )
         # localCheckpoint, not cache(): cache keeps the full cdist plan in
         # every downstream logical plan, and the iterative loop below would
         # nest it k times over — Catalyst re-optimization grows superlinearly
         # and dominated wall clock (measured 410s -> ~10s at sf0.01).
         # Checkpointing truncates lineage to the materialized blocks.
-        gram = M.cdist(df, metric=self.kernel, **self.kernel_params).localCheckpoint()
+        gram = M.cdist(df, metric=self.kernel, **self._get_kernel_params()).localCheckpoint()
         spark = df.sparkSession
-        ids = df.select("series_id").cache()
-        rs = np.random.RandomState(self.random_state)
-        id_rows = [r["series_id"] for r in ids.collect()]
-        init = {int(i): int(rs.randint(self.n_clusters)) for i in id_rows}
-        labels = spark.createDataFrame(
-            [(i, c) for i, c in init.items()], "series_id long, cluster int"
-        )
-        self_k = gram.where(F.col("id1") == F.col("id2")).select(
-            F.col("id1").alias("series_id"), F.col("dist").alias("kii")
-        )
-        prev_labels = None
-        within = None
-        for _ in range(self.max_iter):
-            labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
-            # sum_{j in C} K_ij per (i, C)
-            cross = (
-                gram.join(F.broadcast(labj), "id2")
-                .groupBy("id1", "cluster")
-                .agg(F.sum("dist").alias("sK"), F.count("*").alias("nC"))
-            )
-            # within-cluster total sum_{j,l in C} K_jl = sum_{i in C} sK(i, C)
-            # — folds over the already-aggregated (n x k) cross table joined
-            # with labels, NOT a second pass over the n^2 gram edges
-            within = (
-                cross.join(
-                    F.broadcast(
-                        labels.select(F.col("series_id").alias("id1"),
-                                      F.col("cluster"))
-                    ),
-                    ["id1", "cluster"],
+        wcol = F.col(weight_col) if weight_col else F.lit(1.0)
+        labw = df.select(F.col("series_id").alias("id2"), wcol.alias("_w")).cache()
+        id_rows = [r["id2"] for r in labw.select("id2").collect()]
+        best = (np.inf, None, 0)
+        successful = 0
+        max_attempts = max(self.n_init, 10)
+        for attempt in range(max_attempts):
+            if successful >= self.n_init:
+                break
+            if self.verbose and self.n_init > 1:
+                print("Init %d" % (successful + 1))
+            try:
+                labels, inertia, n_iter = self._fit_one(
+                    spark, gram, labw, id_rows, self.random_state + attempt
                 )
-                .groupBy("cluster")
-                .agg(F.sum("sK").alias("sW"), F.count("*").alias("n"))
-            )
-            scored = (
-                cross.join(F.broadcast(within), "cluster")
-                .join(F.broadcast(self_k.withColumnRenamed("series_id", "id1")), "id1")
-                .select(
-                    "id1", "cluster",
-                    (F.col("kii") - 2.0 * F.col("sK") / F.col("n")
-                     + F.col("sW") / (F.col("n") * F.col("n"))).alias("d2"),
-                )
-            )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
-            # eager localCheckpoint: each iteration's labels feed THREE
-            # broadcast joins in the next round — without truncation the
-            # plan nests every prior iteration and analysis time explodes
-            labels = (
-                scored.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .select(F.col("id1").alias("series_id"), "cluster")
-            ).localCheckpoint()
-            # scalar convergence check: the driver sees one count, never
-            # the label rows (round-1 collected all labels per iteration)
-            if prev_labels is not None:
-                changed = (
-                    labels.join(
-                        prev_labels.withColumnRenamed("cluster", "_prev"), "series_id"
-                    )
-                    .where(F.col("cluster") != F.col("_prev"))
-                    .count()
-                )
-                if changed == 0:
-                    break
-            prev_labels = labels
-        self.labels_ = labels
+            except EmptyClusterError:
+                if self.verbose:
+                    print("Resumed because of empty cluster")
+                continue
+            successful += 1
+            if inertia < best[0]:
+                best = (inertia, labels, n_iter)
+        if best[1] is None:
+            raise EmptyClusterError("all inits hit empty clusters")
+        self.inertia_, self.labels_, self.n_iter_ = best
         self._gram = gram
         self._df = df
-        # within-cluster stats of the FINAL labels, reused by predict():
-        # K_ij summed per (i in C) first (n x k rows), then per cluster
-        labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
-        final_cross = (
-            gram.join(F.broadcast(labj), "id2")
-            .groupBy("id1", "cluster")
-            .agg(F.sum("dist").alias("sK"))
-        )
-        self._within = (
-            final_cross.join(
-                F.broadcast(
-                    labels.select(F.col("series_id").alias("id1"), F.col("cluster"))
-                ),
-                ["id1", "cluster"],
-            )
-            .groupBy("cluster")
-            .agg(F.sum("sK").alias("sW"), F.count("*").alias("n"))
-        ).cache()
+        self._labw = labw
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
         """Assign new series to the fitted clusters via the cross-Gram.
 
-        Reference kmeans.py:433-455: dist^2(x, C) = k(x,x)
-        - 2/|C| sum_{j in C} k(x, j) + 1/|C|^2 sum_{j,l in C} k(j, l).
-        The k(x,x) term is constant per x and kept for parity of the
-        distance values; the cross-Gram K(new, train) is an edges
-        DataFrame, same as fit.
+        Reference kmeans.py:433-455: the same _compute_dist criterion,
+        dist(x, C) = 2 - 2 * sum_{j in C} w_j k(x, j) / sum w_j, over
+        the cross-Gram K(new, train) — an edges DataFrame, same as fit.
         """
         assert self.labels_ is not None, "fit before predict"
         from pyspark.sql import Window
 
         from tslearn_spark import metrics as M
 
-        gram = M.cdist(df, self._df, metric=self.kernel, **self.kernel_params)
+        gram = M.cdist(df, self._df, metric=self.kernel, **self._get_kernel_params())
         labj = self.labels_.select(F.col("series_id").alias("id2"), F.col("cluster"))
-        cross = (
-            gram.join(F.broadcast(labj), "id2")
-            .groupBy("id1", "cluster")
-            .agg(F.sum("dist").alias("sK"))
-        )
-        if self.kernel == "gak":  # normalized kernel: k(x,x) = 1
-            kii = df.select(F.col("series_id").alias("id1"), F.lit(1.0).alias("kii"))
-        else:
-            kernel = M.METRIC_PARAMS[self.kernel](**self.kernel_params)
-
-            @F.pandas_udf(DoubleType())
-            def _self_udf(values: pd.Series) -> pd.Series:
-                out = []
-                for v in values:
-                    ts = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
-                    out.append(float(kernel(ts, ts)))
-                return pd.Series(out)
-
-            kii = df.select(
-                F.col("series_id").alias("id1"), _self_udf("values").alias("kii")
-            )
         scored = (
-            cross.join(F.broadcast(self._within), "cluster")
-            .join(F.broadcast(kii), "id1")
+            gram.join(F.broadcast(labj.join(self._labw, "id2")), "id2")
+            .groupBy("id1", "cluster")
+            .agg(F.sum(F.col("_w") * F.col("dist")).alias("sK"),
+                 F.sum("_w").alias("wC"))
             .select(
                 "id1", "cluster",
-                (F.col("kii") - 2.0 * F.col("sK") / F.col("n")
-                 + F.col("sW") / (F.col("n") * F.col("n"))).alias("d2"),
+                (F.lit(2.0) - 2.0 * F.col("sK") / F.col("wC")).alias("d2"),
             )
         )
         w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
@@ -809,7 +902,9 @@ class GlobalAlignmentKernelKMeans(KernelKMeans):
     parameter and raises TypeError); positional n_clusters is allowed."""
 
     def __init__(self, n_clusters: int = 3, max_iter: int = 50, tol: float = 1e-6,
-                 random_state: int = 0, kernel_params: dict | None = None, **kwargs):
+                 n_init: int = 1, kernel_params: dict | None = None,
+                 sigma: float = 1.0, n_jobs: int | None = None, verbose: int = 0,
+                 random_state: int = 0, **kwargs):
         import warnings
 
         if "kernel" in kwargs:
@@ -831,5 +926,6 @@ class GlobalAlignmentKernelKMeans(KernelKMeans):
         )
         super().__init__(
             n_clusters=n_clusters, kernel="gak", max_iter=max_iter, tol=tol,
-            random_state=random_state, kernel_params=kernel_params,
+            n_init=n_init, kernel_params=kernel_params, sigma=sigma,
+            n_jobs=n_jobs, verbose=verbose, random_state=random_state,
         )

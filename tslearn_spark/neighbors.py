@@ -474,10 +474,15 @@ class KNeighborsTimeSeries:
     """
 
     def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 metric_params: dict | None = None):
+                 metric_params: dict | None = None,
+                 n_jobs: int | None = None, verbose: int = 0):
         self.n_neighbors = n_neighbors
         self.metric = metric
         self.metric_params = metric_params or {}
+        # reference-signature parity (neighbors.py:233-234): parallelism
+        # comes from the Spark cluster, not joblib
+        self.n_jobs = n_jobs
+        self.verbose = verbose
 
     def fit(self, df: DataFrame) -> "KNeighborsTimeSeries":
         self._index = df.select("series_id", "values").cache()
@@ -501,8 +506,9 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
     """neighbors.py:353-562 twin over knn_classify."""
 
     def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 weights: str = "uniform", metric_params: dict | None = None):
-        super().__init__(n_neighbors, metric, metric_params)
+                 weights: str = "uniform", metric_params: dict | None = None,
+                 n_jobs: int | None = None, verbose: int = 0):
+        super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
     def fit(self, df: DataFrame, label_col: str = "label") -> "KNeighborsTimeSeriesClassifier":
@@ -521,8 +527,9 @@ class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
     """neighbors.py:565-717 twin over knn_regress."""
 
     def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 weights: str = "uniform", metric_params: dict | None = None):
-        super().__init__(n_neighbors, metric, metric_params)
+                 weights: str = "uniform", metric_params: dict | None = None,
+                 n_jobs: int | None = None, verbose: int = 0):
+        super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
     def fit(self, df: DataFrame, target_col: str = "y") -> "KNeighborsTimeSeriesRegressor":

@@ -34,9 +34,37 @@ def _collect_gram(edges: DataFrame, ids1: list[int], ids2: list[int]) -> np.ndar
 
 
 class _GakSVMBase:
-    def __init__(self, C: float = 1.0, gamma: str | float = "auto"):
+    """Shared init carries the full reference signature (svm.py:211-214,
+    485-487) for drop-in parity: gak-irrelevant kernel shape params
+    (degree, coef0) and libsvm tuning knobs (shrinking, cache_size) are
+    accepted and unused exactly as the reference's gak path leaves them
+    unused; semantically meaningful options our from-scratch SMO does
+    not implement (non-gak kernels, probability=True, class_weight)
+    fail LOUDLY instead of silently changing results."""
+
+    def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
+                 gamma: str | float = "auto", coef0: float = 0.0,
+                 shrinking: bool = True, tol: float = 0.001,
+                 cache_size: float = 200, n_jobs: int | None = None,
+                 verbose: int = 0, max_iter: int = -1,
+                 random_state: int | None = None):
+        if kernel != "gak":
+            raise NotImplementedError(
+                "only kernel='gak' is supported (the reference's other "
+                "kernels delegate to sklearn SVC on flattened series)"
+            )
         self.C = C
+        self.kernel = kernel
+        self.degree = degree
         self.gamma = gamma
+        self.coef0 = coef0
+        self.shrinking = shrinking
+        self.tol = tol
+        self.cache_size = cache_size
+        self.n_jobs = n_jobs
+        self.verbose = verbose
+        self.max_iter = max_iter
+        self.random_state = random_state
 
     def _fit_gram(self, df: DataFrame):
         rows = df.select("series_id", "values").orderBy("series_id").collect()
@@ -63,6 +91,29 @@ class _GakSVMBase:
 
 class TimeSeriesSVC(_GakSVMBase):
     """GAK-kernel SVC (svm.py:68-371); one-vs-one multiclass like libsvm."""
+
+    def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
+                 gamma: str | float = "auto", coef0: float = 0.0,
+                 shrinking: bool = True, probability: bool = False,
+                 tol: float = 0.001, cache_size: float = 200,
+                 class_weight=None, n_jobs: int | None = None,
+                 verbose: int = 0, max_iter: int = -1,
+                 decision_function_shape: str = "ovr",
+                 random_state: int | None = None):
+        if probability:
+            raise NotImplementedError(
+                "probability=True (Platt scaling) is not implemented"
+            )
+        if class_weight is not None:
+            raise NotImplementedError("class_weight is not implemented")
+        super().__init__(C=C, kernel=kernel, degree=degree, gamma=gamma,
+                         coef0=coef0, shrinking=shrinking, tol=tol,
+                         cache_size=cache_size, n_jobs=n_jobs,
+                         verbose=verbose, max_iter=max_iter,
+                         random_state=random_state)
+        self.probability = probability
+        self.class_weight = class_weight
+        self.decision_function_shape = decision_function_shape
 
     def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesSVC":
         Gram = self._fit_gram(df)
@@ -113,8 +164,16 @@ class TimeSeriesSVC(_GakSVMBase):
 class TimeSeriesSVR(_GakSVMBase):
     """GAK-kernel epsilon-SVR (svm.py:374-568)."""
 
-    def __init__(self, C: float = 1.0, gamma: str | float = "auto", epsilon: float = 0.1):
-        super().__init__(C, gamma)
+    def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
+                 gamma: str | float = "auto", coef0: float = 0.0,
+                 tol: float = 0.001, epsilon: float = 0.1,
+                 shrinking: bool = True, cache_size: float = 200,
+                 n_jobs: int | None = None, verbose: int = 0,
+                 max_iter: int = -1):
+        super().__init__(C=C, kernel=kernel, degree=degree, gamma=gamma,
+                         coef0=coef0, shrinking=shrinking, tol=tol,
+                         cache_size=cache_size, n_jobs=n_jobs,
+                         verbose=verbose, max_iter=max_iter)
         self.epsilon = epsilon
 
     def fit(self, df: DataFrame, target_col: str = "y") -> "TimeSeriesSVR":
