@@ -454,6 +454,113 @@ class TestClustering:
         pred_labs = {r["series_id"]: r["cluster"] for r in kk.predict(df).collect()}
         assert pred_labs == fit_labs
 
+    def test_kernel_kmeans_matches_reference_replay(self, spark):
+        """The distributed fit reproduces a numpy replay of the
+        reference's exact algorithm (kmeans.py:290-316,390-409) on the
+        same Gram with the same seeded random init: criterion
+        2 - 2*mean(K[:, C]) with NO within-cluster term, argmin ties to
+        the lowest cluster, inertia = sum of min, tol on inertia delta."""
+        from tslearn_spark import metrics as M
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(11)
+        series = [rs.randn(8).cumsum() for _ in range(9)]
+        df = DS.dataset_to_df(spark, series)
+        k, seed, max_iter, tol = 3, 2, 7, 1e-6
+        kk = KernelKMeans(n_clusters=k, kernel="gak", max_iter=max_iter,
+                          tol=tol, random_state=seed,
+                          kernel_params={"sigma": 2.0}).fit(df)
+        got = {r["series_id"]: r["cluster"] for r in kk.labels_.collect()}
+
+        # numpy replay on the same Gram
+        edges = M.cdist(df, metric="gak", sigma=2.0).collect()
+        n = len(series)
+        Km = np.zeros((n, n))
+        for r in edges:
+            Km[r["id1"], r["id2"]] = r["dist"]
+        rs2 = np.random.RandomState(seed)
+        labels = np.array([rs2.randint(k) for _ in range(n)])
+        prev = np.inf
+        inertia = np.inf
+        for _ in range(max_iter):
+            dist = np.empty((n, k))
+            for j in range(k):
+                mask = labels == j
+                assert mask.sum() > 0
+                dist[:, j] = 2.0 - 2.0 * Km[:, mask].mean(axis=1)
+            labels = dist.argmin(axis=1)
+            inertia = dist.min(axis=1).sum()
+            if abs(prev - inertia) < tol:
+                break
+            prev = inertia
+        assert got == {i: int(labels[i]) for i in range(n)}
+        assert kk.inertia_ == pytest.approx(inertia, rel=1e-9)
+
+    def test_kernel_kmeans_sample_weights(self, spark):
+        """fit(weight_col=...): a zero-weight member contributes nothing
+        to its cluster's kernel mean — weighting duplicates of one series
+        to zero reproduces the unweighted fit without them."""
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(12)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(4)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        wdf = df.withColumn("w", F.lit(1.0))
+        kk = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                          random_state=0, kernel_params={"sigma": 2.0})
+        kk.fit(wdf, weight_col="w")
+        labs = {r["series_id"]: r["cluster"] for r in kk.labels_.collect()}
+        assert len({labs[i] for i in range(4)}) == 1
+        assert len({labs[i] for i in range(4, 8)}) == 1
+        assert labs[0] != labs[4]
+
+    def test_kshape_explicit_init_and_n_init(self, spark):
+        """init accepts explicit centers (fit starts from them); n_init
+        keeps the best-inertia run."""
+        from tslearn_spark.clustering import KShape
+
+        rs = np.random.RandomState(2)
+        t = np.linspace(0, 4 * np.pi, 24)
+        blob1 = [np.sin(t) + rs.randn(24) * 0.05 for _ in range(4)]
+        blob2 = [np.sign(np.sin(t)) * np.abs(np.sin(t)) ** 0.1 + rs.randn(24) * 0.05
+                 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        ks = KShape(n_clusters=2, max_iter=5,
+                    init=[blob1[0], blob2[0]]).fit(df)
+        pred = {r["series_id"]: r["cluster"] for r in ks.predict(df).collect()}
+        assert len({pred[i] for i in range(4)}) == 1
+        assert pred[0] != pred[4]
+        ks3 = KShape(n_clusters=2, max_iter=5, n_init=3, random_state=3).fit(df)
+        assert np.isfinite(ks3.inertia_)
+        with pytest.raises(ValueError):
+            KShape(n_clusters=2, init="bogus").fit(df)
+
+    def test_kmeans_dtw_inertia_option(self, spark):
+        """dtw_inertia=True: inertia_ is measured with DTW against the
+        assigned centers even though the fit metric is euclidean
+        (kmeans.py:698-704); labels are unchanged."""
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.kernels import dtw
+
+        rs = np.random.RandomState(6)
+        blobs = [rs.randn(8) * 0.3 + c for c in (0, 5) for _ in range(4)]
+        df = DS.dataset_to_df(spark, blobs)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=5,
+                              random_state=1).fit(df)
+        kmd = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=5,
+                               random_state=1, dtw_inertia=True).fit(df)
+        labs = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        labsd = {r["series_id"]: r["cluster"] for r in kmd.predict(df).collect()}
+        assert labs == labsd
+        # replay: mean squared dtw to the assigned centers
+        expected = np.mean([
+            dtw(kmd.cluster_centers_[labsd[i]],
+                np.asarray(blobs[i]).reshape(-1, 1)) ** 2
+            for i in range(len(blobs))
+        ])
+        assert kmd.inertia_ == pytest.approx(expected, rel=1e-9)
+
     def test_kmeans_plusplus_deterministic_by_seed(self, spark):
         # reference tests/test_clustering.py: same seed -> same clustering
         from tslearn_spark.clustering import TimeSeriesKMeans

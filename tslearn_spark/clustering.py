@@ -735,13 +735,19 @@ class KernelKMeans:
         inertia = np.inf
         n_iter = 0
         w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
-        for it in range(self.max_iter):
-            sizes = {r["cluster"]: r["cnt"]
-                     for r in labels.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
-            if len(sizes) < self.n_clusters:
+
+        def _check_no_empty(lab: DataFrame) -> None:
+            # reference checks both the labels _compute_dist reads
+            # (kmeans.py:397-400) and each fresh argmin assignment
+            # (utils.py _check_no_empty_cluster)
+            n_cl = lab.select("cluster").distinct().count()
+            if n_cl < self.n_clusters:
                 raise EmptyClusterError(
                     "try smaller n_cluster or better kernel parameters"
                 )
+
+        _check_no_empty(labels)
+        for it in range(self.max_iter):
             labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
             scored = (
                 gram.join(F.broadcast(labj.join(labw, "id2")), "id2")
@@ -758,6 +764,7 @@ class KernelKMeans:
                 .where(F.col("_rn") == 1)
                 .select(F.col("id1").alias("series_id"), "cluster", "d2")
             ).localCheckpoint()
+            _check_no_empty(labels)
             inertia = float(labels.groupBy().agg(F.sum("d2").alias("i")).first()["i"])
             if self.verbose:
                 print("%.3f" % inertia, end=" --> ")
@@ -790,7 +797,9 @@ class KernelKMeans:
         spark = df.sparkSession
         wcol = F.col(weight_col) if weight_col else F.lit(1.0)
         labw = df.select(F.col("series_id").alias("id2"), wcol.alias("_w")).cache()
-        id_rows = [r["id2"] for r in labw.select("id2").collect()]
+        # sorted ids: the random init label sequence is then a pure
+        # function of the seed, independent of partition collect order
+        id_rows = [r["id2"] for r in labw.select("id2").orderBy("id2").collect()]
         best = (np.inf, None, 0)
         successful = 0
         max_attempts = max(self.n_init, 10)
