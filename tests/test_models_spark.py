@@ -63,6 +63,39 @@ class TestShapelets:
                                                   l=0.1, r=2)
         assert set(d) == {3, 6} and all(v >= 1 for v in d.values())
 
+    def test_reference_signature_options(self, spark):
+        """scale min-max normalizes every path identically; max_size and
+        too-long-shapelet misfits raise like the reference
+        (shapelets.py:585-626); optimizer='sgd' trains; non-relu-style
+        optimizer values raise."""
+        import pytest as _pytest
+
+        from tslearn_spark.shapelets import LearningShapelets
+
+        df = DS.random_walk_blobs(spark, n_ts_per_blob=5, sz=12, d=1, n_blobs=2,
+                                  random_state=1)
+        # scale=True: transform distances computed on min-max'd series
+        clf = LearningShapelets(n_shapelets_per_size={4: 2}, max_iter=20,
+                                random_state=0, scale=True).fit(df)
+        dists = clf.transform(df).collect()[0]["shapelet_dists"]
+        assert all(np.isfinite(x) for x in dists)
+        # series longer than max_size rejected at fit
+        with _pytest.raises(ValueError, match="max_size"):
+            LearningShapelets(n_shapelets_per_size={4: 2}, max_size=8).fit(df)
+        # shapelet longer than the shortest series rejected
+        with _pytest.raises(ValueError, match="shapelet size"):
+            LearningShapelets(n_shapelets_per_size={99: 1}).fit(df)
+        # sgd optimizer runs end-to-end
+        sgd = LearningShapelets(n_shapelets_per_size={4: 2}, max_iter=10,
+                                optimizer="sgd", random_state=0).fit(df)
+        assert len(sgd.shapelets_) == 2
+        with _pytest.raises(NotImplementedError):
+            LearningShapelets(optimizer="rmsprop")
+        # auto sizing uses the class-level shapelet_length/total_lengths
+        auto = LearningShapelets(max_iter=1, shapelet_length=0.25,
+                                 total_lengths=2, random_state=0).fit(df)
+        assert set(auto.n_shapelets_per_size) == {3, 6}
+
 
 class TestMLP:
     def test_classifier(self, spark):

@@ -77,9 +77,16 @@ def _make_stopper(centers, pyck, pyhatyck, sz, d, min_t, lamb, alpha, k):
 
 
 class NonMyopicEarlyClassifier:
-    def __init__(self, n_clusters: int = 2, min_t: int = 1, lamb: float = 1.0,
+    def __init__(self, n_clusters: int = 2, base_classifier=None,
+                 min_t: int = 1, lamb: float = 1.0,
                  cost_time_parameter: float = 1.0, random_state: int = 0):
+        if base_classifier is not None:
+            raise NotImplementedError(
+                "custom base_classifier estimators are not supported; the "
+                "built-in per-truncation classifier is used (pass None)"
+            )
         self.n_clusters = n_clusters
+        self.base_classifier = base_classifier
         self.min_t = min_t
         self.lamb = lamb
         self.cost_time_parameter = cost_time_parameter

@@ -106,12 +106,41 @@ class _MLP:
 
 
 class _MLPBase:
-    def __init__(self, hidden_layer_sizes=(100,), max_iter: int = 300,
-                 lr: float = 1e-3, random_state: int = 0):
+    """Init carries the common sklearn MLP signature (the reference
+    accepts sklearn's exact hyper-parameters, neural_network.py:15-17)
+    so reference call sites type-check.  Honored here: layer sizes,
+    relu activation (our trainer's only activation — others raise),
+    alpha L2 (regressor), learning_rate_init, max_iter, tol (MLlib
+    convergence for the classifier), verbose, random_state.  The
+    classifier delegates to MLlib's MultilayerPerceptronClassifier
+    (L-BFGS, sigmoid hidden layers — the documented architectural
+    deviation); solver/batch_size/learning_rate are stored for
+    introspection but do not change that engine choice.  ``lr`` is a
+    back-compat alias that overrides learning_rate_init when given."""
+
+    def __init__(self, hidden_layer_sizes=(100,), activation: str = "relu",
+                 solver: str = "adam", alpha: float = 1e-4,
+                 batch_size="auto", learning_rate: str = "constant",
+                 learning_rate_init: float = 1e-3, max_iter: int = 300,
+                 tol: float = 1e-4, verbose: bool = False,
+                 random_state: int = 0, lr: float | None = None):
+        if activation != "relu":
+            raise NotImplementedError(
+                "only activation='relu' is supported by the distributed "
+                "trainer (sklearn's default)"
+            )
         self.hidden_layer_sizes = tuple(hidden_layer_sizes)
+        self.activation = activation
+        self.solver = solver
+        self.alpha = alpha
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.learning_rate_init = learning_rate_init
         self.max_iter = max_iter
-        self.lr = lr
+        self.tol = tol
+        self.verbose = verbose
         self.random_state = random_state
+        self.lr = lr if lr is not None else learning_rate_init
 
     @staticmethod
     def _flatten(rows) -> np.ndarray:
@@ -161,6 +190,7 @@ class TimeSeriesMLPClassifier(_MLPBase):
         clf = MultilayerPerceptronClassifier(
             layers=layers,
             maxIter=self.max_iter,
+            tol=self.tol,
             seed=self.random_state,
             featuresCol="features",
             labelCol="_label_idx",
@@ -254,6 +284,9 @@ class TimeSeriesMLPRegressor(_MLPBase):
                 [np.asarray(r["g"], dtype=np.float64) for r in parts], axis=0
             ) / float(n)
             gWs, gbs = _unpack(total)
+            if self.alpha:  # sklearn's L2 term: (sum_grad + alpha*W)/n
+                gWs = [g + self.alpha * W / float(n)
+                       for g, W in zip(gWs, mlp.Ws)]
             mlp.adam_step(gWs, gbs, step, state)
         flat.unpersist()
         self.mlp_ = mlp

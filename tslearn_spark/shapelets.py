@@ -74,26 +74,88 @@ class LearningShapelets:
     """
 
     def __init__(self, n_shapelets_per_size: dict[int, int] | None = None,
-                 max_iter: int = 200, batch_size: int = 64, lr: float = 0.05,
-                 weight_regularizer: float = 0.0, random_state: int = 0):
+                 max_iter: int = 200, batch_size: int = 64, verbose: int = 0,
+                 optimizer: str = "adam", weight_regularizer: float = 0.0,
+                 shapelet_length: float = 0.15, total_lengths: int = 3,
+                 max_size: int | None = None, scale: bool = False,
+                 random_state: int = 0, lr: float = 0.05):
+        """Reference signature (shapelets.py:336-350) plus a trailing
+        ``lr``.  optimizer is "adam" (our default — the driver-sample
+        trainer converges far faster than plain sgd at these step
+        counts) or "sgd" (the reference's Keras default, implemented as
+        a plain gradient step); other values raise.  scale applies the
+        reference's per-series min-max scaling (shapelets.py:623-626)
+        to training, transform, locate and predict alike."""
+        if optimizer not in ("adam", "sgd"):
+            raise NotImplementedError(
+                "optimizer must be 'adam' or 'sgd' (Keras optimizer "
+                "instances are not supported)"
+            )
         self.n_shapelets_per_size = n_shapelets_per_size
         self.max_iter = max_iter
         self.batch_size = batch_size
-        self.lr = lr
+        self.verbose = verbose
+        self.optimizer = optimizer
         self.weight_regularizer = weight_regularizer
+        self.shapelet_length = shapelet_length
+        self.total_lengths = total_lengths
+        self.max_size = max_size
+        self.scale = scale
         self.random_state = random_state
+        self.lr = lr
         self.shapelets_: list[np.ndarray] | None = None
         self.classes_: np.ndarray | None = None
+
+    @staticmethod
+    def _minmax(ts: np.ndarray) -> np.ndarray:
+        """Per-series, per-dim min-max to [0, 1] (TimeSeriesScalerMinMax
+        applied by _preprocess_series, shapelets.py:623-626)."""
+        lo = ts.min(axis=0, keepdims=True)
+        hi = ts.max(axis=0, keepdims=True)
+        rng = np.where(hi - lo == 0.0, 1.0, hi - lo)
+        return (ts - lo) / rng
+
+    def _check_series_length(self, df: DataFrame) -> None:
+        """shapelets.py:585-621: shapelets must fit in the shortest
+        series; with max_size (or a fitted model), series longer than
+        the cap are rejected.  One tiny min/max aggregate."""
+        row = df.select(
+            F.min(F.size("values")).alias("mn"), F.max(F.size("values")).alias("mx")
+        ).first()
+        if self.n_shapelets_per_size is not None:
+            max_shp = max(self.n_shapelets_per_size.keys())
+            if max_shp > row["mn"]:
+                raise ValueError(
+                    "Sizes in X do not match maximum shapelet size: there is "
+                    "at least one series in X that is shorter than one of the "
+                    "shapelets. Shortest time series is of length "
+                    f"{row['mn']} and longest shapelet is of length {max_shp}"
+                )
+        cap = None
+        if self.shapelets_ is not None and getattr(self, "_fit_sz", None):
+            cap = self._fit_sz
+        elif self.max_size is not None:
+            cap = self.max_size
+        if cap is not None and row["mx"] > cap:
+            raise ValueError(
+                "Sizes in X do not match maximum allowed size as set by "
+                f"max_size. Longest time series is of length {row['mx']} "
+                f"and max_size is {cap}"
+            )
+        return row["mn"], row["mx"]
 
     # -- training (driver-side over a collected sample) --------------------
     def fit(self, df: DataFrame, label_col: str = "label",
             sample_size: int = 2000) -> "LearningShapelets":
+        _, self._fit_sz = self._check_series_length(df)
         rows = (
             df.select("series_id", "values", label_col)
             .limit(sample_size)
             .collect()
         )
         X = [np.asarray(r["values"], dtype=np.float64) for r in rows]
+        if self.scale:
+            X = [self._minmax(x) for x in X]
         y_raw = np.array([r[label_col] for r in rows])
         self.classes_ = np.unique(y_raw)
         y = np.searchsorted(self.classes_, y_raw)
@@ -102,7 +164,7 @@ class LearningShapelets:
         d = X[0].shape[1]
         if self.n_shapelets_per_size is None:
             self.n_shapelets_per_size = grabocka_params_to_shapelet_size_dict(
-                len(X), sz, n_classes
+                len(X), sz, n_classes, self.shapelet_length, self.total_lengths
             )
         rs = np.random.RandomState(self.random_state)
         # init: random windows from the data (k-means init simplified,
@@ -120,16 +182,19 @@ class LearningShapelets:
         mb = np.zeros_like(b); vb = np.zeros_like(b)
         mS = [np.zeros_like(s) for s in bank]; vS = [np.zeros_like(s) for s in bank]
         beta1, beta2, eps = 0.9, 0.999, 1e-8
+        print_every = max(1, self.max_iter // 20)
         for step in range(1, self.max_iter + 1):
             sel = rs.choice(len(X), size=min(self.batch_size, len(X)), replace=False)
             gW = np.zeros_like(W); gb = np.zeros_like(b)
             gS = [np.zeros_like(s) for s in bank]
+            batch_loss = 0.0
             for i in sel:
                 ts = X[i]
                 dists, locs = _min_dists(ts, bank)
                 logits = dists @ W + b
                 p = np.exp(logits - logits.max())
                 p /= p.sum()
+                batch_loss -= float(np.log(max(p[y[i]], 1e-12)))
                 grad_logits = p.copy()
                 grad_logits[y[i]] -= 1.0
                 gW += np.outer(dists, grad_logits)
@@ -145,16 +210,23 @@ class LearningShapelets:
             gb *= scale
             for k in range(n_shp_total):
                 gS[k] *= scale
-            # Adam
-            for g, m_, v_, target in (
+            if self.verbose and (step == 1 or step % print_every == 0):
+                print("step %d/%d loss %.4f"
+                      % (step, self.max_iter, batch_loss * scale))
+            params = (
                 [(gW, mW, vW, W), (gb, mb, vb, b)]
                 + [(gS[k], mS[k], vS[k], bank[k]) for k in range(n_shp_total)]
-            ):
-                m_ *= beta1; m_ += (1 - beta1) * g
-                v_ *= beta2; v_ += (1 - beta2) * g * g
-                mhat = m_ / (1 - beta1 ** step)
-                vhat = v_ / (1 - beta2 ** step)
-                target -= self.lr * mhat / (np.sqrt(vhat) + eps)
+            )
+            if self.optimizer == "sgd":  # plain step (Keras SGD default)
+                for g, _, _, target in params:
+                    target -= self.lr * g
+            else:  # adam
+                for g, m_, v_, target in params:
+                    m_ *= beta1; m_ += (1 - beta1) * g
+                    v_ *= beta2; v_ += (1 - beta2) * g * g
+                    mhat = m_ / (1 - beta1 ** step)
+                    vhat = v_ / (1 - beta2 ** step)
+                    target -= self.lr * mhat / (np.sqrt(vhat) + eps)
         self.shapelets_ = bank
         self.W_, self.b_ = W, b
         return self
@@ -162,12 +234,18 @@ class LearningShapelets:
     # -- distributed transform / locate / predict --------------------------
     def _bank_udf(self, mode: str):
         bank = [s.copy() for s in self.shapelets_]
+        scale = self.scale
+        minmax = self._minmax
+
+        def prep(v) -> np.ndarray:
+            ts = _nested(v)
+            return minmax(ts) if scale else ts
 
         if mode == "transform":
             @F.pandas_udf(ArrayType(DoubleType()))
             def _udf(values: pd.Series) -> pd.Series:
                 return pd.Series([
-                    _min_dists(_nested(v), bank)[0].tolist()
+                    _min_dists(prep(v), bank)[0].tolist()
                     for v in values
                 ])
             return _udf
@@ -175,28 +253,37 @@ class LearningShapelets:
             @F.pandas_udf(ArrayType(IntegerType()))
             def _udf(values: pd.Series) -> pd.Series:
                 return pd.Series([
-                    [int(x) for x in _min_dists(_nested(v), bank)[1]]
+                    [int(x) for x in _min_dists(prep(v), bank)[1]]
                     for v in values
                 ])
             return _udf
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Min-distances to every shapelet (shapelets.py:514-540)."""
+        if self.max_size is not None or getattr(self, "_fit_sz", None):
+            self._check_series_length(df)
         return df.withColumn("shapelet_dists", self._bank_udf("transform")("values"))
 
     def locate(self, df: DataFrame) -> DataFrame:
         """Argmin match positions (shapelets.py:541-586)."""
+        if self.max_size is not None or getattr(self, "_fit_sz", None):
+            self._check_series_length(df)
         return df.withColumn("shapelet_locs", self._bank_udf("locate")("values"))
 
     def predict(self, df: DataFrame) -> DataFrame:
         W, b, classes = self.W_, self.b_, self.classes_
         bank = [s.copy() for s in self.shapelets_]
+        scale = self.scale
+        minmax = self._minmax
 
         @F.pandas_udf("string")
         def _udf(values: pd.Series) -> pd.Series:
             out = []
             for v in values:
-                dists, _ = _min_dists(_nested(v), bank)
+                ts = _nested(v)
+                if scale:
+                    ts = minmax(ts)
+                dists, _ = _min_dists(ts, bank)
                 out.append(str(classes[int(np.argmax(dists @ W + b))]))
             return pd.Series(out)
 
