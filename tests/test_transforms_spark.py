@@ -141,6 +141,81 @@ class TestPAASAX:
         assert arrays(inv, "inv")[0].shape == (6, 1)
 
 
+class TestEstimatorClassParity:
+    def test_reference_named_classes(self, spark):
+        """The reference's estimator CLASS names import from the package
+        root and their fit/transform equals the functional layer."""
+        from tslearn_spark import (
+            MatrixProfile,
+            OneD_SymbolicAggregateApproximation,
+            PiecewiseAggregateApproximation,
+            SymbolicAggregateApproximation,
+            TimeSeriesResampler,
+            TimeSeriesScalerMeanVariance,
+            TimeSeriesScalerMinMax,
+        )
+        from tslearn_spark import matrix_profile as MP
+        from tslearn_spark import piecewise as PW
+        from tslearn_spark import preprocessing as PP
+
+        rs = np.random.RandomState(3)
+        df = DS.dataset_to_df(spark, [rs.randn(16).cumsum() for _ in range(4)])
+
+        got = arrays(TimeSeriesScalerMeanVariance(mu=1.0, std=2.0).fit_transform(df))
+        exp = arrays(PP.transform_mean_variance(df, mu=1.0, std=2.0))
+        for g, e in zip(got, exp):
+            np.testing.assert_allclose(g, e)
+
+        got = arrays(TimeSeriesScalerMinMax(value_range=(-1.0, 1.0)).fit_transform(df))
+        exp = arrays(PP.transform_min_max(df, value_range=(-1.0, 1.0)))
+        for g, e in zip(got, exp):
+            np.testing.assert_allclose(g, e)
+
+        got = arrays(TimeSeriesResampler(sz=8).fit_transform(df))
+        exp = arrays(PP.resample(df, 8))
+        for g, e in zip(got, exp):
+            np.testing.assert_allclose(g, e)
+
+        got = arrays(PiecewiseAggregateApproximation(n_segments=4)
+                     .fit_transform(df), col="paa")
+        exp = arrays(PW.transform_paa(df, 4), col="paa")
+        for g, e in zip(got, exp):
+            np.testing.assert_allclose(g, e)
+
+        assert SymbolicAggregateApproximation is PW.SAX
+        # 1d-SAX reference-style fit: slope breakpoints from the data's sz
+        sax1d = OneD_SymbolicAggregateApproximation(
+            n_segments=4, alphabet_size_avg=4, alphabet_size_slope=4
+        ).fit(df)
+        out = sax1d.transform(df).collect()
+        assert all(len(r["sax1d"]) == 4 and len(r["sax1d"][0]) == 2 for r in out)
+
+        prof = MatrixProfile(subsequence_length=4, scale=False).fit_transform(df)
+        exp = MP.transform(df, 4, scale=False)
+        for g, e in zip(arrays(prof, col="profile"), arrays(exp, col="profile")):
+            np.testing.assert_allclose(g, e)
+        with pytest.raises(NotImplementedError):
+            MatrixProfile(implementation="stump")
+
+    def test_onedsax_scale_option(self, spark):
+        """1d-SAX scale=True: global mean/std scaling feeds both the
+        segment means and slopes (reference piecewise.py:586-698)."""
+        from tslearn_spark import piecewise as PW
+
+        rs = np.random.RandomState(4)
+        df = DS.dataset_to_df(spark, [rs.randn(12) * 5 + 100 for _ in range(3)])
+        plain = PW.OneDSAX(n_segments=3, alphabet_size_avg=4,
+                           alphabet_size_slope=4).fit(df)
+        scaled = PW.OneDSAX(n_segments=3, alphabet_size_avg=4,
+                            alphabet_size_slope=4, scale=True).fit(df)
+        raw = [r["sax1d"] for r in plain.transform(df).orderBy("series_id").collect()]
+        zz = [r["sax1d"] for r in scaled.transform(df).orderBy("series_id").collect()]
+        # far-off-center data: unscaled means all saturate the top symbol,
+        # scaled means use the full alphabet
+        assert all(seg[0] == 3 for row in raw for seg in row)
+        assert any(seg[0] != 3 for row in zz for seg in row)
+
+
 class TestCodec:
     def test_roundtrip(self, spark):
         # utils.py:237-240, 272-279

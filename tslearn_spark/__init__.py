@@ -26,6 +26,8 @@ _LAZY = {
     "TimeSeriesKMeans": "tslearn_spark.clustering",
     "KShape": "tslearn_spark.clustering",
     "KernelKMeans": "tslearn_spark.clustering",
+    "GlobalAlignmentKernelKMeans": "tslearn_spark.clustering",
+    "SerializableShapeletModel": "tslearn_spark.shapelets",
     "silhouette_score": "tslearn_spark.clustering",
     "kneighbors": "tslearn_spark.neighbors",
     "knn_classify": "tslearn_spark.neighbors",
@@ -42,6 +44,13 @@ _LAZY = {
     "NonMyopicEarlyClassifier": "tslearn_spark.early_classification",
     "SAX": "tslearn_spark.piecewise",
     "OneDSAX": "tslearn_spark.piecewise",
+    "PiecewiseAggregateApproximation": "tslearn_spark.piecewise",
+    "SymbolicAggregateApproximation": "tslearn_spark.piecewise",
+    "OneD_SymbolicAggregateApproximation": "tslearn_spark.piecewise",
+    "TimeSeriesResampler": "tslearn_spark.preprocessing",
+    "TimeSeriesScalerMinMax": "tslearn_spark.preprocessing",
+    "TimeSeriesScalerMeanVariance": "tslearn_spark.preprocessing",
+    "MatrixProfile": "tslearn_spark.matrix_profile",
     "LabelCategorizer": "tslearn_spark.labels",
     "cdist": "tslearn_spark.metrics",
     "dtw_barycenter_averaging": "tslearn_spark.barycenters",

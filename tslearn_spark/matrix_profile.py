@@ -205,3 +205,35 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
         )
     )
     return stitched.unionByName(short)
+
+
+class MatrixProfile:
+    """Estimator twin of the reference MatrixProfile class
+    (matrix_profile.py:25-253).  implementation='numpy' (the reference
+    default) maps to the vectorized per-series kernel; the reference's
+    'stump'/'gpu_stump' backends require the stumpy package, absent
+    here, and raise — use ``transform_long`` for series that outgrow a
+    single task instead."""
+
+    def __init__(self, subsequence_length: int = 4,
+                 implementation: str = "numpy", scale: bool = True):
+        if implementation != "numpy":
+            raise NotImplementedError(
+                "implementation=%r requires stumpy; only 'numpy' is "
+                "available (see transform_long for the chunked scale "
+                "path)" % (implementation,)
+            )
+        self.subsequence_length = subsequence_length
+        self.implementation = implementation
+        self.scale = scale
+
+    def fit(self, df: DataFrame = None, y=None) -> "MatrixProfile":
+        return self
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str = "profile") -> DataFrame:
+        return transform(df, self.subsequence_length, self.scale,
+                         values_col, out_col)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        return self.transform(df, **kw)

@@ -121,7 +121,7 @@ class SAX:
     computed on the driver; transform/distance are pure expressions.
     """
 
-    def __init__(self, n_segments: int, alphabet_size_avg: int = 5, scale: bool = False):
+    def __init__(self, n_segments: int = 1, alphabet_size_avg: int = 5, scale: bool = False):
         self.n_segments = n_segments
         self.alphabet_size_avg = alphabet_size_avg
         self.scale = scale
@@ -236,13 +236,22 @@ class OneDSAX(SAX):
     indices (cysax.pyx:80-92 cyslopes) = covar(t, x)/var(t) on the segment.
     """
 
-    def __init__(self, n_segments: int, alphabet_size_avg: int = 5,
-                 alphabet_size_slope: int = 5, sigma_l: float | None = None):
-        super().__init__(n_segments, alphabet_size_avg, scale=False)
+    def __init__(self, n_segments: int = 1, alphabet_size_avg: int = 5,
+                 alphabet_size_slope: int = 5, sigma_l: float | None = None,
+                 scale: bool = False):
+        super().__init__(n_segments, alphabet_size_avg, scale=scale)
         self.alphabet_size_slope = alphabet_size_slope
         self.sigma_l = sigma_l
         self.breakpoints_slope_: np.ndarray | None = None
         self.breakpoints_slope_middle_: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, values_col: str = "values") -> "OneDSAX":
+        """Reference-style fit: slope breakpoints need the fit-time sz
+        (piecewise.py:601-617) — taken as the shortest series; global
+        scale stats via the SAX fit when scale=True."""
+        super().fit(df, values_col)
+        sz = int(df.select(F.min(F.size(values_col)).alias("m")).first()["m"])
+        return self.fit_sz(sz)
 
     def fit_sz(self, sz: int) -> "OneDSAX":
         """Breakpoints need the fit-time sz (piecewise.py:601-617)."""
@@ -288,11 +297,12 @@ class OneDSAX(SAX):
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str = "sax1d") -> DataFrame:
         assert self.breakpoints_slope_ is not None, "call fit_sz(sz) first"
+        v = self._scaled(values_col)
         avg_sym = symbols_col("__paa", self.breakpoints_avg_)
         slope_sym = symbols_col("__slopes", self.breakpoints_slope_)
         return (
-            df.withColumn("__paa", paa_col(values_col, self.n_segments))
-            .withColumn("__slopes", self.slopes_col(values_col))
+            df.withColumn("__paa", paa_col(v, self.n_segments))
+            .withColumn("__slopes", self.slopes_col(v))
             .withColumn(
                 out_col,
                 F.expr(f"zip_with({avg_sym}, {slope_sym}, (a, s) -> concat(a, s))"),
@@ -350,3 +360,39 @@ class OneDSAX(SAX):
             )
             """
         )
+
+
+# ---------------------------------------------------------------------------
+# reference-named estimator classes (drop-in import parity)
+# ---------------------------------------------------------------------------
+
+class PiecewiseAggregateApproximation:
+    """Estimator twin of the reference PAA class (piecewise.py:112-258):
+    segment-mean downsampling, inverse, and the PAA lower-bound distance,
+    over the expression layer above."""
+
+    def __init__(self, n_segments: int = 1):
+        self.n_segments = n_segments
+
+    def fit(self, df: DataFrame = None, y=None) -> "PiecewiseAggregateApproximation":
+        return self
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str = "paa") -> DataFrame:
+        return transform_paa(df, self.n_segments, values_col, out_col)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        return self.transform(df, **kw)
+
+    @staticmethod
+    def inverse_col(paa_col_name: str, original_size: int) -> Column:
+        return paa_inverse_col(paa_col_name, original_size)
+
+    @staticmethod
+    def distance_col(paa1: str, paa2: str, original_size: int) -> Column:
+        return paa_distance_col(paa1, paa2, original_size)
+
+
+# the reference's public class names (piecewise.py:329, 586)
+SymbolicAggregateApproximation = SAX
+OneD_SymbolicAggregateApproximation = OneDSAX

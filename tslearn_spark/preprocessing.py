@@ -152,3 +152,65 @@ def resample(df: DataFrame, sz: int, values_col: str = "values",
           )[0]
         """
     return df.withColumn(out, F.expr(expr))
+
+
+# ---------------------------------------------------------------------------
+# reference-named estimator classes (drop-in import parity): thin
+# stateless wrappers over the expression layer above — fit() is a no-op
+# because the scalers/resampler are per-series (no dataset-level state),
+# exactly like the reference classes
+# ---------------------------------------------------------------------------
+
+class TimeSeriesResampler:
+    """Estimator twin of the reference TimeSeriesResampler
+    (preprocessing.py:15-100): resample each series to ``sz`` points."""
+
+    def __init__(self, sz: int = -1):
+        self.sz = sz
+        self.sz_ = sz  # reference attribute name
+
+    def fit(self, df: DataFrame = None, y=None) -> "TimeSeriesResampler":
+        return self
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str | None = None) -> DataFrame:
+        return resample(df, self.sz_, values_col, out_col)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        return self.transform(df, **kw)
+
+
+class TimeSeriesScalerMinMax:
+    """Estimator twin of TimeSeriesScalerMinMax (preprocessing.py:103-201)."""
+
+    def __init__(self, value_range: tuple[float, float] = (0.0, 1.0)):
+        self.value_range = tuple(value_range)
+
+    def fit(self, df: DataFrame = None, y=None) -> "TimeSeriesScalerMinMax":
+        return self
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str | None = None) -> DataFrame:
+        return transform_min_max(df, values_col, self.value_range, out_col)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        return self.transform(df, **kw)
+
+
+class TimeSeriesScalerMeanVariance:
+    """Estimator twin of TimeSeriesScalerMeanVariance
+    (preprocessing.py:204-298)."""
+
+    def __init__(self, mu: float = 0.0, std: float = 1.0):
+        self.mu = mu
+        self.std = std
+
+    def fit(self, df: DataFrame = None, y=None) -> "TimeSeriesScalerMeanVariance":
+        return self
+
+    def transform(self, df: DataFrame, values_col: str = "values",
+                  out_col: str | None = None) -> DataFrame:
+        return transform_mean_variance(df, values_col, self.mu, self.std, out_col)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        return self.transform(df, **kw)
