@@ -794,6 +794,24 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     unequal lengths) and carries +infinity for out-of-band cells, which
     IEEE propagates identically on both engines while in-band cells
     stay exact integers.
+
+    The softdtw / gak / sbd columns complete the kernel-family gate
+    (softdtw_variants.py:316-374 soft-DTW forward pass; 22-93 GAK
+    sum-product DP with the k/(2-k) half-Gaussian Gram; cycc.pyx:16-41
+    FFT normalized cross-correlation).  These are transcendental, not
+    exact-integer, so rounding absorbs the cross-engine libm ulps:
+    round-4 soft-DTW / round-6 gak+sbd leave >3 orders of magnitude
+    between the observed numpy-vs-DuckDB drift and the nearest rounding
+    boundary on this (deterministic) data.  The oracle replays the same
+    DPs as recursive CTEs with identical float association — softmin as
+    m - ln((e_up + e_left) + e_diag), GAK cells as gram * ((up + left)
+    + diag) — and SBD as direct integer-exact shift sums, which the FFT
+    path matches to ~1e-12.  sigma=100 keeps the Gram in (0.19, 1] for
+    these 0..184-valued series (sigma=5 would underflow every
+    off-diagonal cell to 0).  SBD is computed over ORDERED pairs — the
+    reference profile truncates shifts to +/-(len(s1)-1), so for
+    unequal lengths sbd(x,y) != sbd(y,x); the diagonal clamps the
+    ~ -1e-16 FFT residue of 1 - ncc(x,x) to exactly 0 on both sides.
     """
     from tslearn_spark.metrics import cdist, pair_metric_udf, self_pairs
 
@@ -817,10 +835,27 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_band = cdist(tiny, metric="dtw", sakoe_chiba_radius=2).select(
         "id1", "id2", F.round("dist", 6).alias("dtw_band")
     )
+    # full ordered 12x12 pair grid drives the batched mixed-shape
+    # soft-DTW / GAK kernels and the FFT SBD through the real UDF path
+    op = (
+        tiny.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+        .crossJoin(tiny.select(F.col("series_id").alias("id2"),
+                               F.col("values").alias("values2")))
+    )
+    extra = op.select(
+        "id1", "id2",
+        # + 0.0 canonicalizes IEEE -0.0 (a self-score rounding to zero
+        # keeps its sign bit through round() on DuckDB but not Spark)
+        (F.round(pair_metric_udf("softdtw", gamma=1.0)("values1", "values2"), 4)
+         + F.lit(0.0)).alias("softdtw"),
+        F.round(pair_metric_udf("gak", sigma=100.0)("values1", "values2"), 6).alias("gak"),
+        F.round(F.greatest(F.lit(0.0), pair_metric_udf("sbd")("values1", "values2")), 6).alias("sbd"),
+    )
     return (
         edges.join(lc, ["id1", "id2"])
         .join(edges_band, ["id1", "id2"])
-        .select("id1", "id2", "dtw", "lcss", "dtw_band")
+        .join(extra, ["id1", "id2"])
+        .select("id1", "id2", "dtw", "lcss", "dtw_band", "softdtw", "gak", "sbd")
     )
 
 
@@ -2016,11 +2051,135 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id1, id2, lcss FROM lres
                 UNION ALL SELECT id2 AS id1, id1 AS id2, lcss FROM lres
                 UNION ALL SELECT sid AS id1, sid AS id2, 1.0 AS lcss FROM ser
+            ),
+            -- soft-DTW / GAK / SBD use the triangle INCLUDING self rows
+            -- (soft-DTW self-score is negative, GAK normalization needs
+            -- the self DP values) plus the full ordered grid for SBD,
+            -- whose shift truncation makes it order-dependent
+            pairs_le AS (
+                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
+                       a.n AS n1, b.n AS n2
+                FROM ser a JOIN ser b ON a.sid <= b.sid
+            ),
+            opairs AS (
+                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
+                       a.n AS n1, b.n AS n2
+                FROM ser a, ser b
+            ),
+            -- soft-DTW forward DP (gamma=1): border cells reduce to exact
+            -- carries (softmin with two +inf args returns the finite arg
+            -- bit-exactly); interior softmin replays numpy's association
+            -- m - ln((e_up + e_left) + e_diag)
+            sp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [(v1[1] - v2[1]) * (v1[1] - v2[1])] AS cur
+                FROM pairs_le
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])
+                                 + CASE WHEN i > 1 THEN
+                                     least(prev[j + 1], least(cur[j], prev[j]))
+                                     - ln((exp(least(prev[j + 1], least(cur[j], prev[j])) - prev[j + 1])
+                                          + exp(least(prev[j + 1], least(cur[j], prev[j])) - cur[j]))
+                                          + exp(least(prev[j + 1], least(cur[j], prev[j])) - prev[j]))
+                                   ELSE cur[j] END)
+                            ELSE [(v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1]) + cur[1]]
+                       END
+                FROM sp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            sres AS (
+                SELECT id1, id2, round(cur[n2], 4) + 0.0 AS softdtw
+                FROM sp WHERE i = n1 AND j = n2
+            ),
+            full_sdtw AS (
+                SELECT id1, id2, softdtw FROM sres
+                UNION ALL
+                SELECT id2 AS id1, id1 AS id2, softdtw FROM sres WHERE id1 <> id2
+            ),
+            -- GAK sum-product DP: gram = k/(2-k), k = exp(-d2/(2*100^2));
+            -- cells replay numpy's gram * ((up + left) + diag)
+            gp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0)
+                        / (2.0 - exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0))] AS cur
+                FROM pairs_le
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)
+                                  / (2.0 - exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)))
+                                 * ((CASE WHEN i > 1 THEN prev[j + 1] ELSE 0.0 END + cur[j])
+                                    + CASE WHEN i > 1 THEN prev[j] ELSE 0.0 END))
+                            ELSE [(exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)
+                                   / (2.0 - exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)))
+                                  * cur[1]]
+                       END
+                FROM gp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            gres AS (
+                SELECT id1, id2, cur[n2] AS unnorm
+                FROM gp WHERE i = n1 AND j = n2
+            ),
+            gself AS (SELECT id1 AS sid, unnorm AS selfv FROM gres WHERE id1 = id2),
+            gnorm AS (
+                SELECT g.id1, g.id2,
+                       round(g.unnorm / sqrt(s1.selfv * s2.selfv), 6) AS gak
+                FROM gres g
+                JOIN gself s1 ON s1.sid = g.id1
+                JOIN gself s2 ON s2.sid = g.id2
+            ),
+            full_gak AS (
+                SELECT id1, id2, gak FROM gnorm
+                UNION ALL
+                SELECT id2 AS id1, id1 AS id2, gak FROM gnorm WHERE id1 <> id2
+            ),
+            -- SBD: direct-sum NCC over shifts -(n1-1)..(n1-1) — exact
+            -- integer shift sums; shifts with no overlap carry the FFT
+            -- path's implicit 0
+            shifts AS (
+                SELECT id1, id2, n1, n2, v1, v2, s.s AS sh
+                FROM opairs JOIN range(-7, 8) s(s) ON s.s > -n1 AND s.s < n1
+            ),
+            ccs AS (
+                SELECT p.id1, p.id2, p.sh,
+                       coalesce(sum(p.v1[i.i + 1] * p.v2[i.i - p.sh + 1]), 0.0) AS cc
+                FROM shifts p LEFT JOIN range(8) i(i)
+                  ON i.i < p.n1 AND i.i - p.sh >= 0 AND i.i - p.sh < p.n2
+                GROUP BY p.id1, p.id2, p.sh
+            ),
+            nrms AS (
+                SELECT sid, sqrt(list_sum(list_transform(vals, x -> x * x))) AS nrm
+                FROM ser
+            ),
+            sbds AS (
+                SELECT c.id1, c.id2,
+                       round(greatest(0.0, 1.0 - max(c.cc / (m1.nrm * m2.nrm))), 6) AS sbd
+                FROM ccs c
+                JOIN nrms m1 ON m1.sid = c.id1
+                JOIN nrms m2 ON m2.sid = c.id2
+                GROUP BY c.id1, c.id2
             )
-            SELECT d.id1, d.id2, d.dtw, l.lcss, b.dtw_band
+            SELECT d.id1, d.id2, d.dtw, l.lcss, b.dtw_band,
+                   s.softdtw, g.gak, sb.sbd
             FROM full_dtw d
             JOIN full_lcss l ON d.id1 = l.id1 AND d.id2 = l.id2
             JOIN full_band b ON d.id1 = b.id1 AND d.id2 = b.id2
+            JOIN full_sdtw s ON s.id1 = d.id1 AND s.id2 = d.id2
+            JOIN full_gak g ON g.id1 = d.id1 AND g.id2 = d.id2
+            JOIN sbds sb ON sb.id1 = d.id1 AND sb.id2 = d.id2
         """,
         "shapelet_score_fixed": """
             -- deterministic-bank shapelet scoring: shapelet k = first 4
