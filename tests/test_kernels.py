@@ -263,6 +263,48 @@ class TestCTW:
         M = np.array([[1.5, 0.3], [-0.2, 2.0]])
         assert ctw(X, X @ M) == pytest.approx(0.0, abs=1e-5)
 
+    def test_cca_matches_generalized_eigensolution(self):
+        """Independent derivation check: the canonical correlations
+        realized by _cca_project's whitened-covariance SVD must equal
+        the sqrt-eigenvalues of Sxx^-1 Sxy Syy^-1 Syx from a direct
+        generalized eigensolve (np.linalg.eig on the product matrix) —
+        the textbook CCA characterization sklearn's NIPALS converges
+        to.  Cross-validates the from-scratch CCA without sklearn."""
+        from tslearn_spark.metrics.ctw import _cca_project
+
+        rs = np.random.RandomState(15)
+        X = rs.randn(60, 3)
+        Y = 0.6 * X @ rs.randn(3, 2) + 0.8 * rs.randn(60, 2)
+        Xp, Yp, _, _ = _cca_project(X, Y, 2)
+        realized = sorted(
+            (abs(np.corrcoef(Xp[:, c], Yp[:, c])[0, 1]) for c in range(2)),
+            reverse=True,
+        )
+        Xc, Yc = X - X.mean(0), Y - Y.mean(0)
+        Sxx, Syy = Xc.T @ Xc / len(X), Yc.T @ Yc / len(Y)
+        Sxy = Xc.T @ Yc / len(X)
+        M = np.linalg.solve(Sxx, Sxy) @ np.linalg.solve(Syy, Sxy.T)
+        eig = np.sort(np.real(np.linalg.eigvals(M)))[::-1]
+        expected = np.sqrt(np.maximum(eig[:2], 0.0))
+        assert realized == pytest.approx(expected, abs=1e-6)
+
+    def test_cca_first_direction_is_optimal(self):
+        """No probe direction pair may beat the first canonical
+        correlation — the variational definition of CCA, checked
+        against 200 random unit-direction pairs."""
+        from tslearn_spark.metrics.ctw import _cca_project
+
+        rs = np.random.RandomState(16)
+        X = rs.randn(50, 3)
+        Y = X @ rs.randn(3, 2) + rs.randn(50, 2)
+        Xp, Yp, _, _ = _cca_project(X, Y, 1)
+        best = abs(np.corrcoef(Xp[:, 0], Yp[:, 0])[0, 1])
+        Xc, Yc = X - X.mean(0), Y - Y.mean(0)
+        for _ in range(200):
+            a, b = rs.randn(3), rs.randn(2)
+            r = abs(np.corrcoef(Xc @ a, Yc @ b)[0, 1])
+            assert r <= best + 1e-9
+
     def test_ctw_le_dtw_on_shared_subspace(self):
         """After CCA projection the DTW cost can only shrink relative to
         DTW on z-scored raw features when a 1-d shared subspace explains
