@@ -139,6 +139,124 @@ class TestBaselineAccuracy:
         assert u.baseline_accuracy(["Adiac"], ["C45"]) == {"Adiac": {"C45": 0.5422}}
 
 
+def _make_archive_mirror(tmp_path):
+    """A file:// mirror of the archive layout: summary CSVs + one
+    dataset zip, so the full download->extract->parse flow runs
+    offline."""
+    import zipfile
+
+    mirror = tmp_path / "mirror"
+    (mirror / "Downloads" / "Archives").mkdir(parents=True)
+    (mirror / "Downloads" / "Archives" / "summaryMultivariate.csv").write_text(
+        "Problem,TrainSize\nPenDigits,7494\n"
+    )
+    # includes a known archive typo the bootstrap must fix in place
+    (mirror / "singleTrainTest.csv").write_text(
+        ",C45\nFakeSet,0.5\nStarlightCurves,0.8\n"
+    )
+    train = "1 1.0 2.0 3.0\n2 4.0 5.0 6.0\n"
+    test = "1 1.5 2.5 3.5\n"
+    zpath = mirror / "Downloads" / "FakeSet.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("FakeSet_TRAIN.txt", train)
+        zf.writestr("FakeSet_TEST.txt", test)
+    return mirror
+
+
+class TestUcrUeaArchive:
+    def test_bootstrap_and_lists(self, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        mirror = _make_archive_mirror(tmp_path)
+        u = UCR_UEA_datasets(data_dir=str(tmp_path / "cache"),
+                             base_url=mirror.as_uri())
+        assert u.list_univariate_datasets() == ["FakeSet", "StarLightCurves"]
+        assert u.list_multivariate_datasets() == ["PenDigits"]
+        assert u.list_datasets() == ["FakeSet", "StarLightCurves", "PenDigits"]
+        assert u.baseline_accuracy(["FakeSet"]) == {"FakeSet": {"C45": 0.5}}
+
+    def test_download_extract_parse_and_cache(self, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        mirror = _make_archive_mirror(tmp_path)
+        u = UCR_UEA_datasets(data_dir=str(tmp_path / "cache"),
+                             base_url=mirror.as_uri())
+        X_train, y_train, X_test, y_test = u.load_dataset("FakeSet")
+        assert X_train.shape == (2, 3, 1)
+        assert X_test.shape == (1, 3, 1)
+        np.testing.assert_allclose(X_train[:, :, 0],
+                                   [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        np.testing.assert_array_equal(y_train, [1, 2])
+        assert "FakeSet" in u.list_cached_datasets()
+        # cache hit: remove the mirror zip — load must still succeed
+        (mirror / "Downloads" / "FakeSet.zip").unlink()
+        X2, *_ = u.load_dataset("FakeSet")
+        np.testing.assert_allclose(X2, X_train)
+        # use_cache=False refetches; with the zip gone that fails softly
+        u2 = UCR_UEA_datasets(use_cache=False,
+                              data_dir=str(tmp_path / "cache"),
+                              base_url=mirror.as_uri())
+        with pytest.warns(RuntimeWarning):
+            assert u2.load_dataset("FakeSet") == (None, None, None, None)
+
+    def test_missing_dataset_warns(self, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        mirror = _make_archive_mirror(tmp_path)
+        u = UCR_UEA_datasets(data_dir=str(tmp_path / "cache"),
+                             base_url=mirror.as_uri())
+        with pytest.warns(RuntimeWarning):
+            assert u.load_dataset("NoSuchSet") == (None, None, None, None)
+
+    def test_degraded_no_network(self, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        # bootstrap against a dead mirror: lists raise, cache still loads
+        mirror = _make_archive_mirror(tmp_path)
+        cache = tmp_path / "cache"
+        UCR_UEA_datasets(data_dir=str(cache),
+                         base_url=mirror.as_uri()).load_dataset("FakeSet")
+        dead = UCR_UEA_datasets(data_dir=str(cache),
+                                base_url=(tmp_path / "void").as_uri())
+        with pytest.raises(ValueError):
+            dead.list_datasets()
+        X, *_ = dead.load_dataset("FakeSet")
+        assert X.shape == (2, 3, 1)
+
+    def test_load_dataset_spark(self, spark, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        mirror = _make_archive_mirror(tmp_path)
+        u = UCR_UEA_datasets(data_dir=str(tmp_path / "cache"),
+                             base_url=mirror.as_uri())
+        train_df, test_df = u.load_dataset_spark(spark, "FakeSet")
+        rows = {r.series_id: r for r in train_df.collect()}
+        assert [v[0] for v in rows[0]["values"]] == [1.0, 2.0, 3.0]
+        assert rows[1]["label"] == "2"
+        assert test_df.count() == 1
+
+
+class TestCachedDatasets:
+    def test_empty_default(self):
+        from tslearn_spark.sources import CachedDatasets
+
+        assert CachedDatasets().list_datasets() == []
+        with pytest.raises(IOError):
+            CachedDatasets().load_dataset("Trace")
+
+    def test_npz_roundtrip(self, tmp_path):
+        from tslearn_spark.sources import CachedDatasets
+
+        np.savez(tmp_path / "Demo.npz",
+                 X_train=np.ones((2, 4, 1)), y_train=np.array([0, 1]),
+                 X_test=np.zeros((1, 4, 1)), y_test=np.array([1]))
+        c = CachedDatasets(path=str(tmp_path))
+        assert c.list_datasets() == ["Demo"]
+        X_train, y_train, X_test, y_test = c.load_dataset("Demo")
+        assert X_train.shape == (2, 4, 1)
+        np.testing.assert_array_equal(y_test, [1])
+
+
 class TestEarlyClassification:
     def test_reference_fixture(self, spark):
         """FIXTURES.md §2.8: 8 series of sz 6, 3 patterns."""

@@ -36,6 +36,7 @@ _LAZY = {
     "KNeighborsTimeSeriesClassifier": "tslearn_spark.neighbors",
     "KNeighborsTimeSeriesRegressor": "tslearn_spark.neighbors",
     "UCR_UEA_datasets": "tslearn_spark.sources",
+    "CachedDatasets": "tslearn_spark.sources",
     "TimeSeriesSVC": "tslearn_spark.svm",
     "TimeSeriesSVR": "tslearn_spark.svm",
     "TimeSeriesMLPClassifier": "tslearn_spark.neural_network",
