@@ -151,6 +151,65 @@ class TestMetricsPairSampleOracle:
             assert row.sbd == pytest.approx(_naive_sbd(v1, v2), abs=2e-6)
 
 
+def _naive_dtw_path(c: np.ndarray, t: np.ndarray):
+    """Full-grid DP + diagonal-preferred backtrack (dtw_variants.py:85-106)."""
+    n1, n2 = len(c), len(t)
+    D = np.full((n1 + 1, n2 + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n1 + 1):
+        for j in range(1, n2 + 1):
+            D[i, j] = (c[i - 1] - t[j - 1]) ** 2 + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    i, j = n1 - 1, n2 - 1
+    path = [(i, j)]
+    A = D[1:, 1:]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            k = int(np.argmin([A[i - 1, j - 1], A[i - 1, j], A[i, j - 1]]))
+            i, j = (i - 1, j - 1) if k == 0 else ((i - 1, j) if k == 1
+                                                  else (i, j - 1))
+        path.append((i, j))
+    return path[::-1]
+
+
+class TestDbaBarycenterOracle:
+    def test_replay(self, spark):
+        """dba_barycenter_sample: resample(32) -> znorm -> 5 Petitjean
+        EM iterations (dba.py:394-511), replayed with an independent
+        full-grid path DP and driver-side means."""
+        import __spark_entry__ as entry
+
+        got = {
+            r.t: r.bary
+            for r in entry.queries()["dba_barycenter_sample"](spark, SF_DIR).collect()
+        }
+        series = [
+            _znorm(np.interp(np.linspace(0, len(v) - 1, 32),
+                             np.arange(len(v)), v))
+            for _, v in sorted(_series_from_parquet(10).items())
+        ]
+        center = np.mean(series, axis=0)
+        for _ in range(5):
+            sums = np.zeros(32)
+            cnts = np.zeros(32)
+            for ts in series:
+                for (i, j) in _naive_dtw_path(center, ts):
+                    sums[i] += ts[j]
+                    cnts[i] += 1.0
+            new_center = sums / cnts
+            delta = float(np.linalg.norm(new_center - center))
+            center = new_center
+            if delta < 1e-5:
+                break
+        assert len(got) == 32
+        for t in range(32):
+            assert got[t] == pytest.approx(center[t], abs=2e-6)
+
+
 class TestKnnDtwClassifyOracle:
     def test_replay(self, spark):
         import __spark_entry__ as entry
