@@ -637,6 +637,49 @@ class TestStreamingBatch:
         got = {r["doc_id"] for r in stream_exact_dedup(df).collect()}
         assert got == {0, 1, 3}
 
+    def test_stream_lsh_candidates_batch_vs_stream(self, spark, tmp_path):
+        """Streaming MinHash-LSH candidates == the batch twin on the same
+        docs, and an exact duplicate collides in every band."""
+        from tslearn_spark.streaming import stream_lsh_candidates
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely different payload about spark engines"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "another unrelated text with its own tokens"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        batch = {(r.band, r.id1, r.id2)
+                 for r in stream_lsh_candidates(df).collect()}
+        # identical docs 0/2 share every band signature
+        assert {(b, 0, 2) for b in range(8)} <= batch
+        assert all(i1 < i2 for _, i1, i2 in batch)
+
+        src_dir = str(tmp_path / "lsh_src")
+        df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        out = stream_lsh_candidates(stream)
+        q = (
+            out.writeStream.format("memory").queryName("lsh_s")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {(r.band, r.id1, r.id2)
+               for r in spark.sql("SELECT * FROM lsh_s").collect()}
+        assert got == batch
+
+    def test_stream_lsh_candidates_bucket_cap(self, spark):
+        """bucket_cap=1: only the bucket's first doc seeds pairs — later
+        members pair with it but never with each other."""
+        from tslearn_spark.streaming import stream_lsh_candidates
+
+        rows = [(i, "same text for every doc") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id1, r.id2)
+               for r in stream_lsh_candidates(df, bucket_cap=1).collect()}
+        assert got == {(0, 1), (0, 2), (0, 3)}
+
     def test_sessions(self, spark):
         import datetime
 

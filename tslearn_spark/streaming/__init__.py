@@ -353,6 +353,127 @@ def stream_exact_dedup(
     )
 
 
+def stream_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n_shingle: int = 1,
+    seed: int = 42,
+    bucket_cap: int = 8,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates — the streaming twin of
+    ``pipeline.dedup.minhash_lsh_candidates``.
+
+    Each document's MinHash signature is computed IN the projection (a
+    pandas UDF over the text — no pre-shuffle, unlike the batch
+    explode+groupBy form, so it composes with the stateful stage), then
+    split into ``bands`` band signatures; the stateful stage groups by
+    exact band key and keeps the first ``bucket_cap`` doc ids seen per
+    bucket.  A document landing in a non-empty bucket emits one
+    ``(band, id1, id2)`` candidate row per stored prior (id1 = earlier
+    doc) — the classic LSH S-curve semantics, restricted to
+    earlier-vs-later pairs as a stream must be.  Candidates repeat
+    across bands (no global distinct exists in a single stateful pass);
+    downstream verification dedupes.
+
+    State per bucket is at most ``bucket_cap`` longs — bounded by
+    design; as with the other stateful ops the unbounded axis at 100 TB
+    is the BUCKET population, capped by ``ttl_ms`` idle eviction (a
+    bucket idle that long is forgotten; later members re-seed it).
+
+    Batch mode (non-streaming input) replays the identical contract —
+    bucket members ordered by id, pairs (ids[i], ids[j]) for i < j with
+    i < bucket_cap — so batch output == collected stream output on the
+    same data (the equivalence unit test).
+
+    Signature parity: tokenization (lowercase, non-alphanumeric split,
+    ' '-joined shingles), 28-bit md5 token ids, and the LCG (a, b)
+    coefficients replicate pipeline.dedup.minhash_signatures exactly.
+    """
+    import hashlib
+    import re
+
+    from tslearn_spark.pipeline.dedup import MINHASH_P, minhash_coefficients
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    coefs = minhash_coefficients(num_hashes, seed)
+
+    def _band_keys(text: str) -> list[str]:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if n_shingle > 1:
+            toks = [" ".join(toks[i:i + n_shingle])
+                    for i in range(max(len(toks) - n_shingle, 0) + 1)]
+        if not toks:
+            return []
+        tids = {int(hashlib.md5(t.encode()).hexdigest()[:7], 16) for t in toks}
+        sig = [min((a * x + b) % MINHASH_P for x in tids) for a, b in coefs]
+        return [f"{b}:" + "_".join(str(v) for v in sig[b * r:(b + 1) * r])
+                for b in range(bands)]
+
+    @F.pandas_udf("array<string>")
+    def _bands_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _band_keys(t or ""))
+
+    banded = docs.select(
+        F.col(id_col), _bands_udf(F.col(text_col)).alias("_bk")
+    ).select(id_col, F.explode("_bk").alias("bkey"))
+
+    if not docs.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bkey").orderBy(F.col(id_col).asc())
+        ranked = banded.withColumn("_rn", F.row_number().over(w))
+        a = ranked.select(F.col("bkey"), F.col(id_col).alias("id1"),
+                          F.col("_rn").alias("_r1"))
+        b = ranked.select(F.col("bkey"), F.col(id_col).alias("id2"),
+                          F.col("_rn").alias("_r2"))
+        return (
+            a.join(b, "bkey")
+            .where((F.col("_r1") < F.col("_r2")) & (F.col("_r1") <= bucket_cap))
+            .select(
+                F.split("bkey", ":")[0].cast("int").alias("band"),
+                "id1", "id2",
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "band int, id1 long, id2 long"
+    state_schema = "ids array<long>"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def match(key, pdfs, state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["band", "id1", "id2"])
+            return
+        band = int(key[0].split(":", 1)[0])
+        ids = list(state.get[0]) if state.exists else []
+        rows = []
+        new_ids = sorted(
+            int(i) for pdf in pdfs for i in pdf[id_col].tolist()
+        )
+        for nid in new_ids:
+            rows.extend((band, pid, nid) for pid in ids[:bucket_cap])
+            if len(ids) < bucket_cap:
+                ids.append(nid)
+        state.update((ids,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(rows, columns=["band", "id1", "id2"])
+
+    return banded.groupBy("bkey").applyInPandasWithState(
+        match, out_schema, state_schema, "append", timeout_conf
+    )
+
+
 def stream_session_stats(
     events: DataFrame,
     gap: str = "5 minutes",
