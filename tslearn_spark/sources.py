@@ -174,7 +174,8 @@ def extract_from_zip_url(url: str, target_dir: str | None = None,
     os.makedirs(target_dir, exist_ok=True)
     try:
         with tempfile.NamedTemporaryFile(suffix=".zip") as tmp:
-            with urlopen(url) as resp:
+            # bounded timeout: an offline environment must fail fast
+            with urlopen(url, timeout=30) as resp:
                 shutil.copyfileobj(resp, tmp)
             tmp.flush()
             with zipfile.ZipFile(tmp.name) as zf:
@@ -295,10 +296,15 @@ class UCR_UEA_datasets:
             self._baseline_scores_filename = None
 
     def _fetch(self, rel_path: str) -> str:
-        from urllib.request import urlretrieve
+        import shutil
+        from urllib.request import urlopen
 
         dest = os.path.join(self._data_dir, os.path.basename(rel_path))
-        urlretrieve(self.base_url + rel_path, dest)
+        # urlopen with a bounded timeout (urlretrieve has none): an
+        # offline environment degrades in seconds, not a hung socket
+        with urlopen(self.base_url + rel_path, timeout=10) as resp, \
+                open(dest, "wb") as f:
+            shutil.copyfileobj(resp, f)
         return dest
 
     def _require_lists(self) -> None:
