@@ -93,7 +93,26 @@ AUDITS = [
      "series build shuffle + the deliberate compute-spread repartition "
      "(partitioning follows compute for the O(sz^2) kernel, not bytes); "
      "the profile kernel is an Arrow-vectorized map"),
+    ("stream_lsh_batch", ["MapInPandas", "!ArrowEvalPython"], 1,
+     "streaming-LSH batch twin: signatures+banding in ONE MapInPandas "
+     "pass (a pandas_udf+explode form would evaluate the UDF twice), "
+     "then a single groupBy(bucket) shuffle with in-row pair expansion "
+     "— no ranked self-join, no second UDF evaluation"),
 ]
+
+
+def _stream_lsh_batch(spark, sf_dir):
+    from tslearn_spark.streaming import stream_lsh_candidates
+
+    return stream_lsh_candidates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+# audited plans that are not registered driver queries
+EXTRA_BUILDERS = {
+    "stream_lsh_batch": _stream_lsh_batch,
+}
 
 
 def main() -> None:
@@ -111,7 +130,7 @@ def main() -> None:
     ]
     failures = []
     for name, required, max_exchanges, note in AUDITS:
-        df = qs[name](spark, sf_dir)
+        df = (qs[name] if name in qs else EXTRA_BUILDERS[name])(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")

@@ -414,30 +414,44 @@ def stream_lsh_candidates(
         return [f"{b}:" + "_".join(str(v) for v in sig[b * r:(b + 1) * r])
                 for b in range(bands)]
 
-    @F.pandas_udf("array<string>")
-    def _bands_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _band_keys(t or ""))
+    # mapInPandas explodes inside the UDF: a pandas_udf + explode plan
+    # evaluates the signature UDF TWICE (once for the generate's
+    # null/size filter, once for the projection) — one pass here
+    def _expand(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            keys: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for bk in _band_keys(t or ""):
+                    ids.append(int(i))
+                    keys.append(bk)
+            yield pd.DataFrame({id_col: ids, "bkey": keys})
 
-    banded = docs.select(
-        F.col(id_col), _bands_udf(F.col(text_col)).alias("_bk")
-    ).select(id_col, F.explode("_bk").alias("bkey"))
+    banded = docs.select(id_col, text_col).mapInPandas(
+        _expand, f"{id_col} long, bkey string"
+    )
 
     if not docs.isStreaming:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("bkey").orderBy(F.col(id_col).asc())
-        ranked = banded.withColumn("_rn", F.row_number().over(w))
-        a = ranked.select(F.col("bkey"), F.col(id_col).alias("id1"),
-                          F.col("_rn").alias("_r1"))
-        b = ranked.select(F.col("bkey"), F.col(id_col).alias("id2"),
-                          F.col("_rn").alias("_r2"))
+        # one grouped aggregate + in-row pair expansion: the signature
+        # UDF runs ONCE and the plan has a single shuffle (a ranked
+        # self-join would re-evaluate the UDF subtree per side and
+        # shuffle twice).  A degenerate bucket (huge near-identical
+        # cluster) concentrates on one task either way — the same skew
+        # the streaming state group has; cap emitted pairs via
+        # bucket_cap as in streaming.
+        grouped = banded.groupBy("bkey").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
         return (
-            a.join(b, "bkey")
-            .where((F.col("_r1") < F.col("_r2")) & (F.col("_r1") <= bucket_cap))
-            .select(
+            grouped.select(
                 F.split("bkey", ":")[0].cast("int").alias("band"),
-                "id1", "id2",
+                F.explode(F.expr(
+                    f"flatten(transform(slice(ids, 1, {bucket_cap}), x -> "
+                    "transform(filter(ids, y -> y > x), y -> "
+                    "struct(x AS id1, y AS id2))))"
+                )).alias("p"),
             )
+            .select("band", "p.id1", "p.id2")
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
