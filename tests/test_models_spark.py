@@ -23,6 +23,99 @@ class TestSVM:
         pred = {r["series_id"]: r["prediction"] for r in clf.predict(df).collect()}
         assert pred == {0: "0", 1: "0", 2: "1", 3: "1"}
 
+    def test_platt_sigmoid_properties(self):
+        """Platt fit on a cleanly separated decision set: monotone
+        decreasing in f (A < 0), near 1 for strong positives, near 0
+        for strong negatives, and the Newton fit reduces the NLL vs
+        the (0, log(N-+1/N++1)) start."""
+        from tslearn_spark.svm_solver import platt_fit, platt_predict
+
+        rs = np.random.RandomState(3)
+        f = np.concatenate([rs.randn(50) + 2.0, rs.randn(50) - 2.0])
+        y = np.concatenate([np.ones(50), -np.ones(50)])
+        A, B = platt_fit(f, y)
+        assert A < 0
+        p = platt_predict(np.array([-4.0, 0.0, 4.0]), A, B)
+        assert p[0] < 0.1 and p[2] > 0.9
+        assert np.all(np.diff(platt_predict(np.linspace(-5, 5, 20), A, B)) > 0)
+
+    def test_pairwise_coupling_consistency(self):
+        """Coupling of mutually consistent pairwise probabilities must
+        recover the underlying class ranking; rows sum to 1."""
+        from tslearn_spark.svm_solver import pairwise_coupling
+
+        # true p = (0.6, 0.3, 0.1) -> r_ab = p_a/(p_a+p_b)
+        p = np.array([0.6, 0.3, 0.1])
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        R = np.array([[p[a] / (p[a] + p[b]) for a, b in pairs]])
+        out = pairwise_coupling(R, 3, pairs)
+        assert out.shape == (1, 3)
+        assert out[0].sum() == pytest.approx(1.0, abs=1e-9)
+        np.testing.assert_allclose(out[0], p, atol=1e-3)
+
+    def test_svc_predict_proba(self, spark):
+        """probability=True end to end: rows sum to 1, the max-prob
+        class agrees with predict on this cleanly separable fixture."""
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X = [[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0], [1.5, 2.5, 3.5],
+             [12.0, 15.0, 16.0, 17.0], [13.0, 15.0, 16.0], [12.5, 14.0, 16.5],
+             [30.0, 34.0, 36.0], [31.0, 33.0, 35.0, 36.0], [29.0, 33.0, 37.0]]
+        y = ["a", "a", "a", "b", "b", "b", "c", "c", "c"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        clf = TimeSeriesSVC(C=1.0, gamma="auto", probability=True,
+                            random_state=0).fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in clf.predict(df).collect()}
+        proba = {r["series_id"]: np.array(r["probabilities"])
+                 for r in clf.predict_proba(df).collect()}
+        classes = [str(c) for c in clf.classes_]
+        for sid, p in proba.items():
+            assert p.shape == (3,)
+            assert p.sum() == pytest.approx(1.0, abs=1e-6)
+            assert np.all(p >= 0)
+            assert classes[int(np.argmax(p))] == pred[sid]
+
+    def test_svc_decision_function_shapes(self, spark):
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X = [[1.0, 2.0, 3.0], [2.0, 3.0, 4.0],
+             [10.0, 12.0, 14.0], [11.0, 12.0, 15.0],
+             [30.0, 31.0, 33.0], [29.0, 32.0, 33.0]]
+        y = ["a", "a", "b", "b", "c", "c"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        ovr = TimeSeriesSVC(gamma="auto").fit(df)
+        d = {r["series_id"]: r["decision"]
+             for r in ovr.decision_function(df).collect()}
+        assert all(len(v) == 3 for v in d.values())  # ovr: one per class
+        classes = [str(c) for c in ovr.classes_]
+        pred = {r["series_id"]: r["prediction"] for r in ovr.predict(df).collect()}
+        for sid, vals in d.items():
+            assert classes[int(np.argmax(vals))] == pred[sid]
+        ovo = TimeSeriesSVC(gamma="auto", decision_function_shape="ovo").fit(df)
+        d2 = ovo.decision_function(df).first()["decision"]
+        assert len(d2) == 3  # C(3,2) pair decisions
+
+    def test_svc_class_weight_balanced(self, spark):
+        """An 8:2 imbalanced fixture with overlapping classes: balanced
+        per-sample C must not leave the minority class unrecallable,
+        and per-sample C changes the fitted duals vs uniform C."""
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        rs = np.random.RandomState(5)
+        X = [list(np.cumsum(rs.randn(6)) + 0.0) for _ in range(8)] + \
+            [list(np.cumsum(rs.randn(6)) + 3.0) for _ in range(2)]
+        y = ["maj"] * 8 + ["min"] * 2
+        df = DS.dataset_to_df(spark, X, labels=y)
+        bal = TimeSeriesSVC(C=1.0, gamma="auto",
+                            class_weight="balanced").fit(df)
+        pred = {r["series_id"]: r["prediction"]
+                for r in bal.predict(df).collect()}
+        assert pred[8] == "min" and pred[9] == "min"
+        uni = TimeSeriesSVC(C=1.0, gamma="auto").fit(df)
+        a_bal = bal.model_.machines_[0][2].alpha_
+        a_uni = uni.model_.machines_[0][2].alpha_
+        assert not np.allclose(a_bal, a_uni)
+
     def test_svr_sign(self, spark):
         # tests/test_variablelength.py:47-51: predictions correlate with sign
         from tslearn_spark.svm import TimeSeriesSVR

@@ -38,9 +38,11 @@ class _GakSVMBase:
     485-487) for drop-in parity: gak-irrelevant kernel shape params
     (degree, coef0) and libsvm tuning knobs (shrinking, cache_size) are
     accepted and unused exactly as the reference's gak path leaves them
-    unused; semantically meaningful options our from-scratch SMO does
-    not implement (non-gak kernels, probability=True, class_weight)
-    fail LOUDLY instead of silently changing results."""
+    unused.  probability=True (CV-Platt sigmoids + Wu-Lin-Weng
+    coupling) and class_weight (per-sample C in the SMO) are
+    implemented from scratch; the one remaining loud rejection is
+    non-gak kernels (the reference delegates those to sklearn SVC on
+    flattened series)."""
 
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
                  gamma: str | float = "auto", coef0: float = 0.0,
@@ -100,12 +102,6 @@ class TimeSeriesSVC(_GakSVMBase):
                  verbose: int = 0, max_iter: int = -1,
                  decision_function_shape: str = "ovr",
                  random_state: int | None = None):
-        if probability:
-            raise NotImplementedError(
-                "probability=True (Platt scaling) is not implemented"
-            )
-        if class_weight is not None:
-            raise NotImplementedError("class_weight is not implemented")
         super().__init__(C=C, kernel=kernel, degree=degree, gamma=gamma,
                          coef0=coef0, shrinking=shrinking, tol=tol,
                          cache_size=cache_size, n_jobs=n_jobs,
@@ -115,12 +111,28 @@ class TimeSeriesSVC(_GakSVMBase):
         self.class_weight = class_weight
         self.decision_function_shape = decision_function_shape
 
+    def _sample_C(self, y: np.ndarray) -> np.ndarray | None:
+        """class_weight -> per-sample box constraints C_i = C * w[class]
+        (libsvm's weighted C; 'balanced' = n / (k * bincount))."""
+        if self.class_weight is None:
+            return None
+        classes, counts = np.unique(y, return_counts=True)
+        if self.class_weight == "balanced":
+            w = {c: len(y) / (len(classes) * n) for c, n in zip(classes, counts)}
+        else:
+            w = {c: float(self.class_weight.get(c, 1.0)) for c in classes}
+        return np.array([self.C * w[c] for c in y])
+
     def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesSVC":
         Gram = self._fit_gram(df)
         lab = {r["series_id"]: r[label_col]
                for r in df.select("series_id", label_col).collect()}
         y = np.array([lab[i] for i in self._train_ids])
-        self.model_ = MulticlassSVC(self.C).fit(Gram, y)
+        self.model_ = MulticlassSVC(self.C, sample_C=self._sample_C(y)).fit(Gram, y)
+        if self.probability:
+            # libsvm's svm_binary_svc_probability: per-machine Platt
+            # sigmoids on 5-fold CV decision values (svm.py:103-106)
+            self.model_.fit_platt(Gram, y, random_state=self.random_state)
         self.classes_ = self.model_.classes_
         # support vectors: any machine with nonzero dual (svm.py:241-249)
         sv = np.zeros(len(self._train_ids), dtype=bool)
@@ -159,6 +171,84 @@ class TimeSeriesSVC(_GakSVMBase):
 
         return rows.select(F.col("id1").alias("series_id"),
                            vote("krow").alias("prediction"))
+
+    def _krow_frame(self, queries: DataFrame):
+        edges = self._query_gram_df(queries)
+        return (
+            edges.groupBy("id1")
+            .agg(F.map_from_arrays(F.collect_list("id2"),
+                                   F.collect_list("dist")).alias("krow"))
+        )
+
+    def predict_proba(self, queries: DataFrame) -> DataFrame:
+        """Per-class probabilities (svm.py:331-352 predict_proba).
+
+        Distributed like predict: cross-Gram edges -> per-query kernel
+        row -> broadcast Platt sigmoids + Wu-Lin-Weng coupling in a
+        pandas UDF.  Returns (series_id, probabilities array<double>)
+        ordered by ``classes_``.  Like the reference (which inherits
+        libsvm's caveat), the coupling argmax may disagree with
+        predict's ovo vote on boundary queries.
+        """
+        if not self.probability:
+            raise ValueError(
+                "predict_proba requires probability=True at fit time"
+            )
+        train_ids = self._train_ids
+        model = self.model_
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast((train_ids, model))
+
+        @F.pandas_udf("array<double>")
+        def proba(krows: pd.Series) -> pd.Series:
+            tids, m = bc.value
+            out = []
+            for kr in krows:
+                vec = np.array([kr[t] for t in tids])[None, :]
+                out.append([float(p) for p in m.predict_proba(vec)[0]])
+            return pd.Series(out)
+
+        return self._krow_frame(queries).select(
+            F.col("id1").alias("series_id"), proba("krow").alias("probabilities")
+        )
+
+    def decision_function(self, queries: DataFrame) -> DataFrame:
+        """Raw decision values (svm.py:306-328): ovo pair decisions, or
+        the standard vote-tiebreak ovr aggregation of them when
+        decision_function_shape='ovr'.  Returns (series_id, decision
+        array<double>)."""
+        train_ids = self._train_ids
+        model = self.model_
+        shape = self.decision_function_shape
+        n_cls = len(model.classes_)
+        pairs = [(a, b) for a, b, _, _ in model.machines_]
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast((train_ids, model))
+
+        @F.pandas_udf("array<double>")
+        def dec(krows: pd.Series) -> pd.Series:
+            tids, m = bc.value
+            out = []
+            for kr in krows:
+                vec = np.array([kr[t] for t in tids])[None, :]
+                d = m.decision_function_ovo(vec)[0]
+                if shape == "ovr":
+                    # sklearn's _ovr_decision_function: votes plus a
+                    # bounded sum-of-confidences tiebreak
+                    votes = np.zeros(n_cls)
+                    conf = np.zeros(n_cls)
+                    for k, (a, b) in enumerate(pairs):
+                        votes[a if d[k] > 0 else b] += 1
+                        conf[a] += d[k]
+                        conf[b] -= d[k]
+                    tie = conf / (3.0 * (np.abs(conf).max() + 1.0))
+                    d = votes + tie
+                out.append([float(x) for x in d])
+            return pd.Series(out)
+
+        return self._krow_frame(queries).select(
+            F.col("id1").alias("series_id"), dec("krow").alias("decision")
+        )
 
 
 class TimeSeriesSVR(_GakSVMBase):
