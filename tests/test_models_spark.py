@@ -116,6 +116,46 @@ class TestSVM:
         a_uni = uni.model_.machines_[0][2].alpha_
         assert not np.allclose(a_bal, a_uni)
 
+    def test_flat_kernels(self, spark):
+        """linear/rbf/poly/sigmoid on equal-length series (the
+        reference's sklearn route): train predictions separate the
+        fixture; gamma='auto' resolves to 1/n_features; ragged input is
+        rejected for flat kernels only."""
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X = [[1.0, 2.0, 3.0], [2.0, 3.0, 4.0], [1.5, 2.0, 3.5],
+             [10.0, 12.0, 14.0], [11.0, 12.0, 15.0], [10.5, 13.0, 14.5]]
+        y = ["a", "a", "a", "b", "b", "b"]
+        df = DS.dataset_to_df(spark, X, labels=y)
+        for kern in ("linear", "rbf", "poly", "sigmoid"):
+            clf = TimeSeriesSVC(C=10.0, kernel=kern).fit(df)
+            pred = {r["series_id"]: r["prediction"]
+                    for r in clf.predict(df).collect()}
+            if kern != "sigmoid":  # tanh saturates on this un-scaled fixture
+                assert pred == dict(enumerate(["a"] * 3 + ["b"] * 3)), kern
+            assert clf.gamma_ == pytest.approx(1.0 / 3.0)
+        ragged = DS.dataset_to_df(spark, [[1.0, 2.0], [1.0, 2.0, 3.0]],
+                                  labels=["a", "b"])
+        with pytest.raises(ValueError):
+            TimeSeriesSVC(kernel="rbf").fit(ragged)
+        with pytest.raises(NotImplementedError):
+            TimeSeriesSVC(kernel="cosine")
+
+    def test_flat_kernel_svr(self, spark):
+        from tslearn_spark.svm import TimeSeriesSVR
+
+        X = [[float(i), float(i + 1), float(i + 2)] for i in range(6)]
+        yr = [2.0 * i for i in range(6)]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(map(float, yr))),
+                                  "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesSVR(C=100.0, kernel="linear", epsilon=0.01).fit(df)
+        pred = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        for i in range(6):
+            assert pred[i] == pytest.approx(2.0 * i, abs=0.5)
+
     def test_svr_sign(self, spark):
         # tests/test_variablelength.py:47-51: predictions correlate with sign
         from tslearn_spark.svm import TimeSeriesSVR

@@ -33,16 +33,35 @@ def _collect_gram(edges: DataFrame, ids1: list[int], ids2: list[int]) -> np.ndar
     return G
 
 
+_FLAT_KERNELS = ("linear", "rbf", "poly", "sigmoid")
+
+
+def _flat_kernel_matrix(X: np.ndarray, Y: np.ndarray, kernel: str,
+                        gamma: float, degree: int, coef0: float) -> np.ndarray:
+    """sklearn/libsvm kernel matrices on flattened series (the
+    reference's non-gak path runs sklearn SVC on to_sklearn_dataset
+    output, svm.py:59,279-280)."""
+    dot = X @ Y.T
+    if kernel == "linear":
+        return dot
+    if kernel == "rbf":
+        d2 = (X * X).sum(1)[:, None] + (Y * Y).sum(1)[None, :] - 2.0 * dot
+        return np.exp(-gamma * np.maximum(d2, 0.0))
+    if kernel == "poly":
+        return (gamma * dot + coef0) ** degree
+    return np.tanh(gamma * dot + coef0)  # sigmoid
+
+
 class _GakSVMBase:
     """Shared init carries the full reference signature (svm.py:211-214,
     485-487) for drop-in parity: gak-irrelevant kernel shape params
     (degree, coef0) and libsvm tuning knobs (shrinking, cache_size) are
     accepted and unused exactly as the reference's gak path leaves them
     unused.  probability=True (CV-Platt sigmoids + Wu-Lin-Weng
-    coupling) and class_weight (per-sample C in the SMO) are
-    implemented from scratch; the one remaining loud rejection is
-    non-gak kernels (the reference delegates those to sklearn SVC on
-    flattened series)."""
+    coupling), class_weight (per-sample C in the SMO), and the sklearn
+    flat kernels (linear/rbf/poly/sigmoid on flattened equal-length
+    series, the reference's non-gak route) are implemented from
+    scratch; only kernels outside that set are rejected."""
 
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
                  gamma: str | float = "auto", coef0: float = 0.0,
@@ -50,10 +69,12 @@ class _GakSVMBase:
                  cache_size: float = 200, n_jobs: int | None = None,
                  verbose: int = 0, max_iter: int = -1,
                  random_state: int | None = None):
-        if kernel != "gak":
+        if kernel != "gak" and kernel not in _FLAT_KERNELS:
             raise NotImplementedError(
-                "only kernel='gak' is supported (the reference's other "
-                "kernels delegate to sklearn SVC on flattened series)"
+                f"unsupported kernel {kernel!r}: 'gak' or one of "
+                f"{_FLAT_KERNELS} (the reference accepts the same set, "
+                "routing non-gak kernels through sklearn SVC on "
+                "flattened series)"
             )
         self.C = C
         self.kernel = kernel
@@ -68,10 +89,27 @@ class _GakSVMBase:
         self.max_iter = max_iter
         self.random_state = random_state
 
+    def _flat_train(self) -> np.ndarray:
+        szs = {v.shape for v in self._train_values}
+        if len(szs) > 1:
+            raise ValueError(
+                f"kernel={self.kernel!r} requires equal-length series "
+                "(the reference flattens to a fixed sklearn feature "
+                "matrix); only 'gak' handles variable lengths"
+            )
+        return np.stack([v.reshape(-1) for v in self._train_values])
+
     def _fit_gram(self, df: DataFrame):
         rows = df.select("series_id", "values").orderBy("series_id").collect()
         self._train_ids = [r["series_id"] for r in rows]
         self._train_values = [np.asarray(r["values"], dtype=np.float64) for r in rows]
+        if self.kernel in _FLAT_KERNELS:
+            X = self._flat_train()
+            # gamma='auto' -> 1/n_features for non-gak (svm.py:88-94)
+            self.gamma_ = (1.0 / X.shape[1] if self.gamma == "auto"
+                           else float(self.gamma))
+            return _flat_kernel_matrix(X, X, self.kernel, self.gamma_,
+                                       self.degree, self.coef0)
         if self.gamma == "auto":
             self.gamma_ = K.gamma_soft_dtw(self._train_values)  # svm.py:30-33
         else:
@@ -81,8 +119,41 @@ class _GakSVMBase:
         return _collect_gram(edges, self._train_ids, self._train_ids)
 
     def _query_gram_df(self, queries: DataFrame) -> DataFrame:
-        """Distributed query x train normalized-GAK edges."""
+        """Distributed query x train kernel edges (id1, id2, dist).
+
+        gak: the pair-join cdist machinery.  Flat kernels: broadcast
+        the flattened train matrix, one BLAS kernel-row per query in
+        mapInPandas — each query ships once, edges are scalars.
+        """
         spark = queries.sparkSession
+        if self.kernel in _FLAT_KERNELS:
+            Xt = self._flat_train()
+            bc = spark.sparkContext.broadcast(
+                (np.asarray(self._train_ids, dtype=np.int64), Xt,
+                 self.kernel, self.gamma_, self.degree, self.coef0)
+            )
+
+            def gen(batches):
+                tids, T, kern, gam, deg, c0 = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    qids = pdf["series_id"].to_numpy(dtype=np.int64)
+                    Q = np.stack([
+                        np.asarray(v, dtype=np.float64).reshape(-1)
+                        for v in pdf["values"]
+                    ])
+                    Kq = _flat_kernel_matrix(Q, T, kern, gam, deg, c0)
+                    n_q, n_t = Kq.shape
+                    yield pd.DataFrame({
+                        "id1": np.repeat(qids, n_t),
+                        "id2": np.tile(tids, n_q),
+                        "dist": Kq.reshape(-1),
+                    })
+
+            return queries.select("series_id", "values").mapInPandas(
+                gen, "id1 long, id2 long, dist double"
+            )
         train_df = spark.createDataFrame(
             [(int(i), [[float(x) for x in row] for row in v])
              for i, v in zip(self._train_ids, self._train_values)],
