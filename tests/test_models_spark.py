@@ -261,6 +261,29 @@ class TestMLP:
         err = np.mean([(pred[i] - ys[i]) ** 2 for i in range(30)])
         assert err < np.var(ys)  # beats predicting the mean
 
+    def test_regressor_activations(self, spark):
+        """tanh/logistic/identity hidden activations train end to end
+        and beat the mean predictor; unknown activations raise."""
+        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
+
+        rs = np.random.RandomState(2)
+        X = [rs.randn(6) for _ in range(30)]
+        ys = [float(np.mean(x)) for x in X]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
+            "series_id",
+        )
+        for act in ("tanh", "logistic", "identity"):
+            reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(16,),
+                                         activation=act, max_iter=200,
+                                         lr=2e-2, random_state=0).fit(df)
+            pred = {r["series_id"]: r["prediction"]
+                    for r in reg.predict(df).collect()}
+            err = np.mean([(pred[i] - ys[i]) ** 2 for i in range(30)])
+            assert err < np.var(ys), act
+        with pytest.raises(NotImplementedError):
+            TimeSeriesMLPRegressor(activation="gelu")
+
     def test_regressor_distributed_parity(self, spark):
         """The distributed full-batch Adam fit matches a driver-side
         full-batch loop built from the same grad/Adam helpers — i.e. no

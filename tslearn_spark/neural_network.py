@@ -17,15 +17,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _act(z: np.ndarray, kind: str) -> np.ndarray:
+    """sklearn's hidden activations (identity/logistic/tanh/relu)."""
+    if kind == "relu":
+        return np.maximum(z, 0.0)
+    if kind == "tanh":
+        return np.tanh(z)
+    if kind == "logistic":
+        return 1.0 / (1.0 + np.exp(-z))
+    return z  # identity
+
+
+def _act_deriv(h: np.ndarray, kind: str) -> np.ndarray:
+    """Derivative expressed in the ACTIVATION value h (not z) — all four
+    sklearn activations admit that form."""
+    if kind == "relu":
+        return (h > 0).astype(h.dtype)
+    if kind == "tanh":
+        return 1.0 - h * h
+    if kind == "logistic":
+        return h * (1.0 - h)
+    return np.ones_like(h)
+
+
 class _MLP:
     def __init__(self, sizes: list[int], classifier: bool, lr: float = 1e-3,
-                 max_iter: int = 300, batch_size: int = 64, seed: int = 0):
+                 max_iter: int = 300, batch_size: int = 64, seed: int = 0,
+                 activation: str = "relu"):
         self.sizes = sizes
         self.classifier = classifier
         self.lr = lr
         self.max_iter = max_iter
         self.batch_size = batch_size
         self.seed = seed
+        self.activation = activation
 
     def init(self):
         rs = np.random.RandomState(self.seed)
@@ -38,12 +63,12 @@ class _MLP:
         h = X
         for i, (W, b) in enumerate(zip(self.Ws, self.bs)):
             z = h @ W + b
-            h = np.maximum(z, 0.0) if i < len(self.Ws) - 1 else z
+            h = _act(z, self.activation) if i < len(self.Ws) - 1 else z
             acts.append(h)
         return acts
 
     @staticmethod
-    def grad_sums(Ws, bs, X, y, classifier: bool):
+    def grad_sums(Ws, bs, X, y, classifier: bool, activation: str = "relu"):
         """UN-normalized gradient sums over the rows of X — additive
         across row blocks, so executor partials sum exactly to the
         full-batch gradient (the treeAggregate trick)."""
@@ -51,7 +76,7 @@ class _MLP:
         h = X
         for i, (W, b) in enumerate(zip(Ws, bs)):
             z = h @ W + b
-            h = np.maximum(z, 0.0) if i < len(Ws) - 1 else z
+            h = _act(z, activation) if i < len(Ws) - 1 else z
             acts.append(h)
         out = acts[-1]
         if classifier:
@@ -66,7 +91,7 @@ class _MLP:
             gWs.append(acts[i].T @ delta)
             gbs.append(delta.sum(axis=0))
             if i > 0:
-                delta = (delta @ Ws[i].T) * (acts[i] > 0)
+                delta = (delta @ Ws[i].T) * _act_deriv(acts[i], activation)
         return gWs[::-1], gbs[::-1]
 
     def adam_init(self):
@@ -96,7 +121,8 @@ class _MLP:
         state = self.adam_init()
         for step in range(1, self.max_iter + 1):
             sel = rs.choice(n, size=min(self.batch_size, n), replace=False)
-            gWs, gbs = self.grad_sums(self.Ws, self.bs, X[sel], y[sel], self.classifier)
+            gWs, gbs = self.grad_sums(self.Ws, self.bs, X[sel], y[sel],
+                                      self.classifier, self.activation)
             k = float(len(sel))
             self.adam_step([g / k for g in gWs], [g / k for g in gbs], step, state)
         return self
@@ -109,11 +135,12 @@ class _MLPBase:
     """Init carries the common sklearn MLP signature (the reference
     accepts sklearn's exact hyper-parameters, neural_network.py:15-17)
     so reference call sites type-check.  Honored here: layer sizes,
-    relu activation (our trainer's only activation — others raise),
-    alpha L2 (regressor), learning_rate_init, max_iter, tol (MLlib
-    convergence for the classifier), verbose, random_state.  The
-    classifier delegates to MLlib's MultilayerPerceptronClassifier
-    (L-BFGS, sigmoid hidden layers — the documented architectural
+    the full sklearn activation set (identity/logistic/tanh/relu) in
+    the from-scratch regressor trainer, alpha L2 (regressor),
+    learning_rate_init, max_iter, tol (MLlib convergence for the
+    classifier), verbose, random_state.  The classifier delegates to
+    MLlib's MultilayerPerceptronClassifier (L-BFGS, sigmoid hidden
+    layers regardless of ``activation`` — the documented architectural
     deviation); solver/batch_size/learning_rate are stored for
     introspection but do not change that engine choice.  ``lr`` is a
     back-compat alias that overrides learning_rate_init when given."""
@@ -124,10 +151,10 @@ class _MLPBase:
                  learning_rate_init: float = 1e-3, max_iter: int = 300,
                  tol: float = 1e-4, verbose: bool = False,
                  random_state: int = 0, lr: float | None = None):
-        if activation != "relu":
+        if activation not in ("relu", "tanh", "logistic", "identity"):
             raise NotImplementedError(
-                "only activation='relu' is supported by the distributed "
-                "trainer (sklearn's default)"
+                f"unknown activation {activation!r}: sklearn's set is "
+                "identity/logistic/tanh/relu"
             )
         self.hidden_layer_sizes = tuple(hidden_layer_sizes)
         self.activation = activation
@@ -247,7 +274,9 @@ class TimeSeriesMLPRegressor(_MLPBase):
         n_feat = int(flat.select(F.size("x").alias("k")).first()["k"])
         sizes = [n_feat, *self.hidden_layer_sizes, 1]
         mlp = _MLP(sizes, classifier=False, lr=self.lr,
-                   max_iter=self.max_iter, seed=self.random_state)
+                   max_iter=self.max_iter, seed=self.random_state,
+                   activation=self.activation)
+        act = self.activation
         mlp.init()
         state = mlp.adam_init()
         mu, sd = self.y_mean_, self.y_std_
@@ -271,7 +300,8 @@ class TimeSeriesMLPRegressor(_MLPBase):
                         continue
                     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
                     yn = (pdf["y"].to_numpy(dtype=np.float64) - mu) / sd
-                    gWs, gbs = _MLP.grad_sums(Ws, bs, X, yn, classifier=False)
+                    gWs, gbs = _MLP.grad_sums(Ws, bs, X, yn, classifier=False,
+                                              activation=act)
                     vec = np.concatenate(
                         [g.ravel() for g in gWs] + [g for g in gbs]
                     )
