@@ -380,3 +380,70 @@ class TestNormPPF:
         np.testing.assert_allclose(
             sax_breakpoints(4), [-0.6744897501, 0.0, 0.6744897501], atol=1e-7
         )
+
+
+class TestReferenceImportParity:
+    """`from tslearn_spark.metrics import <name>` works for every public
+    reference metrics export, with reference semantics."""
+
+    def test_masks_match_reference_doctests(self):
+        from tslearn_spark.metrics import itakura_mask, sakoe_chiba_mask
+
+        inf = np.inf
+        np.testing.assert_array_equal(
+            sakoe_chiba_mask(4, 4, 1),
+            [[0, 0, inf, inf], [0, 0, 0, inf], [inf, 0, 0, 0], [inf, inf, 0, 0]],
+        )
+        np.testing.assert_array_equal(
+            sakoe_chiba_mask(7, 3, 1),
+            [[0, 0, inf], [0, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0],
+             [0, 0, 0], [inf, 0, 0]],
+        )
+        np.testing.assert_array_equal(
+            itakura_mask(6, 6),
+            [[0, inf, inf, inf, inf, inf], [inf, 0, 0, inf, inf, inf],
+             [inf, 0, 0, 0, inf, inf], [inf, inf, 0, 0, 0, inf],
+             [inf, inf, inf, 0, 0, inf], [inf, inf, inf, inf, inf, 0]],
+        )
+
+    def test_cdist_wrappers(self):
+        from tslearn_spark import metrics as M
+
+        rs = np.random.RandomState(7)
+        data = [rs.randn(8), rs.randn(10), rs.randn(9)]
+        D = M.cdist_dtw(data)
+        assert D.shape == (3, 3)
+        np.testing.assert_allclose(np.diag(D), 0.0)
+        np.testing.assert_allclose(D, D.T)
+        assert D[0, 1] == pytest.approx(M.dtw(data[0], data[1]))
+        G = M.cdist_gak(data, sigma=2.0)
+        np.testing.assert_allclose(np.diag(G), 1.0)
+        assert G[0, 2] == pytest.approx(M.gak(data[0], data[2], sigma=2.0))
+        S = M.cdist_soft_dtw(data, gamma=0.5)
+        assert S[1, 1] == pytest.approx(M.soft_dtw(data[1], data[1], gamma=0.5))
+        N = M.cdist_soft_dtw_normalized(data, gamma=0.5)
+        np.testing.assert_allclose(np.diag(N), 0.0, atol=1e-9)
+        C = M.cdist_normalized_cc([d.reshape(-1, 1) for d in [data[0], data[0]]],
+                                  [d.reshape(-1, 1) for d in [data[0]]])
+        assert C[0, 0] == pytest.approx(1.0)
+        X2 = M.cdist_dtw(data[:2], data)  # rectangular
+        assert X2.shape == (2, 3)
+
+    def test_cdist_sax_mindist(self):
+        from tslearn_spark.metrics import cdist_sax
+
+        # alphabet size 4 -> 3 breakpoints; adjacent symbols cost 0
+        b = [-0.67, 0.0, 0.67]
+        s1 = [[0], [3]]
+        s2 = [[1], [1]]
+        D = cdist_sax([s1], b, size_fitted=8, dataset2=[s2])
+        # seg0: |0-1|<=1 -> 0; seg1: gap = b[2] - b[1] = 0.67
+        assert D[0, 0] == pytest.approx(np.sqrt(8 / 2) * 0.67)
+        self_D = cdist_sax([s1, s2], b, size_fitted=8)
+        np.testing.assert_allclose(self_D, self_D.T)
+
+    def test_global_constraint_code(self):
+        from tslearn_spark.metrics import GLOBAL_CONSTRAINT_CODE
+
+        assert GLOBAL_CONSTRAINT_CODE == {None: 0, "": 0, "itakura": 1,
+                                          "sakoe_chiba": 2}

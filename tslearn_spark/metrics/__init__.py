@@ -546,3 +546,206 @@ def cdist_with_lb_pruning(
     return pruned.withColumn("dist", udf("values1", "values2")).select(
         "id1", "id2", "_lb", "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# reference import parity (tslearn/metrics/__init__.py:1-60 public surface)
+#
+# A reference user's `from tslearn.metrics import dtw, cdist_dtw, ...`
+# becomes `from tslearn_spark.metrics import ...`: the numpy-level
+# kernels re-export directly, the masks are rebuilt from the engine's
+# band-bounds form, and the cdist_* conveniences are driver-side numpy
+# loops over the same kernels (the reference's joblib loops are also
+# single-machine; the DISTRIBUTED path is `cdist` on DataFrames above).
+# ---------------------------------------------------------------------------
+
+from tslearn_spark.kernels import (  # noqa: E402  (re-exports)
+    SoftDTW,
+    SquaredEuclidean,
+    dtw,
+    dtw_limited_warping_length,
+    dtw_path,
+    dtw_path_from_metric,
+    dtw_path_limited_warping_length,
+    dtw_subsequence_path,
+    gak,
+    gamma_soft_dtw,
+    lb_envelope,
+    lb_keogh,
+    lcss,
+    lcss_path,
+    lcss_path_from_metric,
+    sigma_gak,
+    soft_dtw,
+    soft_dtw_alignment,
+    subsequence_cost_matrix,
+    subsequence_path,
+    unnormalized_gak,
+    y_shifted_sbd_vec,
+)
+from tslearn_spark.metrics.ctw import ctw, ctw_path  # noqa: E402
+
+# dtw_variants.py:12
+GLOBAL_CONSTRAINT_CODE = {None: 0, "": 0, "itakura": 1, "sakoe_chiba": 2}
+
+
+def sakoe_chiba_mask(sz1: int, sz2: int, radius: int = 1) -> np.ndarray:
+    """Full (sz1, sz2) Sakoe-Chiba mask, 0 in-band / inf outside
+    (dtw_variants.py:907-956) — built from the engine's band bounds."""
+    lo, hi = K.sakoe_chiba_bounds(sz1, sz2, radius)
+    mask = np.full((sz1, sz2), np.inf)
+    for i in range(sz1):
+        mask[i, lo[i]:hi[i] + 1] = 0.0
+    return mask
+
+
+def itakura_mask(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray:
+    """Full (sz1, sz2) Itakura parallelogram mask
+    (dtw_variants.py:1009-1060)."""
+    lo, hi = K.itakura_bounds(sz1, sz2, max_slope)
+    mask = np.full((sz1, sz2), np.inf)
+    for i in range(sz1):
+        if lo[i] <= hi[i]:
+            mask[i, lo[i]:hi[i] + 1] = 0.0
+    return mask
+
+
+def _np_cdist(dataset1, dataset2, pair_fn, diag) -> np.ndarray:
+    """Shared triangle+mirror loop of the reference's _cdist_generic
+    (metrics/utils.py:8-85); ``diag`` is the self-pair value, or None
+    to compute it."""
+    d1 = [K.to_2d(ts) for ts in dataset1]
+    if dataset2 is None:
+        n = len(d1)
+        out = np.empty((n, n))
+        for i in range(n):
+            out[i, i] = pair_fn(d1[i], d1[i]) if diag is None else diag
+            for j in range(i + 1, n):
+                out[i, j] = out[j, i] = pair_fn(d1[i], d1[j])
+        return out
+    d2 = [K.to_2d(ts) for ts in dataset2]
+    out = np.empty((len(d1), len(d2)))
+    for i, a in enumerate(d1):
+        for j, b in enumerate(d2):
+            out[i, j] = pair_fn(a, b)
+    return out
+
+
+def cdist_dtw(dataset1, dataset2=None, global_constraint=None,
+              sakoe_chiba_radius=None, itakura_max_slope=None,
+              n_jobs=None, verbose=0) -> np.ndarray:
+    """DTW cross-distance matrix (dtw_variants.py:1130-1222)."""
+    return _np_cdist(
+        dataset1, dataset2,
+        lambda a, b: dtw(a, b, global_constraint=global_constraint,
+                         sakoe_chiba_radius=sakoe_chiba_radius,
+                         itakura_max_slope=itakura_max_slope),
+        diag=0.0,
+    )
+
+
+def cdist_ctw(dataset1, dataset2=None, max_iter=100, n_components=None,
+              n_jobs=None, verbose=0) -> np.ndarray:
+    """CTW cross-distance matrix (ctw.py:264-330)."""
+    return _np_cdist(
+        dataset1, dataset2,
+        lambda a, b: ctw(a, b, max_iter=max_iter, n_components=n_components),
+        diag=0.0,
+    )
+
+
+def cdist_gak(dataset1, dataset2=None, sigma=1.0, n_jobs=None,
+              verbose=0) -> np.ndarray:
+    """Normalized-GAK cross-similarity matrix (softdtw_variants.py:140-218)."""
+    return _np_cdist(dataset1, dataset2,
+                     lambda a, b: gak(a, b, sigma=sigma), diag=1.0)
+
+
+def cdist_soft_dtw(dataset1, dataset2=None, gamma=1.0) -> np.ndarray:
+    """Soft-DTW cross matrix (softdtw_variants.py:451-532); the diagonal
+    is COMPUTED (soft-DTW self-score is non-zero)."""
+    return _np_cdist(dataset1, dataset2,
+                     lambda a, b: soft_dtw(a, b, gamma=gamma), diag=None)
+
+
+def cdist_soft_dtw_normalized(dataset1, dataset2=None, gamma=1.0) -> np.ndarray:
+    """sdtw(x,y) - (sdtw(x,x) + sdtw(y,y))/2 (softdtw_variants.py:535-607)."""
+    d1 = list(dataset1)
+    d2 = d1 if dataset2 is None else list(dataset2)
+    raw = cdist_soft_dtw(d1, None if dataset2 is None else d2, gamma=gamma)
+    s1 = np.array([soft_dtw(ts, ts, gamma=gamma) for ts in d1])
+    s2 = s1 if dataset2 is None else np.array(
+        [soft_dtw(ts, ts, gamma=gamma) for ts in d2])
+    return raw - 0.5 * (s1[:, None] + s2[None, :])
+
+
+def cdist_normalized_cc(dataset1, dataset2, norms1=None, norms2=None,
+                        self_similarity: bool = False) -> np.ndarray:
+    """Max normalized cross-correlation matrix (cycc.pyx:44-67);
+    negative/None norms are recomputed like the reference."""
+    d1 = [K.to_2d(ts) for ts in dataset1]
+    d2 = [K.to_2d(ts) for ts in dataset2]
+    n1 = (np.full(len(d1), -1.0) if norms1 is None
+          else np.asarray(norms1, dtype=np.float64))
+    n2 = (np.full(len(d2), -1.0) if norms2 is None
+          else np.asarray(norms2, dtype=np.float64))
+    if (n1 < 0).any():
+        n1 = np.array([np.linalg.norm(ts) for ts in d1])
+    if (n2 < 0).any():
+        n2 = np.array([np.linalg.norm(ts) for ts in d2])
+    out = np.empty((len(d1), len(d2)))
+    for i in range(len(d1)):
+        for j in range(len(d2)):
+            if self_similarity and j < i:
+                out[i, j] = out[j, i]
+            elif self_similarity and i == j:
+                out[i, j] = 0.0
+            else:
+                out[i, j] = float(K.normalized_cc(d1[i], d2[j]).max())
+    return out
+
+
+def _sax_mindist_np(s1, s2, breakpoints_avg, size_fitted) -> float:
+    """MINDIST between two SAX symbol matrices (cysax.pyx cydist_sax)."""
+    b = np.asarray(breakpoints_avg, dtype=np.float64)
+    a1 = np.asarray(s1, dtype=np.int64).reshape(len(s1), -1)
+    a2 = np.asarray(s2, dtype=np.int64).reshape(len(s2), -1)
+    hi = np.maximum(a1, a2)
+    lo = np.minimum(a1, a2)
+    # clip before indexing: np.where evaluates both branches, and the
+    # adjacent-symbol (gap 0) branch may hold out-of-range lo == max
+    gap = np.where(
+        hi - lo <= 1, 0.0,
+        b[np.clip(hi - 1, 0, len(b) - 1)] - b[np.clip(lo, 0, len(b) - 1)],
+    )
+    return float(np.sqrt(size_fitted / a1.shape[0]) * np.sqrt((gap * gap).sum()))
+
+
+def cdist_sax(dataset1, breakpoints_avg, size_fitted, dataset2=None,
+              n_jobs=None, verbose=0) -> np.ndarray:
+    """MINDIST matrix on SAX-transformed datasets (metrics/sax.py:7-59)."""
+    d1 = [np.asarray(s) for s in dataset1]
+    d2 = d1 if dataset2 is None else [np.asarray(s) for s in dataset2]
+    out = np.empty((len(d1), len(d2)))
+    for i in range(len(d1)):
+        start = i if dataset2 is None else 0
+        for j in range(start, len(d2)):
+            out[i, j] = _sax_mindist_np(d1[i], d2[j], breakpoints_avg,
+                                        size_fitted)
+            if dataset2 is None:
+                out[j, i] = out[i, j]
+    return out
+
+
+__all__ += [  # noqa: F405
+    "GLOBAL_CONSTRAINT_CODE", "SoftDTW", "SquaredEuclidean",
+    "cdist_ctw", "cdist_dtw", "cdist_gak", "cdist_normalized_cc",
+    "cdist_sax", "cdist_soft_dtw", "cdist_soft_dtw_normalized",
+    "ctw", "ctw_path", "dtw", "dtw_limited_warping_length", "dtw_path",
+    "dtw_path_from_metric", "dtw_path_limited_warping_length",
+    "dtw_subsequence_path", "gak", "gamma_soft_dtw", "itakura_mask",
+    "lb_envelope", "lb_keogh", "lcss", "lcss_path",
+    "lcss_path_from_metric", "sakoe_chiba_mask", "sigma_gak", "soft_dtw",
+    "soft_dtw_alignment", "subsequence_cost_matrix", "subsequence_path",
+    "unnormalized_gak", "y_shifted_sbd_vec",
+]
