@@ -150,3 +150,65 @@ class TestSubgradientDBA:
         from tslearn_spark import barycenters as B
 
         assert B.dtw_barycenter_averaging_petitjean is B.dtw_barycenter_averaging
+
+
+class TestUtilsImportParity:
+    """tslearn.utils call sites port verbatim to tslearn_spark.utils
+    (reference utils.py doctests pinned)."""
+
+    def test_coercion_and_size(self):
+        from tslearn_spark.utils import (
+            check_equal_size, to_time_series, to_time_series_dataset, ts_size,
+        )
+
+        ts = to_time_series([1, 2, 3, 4])
+        assert ts.shape == (4, 1) and ts.dtype == np.float64
+        d = to_time_series_dataset([[1, 2, 3, 4], [1, 2, 3]])
+        assert d.shape == (2, 4, 1)
+        assert np.isnan(d[1, 3, 0])
+        assert ts_size(d[1]) == 3
+        assert not check_equal_size(d)
+        assert check_equal_size(to_time_series_dataset([[1, 2], [3, 4]]))
+
+    def test_text_codec_roundtrip(self, tmp_path):
+        from tslearn_spark.utils import (
+            load_time_series_txt, save_time_series_txt, str_to_time_series,
+            time_series_to_str,
+        )
+
+        # utils.py:237-240 doctests
+        assert time_series_to_str([1, 2, 3, 4], fmt="%.1f") == "1.0 2.0 3.0 4.0"
+        assert time_series_to_str([[1, 3], [2, 4]], fmt="%.1f") == "1.0 2.0|3.0 4.0"
+        np.testing.assert_array_equal(
+            str_to_time_series("1 2|3 4"), [[1.0, 3.0], [2.0, 4.0]]
+        )
+        p = str(tmp_path / "codec.txt")
+        data = [[1.0, 2.0, 3.0], [4.0, 5.0]]
+        save_time_series_txt(p, data)
+        back = load_time_series_txt(p)
+        assert back.shape == (2, 3, 1)
+        np.testing.assert_allclose(back[0, :, 0], [1, 2, 3])
+        assert np.isnan(back[1, 2, 0])
+
+    def test_validation(self):
+        from tslearn_spark.utils import check_dataset, check_dims
+
+        with pytest.raises(ValueError):
+            check_dataset([[[1.0, 2.0], [3.0, 4.0]]], force_univariate=True)
+        with pytest.raises(ValueError):
+            check_dataset([[1.0, 2.0], [1.0, 2.0, 3.0]], force_equal_length=True)
+        X = check_dims(np.zeros((2, 5)), extend=True)
+        assert X.shape == (2, 5, 1)
+        with pytest.raises(ValueError):
+            check_dims(np.zeros((2, 5, 1)), X_fit_dims=(9, 4, 1))
+        check_dims(np.zeros((2, 5, 1)), X_fit_dims=(9, 4, 1),
+                   check_n_features_only=True)
+
+    def test_class_aliases(self):
+        from tslearn_spark.clustering import TimeSeriesCentroidBasedClusteringMixin
+        from tslearn_spark.shapelets import LearningShapelets, ShapeletModel
+        from tslearn_spark.svm import TimeSeriesSVMMixin, _GakSVMBase
+
+        assert ShapeletModel is LearningShapelets
+        assert TimeSeriesSVMMixin is _GakSVMBase
+        assert hasattr(TimeSeriesCentroidBasedClusteringMixin, "_post_fit")

@@ -938,3 +938,22 @@ class GlobalAlignmentKernelKMeans(KernelKMeans):
             n_init=n_init, kernel_params=kernel_params, sigma=sigma,
             n_jobs=n_jobs, verbose=verbose, random_state=random_state,
         )
+
+
+class TimeSeriesCentroidBasedClusteringMixin:
+    """Mixin for centroid-based clustering (reference
+    clustering/utils.py:205-215): _post_fit publishes centroids +
+    inertia when the fit converged to something finite, else marks the
+    fit failed.  Engine classes manage their own fitted state, but the
+    mixin is part of the public import surface reference code extends."""
+
+    def _post_fit(self, X_fitted, centroids, inertia):
+        import numpy as np
+
+        if np.isfinite(inertia) and (centroids is not None):
+            self.cluster_centers_ = centroids
+            self._assign(X_fitted)
+            self._X_fit = X_fitted
+            self.inertia_ = inertia
+        else:
+            self._X_fit = None

@@ -305,3 +305,7 @@ class SerializableShapeletModel(LearningShapelets):
             stacklevel=2,
         )
         super().__init__(*args, **kwargs)
+
+
+# plain alias, exactly as the reference (shapelets.py:889)
+ShapeletModel = LearningShapelets

@@ -360,3 +360,8 @@ class TimeSeriesSVR(_GakSVMBase):
                  .alias("prediction"))
             .select(F.col("id1").alias("series_id"), "prediction")
         )
+
+
+# reference import parity (svm.py:17-66): the shared-SVM mixin role is
+# played by _GakSVMBase in this engine
+TimeSeriesSVMMixin = _GakSVMBase
