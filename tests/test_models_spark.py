@@ -467,3 +467,60 @@ class TestModelIO:
         with pytest.raises(NotImplementedError, match="HDF5"):
             load_model(str(tmp_path / "m.json"), fmt="hdf5")
         assert load_model(str(tmp_path / "m.json")).n_segments == 3
+
+
+class TestBasesProtocol:
+    """tslearn.bases parity: instance-level to_json/from_json +
+    sklearn get_params/set_params on the estimator surface."""
+
+    def test_get_set_params(self):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        km = TimeSeriesKMeans(n_clusters=4, metric="euclidean")
+        p = km.get_params()
+        assert p["n_clusters"] == 4 and p["metric"] == "euclidean"
+        km.set_params(n_clusters=7)
+        assert km.n_clusters == 7
+        with pytest.raises(ValueError):
+            km.set_params(bogus=1)
+
+    def test_unfitted_to_json_raises(self, tmp_path):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        with pytest.raises(ValueError):
+            TimeSeriesKMeans().to_json(str(tmp_path / "m.json"))
+
+    def test_fit_to_json_from_json_roundtrip(self, spark, tmp_path):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.piecewise import SAX
+
+        X = [[1.0, 1.1, 1.0], [0.9, 1.0, 1.1],
+             [8.0, 8.2, 8.1], [8.1, 8.0, 7.9]]
+        df = DS.dataset_to_df(spark, X)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean",
+                              random_state=0).fit(df)
+        path = str(tmp_path / "km.json")
+        km.to_json(path)
+        back = TimeSeriesKMeans.from_json(path)
+        np.testing.assert_allclose(back.cluster_centers_, km.cluster_centers_)
+        assert back.n_clusters == 2
+        # wrong-class load fails loudly
+        with pytest.raises(TypeError):
+            SAX.from_json(path)
+
+    def test_rejected_codecs(self, tmp_path):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        km = TimeSeriesKMeans()
+        with pytest.raises(NotImplementedError):
+            km.to_hdf5(str(tmp_path / "m.h5"))
+        with pytest.raises(ValueError):
+            km.to_pickle(str(tmp_path / "m.pkl"))
+
+    def test_scalers_have_params_not_package(self):
+        from tslearn_spark.preprocessing import TimeSeriesScalerMeanVariance
+
+        sc = TimeSeriesScalerMeanVariance()
+        assert "mu" in sc.get_params() and "std" in sc.get_params()
+        # reference scalers do not inherit BaseModelPackage
+        assert not hasattr(sc, "to_json")

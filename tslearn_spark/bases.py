@@ -1,0 +1,137 @@
+"""Estimator base classes — `tslearn.bases` parity.
+
+Reference: tslearn/bases/bases.py:13-287.  BaseModelPackage provides the
+instance-level persistence protocol (`model.to_json(path)`,
+`Class.from_json(path)`, `_to_dict`, `_get_model_params`, `_is_fitted`)
+over the SAME hyper/fitted-param dict that `model_io` serializes;
+to_hdf5/to_pickle fail loudly per the documented codec policy
+(model_io module docstring).  TimeSeriesBaseEstimator supplies the
+sklearn get_params/set_params protocol via __init__ introspection
+(the reference inherits sklearn's BaseEstimator; sklearn is absent
+here, so the protocol is implemented directly).
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any
+
+
+class TimeSeriesBaseEstimator:
+    """sklearn BaseEstimator protocol (get_params/set_params)."""
+
+    @classmethod
+    def _param_names(cls) -> list[str]:
+        sig = inspect.signature(cls.__init__)
+        return [
+            p.name for p in sig.parameters.values()
+            if p.name != "self"
+            and p.kind not in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+        ]
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {n: getattr(self, n) for n in self._param_names()
+                if hasattr(self, n)}
+
+    def set_params(self, **params) -> "TimeSeriesBaseEstimator":
+        valid = set(self._param_names())
+        for k, v in params.items():
+            if k not in valid:
+                raise ValueError(
+                    f"Invalid parameter {k!r} for estimator "
+                    f"{type(self).__name__}. Valid parameters: {sorted(valid)}"
+                )
+            setattr(self, k, v)
+        return self
+
+
+class BaseModelPackage:
+    """Instance persistence protocol (bases.py:31-287)."""
+
+    def _is_fitted(self) -> bool:
+        """Fitted iff a trailing-underscore attribute holds substantive
+        model state.  The reference leaves this abstract and each
+        estimator calls check_is_fitted on its key attrs; the generic
+        default here skips None placeholders and plain numeric
+        counters/inertia defaults that engine estimators pre-set in
+        __init__, so only arrays/objects/dicts (centroids, breakpoints,
+        solver duals, ...) count.  Estimators may override."""
+        return any(
+            k.endswith("_") and not k.startswith("_")
+            and v is not None and not isinstance(v, (bool, int, float))
+            for k, v in vars(self).items()
+        )
+
+    def _get_model_params(self) -> dict:
+        """Trailing-underscore fitted params (bases.py:49-61)."""
+        return {
+            k: v for k, v in vars(self).items()
+            if k.endswith("_") and not k.startswith("_") and not callable(v)
+        }
+
+    def _to_dict(self, output=None, hyper_parameters_only: bool = False) -> dict:
+        from tslearn_spark import model_io
+
+        if not self._is_fitted():
+            # reference raises sklearn's NotFittedError (bases.py:74-75)
+            raise ValueError("Model must be fit before it can be packaged")
+        d = model_io.model_to_dict(self)
+        if hyper_parameters_only:
+            d["model_params"] = {}
+        return d
+
+    def to_dict(self, **kwargs) -> dict:
+        return self._to_dict(**kwargs)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> Any:
+        from tslearn_spark import model_io
+
+        model = model_io.model_from_dict(d)
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"dict encodes a {type(model).__name__}, not a {cls.__name__}"
+            )
+        return model
+
+    def to_json(self, path: str) -> None:
+        """Save hyper + fitted params as JSON (bases.py:212-224);
+        routes through _to_dict so the not-fitted guard applies."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self._to_dict(output="json"), f)
+
+    @classmethod
+    def from_json(cls, path: str) -> Any:
+        """Load an instance saved by to_json (bases.py:226-244)."""
+        from tslearn_spark import model_io
+
+        model = model_io.load_model(path, fmt="json")
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} encodes a {type(model).__name__}, not a {cls.__name__}"
+            )
+        return model
+
+    def to_hdf5(self, path: str) -> None:
+        from tslearn_spark.model_io import _resolve_fmt
+
+        _resolve_fmt(path, "hdf5")  # loud policy rejection
+
+    @classmethod
+    def from_hdf5(cls, path: str) -> Any:
+        from tslearn_spark.model_io import _resolve_fmt
+
+        _resolve_fmt(path, "hdf5")
+
+    def to_pickle(self, path: str) -> None:
+        from tslearn_spark.model_io import _resolve_fmt
+
+        _resolve_fmt(path, "pickle")
+
+    @classmethod
+    def from_pickle(cls, path: str) -> Any:
+        from tslearn_spark.model_io import _resolve_fmt
+
+        _resolve_fmt(path, "pickle")

@@ -24,6 +24,7 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from tslearn_spark import kernels as K
 from tslearn_spark.barycenters import dtw_barycenter_averaging, softdtw_barycenter
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 class EmptyClusterError(Exception):
@@ -112,7 +113,7 @@ def _assign_udf(centers: list[np.ndarray], metric: str, metric_params: dict):
     return _udf
 
 
-class TimeSeriesKMeans:
+class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     """Lloyd's loop with metric in {euclidean, dtw, softdtw} (kmeans.py:471-859).
 
     Assignment is a narrow pandas-UDF map (centroids broadcast in the
@@ -346,7 +347,7 @@ class TimeSeriesKMeans:
         return df.withColumn("distances", _udf("values"))
 
 
-class KShape:
+class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
     """KShape (kshape.py:21-291): assignment by 1-NCC; centroid = dominant
     eigenvector of the aligned correlation matrix (shape extraction).
 
@@ -668,7 +669,7 @@ class KShape:
         )
 
 
-class KernelKMeans:
+class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     """Kernel k-means on a cached distributed Gram (kmeans.py:136-457).
 
     Assignment follows the reference's exact criterion

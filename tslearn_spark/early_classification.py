@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 def _cum_prefix_d2(v1: str = "values1", v2: str = "values2"):
@@ -76,7 +77,7 @@ def _make_stopper(centers, pyck, pyhatyck, sz, d, min_t, lamb, alpha, k):
     return stop
 
 
-class NonMyopicEarlyClassifier:
+class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
     def __init__(self, n_clusters: int = 2, base_classifier=None,
                  min_t: int = 1, lamb: float = 1.0,
                  cost_time_parameter: float = 1.0, random_state: int = 0):

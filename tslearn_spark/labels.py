@@ -10,9 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
-class LabelCategorizer:
+class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
     def __init__(self, single_column_if_binary: bool = False):
         self.single_column_if_binary = single_column_if_binary
         self.classes_: list[str] | None = None

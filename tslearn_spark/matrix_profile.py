@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 def matrix_profile_np(ts: np.ndarray, m: int, scale: bool = True) -> np.ndarray:
@@ -207,7 +208,7 @@ def transform_long(df: DataFrame, subsequence_length: int, scale: bool = True,
     return stitched.unionByName(short)
 
 
-class MatrixProfile:
+class MatrixProfile(BaseModelPackage, TimeSeriesBaseEstimator):
     """Estimator twin of the reference MatrixProfile class
     (matrix_profile.py:25-253).  implementation='numpy' (the reference
     default) maps to the vectorized per-series kernel; the reference's

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tslearn_spark import metrics as M
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 # queries up to this many rows ride the broadcast-matmul fast path for
 # euclidean; beyond it (or for elastic metrics) the generic pair join runs
@@ -465,7 +466,7 @@ def knn_regress(
 # class API (reference parity: neighbors.py:172-717)
 # ---------------------------------------------------------------------------
 
-class KNeighborsTimeSeries:
+class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
     """Unsupervised kNN index (neighbors.py:172-350).
 
     fit() caches the candidate table (the "index" — Spark's analog of

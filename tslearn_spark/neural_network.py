@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 def _act(z: np.ndarray, kind: str) -> np.ndarray:
@@ -131,7 +132,7 @@ class _MLP:
         return self.forward(X)[-1]
 
 
-class _MLPBase:
+class _MLPBase(BaseModelPackage, TimeSeriesBaseEstimator):
     """Init carries the common sklearn MLP signature (the reference
     accepts sklearn's exact hyper-parameters, neural_network.py:15-17)
     so reference call sites type-check.  Honored here: layer sizes,

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tslearn_spark.stats import sax_bin_medians, sax_breakpoints
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 _NDIMS = "size({v}[0])"
 
@@ -114,7 +115,7 @@ def symbols_col(real_col_expr: str, breakpoints: np.ndarray) -> str:
     """
 
 
-class SAX:
+class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
     """SymbolicAggregateApproximation twin (piecewise.py:261-505).
 
     Fitted state = breakpoints (+ optional global mu/std when scale=True),
@@ -366,7 +367,7 @@ class OneDSAX(SAX):
 # reference-named estimator classes (drop-in import parity)
 # ---------------------------------------------------------------------------
 
-class PiecewiseAggregateApproximation:
+class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator):
     """Estimator twin of the reference PAA class (piecewise.py:112-258):
     segment-mean downsampling, inverse, and the PAA lower-bound distance,
     over the expression layer above."""

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from tslearn_spark.bases import TimeSeriesBaseEstimator
 
 _NDIMS = "size({v}[0])"
 
@@ -161,7 +162,7 @@ def resample(df: DataFrame, sz: int, values_col: str = "values",
 # exactly like the reference classes
 # ---------------------------------------------------------------------------
 
-class TimeSeriesResampler:
+class TimeSeriesResampler(TimeSeriesBaseEstimator):
     """Estimator twin of the reference TimeSeriesResampler
     (preprocessing.py:15-100): resample each series to ``sz`` points."""
 
@@ -180,7 +181,7 @@ class TimeSeriesResampler:
         return self.transform(df, **kw)
 
 
-class TimeSeriesScalerMinMax:
+class TimeSeriesScalerMinMax(TimeSeriesBaseEstimator):
     """Estimator twin of TimeSeriesScalerMinMax (preprocessing.py:103-201)."""
 
     def __init__(self, value_range: tuple[float, float] = (0.0, 1.0)):
@@ -197,7 +198,7 @@ class TimeSeriesScalerMinMax:
         return self.transform(df, **kw)
 
 
-class TimeSeriesScalerMeanVariance:
+class TimeSeriesScalerMeanVariance(TimeSeriesBaseEstimator):
     """Estimator twin of TimeSeriesScalerMeanVariance
     (preprocessing.py:204-298)."""
 

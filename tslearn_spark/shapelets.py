@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 def _nested(v) -> np.ndarray:
@@ -66,7 +67,7 @@ def _min_dists(ts: np.ndarray, bank: list[np.ndarray]) -> tuple[np.ndarray, np.n
     return dists, locs
 
 
-class LearningShapelets:
+class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shapelet model: numpy Adam training of shapelets + softmax layer.
 
     Loss = cross-entropy(softmax(W @ mindist + b), y) + 0.5*reg*||W||^2,

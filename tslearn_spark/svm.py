@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from tslearn_spark import kernels as K
 from tslearn_spark import metrics as M
 from tslearn_spark.svm_solver import KernelSVR, MulticlassSVC
+from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 def _collect_gram(edges: DataFrame, ids1: list[int], ids2: list[int]) -> np.ndarray:
@@ -52,7 +53,7 @@ def _flat_kernel_matrix(X: np.ndarray, Y: np.ndarray, kernel: str,
     return np.tanh(gamma * dot + coef0)  # sigmoid
 
 
-class _GakSVMBase:
+class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shared init carries the full reference signature (svm.py:211-214,
     485-487) for drop-in parity: gak-irrelevant kernel shape params
     (degree, coef0) and libsvm tuning knobs (shrinking, cache_size) are
