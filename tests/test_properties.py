@@ -158,3 +158,66 @@ def test_dtw_band_widening_monotone(seed, sz1, sz2):
         assert d <= prev + 1e-9
         assert d >= free - 1e-9
         prev = d
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.integers(10, 60), st.floats(0.2, 4.0))
+def test_platt_sigmoid_properties(seed, n, sep):
+    """Platt fit on any sample: finite params, sigmoid output in (0,1),
+    monotone in the -A direction (a tiny anti-separated sample can
+    legitimately fit A > 0), and the Newton+line-search never ends
+    with a worse regularized log-loss than the reference's canonical
+    (0, log((N-+1)/(N++1))) starting point."""
+    from tslearn_spark.svm_solver import platt_fit, platt_predict
+
+    rs = np.random.RandomState(seed)
+    f = np.concatenate([rs.randn(n) + sep, rs.randn(n) - sep])
+    y = np.concatenate([np.ones(n), -np.ones(n)])
+    A, B = platt_fit(f, y)
+    assert np.isfinite(A) and np.isfinite(B)
+    grid = platt_predict(np.linspace(f.min(), f.max(), 50), A, B)
+    assert np.all((grid >= 0) & (grid <= 1))
+    diffs = np.diff(grid) * np.sign(-A) if A != 0 else np.diff(grid)
+    assert np.all(diffs >= -1e-12)
+
+    def nll(a, b):
+        t = np.where(y > 0, (n + 1.0) / (n + 2.0), 1.0 / (n + 2.0))
+        z = a * f + b
+        return float(np.sum(np.where(
+            z >= 0, t * z + np.log1p(np.exp(-z)),
+            (t - 1.0) * z + np.log1p(np.exp(z)))))
+
+    assert nll(A, B) <= nll(0.0, np.log((n + 1.0) / (n + 1.0))) + 1e-8
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 6))
+def test_pairwise_coupling_valid_distribution(seed, k):
+    """Coupling of ARBITRARY pairwise probabilities yields a proper
+    distribution; coupling of consistent ones recovers the source."""
+    from tslearn_spark.svm_solver import pairwise_coupling
+
+    rs = np.random.RandomState(seed)
+    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    R = rs.uniform(0.01, 0.99, size=(3, len(pairs)))
+    out = pairwise_coupling(R, k, pairs)
+    assert out.shape == (3, k)
+    assert np.all(out >= -1e-12)
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-8)
+    p = rs.dirichlet(np.ones(k) * 2.0)
+    Rc = np.array([[p[a] / (p[a] + p[b]) for a, b in pairs]])
+    np.testing.assert_allclose(pairwise_coupling(Rc, k, pairs)[0], p,
+                               atol=5e-3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 12), st.integers(1, 3))
+def test_text_codec_roundtrip_property(seed, sz, d):
+    """utils text codec: str -> series -> str is the identity for any
+    finite series at full %.18e precision."""
+    from tslearn_spark.utils import str_to_time_series, time_series_to_str
+
+    rs = np.random.RandomState(seed)
+    ts = rs.randn(sz, d) * 10.0 ** rs.randint(-3, 4)
+    back = str_to_time_series(time_series_to_str(ts))
+    np.testing.assert_array_equal(back, ts.astype(np.float64))
