@@ -254,6 +254,81 @@ class TestMultimodal:
         frames = frame_sample(media, every_ms=1000).collect()
         assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
+    @staticmethod
+    def _wav_bytes(samples, framerate=8000):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    @staticmethod
+    def _bmp_bytes(pixels):
+        """Minimal uncompressed 24-bit BMP from an (h, w, 3) RGB uint8."""
+        import struct
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w, _ = px.shape
+        row_bytes = ((w * 3 + 3) // 4) * 4
+        body = b""
+        for r in range(h - 1, -1, -1):  # bottom-up rows, BGR order
+            row = px[r, :, ::-1].tobytes()
+            body += row + b"\x00" * (row_bytes - len(row))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        return header + info + body
+
+    def test_real_wav_decode(self):
+        from tslearn_spark.pipeline.multimodal import decode_wav
+
+        samples = [0, 16384, -16384, 32767]
+        arr = decode_wav(self._wav_bytes(samples))
+        assert arr.shape == (4, 1)
+        np.testing.assert_allclose(
+            arr[:, 0], np.array(samples) / 32768.0, atol=1e-9)
+
+    def test_real_bmp_decode(self):
+        from tslearn_spark.pipeline.multimodal import decode_bmp
+
+        px = np.array([[[255, 0, 0], [0, 255, 0]],
+                       [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+        arr = decode_bmp(self._bmp_bytes(px))
+        assert arr.shape == (2, 2, 3)
+        np.testing.assert_allclose(arr, px / 255.0)
+
+    def test_codecs_stdlib_dispatch(self, spark):
+        """codecs='stdlib' decodes real WAV/BMP payloads and falls back
+        to the fake for everything else; the default path is unchanged
+        (the hash-gated driver query depends on that)."""
+        from tslearn_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA, decode_image, extract_features,
+        )
+
+        wav = self._wav_bytes([16384] * 8)
+        bmp = self._bmp_bytes(np.full((2, 2, 3), 255, dtype=np.uint8))
+        rows = [
+            (0, "audio", wav, "audio/wav", None, None, 1),
+            (1, "image", bmp, "image/bmp", 2, 2, None),
+            (2, "image", b"opaque", "image/png", 8, 8, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        real = {r["media_id"]: r for r in
+                extract_features(media, codecs="stdlib").collect()}
+        assert real[0]["feat_mean"] == pytest.approx(0.5)      # constant wav
+        assert real[1]["feat_mean"] == pytest.approx(1.0)      # white bmp
+        assert real[2]["feat_mean"] == pytest.approx(
+            float(decode_image(b"opaque").mean()))             # fake fallback
+        # default path: ALL payloads take the fake, even real WAV/BMP
+        fake = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert fake[0]["feat_mean"] == pytest.approx(
+            float(decode_image(wav).mean()))
+
 
 class TestStreamingBatch:
     def events(self, spark):
