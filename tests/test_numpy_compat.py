@@ -1,0 +1,151 @@
+"""Reference numpy-protocol compatibility.
+
+Reference users call every estimator with numpy arrays
+(`TimeSeriesKMeans().fit(X).predict(X2)`); these tests run exactly
+those call shapes against the engine — array in, numpy out — with the
+DataFrame path untouched (covered everywhere else).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def blobs(spark):  # spark fixture activates the session the adapter needs
+    rs = np.random.RandomState(0)
+    X = np.concatenate([
+        rs.randn(5, 8, 1) * 0.2,
+        rs.randn(5, 8, 1) * 0.2 + 5.0,
+    ])
+    y = np.array([0] * 5 + [1] * 5)
+    return X, y
+
+
+class TestClusteringCompat:
+    def test_kmeans_fit_predict(self, blobs):
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        X, _ = blobs
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", random_state=0)
+        labels = km.fit_predict(X)
+        assert isinstance(labels, np.ndarray) and labels.shape == (10,)
+        assert len(set(labels[:5])) == 1 and len(set(labels[5:])) == 1
+        assert labels[0] != labels[9]
+        again = km.predict(X)
+        np.testing.assert_array_equal(again, labels)
+
+    def test_kshape_arrays(self, blobs):
+        from tslearn_spark.clustering import KShape
+
+        X, _ = blobs
+        labels = KShape(n_clusters=2, random_state=0).fit_predict(X)
+        assert labels.shape == (10,)
+
+    def test_kernel_kmeans_arrays(self, blobs):
+        from tslearn_spark.clustering import KernelKMeans
+
+        X, _ = blobs
+        labels = KernelKMeans(n_clusters=2, kernel="gak",
+                              random_state=0).fit_predict(X)
+        assert labels.shape == (10,)
+
+
+class TestSupervisedCompat:
+    def test_knn_classifier_fit_X_y(self, blobs):
+        from tslearn_spark.neighbors import KNeighborsTimeSeriesClassifier
+
+        X, y = blobs
+        clf = KNeighborsTimeSeriesClassifier(n_neighbors=1,
+                                             metric="euclidean").fit(X, y)
+        pred = clf.predict(X)
+        assert isinstance(pred, np.ndarray)
+        np.testing.assert_array_equal(pred, y)  # int labels back as ints
+
+    def test_knn_regressor_fit_X_y(self, blobs):
+        from tslearn_spark.neighbors import KNeighborsTimeSeriesRegressor
+
+        X, _ = blobs
+        yr = X[:, :, 0].mean(axis=1)
+        reg = KNeighborsTimeSeriesRegressor(n_neighbors=1,
+                                            metric="euclidean").fit(X, yr)
+        pred = reg.predict(X)
+        np.testing.assert_allclose(pred, yr, atol=1e-9)
+
+    def test_svc_fit_X_y(self, blobs):
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X, y = blobs
+        clf = TimeSeriesSVC(kernel="linear", C=10.0).fit(X, y)
+        np.testing.assert_array_equal(clf.predict(X), y)
+
+    def test_mlp_regressor_fit_X_y(self, blobs):
+        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
+
+        X, _ = blobs
+        yr = X[:, :, 0].mean(axis=1)
+        reg = TimeSeriesMLPRegressor(hidden_layer_sizes=(16,), max_iter=150,
+                                     lr=2e-2, random_state=0).fit(X, yr)
+        pred = reg.predict(X)
+        assert isinstance(pred, np.ndarray)
+        assert np.mean((pred - yr) ** 2) < np.var(yr)
+
+    def test_shapelets_fit_X_y(self, blobs):
+        from tslearn_spark.shapelets import LearningShapelets
+
+        X, y = blobs
+        clf = LearningShapelets(n_shapelets_per_size={4: 2}, max_iter=50,
+                                random_state=0).fit(X, y)
+        tr = clf.transform(X)
+        assert isinstance(tr, np.ndarray) and tr.shape[0] == 10
+        pred = clf.predict(X)
+        assert set(np.asarray(pred).tolist()) <= {0, 1}
+
+
+class TestTransformCompat:
+    def test_scaler_tensor_in_out(self, blobs):
+        from tslearn_spark.preprocessing import TimeSeriesScalerMeanVariance
+
+        X, _ = blobs
+        out = TimeSeriesScalerMeanVariance().fit_transform(X)
+        assert isinstance(out, np.ndarray) and out.shape == X.shape
+        np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-9)
+
+    def test_resampler(self, blobs):
+        from tslearn_spark.preprocessing import TimeSeriesResampler
+
+        X, _ = blobs
+        out = TimeSeriesResampler(sz=4).fit_transform(X)
+        assert out.shape == (10, 4, 1)
+
+    def test_paa_and_sax(self, blobs):
+        from tslearn_spark.piecewise import (
+            PiecewiseAggregateApproximation, SymbolicAggregateApproximation,
+        )
+
+        X, _ = blobs
+        paa = PiecewiseAggregateApproximation(n_segments=4).fit_transform(X)
+        assert paa.shape == (10, 4, 1)
+        sax = SymbolicAggregateApproximation(
+            n_segments=4, alphabet_size_avg=5).fit(X).transform(X)
+        sax = np.asarray(sax)
+        assert sax.shape[0] == 10
+        assert sax.min() >= 0 and sax.max() <= 4
+
+    def test_matrix_profile(self, blobs):
+        from tslearn_spark.matrix_profile import MatrixProfile
+
+        X, _ = blobs
+        prof = MatrixProfile(subsequence_length=3).fit_transform(X)
+        assert isinstance(prof, np.ndarray) and prof.shape[0] == 10
+
+    def test_no_active_session_raises(self):
+        from pyspark.sql import SparkSession
+
+        from tslearn_spark.bases import as_ts_df
+
+        if SparkSession.getActiveSession() is not None:
+            pytest.skip("session active in this worker")
+        with pytest.raises(RuntimeError):
+            as_ts_df(np.zeros((2, 4, 1)))

@@ -17,6 +17,99 @@ import inspect
 from typing import Any
 
 
+def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
+    """Reference-compat input adapter: array-like datasets (the numpy
+    protocol every reference estimator speaks) become ts DataFrames on
+    the active session; DataFrames pass through untouched.
+
+    Returns (df, was_array) — estimator methods use was_array to hand
+    numpy results back for numpy inputs, so reference scripts like
+    ``TimeSeriesKMeans().fit(X).predict(X2)`` run unchanged.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if X is None or isinstance(X, _DF):
+        return X, False
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "array-like input requires an active SparkSession — call "
+            "tslearn_spark.get_spark() first"
+        )
+    from tslearn_spark.dataset import dataset_to_df
+    from tslearn_spark.utils import to_time_series
+
+    series = [to_time_series(ts, remove_nans=True) for ts in X]
+    df = dataset_to_df(spark, series)
+    if y is not None:
+        if y_numeric:
+            lab = spark.createDataFrame(
+                [(int(i), float(v)) for i, v in enumerate(y)],
+                f"series_id long, {y_col} double",
+            )
+        else:
+            lab = spark.createDataFrame(
+                [(int(i), str(v)) for i, v in enumerate(y)],
+                f"series_id long, {y_col} string",
+            )
+        df = df.join(lab, "series_id")
+    return df, True
+
+
+def _smart_labels(values: list):
+    """String labels back to ints/floats when they round-trip cleanly —
+    numpy-input predictions should come back in the dtype the user's y
+    had (the engine stores labels as strings)."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    try:
+        f = arr.astype(np.float64)
+        if np.all(f % 1 == 0):
+            return f.astype(np.int64)
+        return f
+    except (TypeError, ValueError):
+        return arr
+
+
+def collect_col(out_df, was_array: bool, col: str, id_col: str = "series_id",
+                labels: bool = False):
+    """DataFrame-in -> DataFrame-out; array-in -> numpy-out, ordered by
+    the id column (dataset_to_df ids are positional, so this restores
+    the caller's row order)."""
+    if not was_array:
+        return out_df
+    import numpy as np
+
+    rows = out_df.select(id_col, col).orderBy(id_col).collect()
+    vals = [r[col] for r in rows]
+    if labels:
+        return _smart_labels(vals)
+    return np.array(vals)
+
+
+
+
+def transform_compat(df, build, out_col: str, int_out: bool = False):
+    """Transform-estimator input adapter: DataFrame-in -> DataFrame-out;
+    array-in -> dense numpy tensor out (NaN-padded, reference shape)."""
+    df2, was_array = as_ts_df(df)
+    out = build(df2)
+    if not was_array:
+        return out
+    import numpy as np
+
+    rows = out.select("series_id", out_col).orderBy("series_id").collect()
+    vals = [r[out_col] for r in rows]
+    if int_out:
+        return np.array(vals)
+    from tslearn_spark.utils import to_time_series_dataset
+
+    return to_time_series_dataset(vals)
+
+
 class TimeSeriesBaseEstimator:
     """sklearn BaseEstimator protocol (get_params/set_params)."""
 

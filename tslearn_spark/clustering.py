@@ -237,6 +237,9 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return out
 
     def fit(self, df: DataFrame) -> "TimeSeriesKMeans":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df)
         # spread across cores before caching: assignment UDF stages are
         # compute-bound, and AQE would otherwise coalesce small inputs
         # to one partition (see metrics._spread)
@@ -322,10 +325,22 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return centers, inertia, self.n_iter_
 
     def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         assert self.cluster_centers_ is not None
-        return self._assignments(df, self.cluster_centers_).select(
+        out = self._assignments(df, self.cluster_centers_).select(
             "series_id", "cluster", "dist"
         )
+        return collect_col(out, was_array, "cluster")
+
+    def fit_predict(self, df: DataFrame, y=None):
+        """fit + training assignments (sklearn ClusterMixin contract)."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        out = self.fit(df).predict(df)
+        return collect_col(out, was_array, "cluster")
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Distances to every centroid (kmeans.py:677-690): k columns."""
@@ -630,7 +645,10 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         """Best of n_init runs by inertia; an init that hits an empty
         cluster during shape extraction is retried with a fresh seed, up
         to max(n_init, 10) total attempts (kshape.py:207-243)."""
+        from tslearn_spark.bases import as_ts_df
         from tslearn_spark.preprocessing import transform_mean_variance
+
+        df, _ = as_ts_df(df)
 
         df = transform_mean_variance(df.select("series_id", "values")).cache()
         best = (np.inf, None, 0)
@@ -660,13 +678,23 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
         from tslearn_spark.preprocessing import transform_mean_variance
 
+        df, was_array = as_ts_df(df)
         assert self.cluster_centers_ is not None
         dfz = transform_mean_variance(df.select("series_id", "values"))
-        return self._assignments(dfz, self.cluster_centers_).select(
+        out = self._assignments(dfz, self.cluster_centers_).select(
             "series_id", "cluster", "dist"
         )
+        return collect_col(out, was_array, "cluster")
+
+    def fit_predict(self, df: DataFrame, y=None):
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        out = self.fit(df).predict(df)
+        return collect_col(out, was_array, "cluster")
 
 
 class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
@@ -783,6 +811,9 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         import warnings
 
         from tslearn_spark import metrics as M
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df)
 
         if self.kernel == "gak" and self.sigma != 1.0:
             warnings.warn(
@@ -839,7 +870,9 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         from pyspark.sql import Window
 
         from tslearn_spark import metrics as M
+        from tslearn_spark.bases import as_ts_df, collect_col
 
+        df, was_array = as_ts_df(df)
         gram = M.cdist(df, self._df, metric=self.kernel, **self._get_kernel_params())
         labj = self.labels_.select(F.col("series_id").alias("id2"), F.col("cluster"))
         scored = (
@@ -853,11 +886,19 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
             )
         )
         w = Window.partitionBy("id1").orderBy(F.col("d2").asc(), F.col("cluster").asc())
-        return (
+        out = (
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select(F.col("id1").alias("series_id"), "cluster", F.col("d2").alias("dist"))
         )
+        return collect_col(out, was_array, "cluster")
+
+    def fit_predict(self, df: DataFrame, y=None):
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        out = self.fit(df).predict(df)
+        return collect_col(out, was_array, "cluster")
 
 
 def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **params) -> float:

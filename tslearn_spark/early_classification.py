@@ -94,8 +94,12 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
         self.random_state = random_state
 
     # -- fit (distributed) --------------------------------------------------
-    def fit(self, df: DataFrame, label_col: str = "label") -> "NonMyopicEarlyClassifier":
+    def fit(self, df: DataFrame, y=None,
+            label_col: str = "label") -> "NonMyopicEarlyClassifier":
+        from tslearn_spark.bases import as_ts_df
         from tslearn_spark.clustering import TimeSeriesKMeans
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
 
         data = df.select("series_id", "values", F.col(label_col).alias("_y"))
         data = data.localCheckpoint()
@@ -233,6 +237,10 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
         """
         from pyspark.sql.types import IntegerType
 
+        from tslearn_spark.bases import as_ts_df
+
+        df, _was_array = as_ts_df(df)
+
         # close over ONLY the small numpy state — self holds DataFrames,
         # which must not ride into the UDF closure
         stopping = _make_stopper(
@@ -274,7 +282,7 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
             ),
         )
         wnn = Window.partitionBy("qid").orderBy(F.col("_d2").asc(), F.col("tid").asc())
-        return (
+        out = (
             pairs.withColumn("_rn", F.row_number().over(wnn))
             .where(F.col("_rn") == 1)
             .select(
@@ -283,6 +291,16 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
                 F.col("pred_time"),
             )
         )
+        if _was_array:
+            # reference returns (y_pred, stopping_times) arrays
+            from tslearn_spark.bases import _smart_labels
+
+            rows = out.orderBy("series_id").collect()
+            import numpy as _np
+
+            return (_smart_labels([r["prediction"] for r in rows]),
+                    _np.array([r["pred_time"] for r in rows]))
+        return out
 
     def early_classification_cost(self, df: DataFrame, label_col: str = "label") -> float:
         """(1 - acc) + alpha * mean(t) (early_classification.py:519-574)."""

@@ -233,8 +233,12 @@ class MatrixProfile(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str = "profile") -> DataFrame:
-        return transform(df, self.subsequence_length, self.scale,
-                         values_col, out_col)
+        from tslearn_spark.bases import transform_compat
+
+        return transform_compat(
+            df, lambda d: transform(d, self.subsequence_length, self.scale,
+                                    values_col, out_col),
+            out_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
         return self.transform(df, **kw)

@@ -485,7 +485,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         self.n_jobs = n_jobs
         self.verbose = verbose
 
-    def fit(self, df: DataFrame) -> "KNeighborsTimeSeries":
+    def fit(self, df: DataFrame, y=None) -> "KNeighborsTimeSeries":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df)
         self._index = df.select("series_id", "values").cache()
         return self
 
@@ -493,7 +496,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
                    n_neighbors: int | None = None) -> DataFrame:
         """(id1, id2, dist, rank).  queries=None -> self-kNN excluding the
         identical id, like the reference's X=None contract."""
+        from tslearn_spark.bases import as_ts_df
+
         assert hasattr(self, "_index"), "fit before kneighbors"
+        queries, _ = as_ts_df(queries)
         k = n_neighbors or self.n_neighbors
         if queries is None:
             return kneighbors(self._index, self._index, k=k,
@@ -512,16 +518,24 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
-    def fit(self, df: DataFrame, label_col: str = "label") -> "KNeighborsTimeSeriesClassifier":
+    def fit(self, df: DataFrame, y=None,
+            label_col: str = "label") -> "KNeighborsTimeSeriesClassifier":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
         self._label_col = label_col
         self._index = df.select("series_id", "values", label_col).cache()
         return self
 
     def predict(self, queries: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
         assert hasattr(self, "_index"), "fit before predict"
-        return knn_classify(queries, self._index, k=self.n_neighbors,
-                            metric=self.metric, weights=self.weights,
-                            label_col=self._label_col, **self.metric_params)
+        queries, was_array = as_ts_df(queries)
+        out = knn_classify(queries, self._index, k=self.n_neighbors,
+                           metric=self.metric, weights=self.weights,
+                           label_col=self._label_col, **self.metric_params)
+        return collect_col(out, was_array, "prediction", labels=True)
 
 
 class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
@@ -533,13 +547,21 @@ class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
         super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
-    def fit(self, df: DataFrame, target_col: str = "y") -> "KNeighborsTimeSeriesRegressor":
+    def fit(self, df: DataFrame, y=None,
+            target_col: str = "y") -> "KNeighborsTimeSeriesRegressor":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
         self._target_col = target_col
         self._index = df.select("series_id", "values", target_col).cache()
         return self
 
     def predict(self, queries: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
         assert hasattr(self, "_index"), "fit before predict"
-        return knn_regress(queries, self._index, k=self.n_neighbors,
-                           metric=self.metric, weights=self.weights,
-                           target_col=self._target_col, **self.metric_params)
+        queries, was_array = as_ts_df(queries)
+        out = knn_regress(queries, self._index, k=self.n_neighbors,
+                          metric=self.metric, weights=self.weights,
+                          target_col=self._target_col, **self.metric_params)
+        return collect_col(out, was_array, "prediction")

@@ -188,9 +188,14 @@ class TimeSeriesMLPClassifier(_MLPBase):
     driver.  Flattening is a JVM-side ``flatten`` + array_to_vector.
     """
 
-    def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesMLPClassifier":
+    def fit(self, df: DataFrame, y=None,
+            label_col: str = "label") -> "TimeSeriesMLPClassifier":
         from pyspark.ml.classification import MultilayerPerceptronClassifier
         from pyspark.ml.functions import array_to_vector
+
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
 
         classes = [
             r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()
@@ -229,17 +234,21 @@ class TimeSeriesMLPClassifier(_MLPBase):
     def predict(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.functions import array_to_vector
 
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         feats = df.select(
             "series_id", array_to_vector(F.flatten("values")).alias("features")
         )
         out = self.model_.transform(feats)
         class_arr = F.array(*[F.lit(str(c)) for c in self.classes_])
-        return out.select(
+        res = out.select(
             "series_id",
             F.element_at(class_arr, F.col("prediction").cast("int") + 1).alias(
                 "prediction"
             ),
         )
+        return collect_col(res, was_array, "prediction", labels=True)
 
 
 class TimeSeriesMLPRegressor(_MLPBase):
@@ -254,7 +263,11 @@ class TimeSeriesMLPRegressor(_MLPBase):
     Nothing row-shaped ever reaches the driver; traffic per step is
     O(n_partitions * n_weights)."""
 
-    def fit(self, df: DataFrame, target_col: str = "y") -> "TimeSeriesMLPRegressor":
+    def fit(self, df: DataFrame, y=None,
+            target_col: str = "y") -> "TimeSeriesMLPRegressor":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
         flat = df.select(
             F.flatten("values").alias("x"),
             F.col(target_col).cast("double").alias("y"),
@@ -324,6 +337,9 @@ class TimeSeriesMLPRegressor(_MLPBase):
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         mlp, mu, sd = self.mlp_, self.y_mean_, self.y_std_
 
         @F.pandas_udf("double")
@@ -331,4 +347,5 @@ class TimeSeriesMLPRegressor(_MLPBase):
             X = np.array([np.asarray([np.asarray(r, dtype=np.float64) for r in v]).ravel() for v in values])
             return pd.Series(mlp.predict_raw(X).ravel() * sd + mu)
 
-        return df.select("series_id", _udf("values").alias("prediction"))
+        out = df.select("series_id", _udf("values").alias("prediction"))
+        return collect_col(out, was_array, "prediction")

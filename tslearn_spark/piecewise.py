@@ -131,7 +131,10 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
         self.mu_: np.ndarray | None = None
         self.std_: np.ndarray | None = None
 
-    def fit(self, df: DataFrame, values_col: str = "values") -> "SAX":
+    def fit(self, df: DataFrame, y=None, values_col: str = "values") -> "SAX":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df)
         if self.scale:
             # global (dataset-wide) per-dim mean/std — one tiny aggregate
             long_stats = (
@@ -159,14 +162,19 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str = "sax") -> DataFrame:
-        v = self._scaled(values_col)
-        paa = paa_col(v, self.n_segments)
-        sym = symbols_col(f"__paa", self.breakpoints_avg_)
-        return (
-            df.withColumn("__paa", paa)
-            .withColumn(out_col, F.expr(sym))
-            .drop("__paa")
-        )
+        from tslearn_spark.bases import transform_compat
+
+        def build(d):
+            v = self._scaled(values_col)
+            paa = paa_col(v, self.n_segments)
+            sym = symbols_col(f"__paa", self.breakpoints_avg_)
+            return (
+                d.withColumn("__paa", paa)
+                .withColumn(out_col, F.expr(sym))
+                .drop("__paa")
+            )
+
+        return transform_compat(df, build, out_col, int_out=True)
 
     def distance_col(self, sax1: str, sax2: str, original_size: int | str) -> Column:
         """MINDIST (cysax.pyx:39-54): pairs differing by >1 symbol contribute
@@ -250,7 +258,10 @@ class OneDSAX(SAX):
         """Reference-style fit: slope breakpoints need the fit-time sz
         (piecewise.py:601-617) — taken as the shortest series; global
         scale stats via the SAX fit when scale=True."""
-        super().fit(df, values_col)
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df)
+        super().fit(df, values_col=values_col)
         sz = int(df.select(F.min(F.size(values_col)).alias("m")).first()["m"])
         return self.fit_sz(sz)
 
@@ -297,19 +308,25 @@ class OneDSAX(SAX):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str = "sax1d") -> DataFrame:
+        from tslearn_spark.bases import transform_compat
+
         assert self.breakpoints_slope_ is not None, "call fit_sz(sz) first"
-        v = self._scaled(values_col)
-        avg_sym = symbols_col("__paa", self.breakpoints_avg_)
-        slope_sym = symbols_col("__slopes", self.breakpoints_slope_)
-        return (
-            df.withColumn("__paa", paa_col(v, self.n_segments))
-            .withColumn("__slopes", self.slopes_col(v))
-            .withColumn(
-                out_col,
-                F.expr(f"zip_with({avg_sym}, {slope_sym}, (a, s) -> concat(a, s))"),
+
+        def build(d):
+            v = self._scaled(values_col)
+            avg_sym = symbols_col("__paa", self.breakpoints_avg_)
+            slope_sym = symbols_col("__slopes", self.breakpoints_slope_)
+            return (
+                d.withColumn("__paa", paa_col(v, self.n_segments))
+                .withColumn("__slopes", self.slopes_col(v))
+                .withColumn(
+                    out_col,
+                    F.expr(f"zip_with({avg_sym}, {slope_sym}, (a, s) -> concat(a, s))"),
+                )
+                .drop("__paa", "__slopes")
             )
-            .drop("__paa", "__slopes")
-        )
+
+        return transform_compat(df, build, out_col, int_out=True)
 
     def distance_col(self, sax1: str, sax2: str, original_size: int) -> Column:
         """cydist_1d_sax (cysax.pyx:95-124): squared diffs of the two
@@ -380,7 +397,12 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str = "paa") -> DataFrame:
-        return transform_paa(df, self.n_segments, values_col, out_col)
+        from tslearn_spark.bases import transform_compat
+
+        return transform_compat(
+            df, lambda d: transform_paa(d, self.n_segments, values_col,
+                                        out_col),
+            out_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
         return self.transform(df, **kw)

@@ -175,7 +175,11 @@ class TimeSeriesResampler(TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str | None = None) -> DataFrame:
-        return resample(df, self.sz_, values_col, out_col)
+        from tslearn_spark.bases import transform_compat
+
+        return transform_compat(
+            df, lambda d: resample(d, self.sz_, values_col, out_col),
+            out_col or values_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
         return self.transform(df, **kw)
@@ -192,7 +196,12 @@ class TimeSeriesScalerMinMax(TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str | None = None) -> DataFrame:
-        return transform_min_max(df, values_col, self.value_range, out_col)
+        from tslearn_spark.bases import transform_compat
+
+        return transform_compat(
+            df, lambda d: transform_min_max(d, values_col, self.value_range,
+                                            out_col),
+            out_col or values_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
         return self.transform(df, **kw)
@@ -211,7 +220,12 @@ class TimeSeriesScalerMeanVariance(TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame, values_col: str = "values",
                   out_col: str | None = None) -> DataFrame:
-        return transform_mean_variance(df, values_col, self.mu, self.std, out_col)
+        from tslearn_spark.bases import transform_compat
+
+        return transform_compat(
+            df, lambda d: transform_mean_variance(d, values_col, self.mu,
+                                                  self.std, out_col),
+            out_col or values_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
         return self.transform(df, **kw)

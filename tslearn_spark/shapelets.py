@@ -146,8 +146,11 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         return row["mn"], row["mx"]
 
     # -- training (driver-side over a collected sample) --------------------
-    def fit(self, df: DataFrame, label_col: str = "label",
+    def fit(self, df: DataFrame, y=None, label_col: str = "label",
             sample_size: int = 2000) -> "LearningShapelets":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
         _, self._fit_sz = self._check_series_length(df)
         rows = (
             df.select("series_id", "values", label_col)
@@ -261,17 +264,28 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Min-distances to every shapelet (shapelets.py:514-540)."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         if self.max_size is not None or getattr(self, "_fit_sz", None):
             self._check_series_length(df)
-        return df.withColumn("shapelet_dists", self._bank_udf("transform")("values"))
+        out = df.withColumn("shapelet_dists", self._bank_udf("transform")("values"))
+        return collect_col(out, was_array, "shapelet_dists")
 
     def locate(self, df: DataFrame) -> DataFrame:
         """Argmin match positions (shapelets.py:541-586)."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         if self.max_size is not None or getattr(self, "_fit_sz", None):
             self._check_series_length(df)
-        return df.withColumn("shapelet_locs", self._bank_udf("locate")("values"))
+        out = df.withColumn("shapelet_locs", self._bank_udf("locate")("values"))
+        return collect_col(out, was_array, "shapelet_locs")
 
     def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
         W, b, classes = self.W_, self.b_, self.classes_
         bank = [s.copy() for s in self.shapelets_]
         scale = self.scale
@@ -288,7 +302,8 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
                 out.append(str(classes[int(np.argmax(dists @ W + b))]))
             return pd.Series(out)
 
-        return df.select("series_id", _udf("values").alias("prediction"))
+        out = df.select("series_id", _udf("values").alias("prediction"))
+        return collect_col(out, was_array, "prediction", labels=True)
 
 
 class SerializableShapeletModel(LearningShapelets):

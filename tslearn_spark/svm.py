@@ -195,7 +195,11 @@ class TimeSeriesSVC(_GakSVMBase):
             w = {c: float(self.class_weight.get(c, 1.0)) for c in classes}
         return np.array([self.C * w[c] for c in y])
 
-    def fit(self, df: DataFrame, label_col: str = "label") -> "TimeSeriesSVC":
+    def fit(self, df: DataFrame, y=None,
+            label_col: str = "label") -> "TimeSeriesSVC":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
         Gram = self._fit_gram(df)
         lab = {r["series_id"]: r[label_col]
                for r in df.select("series_id", label_col).collect()}
@@ -220,6 +224,9 @@ class TimeSeriesSVC(_GakSVMBase):
         grouped collect and voted on in a pandas UDF with broadcast
         duals — no series data leaves the executors.
         """
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        queries, was_array = as_ts_df(queries)
         edges = self._query_gram_df(queries)
         train_ids = self._train_ids
         model = self.model_
@@ -241,8 +248,9 @@ class TimeSeriesSVC(_GakSVMBase):
                 out.append(str(m.predict(vec)[0]))
             return pd.Series(out)
 
-        return rows.select(F.col("id1").alias("series_id"),
-                           vote("krow").alias("prediction"))
+        out = rows.select(F.col("id1").alias("series_id"),
+                          vote("krow").alias("prediction"))
+        return collect_col(out, was_array, "prediction", labels=True)
 
     def _krow_frame(self, queries: DataFrame):
         edges = self._query_gram_df(queries)
@@ -262,10 +270,13 @@ class TimeSeriesSVC(_GakSVMBase):
         libsvm's caveat), the coupling argmax may disagree with
         predict's ovo vote on boundary queries.
         """
+        from tslearn_spark.bases import as_ts_df, collect_col
+
         if not self.probability:
             raise ValueError(
                 "predict_proba requires probability=True at fit time"
             )
+        queries, was_array = as_ts_df(queries)
         train_ids = self._train_ids
         model = self.model_
         spark = queries.sparkSession
@@ -280,15 +291,19 @@ class TimeSeriesSVC(_GakSVMBase):
                 out.append([float(p) for p in m.predict_proba(vec)[0]])
             return pd.Series(out)
 
-        return self._krow_frame(queries).select(
+        out = self._krow_frame(queries).select(
             F.col("id1").alias("series_id"), proba("krow").alias("probabilities")
         )
+        return collect_col(out, was_array, "probabilities")
 
     def decision_function(self, queries: DataFrame) -> DataFrame:
         """Raw decision values (svm.py:306-328): ovo pair decisions, or
         the standard vote-tiebreak ovr aggregation of them when
         decision_function_shape='ovr'.  Returns (series_id, decision
         array<double>)."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        queries, was_array = as_ts_df(queries)
         train_ids = self._train_ids
         model = self.model_
         shape = self.decision_function_shape
@@ -318,9 +333,10 @@ class TimeSeriesSVC(_GakSVMBase):
                 out.append([float(x) for x in d])
             return pd.Series(out)
 
-        return self._krow_frame(queries).select(
+        out = self._krow_frame(queries).select(
             F.col("id1").alias("series_id"), dec("krow").alias("decision")
         )
+        return collect_col(out, was_array, "decision")
 
 
 class TimeSeriesSVR(_GakSVMBase):
@@ -338,7 +354,11 @@ class TimeSeriesSVR(_GakSVMBase):
                          verbose=verbose, max_iter=max_iter)
         self.epsilon = epsilon
 
-    def fit(self, df: DataFrame, target_col: str = "y") -> "TimeSeriesSVR":
+    def fit(self, df: DataFrame, y=None,
+            target_col: str = "y") -> "TimeSeriesSVR":
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
         Gram = self._fit_gram(df)
         tgt = {r["series_id"]: r[target_col]
                for r in df.select("series_id", target_col).collect()}
@@ -348,19 +368,23 @@ class TimeSeriesSVR(_GakSVMBase):
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Pure SQL reduction: edges join broadcast duals -> sum + b."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        queries, was_array = as_ts_df(queries)
         edges = self._query_gram_df(queries)
         spark = queries.sparkSession
         duals = spark.createDataFrame(
             [(int(i), float(b)) for i, b in zip(self._train_ids, self.model_.beta_)],
             "id2 long, beta double",
         )
-        return (
+        out = (
             edges.join(F.broadcast(duals), "id2")
             .groupBy("id1")
             .agg((F.sum(F.col("dist") * F.col("beta")) + F.lit(self.model_.b_))
                  .alias("prediction"))
             .select(F.col("id1").alias("series_id"), "prediction")
         )
+        return collect_col(out, was_array, "prediction")
 
 
 # reference import parity (svm.py:17-66): the shared-SVM mixin role is
