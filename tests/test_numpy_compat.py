@@ -140,6 +140,23 @@ class TestTransformCompat:
         prof = MatrixProfile(subsequence_length=3).fit_transform(X)
         assert isinstance(prof, np.ndarray) and prof.shape[0] == 10
 
+    def test_barycenters_and_silhouette(self, blobs):
+        from tslearn_spark.barycenters import (
+            dtw_barycenter_averaging, euclidean_barycenter, softdtw_barycenter,
+        )
+        from tslearn_spark.clustering import silhouette_score
+
+        X, y = blobs
+        eb = euclidean_barycenter(X)
+        assert eb.shape == (8, 1)
+        np.testing.assert_allclose(eb[:, 0], X[:, :, 0].mean(axis=0))
+        dba = dtw_barycenter_averaging(X, barycenter_size=8, max_iter=2)
+        assert dba.shape == (8, 1)
+        sb = softdtw_barycenter(X, gamma=1.0, max_iter=3)
+        assert sb.shape == (8, 1)
+        s = silhouette_score(X, y, metric="euclidean")
+        assert 0.5 < s <= 1.0  # well-separated blobs
+
     def test_no_active_session_raises(self):
         from pyspark.sql import SparkSession
 

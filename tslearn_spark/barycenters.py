@@ -56,6 +56,9 @@ def euclidean_barycenter_df(df: DataFrame, weight_col: str | None = None) -> Dat
 
 
 def euclidean_barycenter(df: DataFrame, weights=None) -> np.ndarray:
+    from tslearn_spark.bases import as_ts_df
+
+    df, _ = as_ts_df(df)
     rows = euclidean_barycenter_df(df).orderBy("t", "dim").collect()
     n_t = max(r["t"] for r in rows) + 1
     n_d = max(r["dim"] for r in rows) + 1
@@ -122,8 +125,12 @@ def dtw_barycenter_averaging(
 
     Driver holds only the center (sz x d floats); each iteration is one
     job: UDF pass + exploded grouped aggregate.  The input DataFrame is
-    cached by the caller for multi-iteration reuse.
+    cached by the caller for multi-iteration reuse.  Array-like input
+    (the reference's protocol) adapts via the active session.
     """
+    from tslearn_spark.bases import as_ts_df
+
+    df, _ = as_ts_df(df)
     metric_params = metric_params or {}
     first = df.select("values").first()
     d = len(first["values"][0])
@@ -192,6 +199,9 @@ def dtw_barycenter_averaging_subgradient(
     ``dtw_barycenter_averaging``; for large inputs prefer the
     distributed E-M variant (the reference's default too).
     """
+    from tslearn_spark.bases import as_ts_df
+
+    df, _ = as_ts_df(df)
     from tslearn_spark.kernels import dtw_path
 
     metric_params = metric_params or {}
@@ -288,6 +298,9 @@ def softdtw_barycenter(
     optimizer" pattern.  Each function evaluation is one Spark job; the
     executors never see the optimizer state.
     """
+    from tslearn_spark.bases import as_ts_df
+
+    df, _ = as_ts_df(df)
     if init is None:
         sz = int(df.select(F.max(F.size("values")).alias("m")).first()["m"])
         from tslearn_spark.preprocessing import resample

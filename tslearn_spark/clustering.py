@@ -901,14 +901,23 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
 
-def silhouette_score(df: DataFrame, labels: DataFrame, metric: str = "dtw", **params) -> float:
+def silhouette_score(df: DataFrame, labels, metric: str = "dtw", **params) -> float:
     """Silhouette on the distributed cross-distance edges (clustering/utils.py:66-197).
 
     a(i) = mean intra-cluster dist, b(i) = min over other clusters of mean
     dist; s = (b-a)/max(a,b); fully SQL after the metric join.
     softdtw uses the normalized variant sdtw(x,y)-(sdtw(x,x)+sdtw(y,y))/2.
+    Accepts the reference's (X array, labels array) protocol too.
     """
     from tslearn_spark import metrics as M
+    from tslearn_spark.bases import as_ts_df
+
+    df, _ = as_ts_df(df)
+    if not isinstance(labels, DataFrame):
+        labels = df.sparkSession.createDataFrame(
+            [(int(i), int(c)) for i, c in enumerate(labels)],
+            "series_id long, cluster int",
+        )
 
     if metric == "softdtw":
         edges = M.cdist(df, metric="softdtw", symmetric_zero_diag=False, **params)
