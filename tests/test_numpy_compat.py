@@ -63,6 +63,42 @@ class TestSupervisedCompat:
         assert isinstance(pred, np.ndarray)
         np.testing.assert_array_equal(pred, y)  # int labels back as ints
 
+    def test_kneighbors_tuple_output(self, blobs):
+        from tslearn_spark.neighbors import KNeighborsTimeSeries
+
+        X, _ = blobs
+        nn = KNeighborsTimeSeries(n_neighbors=3, metric="euclidean").fit(X)
+        dists, inds = nn.kneighbors(X)
+        assert dists.shape == (10, 3) and inds.shape == (10, 3)
+        # nearest neighbor of each series is itself at distance 0
+        np.testing.assert_array_equal(inds[:, 0], np.arange(10))
+        # BLAS-form euclidean (ssq1+ssq2-2dot) leaves ~1e-8 cancellation
+        # noise on self-distances
+        np.testing.assert_allclose(dists[:, 0], 0.0, atol=1e-6)
+        assert np.all(np.diff(dists, axis=1) >= -1e-12)  # rank-ordered
+
+    def test_label_categorizer_arrays(self, spark):
+        from tslearn_spark.labels import LabelCategorizer
+
+        y = np.array([1, 0, 2, 1])
+        oh = LabelCategorizer().fit_transform(y)
+        assert isinstance(oh, np.ndarray) and oh.shape == (4, 3)
+        np.testing.assert_array_equal(oh.argmax(axis=1), y)
+        np.testing.assert_allclose(oh.sum(axis=1), 1.0)
+
+    def test_early_classifier_arrays(self, blobs):
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        X, y = blobs
+        ec = NonMyopicEarlyClassifier(n_clusters=2, lamb=100.0,
+                                      cost_time_parameter=0.01,
+                                      random_state=0).fit(X, y)
+        preds, times = ec.predict_class_and_earliness(X)
+        assert preds.shape == (10,) and times.shape == (10,)
+        assert np.all((times >= 1) & (times <= 8))
+        only = ec.predict(X)
+        np.testing.assert_array_equal(only, preds)
+
     def test_knn_regressor_fit_X_y(self, blobs):
         from tslearn_spark.neighbors import KNeighborsTimeSeriesRegressor
 

@@ -302,6 +302,16 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
                     _np.array([r["pred_time"] for r in rows]))
         return out
 
+    def predict(self, df: DataFrame):
+        """Predicted class at the early stopping time
+        (early_classification.py predict contract): the first element of
+        predict_class_and_earliness — DataFrame in -> (series_id,
+        prediction) out; array in -> label array out."""
+        out = self.predict_class_and_earliness(df)
+        if isinstance(out, tuple):
+            return out[0]
+        return out.select("series_id", "prediction")
+
     def early_classification_cost(self, df: DataFrame, label_col: str = "label") -> float:
         """(1 - acc) + alpha * mean(t) (early_classification.py:519-574)."""
         pred = self.predict_class_and_earliness(df).join(

@@ -18,15 +18,46 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
         self.single_column_if_binary = single_column_if_binary
         self.classes_: list[str] | None = None
 
-    def fit(self, labels: DataFrame, label_col: str = "label") -> "LabelCategorizer":
+    def _labels_df(self, labels, label_col):
+        """Array-like y (the reference's protocol, utils.py:528-634) ->
+        (series_id, label) DataFrame on the active session."""
+        if isinstance(labels, DataFrame):
+            return labels, False
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "array-like labels require an active SparkSession"
+            )
+        df = spark.createDataFrame(
+            [(int(i), str(v)) for i, v in enumerate(labels)],
+            f"series_id long, {label_col} string",
+        )
+        return df, True
+
+    def fit(self, labels, label_col: str = "label") -> "LabelCategorizer":
+        labels, _ = self._labels_df(labels, label_col)
         self.classes_ = [
             r[label_col]
             for r in labels.select(label_col).distinct().orderBy(label_col).collect()
         ]
         return self
 
-    def transform(self, labels: DataFrame, label_col: str = "label") -> DataFrame:
+    def transform(self, labels, label_col: str = "label") -> DataFrame:
         assert self.classes_ is not None
+        labels, was_array = self._labels_df(labels, label_col)
+        from tslearn_spark.bases import collect_col
+
+        if was_array:
+            return collect_col(self._transform_df(labels, label_col),
+                               True, "onehot")
+        return self._transform_df(labels, label_col)
+
+    def fit_transform(self, labels, label_col: str = "label"):
+        return self.fit(labels, label_col).transform(labels, label_col)
+
+    def _transform_df(self, labels: DataFrame, label_col: str) -> DataFrame:
         if self.single_column_if_binary and len(self.classes_) == 2:
             return labels.withColumn(
                 "onehot",

@@ -499,14 +499,30 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark.bases import as_ts_df
 
         assert hasattr(self, "_index"), "fit before kneighbors"
-        queries, _ = as_ts_df(queries)
+        queries, was_array = as_ts_df(queries)
         k = n_neighbors or self.n_neighbors
         if queries is None:
-            return kneighbors(self._index, self._index, k=k,
-                              metric=self.metric, drop_self=True,
-                              **self.metric_params)
-        return kneighbors(queries, self._index, k=k, metric=self.metric,
-                          **self.metric_params)
+            out = kneighbors(self._index, self._index, k=k,
+                             metric=self.metric, drop_self=True,
+                             **self.metric_params)
+        else:
+            out = kneighbors(queries, self._index, k=k, metric=self.metric,
+                             **self.metric_params)
+        if not was_array:
+            return out
+        # reference numpy contract (neighbors.py:227-266): return
+        # (dists (n_q, k), indices (n_q, k)) ordered by rank
+        import numpy as np
+
+        rows = out.orderBy("id1", "rank").collect()
+        qids = sorted({r["id1"] for r in rows})
+        pos = {q: i for i, q in enumerate(qids)}
+        dists = np.full((len(qids), k), np.nan)
+        inds = np.full((len(qids), k), -1, dtype=np.int64)
+        for r in rows:
+            dists[pos[r["id1"]], r["rank"] - 1] = r["dist"]
+            inds[pos[r["id1"]], r["rank"] - 1] = r["id2"]
+        return dists, inds
 
 
 class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
