@@ -343,7 +343,11 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
     def transform(self, df: DataFrame) -> DataFrame:
-        """Distances to every centroid (kmeans.py:677-690): k columns."""
+        """Distances to every centroid (kmeans.py:677-690): k columns;
+        array input returns the reference's (n, k) matrix."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, _was_array = as_ts_df(df)
         kernel = __import__("tslearn_spark.metrics", fromlist=["METRIC_PARAMS"]).METRIC_PARAMS[
             self.metric
         ](**self.metric_params)
@@ -359,7 +363,8 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                 out.append([float(kernel(c, ts)) for c in centers])
             return pd.Series(out)
 
-        return df.withColumn("distances", _udf("values"))
+        out = df.withColumn("distances", _udf("values"))
+        return collect_col(out, _was_array, "distances")
 
 
 class KShape(BaseModelPackage, TimeSeriesBaseEstimator):

@@ -488,7 +488,7 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
     def fit(self, df: DataFrame, y=None) -> "KNeighborsTimeSeries":
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df)
+        df, self._fit_was_array = as_ts_df(df)
         self._index = df.select("series_id", "values").cache()
         return self
 
@@ -500,6 +500,9 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
 
         assert hasattr(self, "_index"), "fit before kneighbors"
         queries, was_array = as_ts_df(queries)
+        if queries is None and getattr(self, "_fit_was_array", False):
+            # reference self-kNN on an array-fitted index returns arrays
+            was_array = True
         k = n_neighbors or self.n_neighbors
         if queries is None:
             out = kneighbors(self._index, self._index, k=k,
