@@ -41,6 +41,17 @@ def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
     from tslearn_spark.dataset import dataset_to_df
     from tslearn_spark.utils import to_time_series
 
+    try:
+        import pandas as _pd
+
+        if isinstance(X, _pd.DataFrame):
+            # reference convention (utils.py:156-216): each ROW is one
+            # univariate series; plain iteration would yield column names
+            import numpy as _np
+
+            X = _np.asarray(X)
+    except ImportError:
+        pass
     series = [to_time_series(ts, remove_nans=True) for ts in X]
     df = dataset_to_df(spark, series)
     if y is not None:
