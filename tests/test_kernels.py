@@ -261,7 +261,10 @@ class TestCTW:
         rs = np.random.RandomState(13)
         X = rs.randn(15, 2).cumsum(axis=0)
         M = np.array([[1.5, 0.3], [-0.2, 2.0]])
-        assert ctw(X, X @ M) == pytest.approx(0.0, abs=1e-5)
+        # the intended fixpoint variant; the released reference breaks
+        # after one CCA pass and keeps the raw-feature DTW score, so
+        # the default path does NOT have this property (ctw.py:168)
+        assert ctw(X, X @ M, iterate=True) == pytest.approx(0.0, abs=1e-5)
 
     def test_cca_matches_generalized_eigensolution(self):
         """Independent derivation check: the canonical correlations
@@ -318,7 +321,7 @@ class TestCTW:
         X = np.stack([latent, 0.05 * rs.randn(20)], axis=1)
         Y = np.stack([2.0 * latent + 0.05 * rs.randn(20),
                       0.05 * rs.randn(20)], axis=1)
-        path, A, B, score = ctw_path(X, Y, n_components=1)
+        path, A, B, score = ctw_path(X, Y, n_components=1, iterate=True)
         assert np.isfinite(score)
         # the CCA directions must load on the latent (first) feature
         assert abs(A[0, 0]) > 5 * abs(A[1, 0])
@@ -447,3 +450,68 @@ class TestReferenceImportParity:
 
         assert GLOBAL_CONSTRAINT_CODE == {None: 0, "": 0, "itakura": 1,
                                           "sakoe_chiba": 2}
+
+
+class TestCdistReferenceDoctests:
+    """The reference's own cdist_* doctest outputs, pinned verbatim
+    (dtw_variants.py:1200-1205, softdtw_variants.py:174-181/488-494,
+    ctw.py:341-347)."""
+
+    def test_cdist_dtw(self):
+        from tslearn_spark.metrics import cdist_dtw
+
+        np.testing.assert_allclose(
+            cdist_dtw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]]),
+            [[0.0, 1.0], [1.0, 0.0]], atol=1e-8)
+        np.testing.assert_allclose(
+            cdist_dtw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]],
+                      [[1, 2, 3], [2, 3, 4, 5]]),
+            [[0.0, 2.44948974], [1.0, 1.41421356]], atol=1e-8)
+
+    def test_cdist_gak(self):
+        from tslearn_spark.metrics import cdist_gak
+
+        np.testing.assert_allclose(
+            cdist_gak([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]], sigma=2.0),
+            [[1.0, 0.65629661], [0.65629661, 1.0]], atol=1e-8)
+        np.testing.assert_allclose(
+            cdist_gak([[1, 2, 2], [1.0, 2.0, 3.0, 4.0]],
+                      [[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0], [1, 2, 2, 3]],
+                      sigma=2.0),
+            [[0.71059484, 0.29722877, 0.71059484],
+             [0.65629661, 1.0, 0.65629661]], atol=1e-8)
+
+    def test_cdist_soft_dtw(self):
+        from tslearn_spark.metrics import cdist_soft_dtw
+
+        np.testing.assert_allclose(
+            cdist_soft_dtw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]], gamma=0.01),
+            [[-0.01098612, 1.0], [1.0, 0.0]], atol=1e-8)
+        np.testing.assert_allclose(
+            cdist_soft_dtw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]],
+                           [[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]], gamma=0.01),
+            [[-0.01098612, 1.0], [1.0, 0.0]], atol=1e-8)
+
+    def test_ctw_path_reference_doctest(self):
+        """ctw.py:112-122 doctests: path + dist on the released
+        (break-after-one-CCA-pass) semantics."""
+        from tslearn_spark.metrics.ctw import ctw_path
+
+        path, _, _, dist = ctw_path([1, 2, 3], [1.0, 2.0, 2.0, 3.0])
+        assert path == [(0, 0), (1, 1), (1, 2), (2, 3)]
+        assert dist == pytest.approx(0.0)
+        _, _, _, dist2 = ctw_path(
+            [1, 2, 3], [[1.0, 1.0], [2.0, 2.0], [2.0, 2.0], [3.0, 3.0]])
+        assert dist2 == pytest.approx(0.0)
+
+    def test_cdist_ctw(self):
+        from tslearn_spark.metrics import cdist_ctw
+
+        np.testing.assert_allclose(
+            cdist_ctw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]]),
+            [[0.0, 1.0], [1.0, 0.0]], atol=1e-6)
+        np.testing.assert_allclose(
+            cdist_ctw([[1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0]],
+                      [[[1, 1], [2, 2], [3, 3]],
+                       [[2, 2], [3, 3], [4, 4], [5, 5]]]),
+            [[0.0, 2.44948974], [1.0, 1.41421356]], atol=1e-6)

@@ -48,15 +48,49 @@ def _cca_project(X: np.ndarray, Y: np.ndarray, n_components: int):
     return Xc @ A, Yc @ B, A, B
 
 
-def ctw_path(s1, s2, max_iter: int = 100, n_components: int | None = None):
-    """CTW path + score (reference ctw.py:179-261).
+def ctw_path(s1, s2, max_iter: int = 100, n_components: int | None = None,
+             global_constraint=None, sakoe_chiba_radius=None,
+             itakura_max_slope=None, verbose: bool = False,
+             iterate: bool = False):
+    """CTW path + score (reference ctw.py:39-176).
 
-    Handles different feature dims d1 != d2 via the shared CCA subspace.
+    Default (iterate=False) replicates the RELEASED reference behavior
+    exactly: iteration 0 runs DTW on the inputs projected by identity
+    matrices truncated to n_components (ctw.py:141-150), then ONE CCA
+    refit refines the PATH — the reference's fixpoint test at
+    ctw.py:168 compares the new path to itself, so it always breaks
+    immediately and the returned SCORE stays the iteration-0 DTW score
+    (hence the reference's cdist_ctw doctests equal cdist_dtw).
+
+    iterate=True runs the intended Zhou & De la Torre alternation to a
+    real path fixpoint, returning the score in the aligned CCA
+    subspace (the variant the linear-map-invariance property tests
+    exercise).
+
+    Handles different feature dims d1 != d2 via the shared CCA
+    subspace; returns (path, A, B, score) with the two projection
+    matrices in place of the reference's sklearn CCA object.
     """
     X = K.to_2d(s1)
     Y = K.to_2d(s2)
     if n_components is None:
         n_components = min(X.shape[1], Y.shape[1])
+    dtw_kw = dict(global_constraint=global_constraint,
+                  sakoe_chiba_radius=sakoe_chiba_radius,
+                  itakura_max_slope=itakura_max_slope)
+
+    if not iterate:
+        seq1 = X @ np.eye(X.shape[1], n_components)
+        seq2 = Y @ np.eye(Y.shape[1], n_components)
+        path, score = K.dtw_path(seq1, seq2, **dtw_kw)
+        W1, W2 = _warp_matrices(path, X.shape[0], Y.shape[0])
+        Xw, Yw = W1 @ X, W2 @ Y
+        _, _, A, B = _cca_project(Xw, Yw, n_components)
+        Xp = (X - Xw.mean(axis=0)) @ A
+        Yp = (Y - Yw.mean(axis=0)) @ B
+        path, _ = K.dtw_path(Xp, Yp, **dtw_kw)
+        return path, A, B, float(score)
+
     path = [(i, int(round(i * (Y.shape[0] - 1) / max(X.shape[0] - 1, 1))))
             for i in range(X.shape[0])]
     prev_path = None
@@ -69,13 +103,19 @@ def ctw_path(s1, s2, max_iter: int = 100, n_components: int | None = None):
         _, _, A, B = _cca_project(Xw, Yw, n_components)
         Xp = (X - Xw.mean(axis=0)) @ A
         Yp = (Y - Yw.mean(axis=0)) @ B
-        path, score = K.dtw_path(Xp, Yp)
+        path, score = K.dtw_path(Xp, Yp, **dtw_kw)
         if prev_path is not None and path == prev_path:
             break
         prev_path = path
     return path, A, B, float(score)
 
 
-def ctw(s1, s2, max_iter: int = 100, n_components: int | None = None) -> float:
-    """CTW score (reference ctw.py:39-176)."""
-    return ctw_path(s1, s2, max_iter=max_iter, n_components=n_components)[3]
+def ctw(s1, s2, max_iter: int = 100, n_components: int | None = None,
+        global_constraint=None, sakoe_chiba_radius=None,
+        itakura_max_slope=None, iterate: bool = False) -> float:
+    """CTW score (reference ctw.py:264-330 semantics — see ctw_path)."""
+    return ctw_path(s1, s2, max_iter=max_iter, n_components=n_components,
+                    global_constraint=global_constraint,
+                    sakoe_chiba_radius=sakoe_chiba_radius,
+                    itakura_max_slope=itakura_max_slope,
+                    iterate=iterate)[3]
