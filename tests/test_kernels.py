@@ -515,3 +515,28 @@ class TestCdistReferenceDoctests:
                       [[[1, 1], [2, 2], [3, 3]],
                        [[2, 2], [3, 3], [4, 4], [5, 5]]]),
             [[0.0, 2.44948974], [1.0, 1.41421356]], atol=1e-6)
+
+
+class TestMoreReferenceDoctests:
+    """Additional reference doctest goldens (dtw_variants.py:591-594,
+    1508-1515, 1813-1815)."""
+
+    def test_limited_warping_doctests(self):
+        assert K.dtw_limited_warping_length(
+            [1, 2, 3], [1.0, 2.0, 2.0, 3.0], 5) == pytest.approx(0.0)
+        assert K.dtw_limited_warping_length(
+            [1, 2, 3], [1.0, 2.0, 2.0, 3.0, 4.0], 5) == pytest.approx(1.0)
+
+    def test_lcss_doctests(self):
+        assert K.lcss([1, 2, 3], [1.0, 2.0, 2.0, 3.0]) == 1.0
+        assert K.lcss([1, 2, 3], [1.0, 2.0, 2.0, 4.0, 7.0]) == 1.0
+        assert K.lcss([1, 2, 3], [1.0, 2.0, 2.0, 2.0, 3.0], eps=0) == 1.0
+        assert K.lcss([1, 2, 3], [-2.0, 5.0, 7.0], eps=3) == pytest.approx(
+            0.6666666666666666)
+
+    def test_lcss_path_from_metric_doctest(self):
+        s1 = np.array([[0.0], [1.0], [2.0], [3.0], [4.0]])
+        s2 = np.array([[-1.0], [0.0], [1.0], [2.0], [3.0], [4.0]])
+        path, sim = K.lcss_path_from_metric(s1, s2, metric="sqeuclidean")
+        assert path == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+        assert sim == pytest.approx(1.0)
