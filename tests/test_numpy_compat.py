@@ -86,6 +86,15 @@ class TestSupervisedCompat:
         np.testing.assert_array_equal(oh.argmax(axis=1), y)
         np.testing.assert_allclose(oh.sum(axis=1), 1.0)
 
+    def test_label_categorizer_inverse_arrays(self, spark):
+        from tslearn_spark.labels import LabelCategorizer
+
+        y = np.array([2, 0, 1])
+        lc = LabelCategorizer().fit(y)
+        oh = lc.transform(y)
+        back = lc.inverse_transform(oh)
+        np.testing.assert_array_equal(back, y)
+
     def test_early_classifier_arrays(self, blobs):
         from tslearn_spark.early_classification import NonMyopicEarlyClassifier
 

@@ -70,8 +70,26 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
         ])
         return labels.withColumn("onehot", arr)
 
-    def inverse_transform(self, df: DataFrame, onehot_col: str = "onehot") -> DataFrame:
+    def inverse_transform(self, df, onehot_col: str = "onehot") -> DataFrame:
         assert self.classes_ is not None
+        if not isinstance(df, DataFrame):
+            # reference protocol: one-hot array in -> label array out
+            from pyspark.sql import SparkSession
+
+            from tslearn_spark.bases import _smart_labels
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "array-like input requires an active SparkSession"
+                )
+            arr_df = spark.createDataFrame(
+                [(int(i), [float(v) for v in row]) for i, row in enumerate(df)],
+                f"series_id long, {onehot_col} array<double>",
+            )
+            out = self.inverse_transform(arr_df, onehot_col)
+            rows = out.orderBy("series_id").collect()
+            return _smart_labels([r["label"] for r in rows])
         classes = self.classes_
         if self.single_column_if_binary and len(classes) == 2:
             return df.withColumn(
