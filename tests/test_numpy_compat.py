@@ -211,3 +211,85 @@ class TestTransformCompat:
             pytest.skip("session active in this worker")
         with pytest.raises(RuntimeError):
             as_ts_df(np.zeros((2, 4, 1)))
+
+
+class TestReviewRegressions:
+    """Regressions from the round-5 code review of the numpy protocol."""
+
+    def test_dataframe_plus_y_rejected(self, spark, blobs):
+        from tslearn_spark import dataset as DS
+        from tslearn_spark.neighbors import KNeighborsTimeSeriesClassifier
+
+        X, y = blobs
+        df = DS.dataset_to_df(spark, [x[:, 0] for x in X],
+                              labels=[str(v) for v in y])
+        with pytest.raises(ValueError):
+            KNeighborsTimeSeriesClassifier().fit(df, y)
+        with pytest.raises(TypeError):
+            KNeighborsTimeSeriesClassifier().fit(df, "label")
+
+    def test_class_weight_int_keys_numpy_fit(self, blobs):
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X, y = blobs
+        # C small enough that the box constraint binds — otherwise the
+        # separable fixture's interior optimum hides the weights
+        weighted = TimeSeriesSVC(kernel="linear", C=0.005,
+                                 class_weight={0: 10.0}).fit(X, y)
+        uniform = TimeSeriesSVC(kernel="linear", C=0.005).fit(X, y)
+        a_w = weighted.model_.machines_[0][2].alpha_
+        a_u = uniform.model_.machines_[0][2].alpha_
+        assert not np.allclose(a_w, a_u)  # int-keyed dict must take effect
+        assert a_w.max() > a_u.max()      # class-0 cap lifted to 10*C
+
+    def test_string_digit_labels_preserved(self, blobs):
+        from tslearn_spark.neighbors import KNeighborsTimeSeriesClassifier
+
+        X, _ = blobs
+        y = np.array(["007", "007", "007", "007", "007",
+                      "1", "1", "1", "1", "1"])
+        pred = KNeighborsTimeSeriesClassifier(
+            n_neighbors=1, metric="euclidean").fit(X, y).predict(X)
+        np.testing.assert_array_equal(pred, y)  # strings stay strings
+
+    def test_unsupervised_fit_accepts_y(self, blobs):
+        from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+
+        X, y = blobs
+        for cls in (TimeSeriesKMeans, KShape, KernelKMeans):
+            kw = {"metric": "euclidean"} if cls is TimeSeriesKMeans else {}
+            est = cls(n_clusters=2, random_state=0, **kw)
+            assert est.fit(X, y) is est  # sklearn-style ignored y
+
+    def test_early_classification_cost_arrays(self, blobs):
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        X, y = blobs
+        ec = NonMyopicEarlyClassifier(n_clusters=2, lamb=100.0,
+                                      cost_time_parameter=0.01,
+                                      random_state=0).fit(X, y)
+        cost = ec.early_classification_cost(X, y)
+        assert isinstance(cost, float) and cost >= 0.0
+
+    def test_archive_injected_baseline_multivariate_raises(self, tmp_path):
+        from tslearn_spark.sources import UCR_UEA_datasets
+
+        p = tmp_path / "singleTrainTest.csv"
+        p.write_text(",C45\nAdiac,0.5\n")
+        u = UCR_UEA_datasets(baseline_scores_file=str(p))
+        assert u.list_univariate_datasets() == ["Adiac"]
+        with pytest.raises(ValueError):
+            u.list_multivariate_datasets()
+
+    def test_extract_zip_default_target(self, tmp_path):
+        import zipfile
+
+        from tslearn_spark.sources import extract_from_zip_url
+
+        z = tmp_path / "d.zip"
+        with zipfile.ZipFile(z, "w") as zf:
+            zf.writestr("f.txt", "hi")
+        out = extract_from_zip_url(z.as_uri())  # target_dir omitted
+        assert out is not None
+        import os
+        assert os.path.exists(os.path.join(out, "f.txt"))

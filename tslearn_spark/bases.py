@@ -29,6 +29,22 @@ def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
     from pyspark.sql import DataFrame as _DF
 
     if X is None or isinstance(X, _DF):
+        if y is not None:
+            # silently training on the DataFrame's own label column while
+            # discarding a passed y would be a trap; so would a legacy
+            # positional call like fit(df, "label2") binding the column
+            # name to y
+            if isinstance(y, str):
+                raise TypeError(
+                    f"got string {y!r} for y — with a DataFrame input, "
+                    "pass the column name as a keyword "
+                    "(label_col=/target_col=), not positionally"
+                )
+            raise ValueError(
+                "y was passed alongside a DataFrame input; DataFrame "
+                "labels/targets come from a column (label_col=/"
+                "target_col=) — pass y only with array-like X"
+            )
         return X, False
     from pyspark.sql import SparkSession
 
@@ -89,7 +105,9 @@ def collect_col(out_df, was_array: bool, col: str, id_col: str = "series_id",
                 labels: bool = False):
     """DataFrame-in -> DataFrame-out; array-in -> numpy-out, ordered by
     the id column (dataset_to_df ids are positional, so this restores
-    the caller's row order)."""
+    the caller's row order).  ``labels`` controls numeric restoration:
+    classifiers pass their fit-time y numeric-ness so string labels
+    like '007' come back as the user gave them, not as ints."""
     if not was_array:
         return out_df
     import numpy as np

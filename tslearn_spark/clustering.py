@@ -236,7 +236,7 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
             out[r["cluster"]][r["t"], r["dim"]] = r["value"]
         return out
 
-    def fit(self, df: DataFrame) -> "TimeSeriesKMeans":
+    def fit(self, df: DataFrame, y=None) -> "TimeSeriesKMeans":
         from tslearn_spark.bases import as_ts_df
 
         df, _ = as_ts_df(df)
@@ -646,7 +646,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
             print("")
         return centers, prev_inertia, n_iter
 
-    def fit(self, df: DataFrame) -> "KShape":
+    def fit(self, df: DataFrame, y=None) -> "KShape":
         """Best of n_init runs by inertia; an init that hits an empty
         cluster during shape extraction is retried with a fresh seed, up
         to max(n_init, 10) total attempts (kshape.py:207-243)."""
@@ -810,7 +810,8 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
             print("")
         return labels.select("series_id", "cluster"), inertia, n_iter
 
-    def fit(self, df: DataFrame, weight_col: str | None = None) -> "KernelKMeans":
+    def fit(self, df: DataFrame, y=None,
+            weight_col: str | None = None) -> "KernelKMeans":
         """weight_col: optional per-series sample weight (reference fit's
         sample_weight, kmeans.py:315-388)."""
         import warnings

@@ -100,6 +100,8 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark.clustering import TimeSeriesKMeans
 
         df, _ = as_ts_df(df, y=y, y_col=label_col)
+        if y is not None:
+            self._y_numeric = np.asarray(y).dtype.kind in "iufb"
 
         data = df.select("series_id", "values", F.col(label_col).alias("_y"))
         data = data.localCheckpoint()
@@ -298,8 +300,11 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
             rows = out.orderBy("series_id").collect()
             import numpy as _np
 
-            return (_smart_labels([r["prediction"] for r in rows]),
-                    _np.array([r["pred_time"] for r in rows]))
+            preds = [r["prediction"] for r in rows]
+            preds = (_smart_labels(preds)
+                     if getattr(self, "_y_numeric", True)
+                     else _np.asarray(preds))
+            return preds, _np.array([r["pred_time"] for r in rows])
         return out
 
     def predict(self, df: DataFrame):
@@ -312,8 +317,16 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
             return out[0]
         return out.select("series_id", "prediction")
 
-    def early_classification_cost(self, df: DataFrame, label_col: str = "label") -> float:
-        """(1 - acc) + alpha * mean(t) (early_classification.py:519-574)."""
+    def early_classification_cost(self, df: DataFrame, y=None,
+                                  label_col: str = "label") -> float:
+        """(1 - acc) + alpha * mean(t) (early_classification.py:519-574).
+
+        Accepts the reference's (X array, y array) protocol: array
+        input is adapted once here so predict_class_and_earliness sees
+        a DataFrame (its tuple form never leaks into the join)."""
+        from tslearn_spark.bases import as_ts_df
+
+        df, _ = as_ts_df(df, y=y, y_col=label_col)
         pred = self.predict_class_and_earliness(df).join(
             df.select("series_id", label_col), "series_id"
         )

@@ -542,6 +542,10 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         from tslearn_spark.bases import as_ts_df
 
         df, _ = as_ts_df(df, y=y, y_col=label_col)
+        if y is not None:
+            import numpy as _np
+
+            self._y_numeric = _np.asarray(y).dtype.kind in "iufb"
         self._label_col = label_col
         self._index = df.select("series_id", "values", label_col).cache()
         return self
@@ -554,7 +558,8 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         out = knn_classify(queries, self._index, k=self.n_neighbors,
                            metric=self.metric, weights=self.weights,
                            label_col=self._label_col, **self.metric_params)
-        return collect_col(out, was_array, "prediction", labels=True)
+        return collect_col(out, was_array, "prediction",
+                           labels=getattr(self, "_y_numeric", True))
 
 
 class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):

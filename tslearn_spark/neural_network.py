@@ -196,6 +196,8 @@ class TimeSeriesMLPClassifier(_MLPBase):
         from tslearn_spark.bases import as_ts_df
 
         df, _ = as_ts_df(df, y=y, y_col=label_col)
+        if y is not None:
+            self._y_numeric = np.asarray(y).dtype.kind in "iufb"
 
         classes = [
             r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()
@@ -248,7 +250,8 @@ class TimeSeriesMLPClassifier(_MLPBase):
                 "prediction"
             ),
         )
-        return collect_col(res, was_array, "prediction", labels=True)
+        return collect_col(res, was_array, "prediction",
+                           labels=getattr(self, "_y_numeric", True))
 
 
 class TimeSeriesMLPRegressor(_MLPBase):

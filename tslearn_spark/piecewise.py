@@ -254,7 +254,8 @@ class OneDSAX(SAX):
         self.breakpoints_slope_: np.ndarray | None = None
         self.breakpoints_slope_middle_: np.ndarray | None = None
 
-    def fit(self, df: DataFrame, values_col: str = "values") -> "OneDSAX":
+    def fit(self, df: DataFrame, y=None,
+            values_col: str = "values") -> "OneDSAX":
         """Reference-style fit: slope breakpoints need the fit-time sz
         (piecewise.py:601-617) — taken as the shortest series; global
         scale stats via the SAX fit when scale=True."""

@@ -151,6 +151,8 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark.bases import as_ts_df
 
         df, _ = as_ts_df(df, y=y, y_col=label_col)
+        if y is not None:
+            self._y_numeric = np.asarray(y).dtype.kind in "iufb"
         _, self._fit_sz = self._check_series_length(df)
         rows = (
             df.select("series_id", "values", label_col)
@@ -303,7 +305,8 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
             return pd.Series(out)
 
         out = df.select("series_id", _udf("values").alias("prediction"))
-        return collect_col(out, was_array, "prediction", labels=True)
+        return collect_col(out, was_array, "prediction",
+                           labels=getattr(self, "_y_numeric", True))
 
 
 class SerializableShapeletModel(LearningShapelets):

@@ -171,8 +171,10 @@ def extract_from_zip_url(url: str, target_dir: str | None = None,
     import zipfile
     from urllib.request import urlopen
 
-    os.makedirs(target_dir, exist_ok=True)
+    if target_dir is None:
+        target_dir = tempfile.mkdtemp()
     try:
+        os.makedirs(target_dir, exist_ok=True)
         with tempfile.NamedTemporaryFile(suffix=".zip") as tmp:
             # bounded timeout: an offline environment must fail fast
             with urlopen(url, timeout=30) as resp:
@@ -350,7 +352,13 @@ class UCR_UEA_datasets:
         import csv
 
         if self._list_multivariate_filename is None:
-            self._require_lists()
+            # either no mirror at all, or only baseline_scores_file was
+            # injected — in both cases there is no multivariate CSV
+            raise ValueError(
+                "summaryMultivariate.csv unavailable — construct with "
+                "base_url pointing at an archive mirror to list "
+                "multivariate datasets"
+            )
         with open(self._list_multivariate_filename, "r") as f:
             return [row["Problem"] for row in csv.DictReader(f, delimiter=",")]
 
@@ -425,9 +433,28 @@ class UCR_UEA_datasets:
         (train_df, test_df) ts DataFrames, or (None, None).  This is the
         path a 100-TB deployment uses: the driver only bootstraps the
         cache; parsing parallelizes across the cluster."""
-        if self.load_dataset(dataset_name)[0] is None:
-            return None, None
+        import shutil
+        import warnings
+
         dataset_name = self._filenames.get(dataset_name, dataset_name)
+        # availability only: download/extract if needed, but skip
+        # load_dataset's full driver-side numpy parse of both splits
+        if not self._has_files(dataset_name) or not self.use_cache:
+            full_path = os.path.join(self._data_dir, dataset_name)
+            shutil.rmtree(full_path, ignore_errors=True)
+            url = f"{self.base_url}/Downloads/{dataset_name}.zip"
+            if extract_from_zip_url(url, target_dir=full_path) is None:
+                warnings.warn(
+                    f'dataset "{dataset_name}" could not be downloaded or '
+                    "extracted", category=RuntimeWarning, stacklevel=2,
+                )
+                return None, None
+        if not self._has_files(dataset_name):
+            warnings.warn(
+                f'dataset "{dataset_name}" has neither TXT nor ARFF files',
+                category=RuntimeWarning, stacklevel=2,
+            )
+            return None, None
         base = os.path.join(self._data_dir, dataset_name, dataset_name)
         loader = load_ucr_txt if self._has_files(dataset_name, "txt") \
             else load_arff_uea

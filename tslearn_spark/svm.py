@@ -192,7 +192,26 @@ class TimeSeriesSVC(_GakSVMBase):
         if self.class_weight == "balanced":
             w = {c: len(y) / (len(classes) * n) for c, n in zip(classes, counts)}
         else:
-            w = {c: float(self.class_weight.get(c, 1.0)) for c in classes}
+            # numpy-protocol fits stringify labels, so a {0: 10.0} dict
+            # must still match class '0' — try the raw key, then its
+            # string form, then a numeric parse of a string class
+            def _lookup(c):
+                cw = self.class_weight
+                if c in cw:
+                    return float(cw[c])
+                if str(c) in cw:
+                    return float(cw[str(c)])
+                try:
+                    f = float(c)
+                    if f in cw:
+                        return float(cw[f])
+                    if f == int(f) and int(f) in cw:
+                        return float(cw[int(f)])
+                except (TypeError, ValueError):
+                    pass
+                return 1.0
+
+            w = {c: _lookup(c) for c in classes}
         return np.array([self.C * w[c] for c in y])
 
     def fit(self, df: DataFrame, y=None,
@@ -200,6 +219,8 @@ class TimeSeriesSVC(_GakSVMBase):
         from tslearn_spark.bases import as_ts_df
 
         df, _ = as_ts_df(df, y=y, y_col=label_col)
+        if y is not None:
+            self._y_numeric = np.asarray(y).dtype.kind in "iufb"
         Gram = self._fit_gram(df)
         lab = {r["series_id"]: r[label_col]
                for r in df.select("series_id", label_col).collect()}
@@ -227,17 +248,12 @@ class TimeSeriesSVC(_GakSVMBase):
         from tslearn_spark.bases import as_ts_df, collect_col
 
         queries, was_array = as_ts_df(queries)
-        edges = self._query_gram_df(queries)
         train_ids = self._train_ids
         model = self.model_
         spark = queries.sparkSession
         bc = spark.sparkContext.broadcast((train_ids, model))
 
-        rows = (
-            edges.groupBy("id1")
-            .agg(F.map_from_arrays(F.collect_list("id2"),
-                                   F.collect_list("dist")).alias("krow"))
-        )
+        rows = self._krow_frame(queries)
 
         @F.pandas_udf("string")
         def vote(krows: pd.Series) -> pd.Series:
@@ -250,7 +266,8 @@ class TimeSeriesSVC(_GakSVMBase):
 
         out = rows.select(F.col("id1").alias("series_id"),
                           vote("krow").alias("prediction"))
-        return collect_col(out, was_array, "prediction", labels=True)
+        return collect_col(out, was_array, "prediction",
+                           labels=getattr(self, "_y_numeric", True))
 
     def _krow_frame(self, queries: DataFrame):
         edges = self._query_gram_df(queries)
