@@ -540,3 +540,23 @@ class TestMoreReferenceDoctests:
         path, sim = K.lcss_path_from_metric(s1, s2, metric="sqeuclidean")
         assert path == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
         assert sim == pytest.approx(1.0)
+
+
+class TestComputeMask:
+    def test_dispatch(self):
+        from tslearn_spark.metrics import (
+            compute_mask, itakura_mask, sakoe_chiba_mask,
+        )
+
+        np.testing.assert_array_equal(compute_mask(4, 4), np.zeros((4, 4)))
+        np.testing.assert_array_equal(
+            compute_mask(4, 4, global_constraint=2),
+            sakoe_chiba_mask(4, 4, 1))
+        np.testing.assert_array_equal(
+            compute_mask(6, 6, global_constraint=1), itakura_mask(6, 6))
+        # inference from the radius alone, and from series inputs
+        np.testing.assert_array_equal(
+            compute_mask(np.zeros(5), np.zeros(7), sakoe_chiba_radius=2),
+            sakoe_chiba_mask(5, 7, 2))
+        with pytest.raises(RuntimeWarning):
+            compute_mask(4, 4, sakoe_chiba_radius=1, itakura_max_slope=2.0)

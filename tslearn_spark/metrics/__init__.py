@@ -610,6 +610,35 @@ def itakura_mask(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray:
     return mask
 
 
+def compute_mask(s1, s2, global_constraint: int = 0,
+                 sakoe_chiba_radius=None, itakura_max_slope=None) -> np.ndarray:
+    """Constraint-region mask dispatch (dtw_variants.py:1060-1127):
+    s1/s2 may be series or plain integer sizes; global_constraint uses
+    the GLOBAL_CONSTRAINT_CODE ints (0 none, 1 itakura, 2 sakoe_chiba),
+    with the reference's inference and conflict-warning semantics."""
+    sz1 = s1 if isinstance(s1, int) else np.asarray(s1).shape[0]
+    sz2 = s2 if isinstance(s2, int) else np.asarray(s2).shape[0]
+    if (global_constraint == 0 and sakoe_chiba_radius is not None
+            and itakura_max_slope is not None):
+        raise RuntimeWarning(
+            "global_constraint is not set for DTW, but both "
+            "sakoe_chiba_radius and itakura_max_slope are set, hence "
+            "global_constraint cannot be inferred and no global "
+            "constraint will be used."
+        )
+    if global_constraint == 2 or (global_constraint == 0
+                                  and sakoe_chiba_radius is not None):
+        return sakoe_chiba_mask(
+            sz1, sz2,
+            radius=1 if sakoe_chiba_radius is None else sakoe_chiba_radius)
+    if global_constraint == 1 or (global_constraint == 0
+                                  and itakura_max_slope is not None):
+        return itakura_mask(
+            sz1, sz2,
+            max_slope=2.0 if itakura_max_slope is None else itakura_max_slope)
+    return np.zeros((sz1, sz2))
+
+
 def _np_cdist(dataset1, dataset2, pair_fn, diag) -> np.ndarray:
     """Shared triangle+mirror loop of the reference's _cdist_generic
     (metrics/utils.py:8-85); ``diag`` is the self-pair value, or None
@@ -738,7 +767,7 @@ def cdist_sax(dataset1, breakpoints_avg, size_fitted, dataset2=None,
 
 
 __all__ += [  # noqa: F405
-    "GLOBAL_CONSTRAINT_CODE", "SoftDTW", "SquaredEuclidean",
+    "GLOBAL_CONSTRAINT_CODE", "compute_mask", "SoftDTW", "SquaredEuclidean",
     "cdist_ctw", "cdist_dtw", "cdist_gak", "cdist_normalized_cc",
     "cdist_sax", "cdist_soft_dtw", "cdist_soft_dtw_normalized",
     "ctw", "ctw_path", "dtw", "dtw_limited_warping_length", "dtw_path",
