@@ -221,3 +221,49 @@ def test_text_codec_roundtrip_property(seed, sz, d):
     ts = rs.randn(sz, d) * 10.0 ** rs.randint(-3, 4)
     back = str_to_time_series(time_series_to_str(ts))
     np.testing.assert_array_equal(back, ts.astype(np.float64))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 64), st.sampled_from([1, 2]))
+def test_wav_decode_roundtrip_property(seed, n, ch):
+    """Any 16-bit PCM payload decodes back to its samples exactly."""
+    import io
+    import wave
+
+    from tslearn_spark.pipeline.multimodal import decode_wav
+
+    rs = np.random.RandomState(seed)
+    samples = rs.randint(-32768, 32768, size=n * ch).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    arr = decode_wav(buf.getvalue())
+    assert arr.shape == (n, ch)
+    np.testing.assert_allclose(arr.ravel(), samples / 32768.0, atol=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 9), st.integers(1, 9))
+def test_bmp_decode_roundtrip_property(seed, h, w):
+    """Any 24-bit uncompressed BMP (incl. padded row widths) decodes back
+    to its pixels exactly."""
+    import struct
+
+    from tslearn_spark.pipeline.multimodal import decode_bmp
+
+    rs = np.random.RandomState(seed)
+    px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * (row_bytes - w * 3)
+        for r in range(h - 1, -1, -1)
+    )
+    payload = (struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(body), 2835, 2835, 0, 0)
+               + body)
+    arr = decode_bmp(payload)
+    np.testing.assert_allclose(arr, px / 255.0, atol=1e-12)
