@@ -560,3 +560,86 @@ class TestComputeMask:
             sakoe_chiba_mask(5, 7, 2))
         with pytest.raises(RuntimeWarning):
             compute_mask(4, 4, sakoe_chiba_radius=1, itakura_max_slope=2.0)
+
+
+class TestItakuraNonSquare:
+    """Round-6 ADVICE: non-square itakura masks must match the reference's
+    _njit_itakura_mask construction (dtw_variants.py:959-1006) exactly."""
+
+    @staticmethod
+    def _ref_mask(sz1, sz2, max_slope=2.0):
+        # literal pure-python replay of the reference construction
+        min_slope = 1 / float(max_slope)
+        max_slope = max_slope * (float(sz1) / float(sz2))
+        min_slope = min_slope * (float(sz1) / float(sz2))
+        lower = np.ceil([max(round(min_slope * j, 2),
+                             round((sz1 - 1) - max_slope * (sz2 - 1)
+                                   + max_slope * j, 2))
+                         for j in range(sz2)])
+        upper = np.floor(np.array(
+            [min(round(max_slope * j, 2),
+                 round((sz1 - 1) - min_slope * (sz2 - 1) + min_slope * j, 2))
+             for j in range(sz2)]) + 1)
+        mask = np.full((sz1, sz2), np.inf)
+        for j in range(sz2):
+            mask[int(lower[j]):int(upper[j]), j] = 0.0
+        return mask
+
+    def test_nonsquare_masks_match_reference(self):
+        import warnings as _w
+
+        from tslearn_spark.metrics import itakura_mask
+
+        for sz1 in range(2, 16):
+            for sz2 in range(2, 16):
+                for slope in (1.0, 1.5, 2.0, 3.0):
+                    ref = self._ref_mask(sz1, sz2, slope)
+                    with _w.catch_warnings():
+                        _w.simplefilter("ignore")
+                        got = itakura_mask(sz1, sz2, slope)
+                    np.testing.assert_array_equal(
+                        np.isfinite(got), np.isfinite(ref),
+                        err_msg=f"sz1={sz1} sz2={sz2} slope={slope}")
+
+    def test_infeasible_warns(self):
+        import warnings as _w
+
+        from tslearn_spark.metrics import itakura_mask
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            itakura_mask(2, 5, 1.5)
+        assert any(issubclass(r.category, RuntimeWarning) for r in rec)
+
+    def test_dtw_respects_nonsquare_itakura(self):
+        # DP bounds derive from the same mask: an infeasible combo -> inf
+        rs = np.random.RandomState(3)
+        a, b = rs.rand(2, 1), rs.rand(5, 1)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            d = K.dtw(a, b, global_constraint="itakura", itakura_max_slope=1.5)
+        assert np.isinf(d)
+
+
+class TestNormalizedCCNorms:
+    def test_custom_norms_scale_denominator(self):
+        rs = np.random.RandomState(11)
+        a, b = rs.rand(8, 1), rs.rand(8, 1)
+        base = K.normalized_cc(a, b)
+        scaled = K.normalized_cc(a, b, norm1=2.0, norm2=3.0)
+        true = np.linalg.norm(a) * np.linalg.norm(b)
+        np.testing.assert_allclose(scaled, base * true / 6.0)
+
+    def test_cdist_normalized_cc_threads_norms(self):
+        from tslearn_spark.metrics import cdist_normalized_cc
+
+        rs = np.random.RandomState(12)
+        d1 = [rs.rand(8, 1) for _ in range(3)]
+        d2 = [rs.rand(8, 1) for _ in range(2)]
+        base = cdist_normalized_cc(d1, d2)
+        got = cdist_normalized_cc(d1, d2, norms1=[2.0] * 3, norms2=[5.0] * 2)
+        t1 = np.array([np.linalg.norm(x) for x in d1])
+        t2 = np.array([np.linalg.norm(x) for x in d2])
+        np.testing.assert_allclose(got, base * np.outer(t1, t2) / 10.0)

@@ -425,6 +425,9 @@ class TestClustering:
         )
         s = silhouette_score(df, labels, metric="euclidean")
         assert 0.5 < s <= 1.0
+        # arbitrary (non-integer) label values are accepted like the reference
+        s2 = silhouette_score(df, ["a"] * 4 + ["b"] * 4, metric="euclidean")
+        assert s2 == pytest.approx(s)
 
     def test_kernel_kmeans_runs(self, spark):
         from tslearn_spark.clustering import KernelKMeans

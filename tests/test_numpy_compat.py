@@ -252,6 +252,27 @@ class TestReviewRegressions:
             n_neighbors=1, metric="euclidean").fit(X, y).predict(X)
         np.testing.assert_array_equal(pred, y)  # strings stay strings
 
+    def test_smart_labels_round_trip_guard(self):
+        # round-6 ADVICE: '007' / '1e3' parse as numbers but must not be
+        # coerced — only clean round-trips come back numeric
+        from tslearn_spark.bases import _smart_labels
+
+        np.testing.assert_array_equal(_smart_labels(["1", "2"]), [1, 2])
+        np.testing.assert_array_equal(_smart_labels(["1.5", "2.5"]), [1.5, 2.5])
+        np.testing.assert_array_equal(_smart_labels(["7.0", "8.0"]), [7.0, 8.0])
+        assert _smart_labels(["7.0", "8.0"]).dtype.kind == "f"
+        np.testing.assert_array_equal(_smart_labels(["007", "1"]), ["007", "1"])
+        np.testing.assert_array_equal(_smart_labels(["1e3", "2"]), ["1e3", "2"])
+        np.testing.assert_array_equal(_smart_labels(["a", "b"]), ["a", "b"])
+
+    def test_label_categorizer_string_digit_labels(self, spark):
+        from tslearn_spark.labels import LabelCategorizer
+
+        lc = LabelCategorizer()
+        one_hot = lc.fit_transform(np.array(["007", "1", "007"]))
+        back = lc.inverse_transform(one_hot)
+        np.testing.assert_array_equal(back, ["007", "1", "007"])
+
     def test_unsupervised_fit_accepts_y(self, blobs):
         from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
 

@@ -86,19 +86,28 @@ def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
 
 
 def _smart_labels(values: list):
-    """String labels back to ints/floats when they round-trip cleanly —
+    """String labels back to ints/floats ONLY when they round-trip cleanly —
     numpy-input predictions should come back in the dtype the user's y
-    had (the engine stores labels as strings)."""
+    had (the engine stores labels as strings).  Labels like '007' or
+    '1e3' parse as numbers but don't round-trip, so they stay strings
+    (the reference preserves fitted label values verbatim)."""
     import numpy as np
 
     arr = np.asarray(values)
     try:
         f = arr.astype(np.float64)
-        if np.all(f % 1 == 0):
-            return f.astype(np.int64)
-        return f
     except (TypeError, ValueError):
         return arr
+    if arr.dtype.kind not in "US":  # already numeric
+        return f.astype(np.int64) if np.all(f % 1 == 0) else f
+    strs = [str(v) for v in arr.tolist()]
+    if np.all(f % 1 == 0):
+        as_int = f.astype(np.int64)
+        if all(str(c) == o for c, o in zip(as_int.tolist(), strs)):
+            return as_int
+    if all(str(c) == o for c, o in zip(f.tolist(), strs)):
+        return f
+    return arr
 
 
 def collect_col(out_df, was_array: bool, col: str, id_col: str = "series_id",

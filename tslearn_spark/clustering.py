@@ -920,8 +920,13 @@ def silhouette_score(df: DataFrame, labels, metric: str = "dtw", **params) -> fl
 
     df, _ = as_ts_df(df)
     if not isinstance(labels, DataFrame):
+        # arbitrary label values (strings, floats, ...) are accepted like
+        # the reference: map to dense integer codes for the groupBy key
+        import numpy as _np
+
+        _, codes = _np.unique(_np.asarray(labels), return_inverse=True)
         labels = df.sparkSession.createDataFrame(
-            [(int(i), int(c)) for i, c in enumerate(labels)],
+            [(int(i), int(c)) for i, c in enumerate(codes)],
             "series_id long, cluster int",
         )
 

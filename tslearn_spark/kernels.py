@@ -28,6 +28,8 @@ normalization) match the reference where cited.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 GLOBAL_CONSTRAINT_CODE = {None: 0, "": 0, "itakura": 1, "sakoe_chiba": 2}
@@ -77,25 +79,57 @@ def sakoe_chiba_bounds(sz1: int, sz2: int, radius: int) -> tuple[np.ndarray, np.
     return lo.astype(np.int64), hi.astype(np.int64)
 
 
-def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row column bounds of the Itakura parallelogram.
+def _itakura_col_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact per-COLUMN row bounds of the Itakura parallelogram.
 
-    Reference (dtw_variants.py:958-1035) builds the mask from four slope
-    lines; we reproduce the same feasible set as [lo, hi] row windows.
+    Reproduces _njit_itakura_mask (dtw_variants.py:959-1006) to the digit:
+    slopes scaled by sz1/sz2, each line value rounded to 2 decimals, then
+    ceil for the lower bound and floor(x+1) for the (exclusive) upper bound.
+    Column ``j`` allows rows ``lower[j] <= i < upper[j]`` with numpy slice
+    semantics (a negative ``upper`` wraps, exactly as the reference's
+    ``mask[int(lo):int(hi), j] = 0`` does).
     """
-    min_slope = 1.0 / max_slope
-    i = np.arange(sz1, dtype=np.float64)
-    upper1 = max_slope * i * (sz2 - 1) / (sz1 - 1) if sz1 > 1 else np.zeros(sz1)
-    upper2 = ((sz2 - 1) + min_slope * (i - (sz1 - 1)) * (sz2 - 1) / (sz1 - 1)
-              if sz1 > 1 else np.full(sz1, sz2 - 1, dtype=np.float64))
-    lower1 = min_slope * i * (sz2 - 1) / (sz1 - 1) if sz1 > 1 else np.zeros(sz1)
-    lower2 = ((sz2 - 1) + max_slope * (i - (sz1 - 1)) * (sz2 - 1) / (sz1 - 1)
-              if sz1 > 1 else np.full(sz1, sz2 - 1, dtype=np.float64))
-    hi = np.floor(np.minimum(upper1, upper2) + 1e-9)
-    lo = np.ceil(np.maximum(lower1, lower2) - 1e-9)
-    lo = np.clip(lo, 0, sz2 - 1)
-    hi = np.clip(hi, 0, sz2 - 1)
-    return lo.astype(np.int64), hi.astype(np.int64)
+    min_slope = (1.0 / float(max_slope)) * (float(sz1) / float(sz2))
+    max_slope = float(max_slope) * (float(sz1) / float(sz2))
+    j = np.arange(sz2, dtype=np.float64)
+    lower = np.ceil(np.maximum(
+        np.round(min_slope * j, 2),
+        np.round((sz1 - 1) - max_slope * (sz2 - 1) + max_slope * j, 2)))
+    upper = np.floor(np.minimum(
+        np.round(max_slope * j, 2),
+        np.round((sz1 - 1) - min_slope * (sz2 - 1) + min_slope * j, 2)) + 1)
+    return lower.astype(np.int64), upper.astype(np.int64)
+
+
+def itakura_mask_array(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray:
+    """Full (sz1, sz2) Itakura mask, 0 feasible / inf outside — bit-for-bit
+    the reference's _njit_itakura_mask output (dtw_variants.py:959-1006),
+    including its slice semantics for out-of-range bounds."""
+    lower, upper = _itakura_col_bounds(sz1, sz2, max_slope)
+    mask = np.full((sz1, sz2), np.inf)
+    for jj in range(sz2):
+        mask[int(lower[jj]):int(upper[jj]), jj] = 0.0
+    return mask
+
+
+def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row [lo, hi] inclusive column bounds of the Itakura parallelogram.
+
+    Derived from the reference-exact mask (itakura_mask_array): row ``i``
+    spans the first..last finite column.  Rows with no feasible column
+    (infeasible size/slope combos, which the reference warns about) get
+    lo > hi and the DP leaves them at inf.
+    """
+    mask = itakura_mask_array(sz1, sz2, max_slope)
+    finite = np.isfinite(mask)
+    lo = np.zeros(sz1, dtype=np.int64)
+    hi = np.full(sz1, -1, dtype=np.int64)
+    for i in range(sz1):
+        idx = np.nonzero(finite[i])[0]
+        if idx.size:
+            lo[i] = idx[0]
+            hi[i] = idx[-1]
+    return lo, hi
 
 
 def _bounds(sz1, sz2, global_constraint=None, sakoe_chiba_radius=None, itakura_max_slope=None):
@@ -146,13 +180,16 @@ def dtw_accumulated_matrix(s1, s2, global_constraint=None, sakoe_chiba_radius=No
     D = sq_dist_matrix(s1, s2)
     C = np.full((sz1, sz2), np.inf)
     l0, h0 = lo[0], hi[0]
-    C[0, l0:h0 + 1] = np.cumsum(D[0, l0:h0 + 1])
-    if l0 > 0:  # row starts past column 0: unreachable from C[0,0]
+    if l0 <= h0:
+        C[0, l0:h0 + 1] = np.cumsum(D[0, l0:h0 + 1])
+    if l0 > 0:  # (0,0) outside the band: no admissible path through row 0
         C[0, :] = np.inf
-        C[0, 0] = D[0, 0]
     prev = C[0]
     for i in range(1, sz1):
         li, hi_i = lo[i], hi[i]
+        if hi_i < li:  # infeasible row (e.g. unfeasible itakura combo)
+            prev = C[i]
+            continue
         d = D[i, li:hi_i + 1]
         # A[j] = D[i,j] + min(prev[j], prev[j-1])
         up = prev[li:hi_i + 1]
@@ -1064,15 +1101,20 @@ def lcss_batch(A: np.ndarray, B: np.ndarray, eps: float = 1.0,
 # normalized cross-correlation / SBD (reference: cycc.pyx:16-96)
 # ---------------------------------------------------------------------------
 
-def normalized_cc(s1, s2) -> np.ndarray:
+def normalized_cc(s1, s2, norm1: float = -1.0, norm2: float = -1.0) -> np.ndarray:
     """Full normalized cross-correlation profile over shifts (cycc.pyx:16-41).
 
     FFT-based, padded to the next power of two >= 2*sz-1; normalized by
-    ||s1|| * ||s2||; multivariate: correlations summed over dims.
+    ``norm1 * norm2`` (negative norms recomputed as the true L2 norms, like
+    the reference); multivariate: correlations summed over dims.
     """
     s1, s2 = to_2d(s1), to_2d(s2)
     sz = s1.shape[0]
-    denom = np.linalg.norm(s1) * np.linalg.norm(s2)
+    if norm1 < 0.0:
+        norm1 = float(np.linalg.norm(s1))
+    if norm2 < 0.0:
+        norm2 = float(np.linalg.norm(s2))
+    denom = norm1 * norm2
     if denom < 1e-9:
         denom = np.inf
     fft_sz = 1 << int(np.ceil(np.log2(2 * sz - 1)))
@@ -1088,14 +1130,24 @@ def normalized_cc_max(s1, s2) -> float:
     return float(normalized_cc(s1, s2).max())
 
 
-def y_shifted_sbd_vec(ref, dataset_arrays):
-    """Align each series to ``ref`` at its best SBD shift, zero-padded (cycc.pyx:71-96)."""
+def y_shifted_sbd_vec(ref, dataset_arrays, norm_ref: float = -1.0,
+                      norms_dataset=None):
+    """Align each series to ``ref`` at its best SBD shift, zero-padded
+    (cycc.pyx:71-96); caller-supplied norms are threaded into the CC
+    denominator exactly like the reference."""
     ref = to_2d(ref)
     sz = ref.shape[0]
+    if norms_dataset is None:
+        norms_dataset = np.full(len(dataset_arrays), -1.0)
+    else:
+        norms_dataset = np.asarray(norms_dataset, dtype=np.float64)
+        if (norms_dataset < 0.0).any():
+            norms_dataset = np.array(
+                [np.linalg.norm(to_2d(ts)) for ts in dataset_arrays])
     out = []
-    for ts in dataset_arrays:
+    for k, ts in enumerate(dataset_arrays):
         ts = to_2d(ts)
-        cc = normalized_cc(ref, ts)
+        cc = normalized_cc(ref, ts, norm1=norm_ref, norm2=float(norms_dataset[k]))
         shift = int(np.argmax(cc)) - (sz - 1)
         aligned = np.zeros_like(ts)
         # note: cc index k corresponds to shifting ts by (k - (sz-1))

@@ -16,6 +16,7 @@ same query runs on a laptop or a 1000-executor cluster:
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 import numpy as np
@@ -600,13 +601,17 @@ def sakoe_chiba_mask(sz1: int, sz2: int, radius: int = 1) -> np.ndarray:
 
 
 def itakura_mask(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray:
-    """Full (sz1, sz2) Itakura parallelogram mask
-    (dtw_variants.py:1009-1060)."""
-    lo, hi = K.itakura_bounds(sz1, sz2, max_slope)
-    mask = np.full((sz1, sz2), np.inf)
-    for i in range(sz1):
-        if lo[i] <= hi[i]:
-            mask[i, lo[i]:hi[i] + 1] = 0.0
+    """Full (sz1, sz2) Itakura parallelogram mask (dtw_variants.py:1009-1060):
+    the reference-exact column-wise construction, plus the reference's
+    infeasibility RuntimeWarning when a full row or column has no finite
+    cell."""
+    mask = K.itakura_mask_array(sz1, sz2, max_slope)
+    finite = np.isfinite(mask)
+    if (not finite.any(axis=1).all()) or (not finite.any(axis=0).all()):
+        warnings.warn("'itakura_max_slope' constraint is unfeasible "
+                      "(ie. leads to no admissible path) for the "
+                      "provided time series sizes",
+                      RuntimeWarning)
     return mask
 
 
@@ -730,7 +735,8 @@ def cdist_normalized_cc(dataset1, dataset2, norms1=None, norms2=None,
             elif self_similarity and i == j:
                 out[i, j] = 0.0
             else:
-                out[i, j] = float(K.normalized_cc(d1[i], d2[j]).max())
+                out[i, j] = float(K.normalized_cc(
+                    d1[i], d2[j], norm1=float(n1[i]), norm2=float(n2[j])).max())
     return out
 
 

@@ -345,7 +345,8 @@ class TimeSeriesSVC(_GakSVMBase):
                         votes[a if d[k] > 0 else b] += 1
                         conf[a] += d[k]
                         conf[b] -= d[k]
-                    tie = conf / (3.0 * (np.abs(conf).max() + 1.0))
+                    # sklearn _ovr_decision_function: element-wise bound
+                    tie = conf / (3.0 * (np.abs(conf) + 1.0))
                     d = votes + tie
                 out.append([float(x) for x in d])
             return pd.Series(out)
