@@ -233,3 +233,417 @@ class TestKnnDtwClassifyOracle:
             dists = sorted(_naive_dtw_banded(qv, tv, 5) for tv in train.values())
             assert dists[1] - dists[0] > 1e-9 or expected == got[q]
             assert got[q] == expected
+
+
+# ---------------------------------------------------------------------------
+# round-6: replay oracles for the remaining rows-only model queries
+# ---------------------------------------------------------------------------
+
+def _resample(v: np.ndarray, sz: int) -> np.ndarray:
+    """Linear interpolation to sz points (preprocessing.py:15-100 lerp)."""
+    if len(v) == 1:
+        return np.full(sz, v[0])
+    return np.interp(np.linspace(0.0, len(v) - 1, sz), np.arange(len(v)), v)
+
+
+def _xxhash_order(spark, ids, seed: int) -> list[int]:
+    """The engine's deterministic sample order: ids sorted by Spark's
+    builtin xxhash64(seed, id) (clustering.py _collect_sample).  Uses the
+    Spark BUILTIN hash only — no tslearn_spark code."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(int(i),) for i in ids], "series_id long")
+    rows = (df.select("series_id",
+                      F.xxhash64(F.lit(seed), F.col("series_id")).alias("h"))
+            .orderBy("h").collect())
+    return [r["series_id"] for r in rows]
+
+
+def _k_init_replay(sample, k, rs, dist_fn):
+    """k-means++ seeding protocol (reference kmeans.py:50-133): first
+    center uniform, next drawn prop. to squared closest distance with
+    2+log(k) greedy local trials."""
+    n = len(sample)
+    n_local_trials = 2 + int(np.log(k))
+    centers = [sample[int(rs.randint(n))]]
+    closest = np.array([float(dist_fn(centers[0], x)) ** 2 for x in sample])
+    for _ in range(1, k):
+        pot = closest.sum()
+        if pot <= 0.0:
+            centers.append(sample[int(rs.randint(n))])
+            continue
+        rand_vals = rs.uniform(size=n_local_trials) * pot
+        cand_ids = np.searchsorted(np.cumsum(closest), rand_vals)
+        np.clip(cand_ids, None, n - 1, out=cand_ids)
+        best = None
+        for cid in cand_ids:
+            d = np.array([float(dist_fn(sample[cid], x)) ** 2 for x in sample])
+            new_closest = np.minimum(closest, d)
+            npot = new_closest.sum()
+            if best is None or npot < best[0]:
+                best = (npot, int(cid), new_closest)
+        centers.append(sample[best[1]])
+        closest = best[2]
+    return centers
+
+
+def _euclid(a, b):
+    return float(np.sqrt(np.sum((a - b) ** 2)))
+
+
+class _EmptyCluster(Exception):
+    pass
+
+
+def _ncc_profile(v1, v2):
+    """Exact (non-FFT) NCC profile, index k <-> shift k-(n-1)
+    (cycc.pyx:16-41)."""
+    n = len(v1)
+    denom = np.linalg.norm(v1) * np.linalg.norm(v2)
+    if denom < 1e-9:
+        denom = np.inf
+    out = np.empty(2 * n - 1)
+    for k in range(2 * n - 1):
+        m = k - (n - 1)
+        out[k] = sum(v1[i] * v2[i - m] for i in range(n) if 0 <= i - m < n) / denom
+    return out
+
+
+def _sbd_dist(v1, v2):
+    return 1.0 - float(_ncc_profile(v1, v2).max())
+
+
+def _y_shift(ref, ts):
+    """Best-shift alignment, zero-padded (cycc.pyx:71-96)."""
+    n = len(ref)
+    shift = int(np.argmax(_ncc_profile(ref, ts))) - (n - 1)
+    aligned = np.zeros_like(ts)
+    if shift == 0:
+        aligned = ts.copy()
+    elif shift > 0:
+        aligned[shift:] = ts[:-shift]
+    else:
+        aligned[:shift] = ts[-shift:]
+    return aligned
+
+
+def _shape_extract(members, center):
+    """KShape shape extraction (kshape.py:110-135): top eigenvector of the
+    centered aligned Gram, reference sign criterion, z-normalized."""
+    X = np.stack([_y_shift(center, m) for m in members])
+    sz = X.shape[1]
+    Q = np.eye(sz) - np.ones((sz, sz)) / sz
+    _, V = np.linalg.eigh(Q.T @ (X.T @ X) @ Q)
+    mu = V[:, -1]
+    d_plus = float(np.sqrt(((X - mu) ** 2).sum(axis=1)).sum())
+    d_minus = float(np.sqrt(((X + mu) ** 2).sum(axis=1)).sum())
+    if d_minus < d_plus:
+        mu = -mu
+    sd = mu.std()
+    return (mu - mu.mean()) / (sd if sd > 0 else 1.0)
+
+
+class TestClusteringLabelsOracle:
+    def test_replay(self, spark):
+        """clustering_labels: full engine-free numpy replay of BOTH flows —
+        Lloyd's k-means (kmeans.py:729-790: k-means++ init, 5 iterations,
+        positionwise-mean update, empty-cluster retry) and KShape
+        (kshape.py:153-184: random init, SBD assignment, shape extraction,
+        inertia rollback).  Only the deterministic xxhash64 sample ORDER
+        is read back through the Spark builtin hash."""
+        import __spark_entry__ as entry
+
+        got = {
+            r.series_id: (r.kmeans_cluster, r.kshape_cluster)
+            for r in entry.queries()["clustering_labels"](spark, SF_DIR).collect()
+        }
+        raw = _series_from_parquet()
+
+        # --- TimeSeriesKMeans(metric=euclidean, k=3, max_iter=5, rs=0)
+        series16 = {u: _znorm(_resample(v, 16)) for u, v in raw.items()}
+        ids = sorted(series16)
+        centers = None
+        for attempt in range(10):
+            seed = attempt  # random_state=0 + attempt
+            order = _xxhash_order(spark, ids, seed)
+            rs = np.random.RandomState(seed)
+            cand = _k_init_replay([series16[u] for u in order], 3, rs, _euclid)
+            try:
+                prev_inertia = np.inf
+                for _ in range(5):
+                    assign = {u: int(np.argmin([_euclid(series16[u], c)
+                                                for c in cand])) for u in ids}
+                    inertia = float(np.mean(
+                        [min(_euclid(series16[u], c) for c in cand) ** 2
+                         for u in ids]))
+                    new = []
+                    for c in range(3):
+                        members = [series16[u] for u in ids if assign[u] == c]
+                        if not members:
+                            raise _EmptyCluster()
+                        new.append(np.mean(members, axis=0))
+                    cand = new
+                    if abs(prev_inertia - inertia) < 1e-6:
+                        break
+                    prev_inertia = inertia
+                centers = cand
+                break
+            except _EmptyCluster:
+                continue
+        assert centers is not None
+        for u in ids:
+            d = sorted(_euclid(series16[u], c) for c in centers)
+            expected = int(np.argmin([_euclid(series16[u], c) for c in centers]))
+            assert d[1] - d[0] > 1e-9  # no assignment near-ties at sf0.001
+            assert got[u][0] == expected
+
+        # --- KShape(k=3, max_iter=4, rs=0) on resample-32 (engine z-norms)
+        series32 = {u: _znorm(_resample(v, 32))
+                    for u, v in raw.items() if len(v) >= 2}
+        ids32 = sorted(series32)
+        centers = None
+        for attempt in range(10):
+            seed = attempt
+            order = _xxhash_order(spark, ids32, seed)
+            rs = np.random.RandomState(seed)
+            idx = rs.choice(len(order), size=3, replace=False)
+            cand = [series32[order[i]] for i in idx]
+            try:
+                prev_inertia = np.inf
+                for _ in range(4):
+                    assign = {u: int(np.argmin([_sbd_dist(c, series32[u])
+                                                for c in cand])) for u in ids32}
+                    inertia = float(np.mean(
+                        [min(_sbd_dist(c, series32[u]) for c in cand) ** 2
+                         for u in ids32]))
+                    if inertia > prev_inertia:  # rollback (kshape.py:180-184)
+                        break
+                    new = []
+                    for c in range(3):
+                        members = [series32[u] for u in ids32 if assign[u] == c]
+                        if not members:
+                            raise _EmptyCluster()
+                        new.append(_shape_extract(members, cand[c]))
+                    cand = new
+                    if abs(prev_inertia - inertia) < 1e-6:
+                        break
+                    prev_inertia = inertia
+                centers = cand
+                break
+            except _EmptyCluster:
+                continue
+        assert centers is not None
+        for u in ids32:
+            d = sorted(_sbd_dist(c, series32[u]) for c in centers)
+            expected = int(np.argmin([_sbd_dist(c, series32[u]) for c in centers]))
+            assert d[1] - d[0] > 1e-9
+            assert got[u][1] == expected
+
+
+class TestKernelKMeansPredictOracle:
+    def test_replay(self, spark):
+        """kernel_kmeans_predict: the reference criterion dist(i,C) =
+        2 - 2*sum_{j in C} K_ij/|C| (kmeans.py:390-455) replayed over a
+        naive-GAK Gram, incl. the random-label init protocol, empty-
+        cluster retries, and the cross-Gram predict."""
+        import __spark_entry__ as entry
+
+        got = {
+            r.series_id: r.cluster
+            for r in entry.queries()["kernel_kmeans_predict"](spark, SF_DIR).collect()
+        }
+        raw = _series_from_parquet()
+        s16 = {u: _znorm(_resample(v, 16)) for u, v in raw.items()}
+        train = {u: v for u, v in s16.items() if u % 2 == 0}
+        test = {u: v for u, v in s16.items() if u % 2 == 1}
+        ids = sorted(train)
+        G = {(a, b): _naive_gak(train[a], train[b], 2.0)
+             for a in ids for b in ids}
+        lab = None
+        for attempt in range(10):
+            rs = np.random.RandomState(attempt)  # random_state=0 + attempt
+            cand = {i: int(rs.randint(3)) for i in ids}
+            try:
+                if len(set(cand.values())) < 3:
+                    raise _EmptyCluster()
+                prev_inertia = np.inf
+                for _ in range(5):
+                    newlab = {}
+                    tot = 0.0
+                    for i in ids:
+                        best = None
+                        for c in range(3):
+                            mem = [j for j in ids if cand[j] == c]
+                            if not mem:
+                                continue
+                            d2 = 2.0 - 2.0 * sum(G[(i, j)] for j in mem) / len(mem)
+                            if best is None or (d2, c) < best:
+                                best = (d2, c)
+                        newlab[i] = best[1]
+                        tot += best[0]
+                    cand = newlab
+                    if len(set(cand.values())) < 3:
+                        raise _EmptyCluster()
+                    if abs(prev_inertia - tot) < 1e-6:
+                        break
+                    prev_inertia = tot
+                lab = cand
+                break
+            except _EmptyCluster:
+                continue
+        assert lab is not None
+        assert set(got) == set(test)
+        for q, qv in test.items():
+            scores = []
+            for c in range(3):
+                mem = [j for j in ids if lab[j] == c]
+                d2 = 2.0 - 2.0 * sum(_naive_gak(qv, train[j], 2.0)
+                                     for j in mem) / len(mem)
+                scores.append(d2)
+            d = sorted(scores)
+            assert d[1] - d[0] > 1e-9
+            assert got[q] == int(np.argmin(scores))
+
+
+class TestSvcGakClassifyOracle:
+    def test_replay(self, spark):
+        """svc_gak_classify: dual feasibility + KKT margins verified against
+        a NAIVE-GAK Gram (reference svm.py:68-371 / libsvm dual), and every
+        driver-query prediction replayed as sign(K_naive @ dual + b)."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        from tslearn_spark.preprocessing import transform_mean_variance
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        got = {
+            r.series_id: r.prediction
+            for r in entry.queries()["svc_gak_classify"](spark, SF_DIR).collect()
+        }
+        # deterministic refit (same construction as the query) for internals
+        ts = transform_mean_variance(
+            entry._events_series(spark, SF_DIR).where(F.col("series_id") < 40)
+        )
+        labeled = ts.withColumn("label", (F.col("series_id") % 2).cast("string"))
+        clf = TimeSeriesSVC(C=1.0, gamma="auto").fit(
+            labeled.where(F.col("series_id") % 3 != 0))
+        (_, _, mach, _) = clf.model_.machines_[0]
+        alpha, C = mach.alpha_, 1.0
+        assert (alpha >= -1e-9).all() and (alpha <= C + 1e-9).all()
+        assert abs(float(mach.dual_coef_.sum())) < 1e-8  # sum alpha_i y_i = 0
+
+        zser = {u: _znorm(v) for u, v in _series_from_parquet().items() if u < 40}
+        tr = [zser[i] for i in clf._train_ids]
+        sig = clf.sigma_
+        Gtr = np.array([[_naive_gak(x, y_, sig) for y_ in tr] for x in tr])
+        f = Gtr @ mach.dual_coef_ + mach.b_
+        y = np.array([1.0 if i % 2 == 0 else -1.0 for i in clf._train_ids])
+        for i in range(len(tr)):
+            m_i = y[i] * f[i]
+            if alpha[i] < 1e-8:
+                assert m_i >= 1 - 1e-2       # correctly outside the margin
+            elif alpha[i] > C - 1e-8:
+                assert m_i <= 1 + 1e-2       # at the box: inside/on margin
+            else:
+                assert abs(m_i - 1) <= 1e-2  # free SV: on the margin
+
+        test_ids = [u for u in sorted(zser) if u % 3 == 0]
+        assert set(got) == set(test_ids)
+        for u in test_ids:
+            krow = np.array([_naive_gak(zser[u], t, sig) for t in tr])
+            dec = float(krow @ mach.dual_coef_ + mach.b_)
+            assert abs(dec) > 1e-9
+            assert got[u] == (str(clf.classes_[0]) if dec > 0
+                              else str(clf.classes_[1]))
+
+
+class TestMlpClassifyOracle:
+    def test_replay(self, spark):
+        """mlp_classify: the driver-query predictions replayed with a pure
+        numpy forward pass (affine+sigmoid hidden, affine argmax out —
+        MLlib MLP topology) over the fitted flat weight vector, plus a
+        train-accuracy floor."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        from tslearn_spark.neural_network import TimeSeriesMLPClassifier
+        from tslearn_spark.preprocessing import resample as rsp
+        from tslearn_spark.preprocessing import transform_mean_variance
+
+        got = {
+            r.series_id: r.prediction
+            for r in entry.queries()["mlp_classify"](spark, SF_DIR).collect()
+        }
+        ts16 = transform_mean_variance(rsp(
+            entry._events_series(spark, SF_DIR).where(F.size("values") >= 2), 16
+        )).cache()
+        ts16.count()
+        labeled = ts16.withColumn("label", (F.col("series_id") % 3).cast("string"))
+        clf = TimeSeriesMLPClassifier(hidden_layer_sizes=(32,), max_iter=60,
+                                      random_state=0).fit(labeled)
+        w = np.asarray(clf.model_.weights.toArray())
+        layers = [16, 32, 3]
+        assert len(w) == 16 * 32 + 32 + 32 * 3 + 3
+
+        def forward(x):
+            off, h = 0, x
+            for li in range(len(layers) - 1):
+                nin, nout = layers[li], layers[li + 1]
+                W = w[off:off + nin * nout].reshape(nin, nout).T
+                off += nin * nout
+                b = w[off:off + nout]
+                off += nout
+                z = W @ h + b
+                h = 1.0 / (1.0 + np.exp(-z)) if li < len(layers) - 2 else z
+            return h
+
+        raw = _series_from_parquet()
+        s16 = {u: _znorm(_resample(v, 16)) for u, v in raw.items() if len(v) >= 2}
+        classes = [str(c) for c in clf.classes_]
+        assert set(got) == set(s16)
+        correct = 0
+        for u, v in s16.items():
+            out = forward(v)
+            top = np.sort(out)
+            assert top[-1] - top[-2] > 1e-9
+            pred = classes[int(np.argmax(out))]
+            assert got[u] == pred
+            correct += pred == str(u % 3)
+        assert correct >= int(0.8 * len(s16))  # deterministic overfit floor
+
+
+class TestShapeletTransformOracle:
+    def test_replay(self, spark):
+        """shapelet_transform: the learned bank's min-distance transform
+        (shapelets.py:514-540) recomputed naively — min over positions of
+        mean squared diff — against the driver-query output."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        from tslearn_spark.preprocessing import resample as rsp
+        from tslearn_spark.preprocessing import transform_mean_variance
+        from tslearn_spark.shapelets import LearningShapelets
+
+        got = {
+            (r.user_id, r.shapelet_idx): r.min_dist
+            for r in entry.queries()["shapelet_transform"](spark, SF_DIR).collect()
+        }
+        ts32 = transform_mean_variance(rsp(
+            entry._events_series(spark, SF_DIR).where(F.size("values") >= 2), 32
+        ))
+        labeled = ts32.withColumn("label", (F.col("series_id") % 3).cast("string")).cache()
+        labeled.count()
+        clf = LearningShapelets(n_shapelets_per_size={8: 4}, max_iter=50,
+                                random_state=0).fit(labeled)
+        bank = [np.asarray(s, dtype=np.float64).ravel() for s in clf.shapelets_]
+        assert [len(s) for s in bank] == [8, 8, 8, 8]
+
+        raw = _series_from_parquet()
+        s32 = {u: _znorm(_resample(v, 32)) for u, v in raw.items() if len(v) >= 2}
+        assert set(u for u, _ in got) == set(s32)
+        for u, v in s32.items():
+            for k, shp in enumerate(bank):
+                L = len(shp)
+                dd = [float(np.mean((v[p:p + L] - shp) ** 2))
+                      for p in range(len(v) - L + 1)]
+                assert got[(u, k)] == pytest.approx(min(dd), abs=1.5e-4)
