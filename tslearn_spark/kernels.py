@@ -326,7 +326,8 @@ def dtw_full_batch_mixed(arrs_a: list, arrs_b: list) -> np.ndarray:
     return out
 
 
-def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None) -> np.ndarray:
+def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None,
+                           tau2: np.ndarray | None = None) -> np.ndarray:
     """Banded DTW for a batch of MIXED-shape pairs — padded, masked DP.
 
     ``dtw_banded_batch`` needs same-shape stacks, so with variable-length
@@ -347,6 +348,14 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
     each chunk's band width homogeneous): measured 152us/pair at 512 vs
     236us/pair at 8192 on events-like lengths — callers can hand over
     whole Arrow batches without their own sub-batching.
+
+    ``tau2``: optional per-pair SQUARED distance caps (early abandon).
+    A pair whose running per-row band minimum exceeds its cap can never
+    finish below the cap (every warping path crosses every row), so its
+    result is reported as +inf and its vector lane is reclaimed when
+    enough of the batch is abandoned.  EXACT for top-k pruning: callers
+    pass the current k-th-best squared distance and treat +inf as
+    "provably worse than the current top-k".
     """
     if radius is None:
         return dtw_full_batch_mixed(arrs_a, arrs_b)
@@ -359,7 +368,8 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
         for s in range(0, n, _DTW_FULL_SUBBATCH):
             sel = order[s : s + _DTW_FULL_SUBBATCH]
             out[sel] = dtw_banded_batch_mixed(
-                [arrs_a[i] for i in sel], [arrs_b[i] for i in sel], radius
+                [arrs_a[i] for i in sel], [arrs_b[i] for i in sel], radius,
+                tau2=None if tau2 is None else np.asarray(tau2)[sel],
             )
         return out
     la = np.fromiter((a.shape[0] for a in arrs_a), dtype=np.int64, count=n)
@@ -392,21 +402,32 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
     res = np.empty(n)
     prev = np.empty((n, W))
     prev_lo = np.zeros(n, dtype=np.int64)
+    # `keep` maps live batch lanes back to original pair indices; lanes are
+    # reclaimed (arrays compacted) when tau2 abandons enough of the batch
+    keep = np.arange(n)
+    tau2v = None if tau2 is None else np.asarray(tau2, dtype=np.float64)
+    rows_idx = np.arange(n)[:, None]
+    rows_1d = np.arange(n)
+    if d == 1:
+        # pad so a full-W window starting at any cur_lo stays in bounds,
+        # then each row's B window is ONE row-gather over the window view
+        Bp = np.zeros((n, L2 + W))
+        Bp[:, :L2] = B[:, :, 0]
+        BW = np.lib.stride_tricks.sliding_window_view(Bp, W, axis=1)
     for i in range(L1):
         cur_lo = np.maximum(0, i - wlo)
         hi_i = np.minimum(lb - 1, i + whi)
         width = hi_i - cur_lo  # inclusive: valid k in [0, width]
         # window cost row: D[p, k] = dist(A[p, i], B[p, cur_lo[p] + k])^2
-        idxB = np.minimum(cur_lo[:, None] + kgrid, L2 - 1)
         if d == 1:
-            Dw = (A[:, i, 0][:, None] - np.take_along_axis(B[:, :, 0], idxB, 1)) ** 2
+            # rows past a pair's la are fully dead; clamp their window
+            # start into range — the values are masked to inf below
+            Dw = (A[:, i, 0][:, None] - BW[rows_1d, np.minimum(cur_lo, L2)]) ** 2
         else:
-            Dw = np.zeros((n, W))
+            idxB = np.minimum(cur_lo[:, None] + kgrid, L2 - 1)
+            Dw = np.zeros((len(keep), W))
             for dim in range(d):
-                Dw += (
-                    A[:, i, dim][:, None]
-                    - np.take_along_axis(B[:, :, dim], idxB, 1)
-                ) ** 2
+                Dw += (A[:, i, dim][:, None] - B[:, :, dim][rows_idx, idxB]) ** 2
         dead = (kgrid > width[:, None]) | (i >= la)[:, None]
         if i == 0:
             row = np.cumsum(Dw, axis=1)
@@ -415,10 +436,17 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
             shift = cur_lo - prev_lo  # this row's k=0 in prev-row k coords
             idxU = kgrid + shift[:, None]
             okU = (idxU >= 0) & (idxU < W)
-            up = np.where(okU, np.take_along_axis(prev, np.clip(idxU, 0, W - 1), 1), np.inf)
-            idxD = idxU - 1
-            okD = (idxD >= 0) & (idxD < W)
-            diag = np.where(okD, np.take_along_axis(prev, np.clip(idxD, 0, W - 1), 1), np.inf)
+            idxUc = np.minimum(np.maximum(idxU, 0), W - 1)
+            up = np.where(okU, prev[rows_idx, idxUc], np.inf)
+            # idxU is consecutive in k, so the diagonal gather is the up
+            # gather shifted one lane right; only lane 0 needs its own read
+            diag = np.empty_like(up)
+            diag[:, 1:] = up[:, :-1]
+            d0 = shift - 1
+            ok0 = (d0 >= 0) & (d0 < W)
+            diag[:, 0] = np.where(
+                ok0, prev[rows_1d, np.minimum(np.maximum(d0, 0), W - 1)],
+                np.inf)
             a = Dw + np.minimum(up, diag)
             # mask BEFORE the horizontal accumulate: a live cell must not
             # chain off an out-of-band cell to its left
@@ -430,7 +458,29 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
         done = la == i + 1
         if done.any():
             idx = np.nonzero(done)[0]
-            res[idx] = row[idx, lb[idx] - 1 - cur_lo[idx]]
+            res[keep[idx]] = row[idx, lb[idx] - 1 - cur_lo[idx]]
+        if tau2v is not None and i + 1 < L1:
+            # exact early abandon: every path visits every DP row, so a
+            # running band minimum above the cap bounds the final cost
+            drop = (np.min(row, axis=1) > tau2v) & (la > i + 1)
+            # compact only when a meaningful share of lanes died — the
+            # copy is O(alive * L) and must not run every row
+            if drop.mean() > 0.25:
+                res[keep[drop]] = np.inf
+                alive = ~drop
+                keep = keep[alive]
+                if keep.size == 0:
+                    return np.sqrt(res)
+                la, lb = la[alive], lb[alive]
+                wlo, whi = wlo[alive], whi[alive]
+                A, B = A[alive], B[alive]
+                if d == 1:
+                    Bp = Bp[alive]
+                    BW = np.lib.stride_tricks.sliding_window_view(Bp, W, axis=1)
+                row, cur_lo = row[alive], cur_lo[alive]
+                tau2v = tau2v[alive]
+                rows_idx = np.arange(keep.size)[:, None]
+                rows_1d = np.arange(keep.size)
         prev = row
         prev_lo = cur_lo
     return np.sqrt(res)

@@ -210,8 +210,21 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
     n_t = len(t_arrs)
     chunk_q = max(1, 65536 // max(n_t, 1))  # ~64k pairs per kernel call
 
+    # seed-and-cap pays only where the DP lanes are expensive: the per-row
+    # interpreter cost of the batched kernel is fixed, so abandoning lanes
+    # saves time only when (band width x series length) dominates it.
+    # Measured on local[32]: events-like sz~67 W~16 -> capped is a net LOSS
+    # despite 44% abandonment; sz=128 W=11 -> breakeven; sz=512 W~101 ->
+    # 1.9x win at 87% abandonment.  Threshold below separates those regimes.
+    lens_t_drv = np.fromiter((t.shape[0] for t in t_arrs), dtype=np.int64,
+                             count=n_t)
+    med_t = float(np.median(lens_t_drv)) if n_t else 0.0
+    w_est = 2 * int(radius) + 1 if radius is not None else med_t
+    use_prune = radius is not None and med_t * w_est >= 8192
+
     def gen(batches):
         ids_t, T = bc.value
+        lens_t = np.fromiter((t.shape[0] for t in T), dtype=np.int64, count=n_t)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -221,24 +234,68 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                 for v in pdf["values"]
             ]
             out_q, out_n, out_d = [], [], []
+            kk = min(k, n_t)
+            # seed count: enough to fill the top-k plus slack for a tight cap
+            s_seed = min(n_t, max(kk, 8))
             for s in range(0, len(q_arrs), chunk_q):
                 qs = q_arrs[s : s + chunk_q]
                 qi = qids[s : s + chunk_q]
-                arrs_a = [q for q in qs for _ in range(n_t)]
-                arrs_b = T * len(qs)
-                # the mixed kernel sorts (diff-first banded, size-first
-                # full-grid) and splits into cache-sized chunks internally
-                flat = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius)
-                dists = flat.reshape(len(qs), n_t)
-                if drop_self:
-                    dists[qi[:, None] == ids_t[None, :]] = np.inf
-                kk = min(k, n_t)
-                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-                for row in range(len(qs)):
-                    sel = part[row]
-                    out_q.extend([qi[row]] * len(sel))
-                    out_n.extend(ids_t[sel])
-                    out_d.extend(dists[row, sel])
+                n_q = len(qs)
+                rr = np.arange(n_q)[:, None]
+                if not use_prune:
+                    # plain exact pass: one batched DP over every pair
+                    arrs_a = [q for q in qs for _ in range(n_t)]
+                    arrs_b = T * n_q
+                    flat = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius)
+                    dists = flat.reshape(n_q, n_t)
+                    if drop_self:
+                        dists[qi[:, None] == ids_t[None, :]] = np.inf
+                    part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+                    best_d = dists[rr, part]
+                    best_i = part
+                else:
+                    # pass 1 (seeds): per query the s_seed closest-LENGTH
+                    # train series — cheapest bands AND likely-near under
+                    # banded DTW, so their k-th best is a tight exact cap
+                    q_lens = np.fromiter((q.shape[0] for q in qs),
+                                         dtype=np.int64, count=n_q)
+                    seed_idx = np.argpartition(
+                        np.abs(lens_t[None, :] - q_lens[:, None]),
+                        s_seed - 1, axis=1)[:, :s_seed]
+                    arrs_a = [qs[r] for r in range(n_q) for _ in range(s_seed)]
+                    arrs_b = [T[j] for r in range(n_q) for j in seed_idx[r]]
+                    d_seed = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius)
+                    d_seed = d_seed.reshape(n_q, s_seed)
+                    if drop_self:
+                        d_seed[qi[:, None] == ids_t[seed_idx]] = np.inf
+                    sel_s = np.argpartition(d_seed, kk - 1, axis=1)[:, :kk]
+                    best_d = d_seed[rr, sel_s]        # (n_q, kk) running top-k
+                    best_i = seed_idx[rr, sel_s]      # train indices
+                    # pass 2: every non-seed candidate, capped at the current
+                    # k-th best (exact early abandon inside the batched DP)
+                    is_seed = np.zeros((n_q, n_t), dtype=bool)
+                    is_seed[rr, seed_idx] = True
+                    rest_counts = n_t - s_seed
+                    if rest_counts > 0:
+                        r_of, j_of = np.nonzero(~is_seed)  # row-major pairs
+                        arrs_a = [qs[r] for r in r_of]
+                        arrs_b = [T[j] for j in j_of]
+                        tau = best_d.max(axis=1)      # k-th best per query
+                        flat = K.dtw_banded_batch_mixed(
+                            arrs_a, arrs_b, radius, tau2=(tau * tau)[r_of])
+                        d_rest = flat.reshape(n_q, rest_counts)
+                        j_rest = j_of.reshape(n_q, rest_counts)
+                        if drop_self:
+                            d_rest[qi[:, None] == ids_t[j_rest]] = np.inf
+                        cat_d = np.concatenate([best_d, d_rest], axis=1)
+                        cat_i = np.concatenate([best_i, j_rest], axis=1)
+                        sel2 = np.argpartition(cat_d, kk - 1, axis=1)[:, :kk]
+                        best_d = cat_d[rr, sel2]
+                        best_i = cat_i[rr, sel2]
+                for row in range(n_q):
+                    out_q.extend([qi[row]] * kk)
+                    out_n.extend(ids_t[best_i[row]])
+                    out_d.extend(best_d[row])
             yield pd.DataFrame({
                 "id1": np.asarray(out_q, dtype=np.int64),
                 "id2": np.asarray(out_n, dtype=np.int64),
