@@ -63,6 +63,22 @@ BENCH_QUERIES = [
     "metrics_pair_sample",
     "matrix_profile_events",
     "knn_dtw_classify",
+    # round-6: previously unbenched oracled queries — full perf trail
+    "part_brand_stats",
+    "nation_order_rollup",
+    "orders_priority_dist",
+    "ts_paa_dist_pairs",
+    "events_running_zscore",
+    "dedup_simhash",
+    "dedup_canonical",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "silhouette_euclidean_16",
+    "knn_sax_classify",
+    "cdist_dtw_tiny",
+    "shapelet_score_fixed",
 ]
 
 
@@ -83,6 +99,29 @@ def _warmup(spark) -> None:
     n = spark.sparkContext.defaultParallelism
     df = spark.range(0, n * 4, 1, n).select(_w(F.col("id").cast("double")).alias("v"))
     df.agg(F.sum("v")).collect()
+
+
+def _prior_medians(sf: float) -> tuple[dict, str | None]:
+    """Most recent BENCH_r*.json next to this file AT THE SAME SF, for
+    round-over-round regression flags (cross-sf ratios are meaningless)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = (-1, None, {})
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best[0]:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if data.get("sf") == sf:
+            best = (int(m.group(1)), os.path.basename(p),
+                    data.get("queries", {}) or {})
+    return best[2], best[1]
 
 
 def main() -> None:
@@ -109,6 +148,16 @@ def main() -> None:
             print(f"[bench] pass {pass_no + 1}/{n_runs} {name}: {dt}s", file=sys.stderr)
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    # round-over-round flags: queries >1.5x their previous recorded median
+    # (and slower by a non-noise margin) so the next round starts from data
+    prior, prior_file = _prior_medians(float(sf))
+    regressions = {
+        name: {"prev": prior[name], "now": t,
+               "ratio": round(t / prior[name], 2)}
+        for name, t in timings.items()
+        if name in prior and prior[name] > 0
+        and t > 1.5 * prior[name] and t - prior[name] > 0.5
+    }
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
@@ -117,6 +166,8 @@ def main() -> None:
         "sf": float(sf),
         "runs": n_runs,
         "samples": {name: ts for name, ts in samples.items()},
+        "regressions": regressions,
+        "regressions_baseline": prior_file,
     }))
     spark.stop()
 
