@@ -976,7 +976,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import lsh_topk
 
     t = load_tables(spark, sf_dir)
-    out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4)
+    # dim=64 per TESTDATA.md embeddings schema — skips the one-row probe job
+    out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4,
+                   dim=64)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

@@ -258,57 +258,73 @@ def lsh_topk(
     seed: int = 42,
     drop_self: bool = True,
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k: per-table bucket equi-join, union, exact
-    re-rank of the candidate union.  Recall grows with n_tables; cost per
-    table ~ |D| / 2^bits per bucket.
+    """Approximate cosine top-k: per-table bucket equi-join on ID PAIRS,
+    cross-table dedup, then ONE exact scoring pass over the distinct
+    pairs.  Recall grows with n_tables; cost per table ~ |D| / 2^bits
+    per bucket.
 
-    ``broadcast_queries=False`` switches the per-table bucket join to a
-    plain shuffle equi-join on the bucket id — use it when the query
-    side itself is TB-scale (both sides then shuffle once per table;
-    same results, no driver/executor memory ceiling on the query set).
+    ``broadcast_queries=False`` switches the bucket joins and the final
+    qv join to plain shuffle equi-joins — use it when the query side
+    itself is TB-scale (no driver/executor memory ceiling on the query
+    set; queries then shuffle once by id for scoring, not per table).
 
-    Shuffle discipline: each table SCORES its own bucket pairs (the
-    embedding vectors never leave the map side of the bucket join), and
-    the cross-table dedup is a groupBy on (query_id, neighbor_id)
-    carrying ONE double — cosine is table-invariant, so max() of the
-    per-table copies is the value itself.  A pair found in several
-    tables costs one extra BLAS dot per extra table, but the dedup
-    shuffle moves 16 bytes of ids + 8 bytes of score per pair instead
-    of 2 x dim x 8 bytes of vectors; at dim=1024 that is ~680x fewer
-    shuffle bytes, the difference between shuffling scalars and
-    shuffling the corpus n_tables times.
+    Shuffle discipline (round-6 form): the per-table bucket joins carry
+    ONLY (query_id, neighbor_id) scalars — no embedding ever rides a
+    bucket shuffle — and the cross-table dedup is a grouping on those
+    ids (16 bytes/pair).  Each distinct pair is then scored EXACTLY
+    ONCE: the pair list joins candidates by id (the corpus moves at
+    most once, and not at all when ``candidates`` is bucketed by
+    ``id_col`` — sources.write_bucketed — since the join is then
+    co-located) and queries by broadcast.  Compared to the
+    score-in-every-table form this removes the duplicate BLAS dot per
+    extra table a pair collides in, at identical scalar shuffle volume.
+
+    ``dim``: embedding width; pass it to avoid the one-row probe job
+    that otherwise reads it from the first candidate row.
     """
-    first = candidates.select(vec_col).first()
-    dim = len(first[vec_col])
-    scored = None
+    if dim is None:
+        first = candidates.select(vec_col).first()
+        dim = len(first[vec_col])
+    pair_ids = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
         qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.col(id_col).alias("query_id"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
         cb = candidates.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            F.col(id_col).alias("neighbor_id"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
         qside = F.broadcast(qb) if broadcast_queries else qb
-        pairs = cb.join(qside, "bucket")
-        scored_t = pairs.select(
+        pairs_t = cb.join(qside, "bucket").select("query_id", "neighbor_id")
+        pair_ids = pairs_t if pair_ids is None else pair_ids.unionByName(pairs_t)
+    pairs = pair_ids.dropDuplicates(["query_id", "neighbor_id"])
+    if drop_self:  # before scoring: self pairs never pay a dot product
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    cv_side = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if broadcast_queries:
+        qv_side = F.broadcast(qv_side)
+    scored = (
+        pairs.join(cv_side, "neighbor_id")
+        .join(qv_side, "query_id")
+        .select(
             "query_id", "neighbor_id",
             cosine_pandas_udf()("qv", "cv").alias("cosine"),
         )
-        scored = scored_t if scored is None else scored.unionByName(scored_t)
-    deduped = scored.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
     )
-    if drop_self:
-        deduped = deduped.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        deduped.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
