@@ -310,12 +310,16 @@ class TestMultimodal:
             MEDIA_SCHEMA, decode_image, extract_features,
         )
 
+        from tests.test_properties import _encode_png
+
         wav = self._wav_bytes([16384] * 8)
         bmp = self._bmp_bytes(np.full((2, 2, 3), 255, dtype=np.uint8))
+        png = _encode_png(np.full((2, 2, 3), 255, dtype=np.uint8), [0, 1])
         rows = [
             (0, "audio", wav, "audio/wav", None, None, 1),
             (1, "image", bmp, "image/bmp", 2, 2, None),
             (2, "image", b"opaque", "image/png", 8, 8, None),
+            (3, "image", png, "image/png", 2, 2, None),
         ]
         media = spark.createDataFrame(rows, MEDIA_SCHEMA)
         real = {r["media_id"]: r for r in
@@ -324,6 +328,7 @@ class TestMultimodal:
         assert real[1]["feat_mean"] == pytest.approx(1.0)      # white bmp
         assert real[2]["feat_mean"] == pytest.approx(
             float(decode_image(b"opaque").mean()))             # fake fallback
+        assert real[3]["feat_mean"] == pytest.approx(1.0)      # white png
         # default path: ALL payloads take the fake, even real WAV/BMP
         fake = {r["media_id"]: r for r in extract_features(media).collect()}
         assert fake[0]["feat_mean"] == pytest.approx(

@@ -267,3 +267,88 @@ def test_bmp_decode_roundtrip_property(seed, h, w):
                + body)
     arr = decode_bmp(payload)
     np.testing.assert_allclose(arr, px / 255.0, atol=1e-12)
+
+
+def _encode_png(px: np.ndarray, filters: list[int]) -> bytes:
+    """Minimal PNG encoder for tests: applies the FORWARD filter per row
+    (the independent inverse of decode_png's unfilter), deflates, wraps
+    in chunks with real CRCs."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = px[y].astype(np.int64).ravel()
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        else:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            if f == 3:
+                enc = (line - ((left + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                enc = (line - pred) & 0xFF
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 9), st.integers(1, 9),
+       st.sampled_from([1, 2, 3, 4]))
+def test_png_decode_roundtrip_property(seed, h, w, ch):
+    """Any 8-bit PNG (gray/gray+a/RGB/RGBA, random per-row filters among
+    all five types) decodes back to its pixels exactly."""
+    from tslearn_spark.pipeline.multimodal import decode_png
+
+    rs = np.random.RandomState(seed)
+    px = rs.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = [int(rs.randint(0, 5)) for _ in range(h)]
+    arr = decode_png(_encode_png(px, filters))
+    assert arr.shape == (h, w, ch)
+    np.testing.assert_allclose(arr, px / 255.0, atol=1e-12)
+
+
+def test_png_decode_rejects_unsupported():
+    from tslearn_spark.pipeline.multimodal import decode_png
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth rejected
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+    with _pytest.raises(ValueError):
+        decode_png(bad)

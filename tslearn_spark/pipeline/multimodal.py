@@ -109,17 +109,97 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out / 255.0
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for 8-bit non-interlaced PNG (pure stdlib ``zlib`` +
+    ``struct``): gray / gray+alpha / RGB / RGBA, all five scanline
+    filters (None/Sub/Up/Average/Paeth).  Returns (h, w, channels)
+    float64 in [0, 1].  Raises on palette, 16-bit, or interlaced PNGs
+    (callers fall back to the fake).
+
+    Sub rows unfilter as a per-channel cumsum; Up rows as one vector
+    add; Average/Paeth pay the per-pixel left dependency.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = channels = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctag == b"IHDR":
+            width, height, bitd, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if bitd != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={bitd}, interlace={interlace})")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad PNG scanline payload")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-channel running sum mod 256
+            cur = (np.cumsum(line.reshape(width, bpp), axis=0) & 0xFF).ravel()
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: left dependency, per pixel
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels).astype(np.float64) / 255.0
+
+
 def decode_payload(kind: str, payload: bytes, codecs: str | None = None) -> np.ndarray:
-    """Dispatch: with codecs='stdlib', payloads with real WAV/BMP magic
-    decode for real; anything else (or any parse failure) falls back to
-    the deterministic fake so a corrupt byte can never kill a 100-TB
-    batch mid-stage."""
+    """Dispatch: with codecs='stdlib', payloads with real WAV/BMP/PNG
+    magic decode for real; anything else (or any parse failure) falls
+    back to the deterministic fake so a corrupt byte can never kill a
+    100-TB batch mid-stage."""
     if codecs == "stdlib" and payload:
         try:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return decode_wav(payload)
             if payload[:2] == b"BM":
                 return decode_bmp(payload)
+            if payload[:8] == _PNG_SIG:
+                return decode_png(payload)
         except Exception:
             pass
     return decode_image(payload)
