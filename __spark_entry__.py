@@ -971,6 +971,38 @@ def kernel_kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kk.predict(test).select("series_id", "cluster")
 
 
+def kernel_kmeans_assign_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel k-means ASSIGNMENT criterion under the hash gate
+    (kmeans.py:390-455): dist(i, C) = 2 - 2*sum_{j in C} w_j K_ij /
+    sum_{j in C} w_j over a GAK Gram.
+
+    Runs the REAL distributed path — the cross-Gram cdist machinery and
+    KernelKMeans.predict's edges->aggregate->argmin chain — on the tiny
+    integer series with FIXED labels (series_id % 3), so DuckDB can
+    replay it exactly: the GAK DP is the same recursive CTE the
+    cdist_dtw_tiny gate uses (sigma=100), the criterion is one grouped
+    aggregate over those kernel values, and the argmin is a window with
+    the engine's (dist asc, cluster asc) tie order.  This puts the one
+    SQL-expressible step of the kernel-kmeans family under the value
+    hash; the iterative fit stays covered by kernel_kmeans_predict's
+    engine-free pytest replay (tests/test_driver_queries.py)."""
+    from tslearn_spark.clustering import KernelKMeans
+
+    load_tables(spark, sf_dir)
+    tiny = _tiny_int_series(spark).localCheckpoint()
+    kk = KernelKMeans(n_clusters=3, kernel="gak",
+                      kernel_params={"sigma": 100.0})
+    kk.labels_ = tiny.select(
+        "series_id", (F.col("series_id") % 3).cast("int").alias("cluster")
+    )
+    kk._df = tiny
+    kk._labw = tiny.select(F.col("series_id").alias("id2"),
+                           F.lit(1.0).alias("_w"))
+    out = kk.predict(tiny)
+    return out.select("series_id", "cluster",
+                      F.round("dist", 6).alias("dist"))
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate ANN — the scale path (rows-only)."""
     from tslearn_spark.pipeline import lsh_topk
@@ -1196,8 +1228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_events": matrix_profile_events,
         "cdist_dtw_tiny": cdist_dtw_tiny,
         "shapelet_score_fixed": shapelet_score_fixed,
-        # non-SQL-expressible (rows-only), heaviest last
-        "metrics_pair_sample": metrics_pair_sample,
+        "kernel_kmeans_assign_tiny": kernel_kmeans_assign_tiny,
+        # non-SQL-expressible (rows-only), heaviest last.  Round 6:
+        # metrics_pair_sample left the 50-query roster (its kernels are
+        # hash-gated by cdist_dtw_tiny; its engine-free pytest replay in
+        # tests/test_driver_queries.py still runs) to free the slot for
+        # the oracled kernel_kmeans_assign_tiny above.
         "dba_barycenter_sample": dba_barycenter_sample,
         "knn_dtw_classify": knn_dtw_classify,
         "mlp_classify": mlp_classify,
@@ -2182,6 +2218,85 @@ def oracle_sql() -> dict[str, str]:
             JOIN full_sdtw s ON s.id1 = d.id1 AND s.id2 = d.id2
             JOIN full_gak g ON g.id1 = d.id1 AND g.id2 = d.id2
             JOIN sbds sb ON sb.id1 = d.id1 AND sb.id2 = d.id2
+        """,
+        "kernel_kmeans_assign_tiny": """
+            -- kernel-kmeans assignment replay (kmeans.py:390-455): the
+            -- GAK Gram is the SAME sum-product recursive-CTE DP the
+            -- cdist_dtw_tiny gate uses (sigma=100 -> /20000), kept
+            -- UNROUNDED here; the criterion 2 - 2*sum(w*K)/sum(w) is one
+            -- grouped aggregate over it, and the argmin replays the
+            -- engine's (dist asc, cluster asc) window tie order.
+            WITH RECURSIVE
+            tiny AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events WHERE user_id < 12
+            ),
+            ser AS (
+                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
+                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
+            ),
+            pairs_le AS (
+                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
+                       a.n AS n1, b.n AS n2
+                FROM ser a JOIN ser b ON a.sid <= b.sid
+            ),
+            gp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0)
+                        / (2.0 - exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0))] AS cur
+                FROM pairs_le
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)
+                                  / (2.0 - exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)))
+                                 * ((CASE WHEN i > 1 THEN prev[j + 1] ELSE 0.0 END + cur[j])
+                                    + CASE WHEN i > 1 THEN prev[j] ELSE 0.0 END))
+                            ELSE [(exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)
+                                   / (2.0 - exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)))
+                                  * cur[1]]
+                       END
+                FROM gp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            gres AS (
+                SELECT id1, id2, cur[n2] AS unnorm
+                FROM gp WHERE i = n1 AND j = n2
+            ),
+            gself AS (SELECT id1 AS sid, unnorm AS selfv FROM gres WHERE id1 = id2),
+            gnorm AS (
+                SELECT g.id1, g.id2,
+                       g.unnorm / sqrt(s1.selfv * s2.selfv) AS gak
+                FROM gres g
+                JOIN gself s1 ON s1.sid = g.id1
+                JOIN gself s2 ON s2.sid = g.id2
+            ),
+            gfull AS (
+                SELECT id1, id2, gak FROM gnorm
+                UNION ALL
+                SELECT id2 AS id1, id1 AS id2, gak FROM gnorm WHERE id1 <> id2
+            ),
+            labels AS (SELECT sid, CAST(sid % 3 AS INTEGER) AS cluster FROM ser),
+            scored AS (
+                SELECT g.id1, l.cluster,
+                       2.0 - 2.0 * sum(1.0 * g.gak) / sum(1.0) AS d2
+                FROM gfull g JOIN labels l ON l.sid = g.id2
+                GROUP BY g.id1, l.cluster
+            ),
+            picked AS (
+                SELECT id1, cluster, d2,
+                       row_number() OVER (PARTITION BY id1
+                                          ORDER BY d2, cluster) AS rn
+                FROM scored
+            )
+            SELECT id1 AS series_id, cluster, round(d2, 6) AS dist
+            FROM picked WHERE rn = 1
         """,
         "shapelet_score_fixed": """
             -- deterministic-bank shapelet scoring: shapelet k = first 4

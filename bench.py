@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     # UDF kernel path
-    "metrics_pair_sample",
+    "kernel_kmeans_assign_tiny",
     "matrix_profile_events",
     "knn_dtw_classify",
     # round-6: previously unbenched oracled queries — full perf trail

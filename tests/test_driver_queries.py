@@ -130,11 +130,14 @@ def _naive_sbd(v1, v2):
 
 class TestMetricsPairSampleOracle:
     def test_replay(self, spark):
+        # round 6: metrics_pair_sample left the 50-query roster (slot
+        # given to the oracled kernel_kmeans_assign_tiny) but this
+        # engine-free replay of its multi-kernel pair path still runs
         import __spark_entry__ as entry
 
         got = {
             (r.id1, r.id2): r
-            for r in entry.queries()["metrics_pair_sample"](spark, SF_DIR).collect()
+            for r in entry.metrics_pair_sample(spark, SF_DIR).collect()
         }
         series = {u: _znorm(v) for u, v in _series_from_parquet(10).items()}
         assert len(got) == len(series) * (len(series) - 1) // 2

@@ -40,9 +40,10 @@ AUDITS = [
      "signature = one grouped aggregate, map-side combinable"),
     ("ann_cosine_topk", ["MapInPandas", "Window"], None,
      "BLAS matmul per partition, partial top-k, tiny final window"),
-    ("metrics_pair_sample", ["ArrowEvalPython", "BroadcastNestedLoopJoin"], None,
-     "pair join broadcasts the right side; all five DP kernels are "
-     "Arrow-vectorized over the same pair scan"),
+    ("kernel_kmeans_assign_tiny", ["ArrowEvalPython", "Window"], None,
+     "hash-gated kernel-kmeans assignment: Arrow-vectorized GAK cross-"
+     "Gram edges -> one grouped criterion aggregate -> argmin window; "
+     "only (id, cluster, d2) scalars shuffle"),
     ("cdist_dtw_tiny", ["ArrowEvalPython", "BroadcastNestedLoopJoin"], None,
      "hash-gated exact DTW: the same triangle+mirror cdist machinery on "
      "tiny integer series; kernel Arrow-vectorized"),
