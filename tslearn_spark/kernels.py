@@ -122,6 +122,13 @@ def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarr
     """
     mask = itakura_mask_array(sz1, sz2, max_slope)
     finite = np.isfinite(mask)
+    if (not finite.any(axis=1).all()) or (not finite.any(axis=0).all()):
+        # the reference DTW warns here too (it builds the constraint
+        # region through itakura_mask, dtw_variants.py:1040-1055)
+        warnings.warn("'itakura_max_slope' constraint is unfeasible "
+                      "(ie. leads to no admissible path) for the "
+                      "provided time series sizes",
+                      RuntimeWarning)
     lo = np.zeros(sz1, dtype=np.int64)
     hi = np.full(sz1, -1, dtype=np.int64)
     for i in range(sz1):
