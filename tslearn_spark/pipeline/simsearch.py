@@ -260,26 +260,32 @@ def lsh_topk(
     broadcast_queries: bool = True,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k: per-table bucket equi-join on ID PAIRS,
-    cross-table dedup, then ONE exact scoring pass over the distinct
-    pairs.  Recall grows with n_tables; cost per table ~ |D| / 2^bits
-    per bucket.
+    """Approximate cosine top-k: per-table bucket equi-join, union, exact
+    re-rank of the candidate union.  Recall grows with n_tables; cost per
+    table ~ |D| / 2^bits per bucket.
 
-    ``broadcast_queries=False`` switches the bucket joins and the final
-    qv join to plain shuffle equi-joins — use it when the query side
-    itself is TB-scale (no driver/executor memory ceiling on the query
-    set; queries then shuffle once by id for scoring, not per table).
+    ``broadcast_queries=False`` switches the per-table bucket join to a
+    plain shuffle equi-join on the bucket id — use it when the query
+    side itself is TB-scale (both sides then shuffle once per table;
+    same results, no driver/executor memory ceiling on the query set).
 
-    Shuffle discipline (round-6 form): the per-table bucket joins carry
-    ONLY (query_id, neighbor_id) scalars — no embedding ever rides a
-    bucket shuffle — and the cross-table dedup is a grouping on those
-    ids (16 bytes/pair).  Each distinct pair is then scored EXACTLY
-    ONCE: the pair list joins candidates by id (the corpus moves at
-    most once, and not at all when ``candidates`` is bucketed by
-    ``id_col`` — sources.write_bucketed — since the join is then
-    co-located) and queries by broadcast.  Compared to the
-    score-in-every-table form this removes the duplicate BLAS dot per
-    extra table a pair collides in, at identical scalar shuffle volume.
+    Shuffle discipline: each table SCORES its own bucket pairs (the
+    embedding vectors never leave the map side of the bucket join), and
+    the cross-table dedup is a groupBy on (query_id, neighbor_id)
+    carrying ONE double — cosine is table-invariant, so max() of the
+    per-table copies is the value itself.  The dedup shuffle moves 16
+    bytes of ids + 8 bytes of score per pair instead of 2 x dim x 8
+    bytes of vectors.
+
+    A pair colliding in several tables pays one BLAS dot per table.
+    Round 6 MEASURED the alternative (dedup ids first, then score each
+    distinct pair once through an id-join): at bits=6 / 4 tables on the
+    sf0.1 embeddings the cross-table duplicate factor is only 1.05x, so
+    score-once saved ~5% of UDF rows while its dedup exchange + two
+    scoring joins benched 1.9x SLOWER end-to-end (5.0s vs 2.7s, both
+    warm, broadcasts forced).  Duplicates shrink further as corpora grow
+    (bucket occupancy ~|D|/2^bits per table is tuned to stay small), so
+    score-in-table is the keeper at scale too.
 
     ``dim``: embedding width; pass it to avoid the one-row probe job
     that otherwise reads it from the first candidate row.
@@ -287,44 +293,34 @@ def lsh_topk(
     if dim is None:
         first = candidates.select(vec_col).first()
         dim = len(first[vec_col])
-    pair_ids = None
+    scored = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
         qb = queries.select(
-            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
         cb = candidates.select(
-            F.col(id_col).alias("neighbor_id"),
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
         qside = F.broadcast(qb) if broadcast_queries else qb
-        pairs_t = cb.join(qside, "bucket").select("query_id", "neighbor_id")
-        pair_ids = pairs_t if pair_ids is None else pair_ids.unionByName(pairs_t)
-    pairs = pair_ids.dropDuplicates(["query_id", "neighbor_id"])
-    if drop_self:  # before scoring: self pairs never pay a dot product
-        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    cv_side = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    qv_side = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    if broadcast_queries:
-        qv_side = F.broadcast(qv_side)
-    scored = (
-        pairs.join(cv_side, "neighbor_id")
-        .join(qv_side, "query_id")
-        .select(
+        pairs = cb.join(qside, "bucket")
+        scored_t = pairs.select(
             "query_id", "neighbor_id",
             cosine_pandas_udf()("qv", "cv").alias("cosine"),
         )
+        scored = scored_t if scored is None else scored.unionByName(scored_t)
+    deduped = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
     )
+    if drop_self:
+        deduped = deduped.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
