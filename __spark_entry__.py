@@ -1023,21 +1023,25 @@ def silhouette_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = resample(
         _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
     )
-    flat = ts.select(
+    # keep each series as ONE 16-double array row: the all-pairs distance
+    # is then a broadcast self-join of n rows with the squared-diff fold
+    # in codegen — 16x fewer join rows than the exploded-by-t form this
+    # replaced (r6: 5.8s -> sub-second at sf0.1, same hash)
+    arr = ts.select(
         F.col("series_id").alias("user_id"),
         (F.col("series_id") % 3).cast("int").alias("cluster"),
-        F.posexplode("values").alias("t", "p"),
-    ).select("user_id", "cluster", "t", F.col("p")[0].alias("v"))
-    flat.createOrReplaceTempView("_sil_flat")
+        F.expr("transform(values, p -> p[0])").alias("vals"),
+    )
+    arr.createOrReplaceTempView("_sil_arr")
     return spark.sql(
         """
         WITH dists AS (
           SELECT a.user_id AS id1, a.cluster AS c1, b.user_id AS id2,
                  b.cluster AS c2,
-                 sqrt(sum((a.v - b.v) * (a.v - b.v))) AS dist
-          FROM _sil_flat a JOIN _sil_flat b
-            ON a.t = b.t AND a.user_id != b.user_id
-          GROUP BY a.user_id, a.cluster, b.user_id, b.cluster
+                 sqrt(aggregate(zip_with(a.vals, b.vals,
+                                         (x, y) -> (x - y) * (x - y)),
+                                0.0D, (acc, z) -> acc + z)) AS dist
+          FROM _sil_arr a JOIN _sil_arr b ON a.user_id != b.user_id
         ),
         per AS (
           SELECT id1, c1, c2, avg(dist) AS mean_d
