@@ -1090,7 +1090,7 @@ def shapelet_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series_id", F.posexplode("shapelet_locs").alias("shapelet_idx", "loc")
     )
     return (
-        dists.join(locs, ["series_id", "shapelet_idx"])
+        dists.join(F.broadcast(locs), ["series_id", "shapelet_idx"])
         .select("series_id", "shapelet_idx",
                 F.round("min_dist", 6).alias("min_dist"), "loc")
     )
