@@ -352,3 +352,192 @@ def test_png_decode_rejects_unsupported():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
     with _pytest.raises(ValueError):
         decode_png(bad)
+
+
+def _encode_jpeg(px: np.ndarray, subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG encoder for tests (independent forward path:
+    YCbCr, forward DCT, unit quant tables, canonical Huffman built from
+    the actual symbol counts and emitted via DHT)."""
+    import struct
+
+    from tslearn_spark.pipeline.multimodal import _DCT_C, _ZIGZAG
+
+    h, w, _ = px.shape
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    if subsample:  # 4:2:0: mean-pool chroma (exact for constant chroma)
+        for i in (1, 2):
+            p = planes[i]
+            ph = ((p.shape[0] + 1) // 2) * 2
+            pw = ((p.shape[1] + 1) // 2) * 2
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            planes[i] = (pp[0::2, 0::2] + pp[1::2, 0::2]
+                         + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        hv = [(1, 1), (1, 1), (1, 1)]
+
+    def blocks_of(p, ch, cv):
+        bh = -(-h // (8 * cv)) * cv * 8 if (ch, cv) != (1, 1) or True else 0
+        ny = -(-h // (8 * vmax)) * cv
+        nx = -(-w // (8 * hmax)) * ch
+        pp = np.pad(p, ((0, ny * 8 - p.shape[0]), (0, nx * 8 - p.shape[1])),
+                    mode="edge")
+        return pp, ny, nx
+
+    hmax = max(c[0] for c in hv)
+    vmax = max(c[1] for c in hv)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+
+    # forward DCT + quantize (q=1: near-lossless) every block, MCU order
+    sym_dc: list[int] = []
+    sym_ac: list[int] = []
+    tokens = []  # (kind, table, symbol, extra_bits_value, n_extra)
+    pred = [0, 0, 0]
+
+    def cat(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    padded = []
+    for ci, p in enumerate(planes):
+        pp, _, _ = blocks_of(p, hv[ci][0], hv[ci][1])
+        padded.append(pp)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        F8 = _DCT_C @ blk @ _DCT_C.T
+                        q = np.rint(F8).astype(np.int64).ravel()[_ZIGZAG]
+                        diff = int(q[0]) - pred[ci]
+                        pred[ci] = int(q[0])
+                        t = cat(diff)
+                        sym_dc.append(t)
+                        ebits = diff if diff >= 0 else diff + (1 << t) - 1
+                        tokens.append(("dc", t, ebits, t))
+                        run = 0
+                        last_nz = max(
+                            [k for k in range(1, 64) if q[k] != 0] or [0])
+                        for k in range(1, 64):
+                            if k > last_nz:
+                                sym_ac.append(0x00)
+                                tokens.append(("ac", 0x00, 0, 0))
+                                break
+                            v = int(q[k])
+                            if v == 0:
+                                run += 1
+                                if run == 16:
+                                    sym_ac.append(0xF0)
+                                    tokens.append(("ac", 0xF0, 0, 0))
+                                    run = 0
+                                continue
+                            s = cat(v)
+                            rs = (run << 4) | s
+                            sym_ac.append(rs)
+                            ev = v if v >= 0 else v + (1 << s) - 1
+                            tokens.append(("ac", rs, ev, s))
+                            run = 0
+
+    def canonical(symbols: list[int]):
+        used = sorted(set(symbols))
+        k = len(used)
+        L = max(1, (k).bit_length())  # k < 2^L strictly
+        if (1 << L) <= k:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = k
+        codes = {s: (L, i) for i, s in enumerate(used)}
+        return bytes(counts), bytes(used), codes
+
+    dc_counts, dc_syms, dc_codes = canonical(sym_dc)
+    ac_counts, ac_syms, ac_codes = canonical(sym_ac)
+
+    bits = []
+    for kind, sym, ev, n in tokens:
+        L, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+        for i in range(L - 1, -1, -1):
+            bits.append((code >> i) & 1)
+        for i in range(n - 1, -1, -1):
+            bits.append((ev >> i) & 1)
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    body = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        body.append(byte)
+        if byte == 0xFF:
+            body.append(0x00)  # stuffing
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    qtbl = np.ones(64, dtype=np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + qtbl.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    out += seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(body) + b"\xff\xd9"
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 10_000), st.integers(4, 24), st.integers(4, 24))
+def test_jpeg_decode_roundtrip_property(seed, h, w):
+    """Baseline 4:4:4 JPEG with unit quant tables round-trips within the
+    DCT rounding budget on arbitrary images."""
+    from tslearn_spark.pipeline.multimodal import decode_jpeg
+
+    rs = np.random.RandomState(seed)
+    px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    arr = decode_jpeg(_encode_jpeg(px))
+    assert arr.shape == (h, w, 3)
+    assert np.abs(arr - px / 255.0).max() < 0.05
+
+
+def test_jpeg_420_subsampled_constant_chroma():
+    """4:2:0 exercises the multi-block MCU + upsample path; constant
+    chroma makes the subsampling lossless so the tolerance stays tight."""
+    from tslearn_spark.pipeline.multimodal import decode_jpeg
+
+    rs = np.random.RandomState(7)
+    # luma varies, chroma constant: R=G=B per pixel
+    g = rs.randint(0, 256, size=(20, 13)).astype(np.uint8)
+    px = np.dstack([g, g, g])
+    arr = decode_jpeg(_encode_jpeg(px, subsample=True))
+    assert arr.shape == (20, 13, 3)
+    assert np.abs(arr - px / 255.0).max() < 0.05
+
+
+def test_jpeg_rejects_progressive():
+    import struct
+
+    from tslearn_spark.pipeline.multimodal import decode_jpeg
+
+    sof2 = (b"\xff\xd8" + b"\xff\xc2"
+            + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1)
+            + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")

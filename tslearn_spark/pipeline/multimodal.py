@@ -46,15 +46,17 @@ MEDIA_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — compressed-format decoders (PIL/ffmpeg) are not in this
-    container.
+    """STUB fallback — ffmpeg-class codecs (mp4/webm audio+video) are
+    not in this container.
 
     Deterministic fake: derives an 8x8 grayscale patch from the payload
     hash so downstream plumbing (shapes, dtypes, batching) is exercised
-    honestly.  Real pure-stdlib decoders for the UNcompressed formats
-    exist below (decode_bmp, decode_wav) and are enabled per call via
-    ``extract_features(codecs="stdlib")``; the default path stays the
-    fake so the driver's hash gate (which models it) is untouched.
+    honestly.  Real pure-stdlib decoders exist below for PCM WAV,
+    uncompressed 24-bit BMP, 8-bit PNG (zlib inflate + all five
+    scanline filters) and BASELINE JPEG (Huffman + IDCT), enabled per
+    call via ``extract_features(codecs="stdlib")``; the default path
+    stays the fake so the driver's hash gate (which models it) is
+    untouched.
     """
     digest = hashlib.sha256(payload or b"").digest()
     arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype(np.float64)
@@ -187,6 +189,262 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, channels).astype(np.float64) / 255.0
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: unstuffs
+    0xFF00, stops at (and reports) marker bytes."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bits = (self.bits << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                    self.bits = (self.bits << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:  # real marker: pad with zeros
+                    self.bits = (self.bits << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a restart marker at the current byte position."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, per ITU T.81 Annex C canonical codes."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_huff(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II basis; IDCT of F is C.T @ F @ C
+_DCT_C = np.array([
+    [(np.sqrt(1.0 / 8) if u == 0 else np.sqrt(2.0 / 8))
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL decoder for BASELINE sequential JPEG (SOF0, Huffman, optional
+    4:2:0/4:2:2 chroma subsampling, restart markers) — pure stdlib
+    parsing + numpy IDCT.  Returns (h, w, 3) float64 RGB in [0, 1]
+    (grayscale replicated to 3 channels).  Raises on progressive (SOF2),
+    arithmetic-coded, or 12-bit payloads (callers fall back to the fake).
+    """
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+                else:
+                    vals = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
+                    i += 128
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1:i + 17]
+                n = sum(counts)
+                symbols = seg[i + 17:i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(
+                    counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for s in range(ns):
+                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                scan[cs] = (tdta >> 4, tdta & 0xF)
+            return _jpeg_scan(payload, pos + 2 + seg_len, frame, scan, qt,
+                              huff_dc, huff_ac, restart_interval)
+        elif marker == 0xD9:
+            break
+        pos += 2 + seg_len
+    raise ValueError("no JPEG scan found")
+
+
+def _jpeg_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+               restart_interval) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)))
+    br = _JpegBitReader(payload, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                tdc, tac = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        t = _jpeg_decode_huff(br, huff_dc[tdc])
+                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(br, huff_ac[tac])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            coef[k] = _jpeg_extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = coef
+                        F8 = block.reshape(8, 8) * q
+                        px = _DCT_C.T @ F8 @ _DCT_C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0.0, 255.0)
+        return np.dstack([g, g, g]) / 255.0
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.dstack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ])
+    return np.clip(rgb, 0.0, 255.0) / 255.0
+
+
 def decode_payload(kind: str, payload: bytes, codecs: str | None = None) -> np.ndarray:
     """Dispatch: with codecs='stdlib', payloads with real WAV/BMP/PNG
     magic decode for real; anything else (or any parse failure) falls
@@ -200,6 +458,8 @@ def decode_payload(kind: str, payload: bytes, codecs: str | None = None) -> np.n
                 return decode_bmp(payload)
             if payload[:8] == _PNG_SIG:
                 return decode_png(payload)
+            if payload[:2] == b"\xff\xd8":
+                return decode_jpeg(payload)
         except Exception:
             pass
     return decode_image(payload)
