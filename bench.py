@@ -118,6 +118,8 @@ def _prior_medians(sf: float) -> tuple[dict, str | None]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        if "queries" not in data:  # driver format wraps under "parsed"
+            data = data.get("parsed", {}) or {}
         if data.get("sf") == sf:
             best = (int(m.group(1)), os.path.basename(p),
                     data.get("queries", {}) or {})
