@@ -816,7 +816,10 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.metrics import cdist, pair_metric_udf, self_pairs
 
     load_tables(spark, sf_dir)
-    tiny = _tiny_int_series(spark)
+    # localCheckpoint: six kernel subplans consume the tiny series —
+    # materialize the 12-row input once instead of re-running the
+    # events scan + window per subplan
+    tiny = _tiny_int_series(spark).localCheckpoint()
     edges = cdist(tiny, metric="dtw").select(
         "id1", "id2", F.round("dist", 6).alias("dtw")
     )

@@ -440,23 +440,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("id1").alias("doc_id"))
             .agg(F.min("nb_comp").alias("nb_comp"))
         )
+        # change flag computed IN the update join (old label is already
+        # on the row) — the convergence count then reads the checkpointed
+        # blocks instead of paying a second join per round
         new_comp = (
             comp.join(nb, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("component"),
                         F.coalesce("nb_comp", "component")).alias("component"),
+                (F.coalesce("nb_comp", "component")
+                 < F.col("component")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_comp.join(
-                comp.select("doc_id", F.col("component").alias("_old")), "doc_id"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .count()
-        )
-        comp = new_comp
+        changed = new_comp.where(F.col("_changed")).count()
+        comp = new_comp.drop("_changed")
         if changed == 0:
             break
     else:
