@@ -75,9 +75,34 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views.
 
     Parquet scans get predicate pushdown + column pruning for free once the
-    plan is declarative; nothing is cached here — callers cache hot tables.
+    plan is declarative; no DATA is cached here — callers cache hot tables.
+    The lazy DataFrame handles (and their schema reads: ~10 footer
+    listings per call otherwise) ARE memoized per (session, sf_dir);
+    switching sf_dir on the same session re-registers the temp views from
+    the memo without re-reading footers.
     """
     from pyspark.sql.types import LongType
+
+    memo = getattr(spark, "_tslearn_tables_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._tslearn_tables_memo = memo
+        except Exception:
+            memo = None
+    if memo is not None and sf_dir in memo:
+        out = memo[sf_dir]
+        if getattr(spark, "_tslearn_tables_sf", None) != sf_dir:
+            for name in TPCH_TABLES:
+                if name in out:
+                    out[name].createOrReplaceTempView(name)
+                else:
+                    spark.catalog.dropTempView(name)
+            try:
+                spark._tslearn_tables_sf = sf_dir
+            except Exception:
+                pass
+        return out
 
     # The driver harness passes its OWN SparkSession (not get_spark()'s), so
     # set the nanos conf here too — events.parquet stores TIMESTAMP(NANOS)
@@ -133,4 +158,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # drop any stale view from a previous sf_dir — a query against
             # a bad path must fail loudly, not silently read old data
             spark.catalog.dropTempView(name)
+    if memo is not None and not errors:  # only memoize fully-clean loads
+        memo[sf_dir] = out
+        try:
+            spark._tslearn_tables_sf = sf_dir
+        except Exception:
+            pass
     return out
