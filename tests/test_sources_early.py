@@ -303,3 +303,28 @@ class TestEarlyClassification:
         m1 = NonMyopicEarlyClassifier(n_clusters=3, lamb=10000.0, random_state=0).fit(df)
         p1 = m1.get_cluster_probas(np.array([[3.0], [2.0]]))
         assert p1.max() > 0.99  # hard assignment at high lambda
+
+
+class TestLoadTablesMemo:
+    def test_memo_and_sf_switch(self, spark):
+        """Table handles are memoized per (session, sf_dir); switching
+        sf_dir re-registers the temp views so SQL reads the right data."""
+        import os
+
+        from tslearn_spark.session import load_tables
+
+        if not (os.path.isdir("/root/testdata/sf0.001")
+                and os.path.isdir("/root/testdata/sf0.01")):
+            import pytest as _p
+            _p.skip("driver testdata not present")
+        a1 = load_tables(spark, "/root/testdata/sf0.001")
+        a2 = load_tables(spark, "/root/testdata/sf0.001")
+        assert a1 is a2  # memo hit
+        n_small = spark.sql("SELECT count(*) c FROM events").first()["c"]
+        b = load_tables(spark, "/root/testdata/sf0.01")
+        n_big = spark.sql("SELECT count(*) c FROM events").first()["c"]
+        assert n_big > n_small
+        a3 = load_tables(spark, "/root/testdata/sf0.001")
+        assert a3 is a1  # memo survives the switch
+        assert spark.sql("SELECT count(*) c FROM events").first()["c"] == n_small
+        assert b["events"] is not a1["events"]
