@@ -79,12 +79,14 @@ AUDITS = [
     ("ann_ivf_topk", ["MapInPandas", "WindowGroupLimit"], None,
      "IVF assignment+scoring fused in one candidate pass; only partial "
      "top-k scalars shuffle; rank pushdown via WindowGroupLimit"),
-    ("ann_lsh_topk", ["ArrowEvalPython", "partial_max(cosine", "!partial_first(qv"], None,
-     "per-table scoring keeps vectors map-side; cross-table dedup is a "
+    ("ann_lsh_topk", ["!ArrowEvalPython", "partial_max(cosine", "!partial_first(qv"], None,
+     "per-table scoring keeps vectors map-side AND fully JVM-side (r6: "
+     "cosine moved from the Arrow UDF to a codegen zip_with fold — no "
+     "Python stage in the whole plan); cross-table dedup is a "
      "groupBy(query_id, neighbor_id) max(cosine) — the shuffle carries "
      "scalar (id, id, score) rows, never qv/cv embedding arrays (round "
-     "6 measured the score-once-after-id-dedup alternative 1.9x slower "
-     "at a 1.05x duplicate factor; see lsh_topk docstring)"),
+     "6 also measured score-once-after-id-dedup 1.9x slower at a 1.05x "
+     "duplicate factor; see lsh_topk docstring)"),
     ("ts_lb_keogh_pairs", ["BroadcastNestedLoopJoin", "BroadcastExchange"], None,
      "declared all-pairs: envelope side broadcast, LB evaluated in the "
      "join condition projection — no payload shuffle"),

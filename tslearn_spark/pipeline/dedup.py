@@ -346,7 +346,7 @@ def embedding_neardup_pairs(
     Recall < 1 like every LSH scheme; candidates per table drop ~2^bits.
     """
     from tslearn_spark.pipeline.simsearch import (
-        _hyperplanes, cosine_pandas_udf, lsh_bucket_col,
+        _hyperplanes, cosine_col, lsh_bucket_col,
     )
 
     import numpy as np
@@ -400,7 +400,7 @@ def embedding_neardup_pairs(
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.dropDuplicates(["id1", "id2"])
     return (
-        cands.withColumn("cosine", cosine_pandas_udf()("v1", "v2"))
+        cands.withColumn("cosine", cosine_col("v1", "v2"))
         .where(F.col("cosine") >= float(threshold))
         .select("id1", "id2", "cosine")
     )

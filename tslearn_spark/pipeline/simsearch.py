@@ -29,8 +29,15 @@ def _norm(a: str) -> str:
 
 
 def cosine_col(a: str, b: str):
-    """Expression cosine — fine for small pair sets / oracle parity; for
-    bulk scoring prefer cosine_pandas_udf (BLAS, ~100x)."""
+    """Expression cosine, evaluated in whole-stage codegen.
+
+    For pair rows that already carry BOTH vectors this beats the Arrow
+    path end-to-end: the pandas-UDF kernel is faster per-dot (BLAS), but
+    shipping 2 x dim x 8 bytes per pair through the Python workers
+    dominates at dim<=O(1k) (round 6 measured ann_lsh_topk 3.7s -> 2.9s
+    switching to this).  The UDF stays the right tool when a BLAS
+    matmul can amortize the transfer (brute_force_topk's broadcast
+    query matrix)."""
     return F.expr(
         f"{_dot(a, b)} / (CASE WHEN {_norm(a)} * {_norm(b)} = 0.0D THEN 1.0D "
         f"ELSE {_norm(a)} * {_norm(b)} END)"
@@ -308,7 +315,7 @@ def lsh_topk(
         pairs = cb.join(qside, "bucket")
         scored_t = pairs.select(
             "query_id", "neighbor_id",
-            cosine_pandas_udf()("qv", "cv").alias("cosine"),
+            cosine_col("qv", "cv").alias("cosine"),
         )
         scored = scored_t if scored is None else scored.unionByName(scored_t)
     deduped = scored.groupBy("query_id", "neighbor_id").agg(
