@@ -327,6 +327,7 @@ def embedding_neardup_pairs(
     bits: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
     id1 < id2 and cosine >= threshold — the semantic twin of the text
@@ -344,6 +345,9 @@ def embedding_neardup_pairs(
     (simsearch.lsh_bucket_col, literal planes — replayable in SQL), one
     equi-join per table, exact cosine re-scoring of the candidate union.
     Recall < 1 like every LSH scheme; candidates per table drop ~2^bits.
+
+    ``dim``: embedding width (LSH path only); pass it to avoid the
+    one-row probe job that otherwise reads it from the first row.
     """
     from tslearn_spark.pipeline.simsearch import (
         _hyperplanes, cosine_col, lsh_bucket_col,
@@ -383,8 +387,9 @@ def embedding_neardup_pairs(
             gen, "id1 long, id2 long, cosine double"
         )
 
-    first = embeddings.select(vec_col).first()
-    dim = len(first[vec_col])
+    if dim is None:
+        # one-row probe job; callers that know the width pass dim= to skip it
+        dim = len(embeddings.select(vec_col).first()[vec_col])
     cands = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
