@@ -350,7 +350,7 @@ def embedding_neardup_pairs(
     one-row probe job that otherwise reads it from the first row.
     """
     from tslearn_spark.pipeline.simsearch import (
-        _hyperplanes, cosine_col, lsh_bucket_col,
+        _hyperplanes, cosine_from_norms, lsh_bucket_col, norm_col,
     )
 
     import numpy as np
@@ -394,18 +394,20 @@ def embedding_neardup_pairs(
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
         side = embeddings.select(
-            F.col(id_col), F.col(vec_col),
+            F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("_nrm"),
             lsh_bucket_col(vec_col, planes).alias("bucket"),
         )
-        a = side.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
-        b = side.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+        a = side.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                        F.col("_nrm").alias("n1"), "bucket")
+        b = side.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                        F.col("_nrm").alias("n2"), "bucket")
         pairs = a.join(b, "bucket").where(F.col("id1") < F.col("id2")).select(
-            "id1", "id2", "v1", "v2"
+            "id1", "id2", "v1", "v2", "n1", "n2"
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.dropDuplicates(["id1", "id2"])
     return (
-        cands.withColumn("cosine", cosine_col("v1", "v2"))
+        cands.withColumn("cosine", cosine_from_norms("v1", "v2", "n1", "n2"))
         .where(F.col("cosine") >= float(threshold))
         .select("id1", "id2", "cosine")
     )

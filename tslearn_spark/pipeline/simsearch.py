@@ -44,19 +44,27 @@ def cosine_col(a: str, b: str):
     )
 
 
-def cosine_pandas_udf():
-    """Arrow-batched cosine: one vectorized numpy pass per batch."""
+def norm_col(a: str):
+    """Per-row L2 norm of an embedding column.
 
-    @F.pandas_udf("double")
-    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.array([list(x) for x in a], dtype=np.float64)
-        B = np.array([list(x) for x in b], dtype=np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        den[den == 0.0] = 1.0
-        return pd.Series(num / den)
+    Norms are per-ROW quantities: a bucket join that scores pairs as
+    ``dot(qv, cv) / (qn * cn)`` with the norms computed BELOW the join
+    (this column) and carried through it as scalars pays one fold per
+    pair instead of cosine_col's five (dot + 2x2 norm folds — higher-
+    order functions are interpreted, and Catalyst re-evaluates the CASE
+    duplicate too).  The join is a collapse barrier, so the per-row
+    folds stay per-row.  The quotient is the SAME expression tree
+    cosine_col builds — values are bit-identical."""
+    return F.expr(_norm(a))
 
-    return _udf
+
+def cosine_from_norms(dot_a: str, dot_b: str, n_a: str, n_b: str):
+    """cosine from a pair's vectors + its per-row norms (see norm_col);
+    zero-norm guard identical to cosine_col's."""
+    return F.expr(
+        f"{_dot(dot_a, dot_b)} / (CASE WHEN {n_a} * {n_b} = 0.0D THEN 1.0D "
+        f"ELSE {n_a} * {n_b} END)"
+    )
 
 
 def brute_force_topk(
@@ -284,11 +292,15 @@ def lsh_topk(
     bytes of ids + 8 bytes of score per pair instead of 2 x dim x 8
     bytes of vectors.
 
-    A pair colliding in several tables pays one BLAS dot per table.
+    Per-pair work is ONE interpreted dot fold: the vector norms are
+    computed per ROW below the join (norm_col) and ride through it as
+    scalars, so the O(pairs) stage never re-folds them (values are
+    bit-identical to cosine_col's — same expression tree, factored).
+    A pair colliding in several tables pays that one fold per table.
     Round 6 MEASURED the alternative (dedup ids first, then score each
     distinct pair once through an id-join): at bits=6 / 4 tables on the
     sf0.1 embeddings the cross-table duplicate factor is only 1.05x, so
-    score-once saved ~5% of UDF rows while its dedup exchange + two
+    score-once saved ~5% of scoring rows while its dedup exchange + two
     scoring joins benched 1.9x SLOWER end-to-end (5.0s vs 2.7s, both
     warm, broadcasts forced).  Duplicates shrink further as corpora grow
     (bucket occupancy ~|D|/2^bits per table is tuned to stay small), so
@@ -300,24 +312,38 @@ def lsh_topk(
     if dim is None:
         first = candidates.select(vec_col).first()
         dim = len(first[vec_col])
-    scored = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            lsh_bucket_col(vec_col, planes).alias("bucket"),
-        )
-        cb = candidates.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-            lsh_bucket_col(vec_col, planes).alias("bucket"),
-        )
-        qside = F.broadcast(qb) if broadcast_queries else qb
-        pairs = cb.join(qside, "bucket")
-        scored_t = pairs.select(
-            "query_id", "neighbor_id",
-            cosine_col("qv", "cv").alias("cosine"),
-        )
-        scored = scored_t if scored is None else scored.unionByName(scored_t)
+    # ONE join on (table, bucket) instead of a union of n_tables joins:
+    # each side computes all table buckets in a single scan and
+    # posexplodes them, so the broadcast is built once (n_tables x rows
+    # of scalars+vector) and the plan has one scoring stage — at scale,
+    # one shuffle (broadcast_queries=False) instead of n_tables.
+    buckets = F.array(*[
+        lsh_bucket_col(vec_col, _hyperplanes(dim, bits, seed + 1000 * t))
+        for t in range(n_tables)
+    ])
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_col(vec_col).alias("qn"),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+    cb = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_col(vec_col).alias("cn"),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+    if broadcast_queries:
+        # a broadcast join inherits the candidate scan's parallelism; a
+        # small-file scan (fewer splits than cores) would score every
+        # bucket pair in one task, so spread the exploded rows first.
+        # At scale the input has >= cores splits and this never fires.
+        ncores = candidates.sparkSession.sparkContext.defaultParallelism
+        if candidates.rdd.getNumPartitions() < ncores:
+            cb = cb.repartition(ncores, "t", "bucket")
+    qside = F.broadcast(qb) if broadcast_queries else qb
+    scored = cb.join(qside, ["t", "bucket"]).select(
+        "query_id", "neighbor_id",
+        cosine_from_norms("qv", "cv", "qn", "cn").alias("cosine"),
+    )
     deduped = scored.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
