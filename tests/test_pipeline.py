@@ -125,15 +125,35 @@ class TestDedup:
 
     def test_connected_components_reversed_chain(self, spark):
         # min id at the FAR end, edges pointing away from it: worst case
-        # for min propagation direction
+        # for min propagation direction.  driver_cap=0 pins the
+        # DISTRIBUTED propagation loop (the default takes the driver
+        # union-find fast path for graphs this small).
         from tslearn_spark.pipeline import connected_components
 
         edges = spark.createDataFrame(
             [(9, 8), (8, 7), (7, 6), (6, 1)], "id1 long, id2 long"
         )
         comp = {r["doc_id"]: r["component"]
-                for r in connected_components(edges).collect()}
+                for r in connected_components(edges, driver_cap=0).collect()}
         assert set(comp.values()) == {1}
+
+    def test_connected_components_paths_agree(self, spark):
+        # driver union-find fast path vs distributed min-label loop on a
+        # random multi-component graph: identical labelings
+        import random
+
+        from tslearn_spark.pipeline import connected_components
+
+        rng = random.Random(7)
+        edges_py = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in edges_py], "id1 long, id2 long"
+        )
+        fast = {r["doc_id"]: r["component"]
+                for r in connected_components(edges).collect()}
+        dist = {r["doc_id"]: r["component"]
+                for r in connected_components(edges, driver_cap=0).collect()}
+        assert fast == dist and fast
 
 
 class TestText:

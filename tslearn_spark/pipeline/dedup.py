@@ -413,7 +413,8 @@ def embedding_neardup_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         driver_cap: int = 2_000_000) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id, component).
 
     component = the smallest doc_id reachable through the pair graph —
@@ -424,10 +425,43 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     them.  Each round is one broadcast-or-shuffle join + one groupBy on
     (id, component) pairs — never an adjacency matrix — and the frontier
     is localCheckpoint'ed so lineage stays flat across iterations.
+
+    ``driver_cap``: edge sets at or below this size (near-dup graphs are
+    tiny relative to the corpus — edges exist only between duplicates)
+    skip the iteration entirely: one collect, a driver union-find, one
+    createDataFrame back.  Identical labels — union-find with min-id
+    roots computes the same smallest-reachable-id — at a fraction of
+    the per-round scheduling cost.  0 disables the fast path; the cap
+    (~32 MB of id pairs at the default) bounds driver memory like the
+    other documented driver handoffs.
     """
     edges = pairs.select(
         F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
     ).distinct()
+    if driver_cap:
+        # limit() probe instead of count(): at scale a full count of a
+        # huge edge set just to REJECT the fast path would scan it all
+        head = edges.limit(driver_cap + 1).collect()
+        if len(head) <= driver_cap:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while x != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in head:
+                a, b = find(row["id1"]), find(row["id2"])
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            out = [(n, find(n)) for n in
+                   {r["id1"] for r in head} | {r["id2"] for r in head}]
+            return pairs.sparkSession.createDataFrame(
+                out, "doc_id long, component long")
     sym = edges.unionByName(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).localCheckpoint()
