@@ -35,8 +35,14 @@ MINHASH_P = (1 << 31) - 1
 def _spread_docs(docs: DataFrame) -> DataFrame:
     """Small-but-compute-heavy doc tables (one parquet split) must be
     spread across cores before md5/regex-heavy map stages — Spark sizes
-    splits by bytes, so a 2 MB file otherwise runs on one task."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    splits by bytes, so a 2 MB file otherwise runs on one task.  Inputs
+    that already have at least core-count splits (any real corpus) pass
+    through untouched: repartitioning those would add a full shuffle of
+    the text payload for nothing."""
+    ncores = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < ncores:
+        return docs.repartition(ncores)
+    return docs
 
 
 def _norm_text(col: str = "text") -> Column:

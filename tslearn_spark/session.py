@@ -56,6 +56,16 @@ def get_spark(app_name: str = "tslearn_spark", shuffle_partitions: int | None = 
         # (DuckDB likewise truncates ns -> us on read, so both engines
         # see identical microsecond values)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes size(child)>0 filters under
+        # every explode; predicate pushdown then drags the generator's
+        # child expression below our compute-spreading repartitions, so
+        # md5/regex/HOF tokenization chains run TWICE — once single-task
+        # on the scan side.  Generate already skips empty arrays; the
+        # filter buys nothing for this engine's operators (measured 12x
+        # on the shingle explode: 5.0s -> 0.4s at sf0.1).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = builder.master(master)
