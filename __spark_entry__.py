@@ -1011,7 +1011,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import lsh_topk
 
     t = load_tables(spark, sf_dir)
-    # dim=64 per TESTDATA.md embeddings schema — skips the one-row probe job
+    # dim=64: the generated embeddings tables are 64-wide at every sf
+    # (pinned by tests/test_driver_queries.py::test_embeddings_width —
+    # a width drift would silently bucket truncated dots otherwise);
+    # passing it skips the one-row probe job
     out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4,
                    dim=64)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")

@@ -650,3 +650,19 @@ class TestShapeletTransformOracle:
                 dd = [float(np.mean((v[p:p + L] - shp) ** 2))
                       for p in range(len(v) - L + 1)]
                 assert got[(u, k)] == pytest.approx(min(dd), abs=1.5e-4)
+
+
+def test_embeddings_width():
+    """Pins the dim=64 ann_lsh_topk passes to lsh_topk (a width drift in
+    regenerated testdata would otherwise bucket truncated zip_with dots
+    silently instead of failing fast)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        widths = duckdb.sql(
+            f"SELECT DISTINCT len(embedding) FROM read_parquet('{path}')"
+        ).fetchall()
+        assert widths == [(64,)], f"{sf}: {widths}"

@@ -644,6 +644,28 @@ class TestNormalizedCCNorms:
         t2 = np.array([np.linalg.norm(x) for x in d2])
         np.testing.assert_allclose(got, base * np.outer(t1, t2) / 10.0)
 
+    def test_y_shifted_mixed_norm_sentinels(self):
+        # -1 entries are per-element compute-me sentinels (cycc.pyx):
+        # supplied non-negative norms must be honored verbatim, not
+        # overwritten by a wholesale recompute
+        rs = np.random.RandomState(13)
+        ref = rs.rand(8, 1)
+        data = [rs.rand(8, 1) for _ in range(3)]
+        true1 = float(np.linalg.norm(data[1]))
+        mixed = K.y_shifted_sbd_vec(ref, data, norms_dataset=[2.0, -1.0, 3.0])
+        explicit = K.y_shifted_sbd_vec(
+            ref, data, norms_dataset=[2.0, true1, 3.0])
+        for m, e in zip(mixed, explicit):
+            np.testing.assert_allclose(m, e)
+        # and the supplied 2.0 really is used: all-true norms differ when
+        # the best shift flips under a scaled denominator? the alignment
+        # is argmax-invariant to a POSITIVE scalar on one series' norm,
+        # so assert via the profile instead
+        prof = K.normalized_cc(ref, data[0], norm1=-1.0, norm2=2.0)
+        base = K.normalized_cc(ref, data[0])
+        np.testing.assert_allclose(
+            prof, base * float(np.linalg.norm(data[0])) / 2.0)
+
 
 class TestDtwBatchTauCap:
     """Round-6: exact early abandon (tau2) in the batched banded DP."""

@@ -264,6 +264,12 @@ class TestReviewRegressions:
         np.testing.assert_array_equal(_smart_labels(["007", "1"]), ["007", "1"])
         np.testing.assert_array_equal(_smart_labels(["1e3", "2"]), ["1e3", "2"])
         np.testing.assert_array_equal(_smart_labels(["a", "b"]), ["a", "b"])
+        # object-dtype arrays (pandas string columns) take the same
+        # round-trip path as str arrays, not the numeric fast path
+        obj = np.array(["007", "1"], dtype=object)
+        np.testing.assert_array_equal(_smart_labels(obj), ["007", "1"])
+        np.testing.assert_array_equal(
+            _smart_labels(np.array([1, 2], dtype=object)), [1, 2])
 
     def test_label_categorizer_string_digit_labels(self, spark):
         from tslearn_spark.labels import LabelCategorizer

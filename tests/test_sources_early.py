@@ -328,3 +328,32 @@ class TestLoadTablesMemo:
         assert a3 is a1  # memo survives the switch
         assert spark.sql("SELECT count(*) c FROM events").first()["c"] == n_small
         assert b["events"] is not a1["events"]
+
+    def test_partial_failure_does_not_stale_memo(self, spark):
+        """A load with a corrupt table still moves the sf marker: the
+        registered views belong to the new dir, so a later memo hit for
+        the previous dir must re-register, not silently read the
+        partially-loaded dir's data."""
+        import os
+        import shutil
+        import tempfile
+
+        from tslearn_spark.session import load_tables
+
+        if not os.path.isdir("/root/testdata/sf0.001"):
+            import pytest as _p
+            _p.skip("driver testdata not present")
+        load_tables(spark, "/root/testdata/sf0.001")
+        n_small = spark.sql("SELECT count(*) c FROM lineitem").first()["c"]
+        bad_dir = tempfile.mkdtemp()
+        try:
+            for f in os.listdir("/root/testdata/sf0.01"):
+                shutil.copy(os.path.join("/root/testdata/sf0.01", f), bad_dir)
+            with open(os.path.join(bad_dir, "events.parquet"), "wb") as fh:
+                fh.write(b"garbage")  # one unreadable table -> partial load
+            load_tables(spark, bad_dir)
+            load_tables(spark, "/root/testdata/sf0.001")
+            assert (spark.sql("SELECT count(*) c FROM lineitem").first()["c"]
+                    == n_small)
+        finally:
+            shutil.rmtree(bad_dir, ignore_errors=True)

@@ -98,7 +98,8 @@ def _smart_labels(values: list):
         f = arr.astype(np.float64)
     except (TypeError, ValueError):
         return arr
-    if arr.dtype.kind not in "US":  # already numeric
+    if arr.dtype.kind in "biufc":  # already numeric (object/str arrays
+        # of digit-strings must round-trip-check below, not coerce)
         return f.astype(np.int64) if np.all(f % 1 == 0) else f
     strs = [str(v) for v in arr.tolist()]
     if np.all(f % 1 == 0):

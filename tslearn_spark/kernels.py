@@ -112,30 +112,42 @@ def itakura_mask_array(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray
     return mask
 
 
-def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row [lo, hi] inclusive column bounds of the Itakura parallelogram.
-
-    Derived from the reference-exact mask (itakura_mask_array): row ``i``
-    spans the first..last finite column.  Rows with no feasible column
-    (infeasible size/slope combos, which the reference warns about) get
-    lo > hi and the DP leaves them at inf.
-    """
-    mask = itakura_mask_array(sz1, sz2, max_slope)
-    finite = np.isfinite(mask)
+def warn_if_itakura_infeasible(finite: np.ndarray) -> None:
+    """Reference infeasibility warning (dtw_variants.py:1040-1055) when a
+    full row or column of the mask has no finite cell; ``finite`` is the
+    boolean feasibility matrix.  Shared by itakura_bounds and the public
+    metrics.itakura_mask so the wording/condition live in one place."""
     if (not finite.any(axis=1).all()) or (not finite.any(axis=0).all()):
-        # the reference DTW warns here too (it builds the constraint
-        # region through itakura_mask, dtw_variants.py:1040-1055)
         warnings.warn("'itakura_max_slope' constraint is unfeasible "
                       "(ie. leads to no admissible path) for the "
                       "provided time series sizes",
                       RuntimeWarning)
-    lo = np.zeros(sz1, dtype=np.int64)
-    hi = np.full(sz1, -1, dtype=np.int64)
-    for i in range(sz1):
-        idx = np.nonzero(finite[i])[0]
-        if idx.size:
-            lo[i] = idx[0]
-            hi[i] = idx[-1]
+
+
+def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row [lo, hi] inclusive column bounds of the Itakura parallelogram.
+
+    Derived column bounds of the reference-exact feasible set (see
+    _itakura_col_bounds): row ``i`` spans the first..last column whose
+    [lower, upper) row window contains i — one vectorized boolean
+    broadcast + argmax per edge (this runs once per PAIR in the
+    DTW/LCSS kernels, so no per-row Python loop / np.nonzero calls and
+    no float mask build).  Rows with no feasible column (infeasible
+    size/slope combos, which the reference warns about) get lo > hi and
+    the DP leaves them at inf.
+    """
+    lower, upper = _itakura_col_bounds(sz1, sz2, max_slope)
+    # replicate the mask's numpy-slice semantics: a negative upper wraps
+    # (mask[lo:hi, j] with hi < 0 means rows lo .. sz1+hi-1)
+    lo_r = np.clip(lower, 0, sz1)
+    up = np.where(upper < 0, upper + sz1, np.minimum(upper, sz1))
+    finite = (np.arange(sz1)[:, None] >= lo_r[None, :]) & (
+        np.arange(sz1)[:, None] < up[None, :])
+    warn_if_itakura_infeasible(finite)
+    any_row = finite.any(axis=1)
+    lo = np.where(any_row, finite.argmax(axis=1), 0).astype(np.int64)
+    hi = np.where(any_row, sz2 - 1 - finite[:, ::-1].argmax(axis=1),
+                  -1).astype(np.int64)
     return lo, hi
 
 
@@ -1197,10 +1209,15 @@ def y_shifted_sbd_vec(ref, dataset_arrays, norm_ref: float = -1.0,
     if norms_dataset is None:
         norms_dataset = np.full(len(dataset_arrays), -1.0)
     else:
-        norms_dataset = np.asarray(norms_dataset, dtype=np.float64)
-        if (norms_dataset < 0.0).any():
-            norms_dataset = np.array(
-                [np.linalg.norm(to_2d(ts)) for ts in dataset_arrays])
+        norms_dataset = np.asarray(norms_dataset, dtype=np.float64).copy()
+        neg = norms_dataset < 0.0
+        if neg.any():
+            # fill ONLY the compute-me sentinels (cycc.pyx does this per
+            # element); supplied non-negative norms are honored verbatim
+            norms_dataset[neg] = [
+                np.linalg.norm(to_2d(dataset_arrays[i]))
+                for i in np.nonzero(neg)[0]
+            ]
     out = []
     for k, ts in enumerate(dataset_arrays):
         ts = to_2d(ts)

@@ -606,12 +606,7 @@ def itakura_mask(sz1: int, sz2: int, max_slope: float = 2.0) -> np.ndarray:
     infeasibility RuntimeWarning when a full row or column has no finite
     cell."""
     mask = K.itakura_mask_array(sz1, sz2, max_slope)
-    finite = np.isfinite(mask)
-    if (not finite.any(axis=1).all()) or (not finite.any(axis=0).all()):
-        warnings.warn("'itakura_max_slope' constraint is unfeasible "
-                      "(ie. leads to no admissible path) for the "
-                      "provided time series sizes",
-                      RuntimeWarning)
+    K.warn_if_itakura_infeasible(np.isfinite(mask))
     return mask
 
 

@@ -396,22 +396,27 @@ def embedding_neardup_pairs(
     if dim is None:
         # one-row probe job; callers that know the width pass dim= to skip it
         dim = len(embeddings.select(vec_col).first()[vec_col])
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        side = embeddings.select(
-            F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("_nrm"),
-            lsh_bucket_col(vec_col, planes).alias("bucket"),
-        )
-        a = side.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
-                        F.col("_nrm").alias("n1"), "bucket")
-        b = side.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
-                        F.col("_nrm").alias("n2"), "bucket")
-        pairs = a.join(b, "bucket").where(F.col("id1") < F.col("id2")).select(
-            "id1", "id2", "v1", "v2", "n1", "n2"
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["id1", "id2"])
+    # fused form, mirroring lsh_topk: all table buckets in one scan per
+    # side, posexplode to a (t, bucket) key, ONE self-join instead of
+    # n_tables joins + union; per-row norms ride through the join so the
+    # O(pairs) cosine is a single fold
+    buckets = F.array(*[
+        lsh_bucket_col(vec_col, _hyperplanes(dim, bits, seed + 1000 * t))
+        for t in range(n_tables)
+    ])
+    side = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm_col(vec_col).alias("_nrm"),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+    a = side.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                    F.col("_nrm").alias("n1"), "t", "bucket")
+    b = side.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                    F.col("_nrm").alias("n2"), "t", "bucket")
+    cands = (
+        a.join(b, ["t", "bucket"]).where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2", "n1", "n2")
+        .dropDuplicates(["id1", "id2"])
+    )
     return (
         cands.withColumn("cosine", cosine_from_norms("v1", "v2", "n1", "n2"))
         .where(F.col("cosine") >= float(threshold))
@@ -446,8 +451,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     ).distinct()
     if driver_cap:
         # limit() probe instead of count(): at scale a full count of a
-        # huge edge set just to REJECT the fast path would scan it all
-        head = edges.limit(driver_cap + 1).collect()
+        # huge edge set just to REJECT the fast path would scan it all.
+        # toPandas (Arrow) lands two int64 columns — the ~32 MB the cap
+        # promises — where collect() would build 100+-byte Row objects.
+        head = edges.limit(driver_cap + 1).toPandas()
         if len(head) <= driver_cap:
             parent: dict[int, int] = {}
 
@@ -459,13 +466,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
                     parent[x], x = root, parent[x]
                 return root
 
-            for row in head:
-                a, b = find(row["id1"]), find(row["id2"])
+            id1s = head["id1"].to_numpy()
+            id2s = head["id2"].to_numpy()
+            for a0, b0 in zip(id1s.tolist(), id2s.tolist()):
+                a, b = find(a0), find(b0)
                 if a != b:
                     lo, hi = (a, b) if a < b else (b, a)
                     parent[hi] = lo
-            out = [(n, find(n)) for n in
-                   {r["id1"] for r in head} | {r["id2"] for r in head}]
+            nodes = set(id1s.tolist()) | set(id2s.tolist())
+            out = [(n, find(n)) for n in nodes]
             return pairs.sparkSession.createDataFrame(
                 out, "doc_id long, component long")
     sym = edges.unionByName(

@@ -170,8 +170,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             spark.catalog.dropTempView(name)
     if memo is not None and not errors:  # only memoize fully-clean loads
         memo[sf_dir] = out
-        try:
-            spark._tslearn_tables_sf = sf_dir
-        except Exception:
-            pass
+    # the registered views now belong to THIS sf_dir even when some tables
+    # failed — the marker must say so, or a later memo hit for the previous
+    # dir would see marker == its own sf_dir, skip re-registration, and
+    # silently read this dir's partially-registered views
+    try:
+        spark._tslearn_tables_sf = sf_dir
+    except Exception:
+        pass
     return out
