@@ -135,6 +135,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "2048"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # see get_spark: the inferred size()>0 filter under explode drags
+        # heavy tokenization chains below the compute-spread repartition
+        ("spark.sql.optimizer.excludedRules",
+         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"),
     ):
         try:
             spark.conf.set(key, val)
