@@ -707,10 +707,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting + language-ID in one doc_id-grain
-    query (the driver caps the board at 50 queries; all three operators
-    stay hash-gated)."""
-    from tslearn_spark.pipeline import language_id, quality_scores, token_counts
+    """Quality scoring + token counting + language-ID + rolling-hash
+    fingerprinting in one doc_id-grain query (the driver caps the board
+    at 50 queries; all four operators stay hash-gated — fingerprints
+    merged here in r7 to free a slot for dedup_minhash_verified)."""
+    from tslearn_spark.pipeline import (
+        document_fingerprints, language_id, quality_scores, token_counts,
+    )
 
     t = load_tables(spark, sf_dir)
     q = quality_scores(t["documents"]).select(
@@ -723,14 +726,31 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = token_counts(t["documents"]).select("doc_id", "n_ws_tokens", "n_subwords")
     lang = language_id(t["documents"]).select("doc_id", "pred_lang", "score")
-    return q.join(tc, "doc_id").join(lang, "doc_id")
+    fp = document_fingerprints(t["documents"], window=8).select(
+        "doc_id", "fingerprint")
+    return q.join(tc, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
 
 
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tslearn_spark.pipeline import document_fingerprints
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH end-to-end: signatures -> banding -> band-bucket
+    candidate join -> exact-Jaccard verification via two id equi-joins +
+    array_intersect (dedup.py verify_candidate_pairs).  The full-corpus
+    inverted index is NEVER rebuilt behind the LSH — cost is bounded by
+    the candidate set (test_pipeline.py asserts no token-keyed join in
+    the plan)."""
+    from tslearn_spark.pipeline import minhash_lsh_candidates
 
     t = load_tables(spark, sf_dir)
-    return document_fingerprints(t["documents"], window=8)
+    out = minhash_lsh_candidates(
+        t["documents"], num_hashes=16, bands=4, seed=42, verify_threshold=0.3
+    )
+    return out.select(
+        "id1", "id2",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,11 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": dedup_canonical,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_minhash": dedup_minhash,
+        "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "text_quality": text_quality,
-        "text_fingerprints": text_fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1640,7 +1660,16 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'es' END AS pred_lang,
                      greatest(h_en, h_de, h_fr, h_es)::INT AS score
               FROM hits
-            )
+            ),
+            -- range() needs constant bounds in DuckDB; 4096 safely exceeds
+            -- the documents.text max length at every sf
+            grams AS (
+              SELECT d.doc_id,
+                     ('0x' || substr(md5(substr(d.text, i.i::INT + 1, 8)), 1, 15))::BIGINT AS g
+              FROM documents d, range(4096) i(i)
+              WHERE i.i <= greatest(length(d.text) - 8, 0)
+            ),
+            fp AS (SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id)
             SELECT d.doc_id,
                    length(text)::INT AS n_chars_q,
                    len({_TOKS})::INT AS n_words,
@@ -1658,19 +1687,51 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(
                      list_transform({_TOKS}, w -> ceil(length(w) / 4.0)::BIGINT),
                      'sum')::BIGINT AS n_subwords,
-                   lang.pred_lang, lang.score
-            FROM documents d JOIN lang ON lang.doc_id = d.doc_id
+                   lang.pred_lang, lang.score, fp.fingerprint
+            FROM documents d
+            JOIN lang ON lang.doc_id = d.doc_id
+            JOIN fp ON fp.doc_id = d.doc_id
         """,
-        "text_fingerprints": """
-            -- range() needs constant bounds in DuckDB; 4096 safely exceeds
-            -- the documents.text max length at every sf
-            WITH grams AS (
-              SELECT d.doc_id,
-                     ('0x' || substr(md5(substr(d.text, i.i::INT + 1, 8)), 1, 15))::BIGINT AS g
-              FROM documents d, range(4096) i(i)
-              WHERE i.i <= greatest(length(d.text) - 8, 0)
+        "dedup_minhash_verified": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM documents, unnest({_TOKS}) AS t(tok)
+            ),
+            tid AS (
+              SELECT doc_id, tok,
+                     ('0x' || substr(md5(tok), 1, 7))::BIGINT AS tid FROM tok
+            ),
+            coef(h_idx, a, b) AS (VALUES {_minhash_coef_values()}),
+            sig AS (
+              SELECT doc_id, h_idx,
+                     min((a * tid + b) % 2147483647) AS mh
+              FROM tid, coef GROUP BY doc_id, h_idx
+            ),
+            band AS (
+              SELECT doc_id, (h_idx // 4)::INT AS band,
+                     list(mh ORDER BY h_idx) AS bsig
+              FROM sig GROUP BY doc_id, h_idx // 4
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT c.id1, c.id2, count(*) AS inter
+              FROM cands c
+              JOIN tok t1 ON t1.doc_id = c.id1
+              JOIN tok t2 ON t2.doc_id = c.id2 AND t2.tok = t1.tok
+              GROUP BY c.id1, c.id2
             )
-            SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id
+            SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2,
+                   round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes s1 ON s1.doc_id = i.id1
+            JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE i.inter * 1.0 / (s1.n + s2.n - i.inter) >= 0.3
         """,
         "ts_sax_dist_pairs": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),

@@ -55,8 +55,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_minhash_verified",
     "text_quality",
-    "text_fingerprints",
     "ann_cosine_topk",
     "ann_ivf_topk",
     # UDF kernel path

@@ -66,6 +66,74 @@ class TestDedup:
                 for r in simhash_near_pairs(docs_df(spark), max_hamming=60).collect()}
         assert near[(0, 1)] == 0
 
+    def test_simhash_banding_guaranteed_recall(self, spark):
+        # pigeonhole property: with n_bands = max_hamming + 1 bands
+        # covering all 60 bits, EVERY planted pair at hamming <=
+        # max_hamming must surface — including pairs engineered to
+        # defeat the old 3x16-bit rotated-prefix banding (one flipped
+        # bit per 16-bit window, plus diffs in the uncovered bits 48-59)
+        from tslearn_spark.pipeline.dedup import simhash_pairs_from_signatures
+
+        rs = np.random.RandomState(7)
+        rows = []
+        expected = set()
+        base_id = 0
+        for trial in range(12):
+            for max_h in (1, 2, 3):
+                sig = int(rs.randint(0, 1 << 60, dtype=np.uint64))
+                # spread the flipped bits across distinct 15/16-bit
+                # windows AND the high bits to stress the banding
+                positions = rs.choice(60, size=max_h, replace=False)
+                other = sig
+                for p in positions:
+                    other ^= 1 << int(p)
+                rows.append((base_id, sig))
+                rows.append((base_id + 1, other))
+                expected.add((base_id, base_id + 1, max_h))
+                base_id += 2
+        # adversarial fixed case for max_hamming=3: bits 10, 25, 55 —
+        # one diff in each old 16-bit window region + an uncovered bit
+        sig = 0x0ABCDEF12345678
+        rows.append((base_id, sig))
+        rows.append((base_id + 1, sig ^ (1 << 10) ^ (1 << 25) ^ (1 << 55)))
+        expected.add((base_id, base_id + 1, 3))
+        df = spark.createDataFrame(rows, "doc_id long, simhash long")
+        for max_h in (1, 2, 3):
+            got = {(r["id1"], r["id2"])
+                   for r in simhash_pairs_from_signatures(
+                       df, max_hamming=max_h).collect()}
+            for i1, i2, h in expected:
+                if h <= max_h:
+                    assert (i1, i2) in got, (
+                        f"planted pair ({i1},{i2}) at hamming {h} missed "
+                        f"with max_hamming={max_h}")
+
+    def test_minhash_verify_path_bounded_by_candidates(self, spark):
+        # the verify branch must score ONLY the LSH candidates — never
+        # rebuild the whole-corpus inverted index (the Σdf² join LSH
+        # exists to avoid).  Plan check: no token equi-join, only
+        # array_intersect on candidate rows.
+        from tslearn_spark.pipeline import minhash_lsh_candidates, ngram_jaccard_pairs
+
+        verified = minhash_lsh_candidates(
+            docs_df(spark), num_hashes=32, bands=16, verify_threshold=0.5)
+        plan = verified._jdf.queryExecution().optimizedPlan().toString()
+        assert "array_intersect" in plan
+        # signatures legitimately explode tokens (map-side, O(corpus
+        # tokens)); what must NOT appear is a JOIN keyed on token —
+        # that would be the inverted-index self-join
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_lines  # band join + two id joins exist
+        assert not any("token" in ln for ln in join_lines)
+        got = {(r["id1"], r["id2"]): r["jaccard"] for r in verified.collect()}
+        # verified jaccards agree exactly with the inverted-index operator
+        exact = {(r["id1"], r["id2"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.5).collect()}
+        assert set(got) <= set(exact)
+        assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+        for p, j in got.items():
+            assert j == pytest.approx(exact[p])
+
 
     def test_embedding_neardup_exact(self, spark):
         from tslearn_spark.pipeline import embedding_neardup_pairs

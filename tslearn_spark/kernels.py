@@ -124,6 +124,12 @@ def warn_if_itakura_infeasible(finite: np.ndarray) -> None:
                       RuntimeWarning)
 
 
+# (sz1, sz2, max_slope) combos whose infeasibility warning already fired
+# in this process (see itakura_bounds); bounded — distinct size pairs in a
+# workload are few relative to pairs
+_ITAKURA_WARNED: set[tuple[int, int, float]] = set()
+
+
 def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
     """Per-row [lo, hi] inclusive column bounds of the Itakura parallelogram.
 
@@ -143,7 +149,15 @@ def itakura_bounds(sz1: int, sz2: int, max_slope: float = 2.0) -> tuple[np.ndarr
     up = np.where(upper < 0, upper + sz1, np.minimum(upper, sz1))
     finite = (np.arange(sz1)[:, None] >= lo_r[None, :]) & (
         np.arange(sz1)[:, None] < up[None, :])
-    warn_if_itakura_infeasible(finite)
+    # warn once per (sz1, sz2, max_slope): this runs per PAIR inside the
+    # DTW/LCSS kernels, and an infeasible combo in a large cdist would
+    # otherwise emit one warnings.warn call per pair — registry-deduped
+    # for display but still per-pair overhead, and an 'always'/'error'
+    # warning filter would flood or raise mid-job.
+    key = (sz1, sz2, max_slope)
+    if key not in _ITAKURA_WARNED:
+        _ITAKURA_WARNED.add(key)
+        warn_if_itakura_infeasible(finite)
     any_row = finite.any(axis=1)
     lo = np.where(any_row, finite.argmax(axis=1), 0).astype(np.int64)
     hi = np.where(any_row, sz2 - 1 - finite[:, ::-1].argmax(axis=1),

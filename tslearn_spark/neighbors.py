@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from tslearn_spark import metrics as M
 from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
-# queries up to this many rows ride the broadcast-matmul fast path for
-# euclidean; beyond it (or for elastic metrics) the generic pair join runs
-_EUCLIDEAN_BROADCAST_LIMIT = 200_000
+# query sets up to ~this many float64s (~64 MB) ride the broadcast-matmul
+# fast path for euclidean; beyond it (or for elastic metrics) the generic
+# pair join runs.  A values budget, not a row count: 200k rows of sz*d=1024
+# would be a ~1.6 GB driver collect under a row gate.
+_EUCLIDEAN_BROADCAST_LIMIT_VALUES = 8_000_000
 
 
 def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
@@ -219,7 +221,20 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
     lens_t_drv = np.fromiter((t.shape[0] for t in t_arrs), dtype=np.int64,
                              count=n_t)
     med_t = float(np.median(lens_t_drv)) if n_t else 0.0
-    w_est = 2 * int(radius) + 1 if radius is not None else med_t
+    # the actual band width of an (la, lb) pair is |la - lb| + 2r + 1, so
+    # on mixed-length corpora a bare 2r+1 estimate undercounts and the
+    # seed-and-cap path under-triggers.  Estimate the typical |la - lb|
+    # with the Gini mean difference of the train lengths (O(n log n) via
+    # the sorted-array identity) — queries are assumed length-distributed
+    # like the train side.  Both paths are exact; this only picks which.
+    if n_t > 1:
+        ls = np.sort(lens_t_drv).astype(np.float64)
+        idx = np.arange(n_t, dtype=np.float64)
+        mean_len_diff = float(np.sum((2 * idx - n_t + 1) * ls)
+                              * 2.0 / (n_t * (n_t - 1)))
+    else:
+        mean_len_diff = 0.0
+    w_est = (2 * int(radius) + 1 + mean_len_diff) if radius is not None else med_t
     use_prune = radius is not None and med_t * w_est >= 8192
 
     def gen(batches):
@@ -425,14 +440,21 @@ def kneighbors(
     if metric == "sax":
         return _sax_knn(queries, train, k, drop_self, params)
     if metric == "euclidean" and not params:
-        shape = queries.select("series_id", "values").unionByName(
-            train.select("series_id", "values")
+        shape = queries.select(F.lit(True).alias("_q"), "values").unionByName(
+            train.select(F.lit(False).alias("_q"), "values")
         ).select(
             F.countDistinct(F.size("values")).alias("n_sz"),
-            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("_q"),
+                    F.size("values") * F.size(F.element_at("values", 1)),
+                ).otherwise(F.lit(0))
+            ).alias("q_vals"),
         ).first()
-        # fast path needs equal-length series and a broadcastable query set
-        if shape["n_sz"] == 1 and shape["n"] <= _EUCLIDEAN_BROADCAST_LIMIT:
+        # fast path needs equal-length series and a query set within the
+        # broadcast byte budget (values count, mirroring the DTW gate)
+        if shape["n_sz"] == 1 and shape["q_vals"] is not None \
+                and shape["q_vals"] <= _EUCLIDEAN_BROADCAST_LIMIT_VALUES:
             return _euclidean_topk(queries, train, k, drop_self)
     pairs = M.cross_pairs(queries, train)
     if drop_self:

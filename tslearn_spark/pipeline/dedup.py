@@ -234,9 +234,12 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes / bands; a pair collides in a band iff all
     its rows match — the classic S-curve.  The band bucket join is an
     equi-join on (band, bucket-hash): shuffle scales with the number of
-    (doc, band) rows, never |D|^2.  With verify_threshold set, candidates
-    are verified with exact Jaccard (inverted-index join restricted to
-    candidate ids).
+    (doc, band) rows, never |D|^2.  With verify_threshold set, each
+    candidate pair is verified with exact Jaccard by joining the pair
+    ids to the per-doc token arrays (two id equi-joins) and folding
+    ``size(array_intersect(...))`` per pair — cost O(|candidates|), so
+    verification never reintroduces the Σdf² inverted-index join that
+    LSH exists to avoid.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -257,11 +260,45 @@ def minhash_lsh_candidates(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(docs, text_col, n_shingle, threshold=0.0)
+    return verify_candidate_pairs(cands, docs, text_col, n_shingle,
+                                  verify_threshold)
+
+
+def verify_candidate_pairs(
+    cands: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    n_shingle: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id1, id2) pairs.
+
+    Two id equi-joins bring the per-doc distinct token arrays onto each
+    candidate row; ``array_intersect`` folds the exact intersection
+    per pair.  The token payload shuffled is bounded by the candidate
+    set — the whole-corpus inverted index is never rebuilt, so this
+    stays O(|candidates| · doc_len) at any corpus size (the property
+    the LSH candidate generator is there to guarantee).
+    """
+    toks = _doc_token_arrays(docs, text_col, n_shingle)
+    t1 = toks.select(F.col("doc_id").alias("id1"), F.col("toks").alias("_t1"))
+    t2 = toks.select(F.col("doc_id").alias("id2"), F.col("toks").alias("_t2"))
     return (
-        cands.join(exact, ["id1", "id2"])
-        .where(F.col("jaccard") >= verify_threshold)
-        .select("id1", "id2", "jaccard")
+        cands.select("id1", "id2")
+        .join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            "id1", "id2",
+            F.size(F.array_intersect("_t1", "_t2")).alias("inter"),
+            F.size("_t1").alias("n1"),
+            F.size("_t2").alias("n2"),
+        )
+        .select(
+            "id1", "id2", "inter", "n1", "n2",
+            (F.col("inter")
+             / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= float(threshold))
     )
 
 
@@ -293,19 +330,45 @@ def simhash_signatures(
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Candidate pairs whose simhash agrees on a rotated prefix, verified
-    by exact Hamming distance (bit_count of xor)."""
-    sig = simhash_signatures(docs, text_col)
-    rotations = 60 // prefix_bits
+def _simhash_band_bounds(n_bands: int, bits: int = 60) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``bits`` split into ``n_bands`` contiguous
+    chunks whose widths differ by at most one, covering every bit."""
+    bounds = []
+    shift = 0
+    for i in range(n_bands):
+        width = bits // n_bands + (1 if i < bits % n_bands else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, max_hamming: int = 3, n_bands: int | None = None,
+    id_col: str = "doc_id", sig_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-near pairs over a (id, simhash) DataFrame.
+
+    Banding with GUARANTEED recall: the 60 signature bits are split into
+    ``n_bands = max_hamming + 1`` contiguous bands covering every bit,
+    so by pigeonhole any pair at Hamming distance <= max_hamming agrees
+    exactly on at least one whole band and is always a candidate.  The
+    band join is an equi-join on (band, bucket) — shuffle scales with
+    (doc, band) rows, never |D|^2 — and candidates are verified with the
+    exact ``bit_count(xor)``.
+    """
+    if n_bands is None:
+        # each band needs >= 1 bit; max_hamming >= 60 cannot be banded
+        # (a complement pair agrees on no band) so it degrades to the
+        # best guarantee banding can give on 60 bits (hamming <= 59)
+        n_bands = min(max_hamming + 1, 60)
+    bounds = _simhash_band_bounds(n_bands)
     banded = sig.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), r * prefix_bits)
-                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
-                for r in range(rotations)
+                F.shiftright(F.col(sig_col), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for shift, width in bounds
             ])
         ).alias("band", "bucket"),
     )
@@ -315,14 +378,23 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         s1.join(s2, ["band", "bucket"]).where(F.col("id1") < F.col("id2"))
         .select("id1", "id2").distinct()
     )
-    sigs1 = sig.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
-    sigs2 = sig.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    sigs1 = sig.select(F.col(id_col).alias("id1"), F.col(sig_col).alias("h1"))
+    sigs2 = sig.select(F.col(id_col).alias("id2"), F.col(sig_col).alias("h2"))
     return (
         cands.join(sigs1, "id1").join(sigs2, "id2")
         .select("id1", "id2",
                 F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3,
+                       n_bands: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs with guaranteed recall at
+    hamming <= max_hamming (see simhash_pairs_from_signatures)."""
+    sig = simhash_signatures(docs, text_col)
+    return simhash_pairs_from_signatures(sig, max_hamming, n_bands)
 
 
 def embedding_neardup_pairs(
@@ -449,13 +521,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     edges = pairs.select(
         F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
     ).distinct()
+    persisted = False
     if driver_cap:
         # limit() probe instead of count(): at scale a full count of a
         # huge edge set just to REJECT the fast path would scan it all.
         # toPandas (Arrow) lands two int64 columns — the ~32 MB the cap
         # promises — where collect() would build 100+-byte Row objects.
+        # persist() first: the probe materializes the (expensive) upstream
+        # near-dup pipeline, and when the edge set EXCEEDS the cap the
+        # distributed loop below must not recompute it from scratch —
+        # the iterative path reads the cached blocks instead.
+        edges = edges.persist()
+        persisted = True
         head = edges.limit(driver_cap + 1).toPandas()
         if len(head) <= driver_cap:
+            edges.unpersist()
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -480,6 +560,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     sym = edges.unionByName(
         edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).localCheckpoint()
+    if persisted:
+        edges.unpersist()  # sym is materialized; the edge cache is done
     comp = (
         sym.groupBy(F.col("id1").alias("doc_id"))
         .agg(F.min("id2").alias("_min_nb"))

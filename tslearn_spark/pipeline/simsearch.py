@@ -86,9 +86,12 @@ def brute_force_topk(
     volume is O(n_queries x k x n_partitions) regardless of candidate
     count.  (For query sets too big to broadcast, use lsh_topk.)
     """
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # Arrow transfer (toPandas), not collect(): Row objects wrap the
+    # vectors in per-element Python objects — ~5-10x the heap of the
+    # raw doubles on a large query set
+    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_ids = q_pdf[id_col].to_numpy(dtype=np.int64)
+    Q = np.array([list(v) for v in q_pdf[vec_col]], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, Qn))
@@ -179,19 +182,19 @@ def ivf_topk(
     """
     spark = candidates.sparkSession
     if centroids is None:
-        rows = (
-            candidates.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        c_pdf = (
+            candidates.select(id_col, vec_col).orderBy(id_col).limit(n_lists).toPandas()
         )
-        centroids = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        centroids = np.array([list(v) for v in c_pdf[vec_col]], dtype=np.float64)
     Cen = np.asarray(centroids, dtype=np.float64)
     Cen = Cen / np.maximum(np.linalg.norm(Cen, axis=1, keepdims=True), 1e-300)
 
     # probes on the driver: queries are broadcastable by contract (same
-    # assumption as brute_force_topk); stable argsort -> ascending
-    # centroid index on ties
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # assumption as brute_force_topk); Arrow toPandas for the same
+    # heap reason; stable argsort -> ascending centroid index on ties
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy(dtype=np.int64)
+    Q = np.array([list(v) for v in q_pdf[vec_col]], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     order = np.argsort(-(Qn @ Cen.T), axis=1, kind="stable")[:, : min(n_probe, len(Cen))]
     probers = {

@@ -81,6 +81,21 @@ _NANO_TS_COLS = {
 }
 
 
+def _dir_fingerprint(sf_dir: str):
+    """Cheap staleness key for the load_tables memo: (name, mtime_ns, size)
+    of every top-level entry in sf_dir.  ~10 stat calls — far cheaper than
+    the footer reads the memo avoids — and changes whenever the parquet
+    data is regenerated.  Non-local / unreadable paths fingerprint as
+    None (memo then behaves as before: keyed on sf_dir only)."""
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it
+            ))
+    except OSError:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views.
 
@@ -100,19 +115,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             spark._tslearn_tables_memo = memo
         except Exception:
             memo = None
+    fp = _dir_fingerprint(sf_dir)
     if memo is not None and sf_dir in memo:
-        out = memo[sf_dir]
-        if getattr(spark, "_tslearn_tables_sf", None) != sf_dir:
-            for name in TPCH_TABLES:
-                if name in out:
-                    out[name].createOrReplaceTempView(name)
-                else:
-                    spark.catalog.dropTempView(name)
-            try:
-                spark._tslearn_tables_sf = sf_dir
-            except Exception:
-                pass
-        return out
+        memo_fp, out = memo[sf_dir]
+        if memo_fp != fp:
+            # sf_dir contents were regenerated since the memo was taken:
+            # the parquet DataFrames captured the OLD file listing at
+            # creation and would serve stale data (or FileNotFound on
+            # deleted parts) — drop the entry and re-read below
+            del memo[sf_dir]
+        else:
+            if getattr(spark, "_tslearn_tables_sf", None) != sf_dir:
+                for name in TPCH_TABLES:
+                    if name in out:
+                        out[name].createOrReplaceTempView(name)
+                    else:
+                        spark.catalog.dropTempView(name)
+                try:
+                    spark._tslearn_tables_sf = sf_dir
+                except Exception:
+                    pass
+            return out
 
     # The driver harness passes its OWN SparkSession (not get_spark()'s), so
     # set the nanos conf here too — events.parquet stores TIMESTAMP(NANOS)
@@ -173,7 +196,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # a bad path must fail loudly, not silently read old data
             spark.catalog.dropTempView(name)
     if memo is not None and not errors:  # only memoize fully-clean loads
-        memo[sf_dir] = out
+        memo[sf_dir] = (fp, out)
     # the registered views now belong to THIS sf_dir even when some tables
     # failed — the marker must say so, or a later memo hit for the previous
     # dir would see marker == its own sf_dir, skip re-registration, and
