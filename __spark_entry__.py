@@ -737,12 +737,16 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect (dedup.py verify_candidate_pairs).  The full-corpus
     inverted index is NEVER rebuilt behind the LSH — cost is bounded by
     the candidate set (test_pipeline.py asserts no token-keyed join in
-    the plan)."""
+    the plan).  3-gram shingles: on this 40-word-vocabulary corpus
+    unigram token sets are near-identical across ALL docs, which would
+    make every pair a candidate — shingles keep the S-curve selective,
+    like dedup_ngram_jaccard."""
     from tslearn_spark.pipeline import minhash_lsh_candidates
 
     t = load_tables(spark, sf_dir)
     out = minhash_lsh_candidates(
-        t["documents"], num_hashes=16, bands=4, seed=42, verify_threshold=0.3
+        t["documents"], num_hashes=16, bands=4, n_shingle=3, seed=42,
+        verify_threshold=0.5,
     )
     return out.select(
         "id1", "id2",
@@ -1693,9 +1697,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN fp ON fp.doc_id = d.doc_id
         """,
         "dedup_minhash_verified": f"""
-            WITH tok AS (
+            WITH words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            tok AS (
               SELECT DISTINCT doc_id, t.tok
-              FROM documents, unnest({_TOKS}) AS t(tok)
+              FROM words, unnest(list_transform(
+                     range(1, greatest(len(tk) - 1, 2)),
+                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS t(tok)
             ),
             tid AS (
               SELECT doc_id, tok,
@@ -1731,7 +1738,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes s1 ON s1.doc_id = i.id1
             JOIN sizes s2 ON s2.doc_id = i.id2
-            WHERE i.inter * 1.0 / (s1.n + s2.n - i.inter) >= 0.3
+            WHERE i.inter * 1.0 / (s1.n + s2.n - i.inter) >= 0.5
         """,
         "ts_sax_dist_pairs": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),

@@ -101,6 +101,74 @@ def _warmup(spark) -> None:
     df.agg(F.sum("v")).collect()
 
 
+# Scale-validation suite: run at ~10x sf0.1 rows (tools/gen_scale_data.py)
+# to check the 100-TB claims against measured growth, not plan reading.
+# "expect" is the operator's asymptotic in ROW COUNT n on this data:
+#   linear    — one scan / one uniform shuffle / per-row or per-series work
+#   n*cand    — inverted-index or bucket join; candidates scale linearly
+#               here BY CONSTRUCTION (copy-salted tokens / axis-split
+#               embeddings keep cross-copy collisions at zero)
+#   quadratic — declared all-pairs semantics (self-kNN, brute-force ANN,
+#               self-join ANN at FIXED index parameters): pair count
+#               grows ~100x at 10x rows; the scale knob is the index
+#               (bits/n_lists grow with log n to hold bucket occupancy,
+#               LB-pruning for kNN), not the join plan
+# ann_lsh_topk is excluded: a self-join LSH at fixed bits=6 measured
+# 164 s at 10x rows (~60x — bucket occupancy up 10x on both sides), the
+# expected fixed-parameter quadratic; re-measuring that every round
+# buys nothing.  ann_ivf_topk carries the same asymptotic but its
+# per-list BLAS absorbs the constant, so it stays measurable.
+# The quadratic queries run LAST so their executor pressure (GC after
+# a 100x-pair stage) cannot pollute the linear measurements.
+SCALE_QUERIES = [
+    ("text_quality", "linear"),
+    ("dedup_exact", "linear"),
+    ("dedup_simhash", "linear"),
+    ("dedup_minhash_verified", "n*cand"),
+    ("dedup_ngram_jaccard", "n*cand"),
+    ("dedup_canonical", "n*cand"),
+    ("matrix_profile_events", "linear"),
+    ("events_running_zscore", "linear"),
+    ("ann_ivf_topk", "quadratic"),
+    ("ann_cosine_topk", "quadratic"),
+    ("knn_sax_classify", "quadratic"),
+]
+
+
+def _scale_section(spark, qs, cold_base: dict) -> dict | None:
+    """One cold pass of SCALE_QUERIES at the generated sf1 dir; ratios
+    against this run's sf0.1 COLD (pass-1) samples — the sf1 pass is
+    cold, so cold-vs-cold is the like-for-like comparison (vs the warm
+    3-pass median the growth of e.g. matrix_profile reads 29x when the
+    cold-cold ratio is ~10x).  10x rows -> a 'linear'/'n*cand' query
+    growing >>10x is a scale bug; 'quadratic' ones are expected near
+    100x pair counts and carry their own scale-path note."""
+    if os.environ.get("SPARK_GRAFT_SCALE_SF1", "1") == "0":
+        return None
+    from tools.gen_scale_data import ensure_sf1
+
+    t_gen0 = time.perf_counter()
+    sf1_dir = ensure_sf1(spark)
+    gen_s = round(time.perf_counter() - t_gen0, 3)
+    spark.catalog.clearCache()
+    out = {}
+    for name, expect in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf1_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        base = cold_base.get(name)
+        out[name] = {
+            "sec": dt,
+            "vs_sf01_cold": round(dt / base, 1) if base else None,
+            "expect": expect,
+        }
+        print(f"[bench] sf1 {name}: {dt}s ({out[name]['vs_sf01_cold']}x)",
+              file=sys.stderr)
+    return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
+            "queries": out}
+
+
 def _prior_medians(sf: float) -> tuple[dict, str | None]:
     """Most recent BENCH_r*.json next to this file AT THE SAME SF, for
     round-over-round regression flags (cross-sf ratios are meaningless)."""
@@ -160,6 +228,10 @@ def main() -> None:
         if name in prior and prior[name] > 0
         and t > 1.5 * prior[name] and t - prior[name] > 0.5
     }
+    # scale validation rides the standard sf0.1 bench run only (a smoke
+    # run at sf0.001 would produce meaningless ratios)
+    cold_base = {name: ts[0] for name, ts in samples.items() if ts}
+    scale = _scale_section(spark, qs, cold_base) if float(sf) == 0.1 else None
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
@@ -170,6 +242,7 @@ def main() -> None:
         "samples": {name: ts for name, ts in samples.items()},
         "regressions": regressions,
         "regressions_baseline": prior_file,
+        "sf1": scale,
     }))
     spark.stop()
 

@@ -137,6 +137,181 @@ class TestEstimatorContract:
             est.fit(df).predict(df).collect()
 
 
+def _all_estimator_classes():
+    """Every public estimator class, like the reference's pkgutil walk
+    (tslearn/tests/test_estimators.py:62-207)."""
+    from tslearn_spark.clustering import (
+        GlobalAlignmentKernelKMeans, KernelKMeans, KShape, TimeSeriesKMeans,
+    )
+    from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+    from tslearn_spark.labels import LabelCategorizer
+    from tslearn_spark.matrix_profile import MatrixProfile
+    from tslearn_spark.neighbors import (
+        KNeighborsTimeSeries,
+        KNeighborsTimeSeriesClassifier,
+        KNeighborsTimeSeriesRegressor,
+    )
+    from tslearn_spark.neural_network import (
+        TimeSeriesMLPClassifier,
+        TimeSeriesMLPRegressor,
+    )
+    from tslearn_spark.piecewise import (
+        OneDSAX, PiecewiseAggregateApproximation, SAX,
+    )
+    from tslearn_spark.preprocessing import (
+        TimeSeriesResampler,
+        TimeSeriesScalerMeanVariance,
+        TimeSeriesScalerMinMax,
+    )
+    from tslearn_spark.shapelets import LearningShapelets
+    from tslearn_spark.svm import TimeSeriesSVC, TimeSeriesSVR
+
+    return [
+        TimeSeriesKMeans, KShape, KernelKMeans, GlobalAlignmentKernelKMeans,
+        KNeighborsTimeSeries, KNeighborsTimeSeriesClassifier,
+        KNeighborsTimeSeriesRegressor, TimeSeriesSVC, TimeSeriesSVR,
+        TimeSeriesMLPClassifier, TimeSeriesMLPRegressor, LearningShapelets,
+        SAX, OneDSAX, PiecewiseAggregateApproximation, MatrixProfile,
+        TimeSeriesResampler, TimeSeriesScalerMinMax,
+        TimeSeriesScalerMeanVariance, NonMyopicEarlyClassifier,
+        LabelCategorizer,
+    ]
+
+
+# The reference's variable-length / NaN accept-reject matrix, pinned
+# class by class (tags declared via _more_tags at bases.py:21-28,
+# kmeans.py:456-457,858-859, neighbors.py:561-562,716-717,
+# svm.py:369-371,567-569, shapelets.py:881-887, piecewise.py:257-258,
+# matrix_profile.py:252-253, preprocessing.py:200-201,297-298,
+# early_classification.py:576-582, utils.py:633-634).  Key -> the two
+# core tags; extra tags asserted separately where declared.
+_EXPECTED_TAGS = {
+    "TimeSeriesKMeans": (True, True),
+    "KShape": (False, False),            # rigid: equal-size required
+    "KernelKMeans": (True, True),
+    "GlobalAlignmentKernelKMeans": (True, True),   # inherits KernelKMeans
+    "KNeighborsTimeSeries": (True, True),
+    "KNeighborsTimeSeriesClassifier": (True, True),
+    "KNeighborsTimeSeriesRegressor": (True, True),
+    "TimeSeriesSVC": (True, True),
+    "TimeSeriesSVR": (True, True),
+    "TimeSeriesMLPClassifier": (False, False),     # flat fixed-width input
+    "TimeSeriesMLPRegressor": (False, False),
+    "LearningShapelets": (True, True),
+    "SAX": (True, True),
+    "OneDSAX": (True, True),
+    "PiecewiseAggregateApproximation": (True, True),
+    "MatrixProfile": (True, True),
+    "TimeSeriesResampler": (False, False),         # no _more_tags upstream
+    "TimeSeriesScalerMinMax": (True, False),
+    "TimeSeriesScalerMeanVariance": (True, False),
+    "NonMyopicEarlyClassifier": (False, False),
+    "LabelCategorizer": (False, False),
+}
+
+
+class TestEstimatorBattery:
+    """Parametrized contract sweep over every estimator class —
+    the engine's analogue of the reference's patched check_estimator
+    battery (sklearn_patches.py:1-645)."""
+
+    @pytest.mark.parametrize("cls", _all_estimator_classes(),
+                             ids=lambda c: c.__name__)
+    def test_tag_matrix(self, cls):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            tags = cls()._get_tags()
+        allow_nan, allow_vl = _EXPECTED_TAGS[cls.__name__]
+        assert tags["allow_nan"] is allow_nan, cls.__name__
+        assert tags["allow_variable_length"] is allow_vl, cls.__name__
+        # per-class extra declarations
+        if cls.__name__ in ("TimeSeriesSVC", "TimeSeriesSVR"):
+            assert tags["non_deterministic"] is True
+        if cls.__name__ == "NonMyopicEarlyClassifier":
+            assert tags["no_validation"] is True
+        if cls.__name__ == "LabelCategorizer":
+            assert tags["X_types"] == ["1dlabels"]
+
+    @pytest.mark.parametrize("cls", _all_estimator_classes(),
+                             ids=lambda c: c.__name__)
+    def test_clone_roundtrip(self, cls):
+        """sklearn clone contract: get_params of a fresh instance fully
+        reconstructs an equivalent instance, and every __init__ param is
+        stored verbatim under its own name (no renaming in __init__)."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            est = cls()
+            params = est.get_params()
+            # every declared __init__ param must be gettable (stored as-is)
+            assert set(params) == set(cls._param_names()), cls.__name__
+            clone = cls(**params)
+        assert clone.get_params() == params
+
+    @pytest.mark.parametrize("cls", _all_estimator_classes(),
+                             ids=lambda c: c.__name__)
+    def test_set_params_rejects_unknown(self, cls):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            est = cls()
+        with pytest.raises(ValueError):
+            est.set_params(definitely_not_a_param=1)
+
+    @pytest.mark.parametrize("cls", _all_estimator_classes(),
+                             ids=lambda c: c.__name__)
+    def test_unfitted_has_no_trailing_underscore_state(self, cls):
+        """Fitted attributes are trailing-underscore by sklearn naming;
+        a fresh instance must not claim to be fitted."""
+        import warnings
+
+        from tslearn_spark.bases import BaseModelPackage
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            est = cls()
+        if isinstance(est, BaseModelPackage):
+            assert not est._is_fitted(), cls.__name__
+
+    def test_variable_length_matrix_behavior(self, spark):
+        """The tags are live contracts, not labels: a tagged-True
+        transformer must run on ragged input end-to-end; the rigid MLP
+        must raise (asserted in test_variable_length_rejected_by_rigid_mlp)."""
+        from tslearn_spark.piecewise import SAX
+        from tslearn_spark.matrix_profile import MatrixProfile
+
+        X = [[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+             [5.0, 4.0, 3.0, 2.0, 1.0, 0.0],
+             [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0]]
+        df = DS.dataset_to_df(spark, X)
+        sax_out = SAX(n_segments=2, alphabet_size_avg=4).fit(df).transform(df)
+        assert sax_out.count() == 3
+        mp_out = MatrixProfile(subsequence_length=3).fit(df).transform(df)
+        assert mp_out.select("series_id").distinct().count() == 3
+
+    def test_fitted_attribute_naming(self, spark):
+        """After fit, model state lands in trailing-underscore attrs and
+        _is_fitted flips (the reference's check_is_fitted contract)."""
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.labels import LabelCategorizer
+
+        df = _blobs_df(spark, seed=6)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=3,
+                              random_state=0).fit(df)
+        assert km._is_fitted()
+        fitted_attrs = {k for k in vars(km)
+                        if k.endswith("_") and not k.startswith("_")}
+        assert "cluster_centers_" in fitted_attrs
+        lc = LabelCategorizer()
+        y = np.array(["a", "b", "a"])
+        lc.fit(y)
+        assert lc._is_fitted()
+
+
 class TestDeprecatedAliases:
     def test_aliases_warn_and_subclass(self):
         import warnings

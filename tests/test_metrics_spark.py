@@ -132,7 +132,7 @@ class TestKNN:
         nn = kneighbors(df, df, k=5, metric="sax", drop_self=True,
                         n_segments=4, alphabet_size_avg=4)
         got = {(r["id1"], r["id2"]): r["dist"] for r in nn.collect()}
-        sax = SAX(n_segments=4, alphabet_size_avg=4)
+        sax = SAX(n_segments=4, alphabet_size_avg=4).fit(df)
         t = sax.transform(df).select("series_id", "sax")
         a = t.select(F.col("series_id").alias("id1"), F.col("sax").alias("sax1"))
         b = t.select(F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))

@@ -349,13 +349,13 @@ class TestModelIO:
         from tslearn_spark.model_io import load_model, save_model
         from tslearn_spark.piecewise import SAX
 
-        sax = SAX(n_segments=3, alphabet_size_avg=4)
+        df = DS.dataset_to_df(spark, [[-1.0, 2.0, 0.1, -1.0, 1.0, -1.0]])
+        sax = SAX(n_segments=3, alphabet_size_avg=4).fit(df)
         path = str(tmp_path / "sax.json")
         save_model(sax, path)
         sax2 = load_model(path)
         assert sax2.n_segments == 3
         np.testing.assert_allclose(sax2.breakpoints_avg_, sax.breakpoints_avg_)
-        df = DS.dataset_to_df(spark, [[-1.0, 2.0, 0.1, -1.0, 1.0, -1.0]])
         a = [r["sax"] for r in sax.transform(df).collect()]
         b = [r["sax"] for r in sax2.transform(df).collect()]
         assert a == b
@@ -445,28 +445,63 @@ class TestModelIO:
             save_model(clf, str(tmp_path / "clf.json"))
 
     def test_unsupported_formats_fail_loudly(self, tmp_path):
-        """hdf5/pickle are rejected with the documented reason, both via
-        extension inference and the explicit fmt argument (reference
-        exposes all three at bases.py:164-287)."""
+        """pickle is always rejected with the documented reason; hdf5 is
+        rejected loudly only where h5py is absent (reference exposes all
+        three at bases.py:164-287; hdf5 gated like its HDF5_INSTALLED)."""
         import pytest
 
+        from tslearn_spark.hdftools import HDF5_INSTALLED
         from tslearn_spark.model_io import load_model, save_model
         from tslearn_spark.piecewise import SAX
 
         sax = SAX(n_segments=3, alphabet_size_avg=4)
-        with pytest.raises(NotImplementedError, match="HDF5"):
-            save_model(sax, str(tmp_path / "m.h5"))
-        with pytest.raises(NotImplementedError, match="HDF5"):
-            save_model(sax, str(tmp_path / "m.json"), fmt="hdf5")
+        if not HDF5_INSTALLED:
+            with pytest.raises(NotImplementedError, match="HDF5"):
+                save_model(sax, str(tmp_path / "m.h5"))
+            with pytest.raises(NotImplementedError, match="HDF5"):
+                save_model(sax, str(tmp_path / "m.json"), fmt="hdf5")
         with pytest.raises(ValueError, match="pickle.*rejected"):
             save_model(sax, str(tmp_path / "m.pkl"))
         with pytest.raises(ValueError, match="unknown model format"):
             save_model(sax, str(tmp_path / "m.json"), fmt="msgpack")
         # load side enforces the same matrix
         save_model(sax, str(tmp_path / "m.json"))
-        with pytest.raises(NotImplementedError, match="HDF5"):
-            load_model(str(tmp_path / "m.json"), fmt="hdf5")
+        if not HDF5_INSTALLED:
+            with pytest.raises(NotImplementedError, match="HDF5"):
+                load_model(str(tmp_path / "m.json"), fmt="hdf5")
         assert load_model(str(tmp_path / "m.json")).n_segments == 3
+
+    def test_hdf5_roundtrip_when_h5py_present(self, spark, tmp_path):
+        """Reference HDF5 layout round-trip (bases.py:164-210,
+        hdftools.py:8-150) — runs wherever h5py exists."""
+        import pytest
+
+        pytest.importorskip("h5py")
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.model_io import load_model, save_model
+        from tslearn_spark.piecewise import SAX
+
+        df = DS.dataset_to_df(spark, [[-1.0, 2.0, 0.1, -1.0, 1.0, -1.0],
+                                      [0.5, 0.5, -0.5, -0.5, 1.0, 0.0]])
+        sax = SAX(n_segments=3, alphabet_size_avg=4).fit(df)
+        path = str(tmp_path / "sax.h5")
+        sax.to_hdf5(path)
+        sax2 = SAX.from_hdf5(path)
+        assert int(sax2.n_segments) == 3
+        np.testing.assert_allclose(sax2.breakpoints_avg_, sax.breakpoints_avg_)
+        a = [r["sax"] for r in sax.transform(df).orderBy("series_id").collect()]
+        b = [r["sax"] for r in sax2.transform(df).orderBy("series_id").collect()]
+        assert a == b
+        # existing file -> FileExistsError, like the reference
+        with pytest.raises(FileExistsError):
+            sax.to_hdf5(path)
+        # save_model/load_model route .h5 through the same codec
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=3,
+                              random_state=0).fit(df)
+        kpath = str(tmp_path / "km.h5")
+        save_model(km, kpath)
+        km2 = load_model(kpath)
+        np.testing.assert_allclose(km2.cluster_centers_, km.cluster_centers_)
 
 
 class TestBasesProtocol:

@@ -153,6 +153,46 @@ class TestDedup:
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         assert out[(0, 1)] == pytest.approx(float(Vn[0] @ Vn[1]), abs=1e-12)
 
+    def test_ivf_trained_centroids_recall(self, spark):
+        """MLlib-KMeans-trained centroids (the production quantizer) must
+        match or beat the deterministic lowest-id oracle centroids on
+        recall@10 vs brute force, on the sf0.1 embeddings."""
+        import os
+
+        from tslearn_spark.pipeline import (
+            brute_force_topk, ivf_topk, train_ivf_centroids,
+        )
+
+        path = "/root/testdata/sf0.1/embeddings.parquet"
+        if not os.path.exists(path):
+            pytest.skip("sf0.1 testdata absent")
+        emb = spark.read.parquet(path).cache()
+        queries = emb.where(F.col("vec_id") % 40 == 0)  # 50 probes
+
+        def topk_sets(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return out
+
+        truth = topk_sets(brute_force_topk(queries, emb, k=10))
+
+        def recall(cents):
+            got = topk_sets(ivf_topk(queries, emb, k=10, n_lists=16,
+                                     n_probe=4, centroids=cents))
+            return np.mean([
+                len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+            ])
+
+        r_lowest = recall(None)  # deterministic lowest-id default
+        cents = train_ivf_centroids(emb, n_lists=16, seed=42)
+        assert cents.shape[0] == 16
+        r_trained = recall(cents)
+        # trained centroids partition the sphere evenly; lowest-id ones
+        # are arbitrary points.  Require a real win, not a tie.
+        assert r_trained >= r_lowest
+        assert r_trained >= 0.5, (r_trained, r_lowest)
+
     def test_embedding_neardup_lsh_subset(self, spark):
         # LSH path returns a SUBSET of the exact pairs (recall < 1), with
         # identical cosines on shared pairs

@@ -149,8 +149,31 @@ def transform_compat(df, build, out_col: str, int_out: bool = False):
     return to_time_series_dataset(vals)
 
 
+# sklearn-style default estimator tags (reference bases.py:21-28 layers
+# {'allow_variable_length': False} over sklearn's own defaults; the two
+# keys below are the ones the reference's accept/reject matrix reads)
+_DEFAULT_TAGS = {
+    "allow_nan": False,
+    "allow_variable_length": False,
+}
+
+
 class TimeSeriesBaseEstimator:
-    """sklearn BaseEstimator protocol (get_params/set_params)."""
+    """sklearn BaseEstimator protocol (get_params/set_params/tags)."""
+
+    def _more_tags(self) -> dict:
+        """Reference bases.py:27-28 — subclasses override to declare
+        variable-length / NaN acceptance (kmeans.py:858-859 etc.)."""
+        return dict(_DEFAULT_TAGS)
+
+    def _get_tags(self) -> dict:
+        """Merge ``_more_tags`` across the MRO, most-derived last —
+        sklearn's collection order, so subclass declarations win."""
+        tags = dict(_DEFAULT_TAGS)
+        for klass in reversed(type(self).__mro__):
+            if "_more_tags" in vars(klass):
+                tags.update(vars(klass)["_more_tags"](self))
+        return tags
 
     @classmethod
     def _param_names(cls) -> list[str]:
@@ -247,15 +270,53 @@ class BaseModelPackage:
         return model
 
     def to_hdf5(self, path: str) -> None:
-        from tslearn_spark.model_io import _resolve_fmt
+        """Reference HDF5 layout (bases.py:164-183, hdftools.py:8-46),
+        available whenever h5py is — loud NotImplementedError otherwise."""
+        from tslearn_spark import hdftools, model_io
 
-        _resolve_fmt(path, "hdf5")  # loud policy rejection
+        hdftools._require_h5py()
+        if not self._is_fitted():
+            raise ValueError("Model must be fit before it can be packaged")
+        d = {
+            "class": type(self).__name__,
+            # reference stores None hyper-params as the string 'None'
+            # (bases.py:94-101) and restores them on load
+            "hyper_params": {
+                k: "None" if v is None else v
+                for k, v in self.get_params().items()
+            },
+            "model_params": {
+                k: v for k, v in self._get_model_params().items()
+                if v is not None
+            },
+        }
+        # MLlib-backed state keeps the same loud Spark-native-persistence
+        # rejection as the JSON codec
+        for v in d["model_params"].values():
+            model_io._reject_mllib(v)
+        hdftools.save_dict(d, path, "data")
 
     @classmethod
     def from_hdf5(cls, path: str) -> Any:
-        from tslearn_spark.model_io import _resolve_fmt
+        """Load an instance saved by to_hdf5 (bases.py:186-210)."""
+        from tslearn_spark import hdftools, model_io
 
-        _resolve_fmt(path, "hdf5")
+        hdftools._require_h5py()
+        d = hdftools.load_dict(path, "data")
+        d.pop("class", None)
+        hyper = {
+            k: None if (isinstance(v, str) and v == "None") else v
+            for k, v in d.get("hyper_params", {}).items()
+        }
+        model = model_io.model_from_dict(
+            {"class": cls.__name__, "hyper_params": hyper,
+             "model_params": d.get("model_params", {})}
+        )
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} encodes a {type(model).__name__}, not a {cls.__name__}"
+            )
+        return model
 
     def to_pickle(self, path: str) -> None:
         from tslearn_spark.model_io import _resolve_fmt

@@ -122,6 +122,10 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     reference option.
     """
 
+    def _more_tags(self):
+        # reference kmeans.py:858-859
+        return {"allow_nan": True, "allow_variable_length": True}
+
     def __init__(
         self,
         n_clusters: int = 3,
@@ -721,6 +725,10 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     (deprecated alias, kept for signature parity); ``n_jobs`` is
     accepted for parity — parallelism comes from the Spark cluster.
     """
+
+    def _more_tags(self):
+        # reference kmeans.py:456-457
+        return {"allow_nan": True, "allow_variable_length": True}
 
     def __init__(self, n_clusters: int = 3, kernel: str = "gak", max_iter: int = 50,
                  tol: float = 1e-6, n_init: int = 1,

@@ -78,6 +78,10 @@ def _make_stopper(centers, pyck, pyhatyck, sz, d, min_t, lamb, alpha, k):
 
 
 class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
+    def _more_tags(self):
+        # reference early_classification.py:576-582
+        return {"no_validation": True}
+
     def __init__(self, n_clusters: int = 2, base_classifier=None,
                  min_t: int = 1, lamb: float = 1.0,
                  cost_time_parameter: float = 1.0, random_state: int = 0):

@@ -14,6 +14,10 @@ from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
 class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
+    def _more_tags(self):
+        # reference utils.py:633-634
+        return {"X_types": ["1dlabels"]}
+
     def __init__(self, single_column_if_binary: bool = False):
         self.single_column_if_binary = single_column_if_binary
         self.classes_: list[str] | None = None

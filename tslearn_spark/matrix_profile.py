@@ -216,6 +216,10 @@ class MatrixProfile(BaseModelPackage, TimeSeriesBaseEstimator):
     here, and raise — use ``transform_long`` for series that outgrow a
     single task instead."""
 
+    def _more_tags(self):
+        # reference matrix_profile.py:252-253
+        return {"allow_nan": True, "allow_variable_length": True}
+
     def __init__(self, subsequence_length: int = 4,
                  implementation: str = "numpy", scale: bool = True):
         if implementation != "numpy":

@@ -9,17 +9,21 @@ dtype tag.
 Codec accept/reject matrix (reference: to_hdf5/to_json/to_pickle at
 bases.py:164-287 — all three serialize the SAME param dict):
 
-=======================  ====  ==================================
-codec                    here  why
-=======================  ====  ==================================
-JSON                     yes   portable, diff-able, replayable
-HDF5                     no    h5py not in the container; the dict
-                               payload is identical to JSON's
-pickle                   no    intentionally rejected: not stable
-                               across Python/numpy versions, and a
-                               code-execution vector for shared
-                               model artifacts
-=======================  ====  ==================================
+=======================  =======  ==================================
+codec                    here     why
+=======================  =======  ==================================
+JSON                     yes      portable, diff-able, replayable
+HDF5                     gated    reference layout via
+                                  tslearn_spark.hdftools wherever
+                                  h5py imports; loud
+                                  NotImplementedError otherwise
+                                  (h5py is absent in the test
+                                  container)
+pickle                   no       intentionally rejected: not stable
+                                  across Python/numpy versions, and a
+                                  code-execution vector for shared
+                                  model artifacts
+=======================  =======  ==================================
 
 Per-estimator matrix (reference: each estimator inherits all three
 codecs from BaseModelPackage; here "json" is the one live codec):
@@ -79,6 +83,17 @@ def _helper_registry() -> dict[str, type]:
     return _HELPER_REGISTRY
 
 
+def _reject_mllib(obj: Any) -> None:
+    """MLlib-backed model state has Spark-native persistence; both codecs
+    reject it loudly and point there."""
+    cls = type(obj).__module__ or ""
+    if cls.startswith("pyspark.ml"):
+        raise NotImplementedError(
+            f"{type(obj).__name__} is an MLlib model — persist it with its "
+            "own .save(path) (Spark-native persistence), not model_io."
+        )
+
+
 def _encode(obj: Any):
     if isinstance(obj, np.ndarray):
         return {"__ndarray__": obj.tolist(), "dtype": str(obj.dtype)}
@@ -90,12 +105,7 @@ def _encode(obj: Any):
         return [_encode(x) for x in obj]
     if isinstance(obj, dict):
         return {k: _encode(v) for k, v in obj.items()}
-    cls = type(obj).__module__ or ""
-    if cls.startswith("pyspark.ml"):
-        raise NotImplementedError(
-            f"{type(obj).__name__} is an MLlib model — persist it with its "
-            "own .save(path) (Spark-native persistence), not model_io JSON."
-        )
+    _reject_mllib(obj)
     if type(obj).__name__ in _helper_registry():
         return {"__object__": type(obj).__name__, "state": _encode(vars(obj))}
     return obj
@@ -145,12 +155,12 @@ def _resolve_fmt(path: str, fmt: str | None) -> str:
                "pickle": "pickle"}.get(ext, "json")
     fmt = fmt.lower()
     if fmt == "hdf5":
-        raise NotImplementedError(
-            "HDF5 persistence is not available: h5py is absent in this "
-            "environment and the HDF5 payload would be the same "
-            "hyper/fitted-param dict JSON already stores — save with a "
-            ".json path instead (see model_io module docstring)."
-        )
+        # available whenever h5py is (reference layout via
+        # tslearn_spark.hdftools); loud HDF5 rejection otherwise
+        from tslearn_spark import hdftools
+
+        hdftools._require_h5py()
+        return fmt
     if fmt == "pickle":
         raise ValueError(
             "pickle persistence is intentionally rejected: it is not "
@@ -164,7 +174,9 @@ def _resolve_fmt(path: str, fmt: str | None) -> str:
 
 
 def save_model(model: Any, path: str, fmt: str | None = None) -> None:
-    _resolve_fmt(path, fmt)
+    if _resolve_fmt(path, fmt) == "hdf5":
+        model.to_hdf5(path)
+        return
     with open(path, "w") as f:
         json.dump(model_to_dict(model), f)
 
@@ -218,6 +230,11 @@ def model_from_dict(d: dict) -> Any:
 
 
 def load_model(path: str, fmt: str | None = None) -> Any:
-    _resolve_fmt(path, fmt)
+    if _resolve_fmt(path, fmt) == "hdf5":
+        from tslearn_spark import hdftools
+
+        d = hdftools.load_dict(path, "data")
+        cls = _registry()[str(d.pop("class"))]
+        return cls.from_hdf5(path)
     with open(path) as f:
         return model_from_dict(json.load(f))

@@ -344,7 +344,7 @@ def _sax_knn(queries: DataFrame, train: DataFrame, k: int,
 
     n_segments = int(params.get("n_segments", 10))
     alphabet = int(params.get("alphabet_size_avg", 5))
-    sax = SAX(n_segments=n_segments, alphabet_size_avg=alphabet)
+    sax = SAX(n_segments=n_segments, alphabet_size_avg=alphabet).fit(train)
     q = sax.transform(queries).select(
         F.col("series_id").alias("id1"),
         F.col("sax").alias("sax1"),
@@ -552,6 +552,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
     storing the training array); kneighbors() runs the metric-dispatched
     top-k join.  All heavy lifting lives in the functional layer above.
     """
+
+    def _more_tags(self):
+        # reference neighbors.py:561-562 (classifier: 716-717 identical)
+        return {"allow_nan": True, "allow_variable_length": True}
 
     def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
                  metric_params: dict | None = None,

@@ -122,18 +122,26 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
     computed on the driver; transform/distance are pure expressions.
     """
 
+    def _more_tags(self):
+        # reference piecewise.py:257-258 (SAX inherits PAA's tags there)
+        return {"allow_nan": True, "allow_variable_length": True}
+
     def __init__(self, n_segments: int = 1, alphabet_size_avg: int = 5, scale: bool = False):
         self.n_segments = n_segments
         self.alphabet_size_avg = alphabet_size_avg
         self.scale = scale
-        self.breakpoints_avg_ = sax_breakpoints(alphabet_size_avg)
-        self.breakpoints_avg_middle_ = sax_bin_medians(alphabet_size_avg)
         self.mu_: np.ndarray | None = None
         self.std_: np.ndarray | None = None
 
     def fit(self, df: DataFrame, y=None, values_col: str = "values") -> "SAX":
         from tslearn_spark.bases import as_ts_df
 
+        # breakpoints depend only on the alphabet hyperparameter, but the
+        # reference computes them at FIT time so an unfitted SAX raises on
+        # transform (piecewise.py:334-336 checks breakpoints_avg_) —
+        # mirrored here so the fitted-state contract matches
+        self.breakpoints_avg_ = sax_breakpoints(self.alphabet_size_avg)
+        self.breakpoints_avg_middle_ = sax_bin_medians(self.alphabet_size_avg)
         df, _ = as_ts_df(df)
         if self.scale:
             # global (dataset-wide) per-dim mean/std — one tiny aggregate
@@ -267,7 +275,11 @@ class OneDSAX(SAX):
         return self.fit_sz(sz)
 
     def fit_sz(self, sz: int) -> "OneDSAX":
-        """Breakpoints need the fit-time sz (piecewise.py:601-617)."""
+        """Breakpoints need the fit-time sz (piecewise.py:601-617).
+        A complete offline fit (minus scale stats): sets the avg
+        breakpoints too, so fit_sz alone makes the model usable."""
+        self.breakpoints_avg_ = sax_breakpoints(self.alphabet_size_avg)
+        self.breakpoints_avg_middle_ = sax_bin_medians(self.alphabet_size_avg)
         seg_sz = sz // self.n_segments
         sigma_l = self.sigma_l if self.sigma_l is not None else float(np.sqrt(0.03 / seg_sz))
         self.breakpoints_slope_ = sax_breakpoints(self.alphabet_size_slope, scale=sigma_l)
@@ -389,6 +401,10 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
     """Estimator twin of the reference PAA class (piecewise.py:112-258):
     segment-mean downsampling, inverse, and the PAA lower-bound distance,
     over the expression layer above."""
+
+    def _more_tags(self):
+        # reference piecewise.py:257-258
+        return {"allow_nan": True, "allow_variable_length": True}
 
     def __init__(self, n_segments: int = 1):
         self.n_segments = n_segments

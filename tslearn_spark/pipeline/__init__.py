@@ -30,6 +30,7 @@ from tslearn_spark.pipeline.simsearch import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
 )
 
 __all__ = [
@@ -48,4 +49,5 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk",
     "lsh_topk",
+    "train_ivf_centroids",
 ]

@@ -344,24 +344,28 @@ def _simhash_band_bounds(n_bands: int, bits: int = 60) -> list[tuple[int, int]]:
 
 def simhash_pairs_from_signatures(
     sig: DataFrame, max_hamming: int = 3, n_bands: int | None = None,
-    id_col: str = "doc_id", sig_col: str = "simhash",
+    id_col: str = "doc_id", sig_col: str = "simhash", bits: int = 60,
 ) -> DataFrame:
     """Hamming-near pairs over a (id, simhash) DataFrame.
 
-    Banding with GUARANTEED recall: the 60 signature bits are split into
-    ``n_bands = max_hamming + 1`` contiguous bands covering every bit,
-    so by pigeonhole any pair at Hamming distance <= max_hamming agrees
-    exactly on at least one whole band and is always a candidate.  The
-    band join is an equi-join on (band, bucket) — shuffle scales with
+    Banding with GUARANTEED recall: the ``bits`` signature bits are split
+    into ``n_bands = max_hamming + 1`` contiguous bands covering every
+    bit, so by pigeonhole any pair at Hamming distance <= max_hamming
+    agrees exactly on at least one whole band and is always a candidate.
+    The band join is an equi-join on (band, bucket) — shuffle scales with
     (doc, band) rows, never |D|^2 — and candidates are verified with the
     exact ``bit_count(xor)``.
+
+    ``bits`` must match the signature width: bands laid over bits the
+    signatures never set would put EVERY document in the same bucket
+    for those bands — a full cross product.
     """
     if n_bands is None:
-        # each band needs >= 1 bit; max_hamming >= 60 cannot be banded
+        # each band needs >= 1 bit; max_hamming >= bits cannot be banded
         # (a complement pair agrees on no band) so it degrades to the
-        # best guarantee banding can give on 60 bits (hamming <= 59)
-        n_bands = min(max_hamming + 1, 60)
-    bounds = _simhash_band_bounds(n_bands)
+        # best guarantee banding can give (hamming <= bits - 1)
+        n_bands = min(max_hamming + 1, bits)
+    bounds = _simhash_band_bounds(n_bands, bits)
     banded = sig.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -394,7 +398,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     """SimHash near-dup pairs with guaranteed recall at
     hamming <= max_hamming (see simhash_pairs_from_signatures)."""
     sig = simhash_signatures(docs, text_col)
-    return simhash_pairs_from_signatures(sig, max_hamming, n_bands)
+    return simhash_pairs_from_signatures(sig, max_hamming, n_bands, bits=60)
 
 
 def embedding_neardup_pairs(

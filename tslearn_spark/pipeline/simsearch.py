@@ -249,6 +249,45 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Production IVF quantizer: k-means centroids trained with MLlib
+    KMeans over the embedding column (distributed Lloyd iterations —
+    scales to any corpus MLlib does).  Pass the result to
+    ``ivf_topk(..., centroids=...)``; the deterministic lowest-id
+    centroid default stays as the SQL-replayable oracle path.
+
+    Vectors are L2-normalized before training so euclidean k-means on
+    the sphere approximates spherical (cosine) k-means — matching the
+    cosine geometry ivf_topk assigns and probes with.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda s, v: s + v,
+    ))
+    feats = vectors.select(
+        array_to_vector(
+            F.transform(
+                vec_col,
+                lambda x: x.cast("double")
+                / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm),
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()],
+                    dtype=np.float64)
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rs = np.random.RandomState(seed)
     return rs.randn(bits, dim).tolist()

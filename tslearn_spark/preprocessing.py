@@ -188,6 +188,10 @@ class TimeSeriesResampler(TimeSeriesBaseEstimator):
 class TimeSeriesScalerMinMax(TimeSeriesBaseEstimator):
     """Estimator twin of TimeSeriesScalerMinMax (preprocessing.py:103-201)."""
 
+    def _more_tags(self):
+        # reference preprocessing.py:200-201
+        return {"allow_nan": True}
+
     def __init__(self, value_range: tuple[float, float] = (0.0, 1.0)):
         self.value_range = tuple(value_range)
 
@@ -210,6 +214,10 @@ class TimeSeriesScalerMinMax(TimeSeriesBaseEstimator):
 class TimeSeriesScalerMeanVariance(TimeSeriesBaseEstimator):
     """Estimator twin of TimeSeriesScalerMeanVariance
     (preprocessing.py:204-298)."""
+
+    def _more_tags(self):
+        # reference preprocessing.py:297-298
+        return {"allow_nan": True}
 
     def __init__(self, mu: float = 0.0, std: float = 1.0):
         self.mu = mu

@@ -74,6 +74,10 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
     matching the Keras graph at shapelets.py:355-400.
     """
 
+    def _more_tags(self):
+        # reference shapelets.py:881-887
+        return {"allow_nan": True, "allow_variable_length": True}
+
     def __init__(self, n_shapelets_per_size: dict[int, int] | None = None,
                  max_iter: int = 200, batch_size: int = 64, verbose: int = 0,
                  optimizer: str = "adam", weight_regularizer: float = 0.0,

@@ -64,6 +64,11 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
     series, the reference's non-gak route) are implemented from
     scratch; only kernels outside that set are rejected."""
 
+    def _more_tags(self):
+        # reference svm.py:369-371 / 567-569
+        return {"non_deterministic": True, "allow_nan": True,
+                "allow_variable_length": True}
+
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
                  gamma: str | float = "auto", coef0: float = 0.0,
                  shrinking: bool = True, tol: float = 0.001,
