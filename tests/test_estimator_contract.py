@@ -293,6 +293,28 @@ class TestEstimatorBattery:
         mp_out = MatrixProfile(subsequence_length=3).fit(df).transform(df)
         assert mp_out.select("series_id").distinct().count() == 3
 
+    def test_variable_length_fit_matrix_clustering_models(self, spark):
+        """Tag-True estimators FIT on ragged input end-to-end; KShape
+        (tag False, reference requires equal sizes) raises."""
+        from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        X = [[1.0, 2.0, 3.0, 4.0], [1.1, 2.1, 3.2],
+             [9.0, 8.0, 7.0, 6.0, 5.0], [8.8, 7.7, 6.6, 5.5]]
+        df = DS.dataset_to_df(spark, X, labels=["a", "a", "b", "b"])
+        km = TimeSeriesKMeans(n_clusters=2, metric="dtw", max_iter=3,
+                              random_state=0).fit(df)
+        assert km.predict(df).count() == 4
+        kk = KernelKMeans(n_clusters=2, kernel="gak", max_iter=3,
+                          random_state=0,
+                          kernel_params={"sigma": 2.0}).fit(df)
+        assert kk.predict(df).count() == 4
+        svc = TimeSeriesSVC(gamma=2.0, C=1.0).fit(df, label_col="label")
+        assert svc.predict(df).count() == 4
+        with pytest.raises(Exception):
+            KShape(n_clusters=2, max_iter=2, random_state=0).fit(df)\
+                .predict(df).collect()
+
     def test_fitted_attribute_naming(self, spark):
         """After fit, model state lands in trailing-underscore attrs and
         _is_fitted flips (the reference's check_is_fitted contract)."""

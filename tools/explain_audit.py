@@ -38,6 +38,11 @@ AUDITS = [
      "per-row projections over the same scan, no join"),
     ("dedup_minhash", ["HashAggregate", "partial_min"], None,
      "signature = one grouped aggregate, map-side combinable"),
+    ("dedup_minhash_verified", ["array_intersect", "partial_min"], None,
+     "LSH banding -> candidate equi-join -> exact-Jaccard verify via two "
+     "id joins + array_intersect; the whole-corpus inverted index is "
+     "never rebuilt (no token-keyed join anywhere in the plan — "
+     "test_pipeline.py asserts it)"),
     ("ann_cosine_topk", ["MapInPandas", "Window"], None,
      "BLAS matmul per partition, partial top-k, tiny final window"),
     ("kernel_kmeans_assign_tiny", ["ArrowEvalPython", "Window"], None,
