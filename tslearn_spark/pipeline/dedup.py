@@ -186,6 +186,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     n_shingle: int = 1,
     seed: int = 42,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) — k min-hash values per document.
 
@@ -193,9 +194,16 @@ def minhash_signatures(
     are a fixed LCG of the seed so the oracle can regenerate them.
     Computed as one grouped aggregate: explode tokens -> min over each
     permutation — map-side combinable, single shuffle by doc_id.
+
+    ``toks``: pre-computed (doc_id, toks) array table (see
+    _doc_token_arrays) — pass a persisted one to share the
+    tokenize+shingle pass with a downstream verifier.
     """
     coefs = minhash_coefficients(num_hashes, seed)
-    tok = _doc_tokens(_spread_docs(docs), text_col, n_shingle)
+    if toks is None:
+        tok = _doc_tokens(_spread_docs(docs), text_col, n_shingle)
+    else:
+        tok = toks.select("doc_id", F.explode("toks").alias("token"))
     tok = tok.select("doc_id", token_id28_col(F.col("token")).alias("tid"))
     aggs = [
         F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
@@ -243,7 +251,14 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, num_hashes, n_shingle, seed)
+    toks = None
+    if verify_threshold is not None:
+        # the verifier needs the same token arrays the signatures hash;
+        # persist ONE tokenize+shingle pass and share it across both
+        # subtrees (Catalyst has no cross-branch subexpression reuse)
+        toks = _doc_token_arrays(docs, text_col, n_shingle).persist()
+    sig = minhash_signatures(docs, text_col, num_hashes, n_shingle, seed,
+                             toks=toks)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -261,7 +276,7 @@ def minhash_lsh_candidates(
     if verify_threshold is None:
         return cands
     return verify_candidate_pairs(cands, docs, text_col, n_shingle,
-                                  verify_threshold)
+                                  verify_threshold, toks=toks)
 
 
 def verify_candidate_pairs(
@@ -270,6 +285,7 @@ def verify_candidate_pairs(
     text_col: str = "text",
     n_shingle: int = 1,
     threshold: float = 0.5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id1, id2) pairs.
 
@@ -279,8 +295,12 @@ def verify_candidate_pairs(
     set — the whole-corpus inverted index is never rebuilt, so this
     stays O(|candidates| · doc_len) at any corpus size (the property
     the LSH candidate generator is there to guarantee).
+
+    ``toks``: pre-computed (doc_id, toks) table to reuse (see
+    minhash_lsh_candidates, which persists one shared pass).
     """
-    toks = _doc_token_arrays(docs, text_col, n_shingle)
+    if toks is None:
+        toks = _doc_token_arrays(docs, text_col, n_shingle)
     t1 = toks.select(F.col("doc_id").alias("id1"), F.col("toks").alias("_t1"))
     t2 = toks.select(F.col("doc_id").alias("id2"), F.col("toks").alias("_t2"))
     return (
