@@ -471,6 +471,36 @@ class TestModelIO:
                 load_model(str(tmp_path / "m.json"), fmt="hdf5")
         assert load_model(str(tmp_path / "m.json")).n_segments == 3
 
+    def test_h5_codec_dict_roundtrip(self):
+        """_encode_h5/_decode_h5 round-trip the structures HDF5 cannot
+        express natively — lists/tuples (incl. lists of arrays), None,
+        registered helper objects — without needing h5py."""
+        from tslearn_spark.model_io import _decode_h5, _encode_h5
+        from tslearn_spark.svm_solver import KernelSVR
+
+        helper = KernelSVR.__new__(KernelSVR)
+        helper.C = 2.0
+        helper.beta_ = np.arange(4.0)
+        payload = {
+            "classes_": ["a", "b"],
+            "weights": [np.ones(3), np.zeros(2)],
+            "shape": (4, 2),
+            "maybe": None,
+            "model_": helper,
+            "arr": np.eye(2),
+            "nested": {"xs": (1, 2.5, "z")},
+        }
+        out = _decode_h5(_encode_h5(payload))
+        assert out["classes_"] == ["a", "b"]
+        np.testing.assert_array_equal(out["weights"][0], np.ones(3))
+        assert out["shape"] == (4, 2)
+        assert out["maybe"] is None
+        assert isinstance(out["model_"], KernelSVR)
+        assert out["model_"].C == 2.0
+        np.testing.assert_array_equal(out["model_"].beta_, np.arange(4.0))
+        np.testing.assert_array_equal(out["arr"], np.eye(2))
+        assert out["nested"]["xs"] == (1, 2.5, "z")
+
     def test_hdf5_roundtrip_when_h5py_present(self, spark, tmp_path):
         """Reference HDF5 layout round-trip (bases.py:164-210,
         hdftools.py:8-150) — runs wherever h5py exists."""

@@ -271,7 +271,10 @@ class BaseModelPackage:
 
     def to_hdf5(self, path: str) -> None:
         """Reference HDF5 layout (bases.py:164-183, hdftools.py:8-46),
-        available whenever h5py is — loud NotImplementedError otherwise."""
+        available whenever h5py is — loud NotImplementedError otherwise.
+        State HDF5 cannot express natively (lists/tuples, None, helper
+        objects) goes through model_io._encode_h5's tagged groups, with
+        the same recursive MLlib rejection as the JSON codec."""
         from tslearn_spark import hdftools, model_io
 
         hdftools._require_h5py()
@@ -281,42 +284,28 @@ class BaseModelPackage:
             "class": type(self).__name__,
             # reference stores None hyper-params as the string 'None'
             # (bases.py:94-101) and restores them on load
-            "hyper_params": {
+            "hyper_params": model_io._encode_h5({
                 k: "None" if v is None else v
                 for k, v in self.get_params().items()
-            },
-            "model_params": {
+            }),
+            "model_params": model_io._encode_h5({
                 k: v for k, v in self._get_model_params().items()
                 if v is not None
-            },
+            }),
         }
-        # MLlib-backed state keeps the same loud Spark-native-persistence
-        # rejection as the JSON codec
-        for v in d["model_params"].values():
-            model_io._reject_mllib(v)
         hdftools.save_dict(d, path, "data")
 
     @classmethod
     def from_hdf5(cls, path: str) -> Any:
-        """Load an instance saved by to_hdf5 (bases.py:186-210)."""
+        """Load an instance saved by to_hdf5 (bases.py:186-210).  The
+        stored class name drives construction — loading a file that
+        encodes a different class raises, like from_json."""
         from tslearn_spark import hdftools, model_io
 
         hdftools._require_h5py()
-        d = hdftools.load_dict(path, "data")
-        d.pop("class", None)
-        hyper = {
-            k: None if (isinstance(v, str) and v == "None") else v
-            for k, v in d.get("hyper_params", {}).items()
-        }
-        model = model_io.model_from_dict(
-            {"class": cls.__name__, "hyper_params": hyper,
-             "model_params": d.get("model_params", {})}
+        return model_io._model_from_h5_dict(
+            hdftools.load_dict(path, "data"), expected=cls, path=path
         )
-        if not isinstance(model, cls):
-            raise TypeError(
-                f"{path} encodes a {type(model).__name__}, not a {cls.__name__}"
-            )
-        return model
 
     def to_pickle(self, path: str) -> None:
         from tslearn_spark.model_io import _resolve_fmt

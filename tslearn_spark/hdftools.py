@@ -3,9 +3,11 @@
 Writes the reference's on-disk layout (tslearn/hdftools/hdftools.py:8-150):
 one HDF5 group per nested dict level under a root group, numpy arrays and
 scalars as datasets, unicode string arrays tagged with a ``dtype`` attr so
-they round-trip, and objects exposing ``__dict__`` flattened into a
-sub-group of their attributes.  The implementation here is a fresh
-recursive walk over that layout, not a copy.
+they round-trip.  Structures HDF5 cannot express (lists/tuples, None,
+helper objects) must be pre-tagged with ``model_io._encode_h5`` — unlike
+the reference, which flattens arbitrary objects via ``__dict__`` and then
+silently restores them as plain dicts.  The implementation here is a
+fresh recursive walk over that layout, not a copy.
 
 Everything is gated on ``HDF5_INSTALLED``: in environments without h5py
 the callers (bases.BaseModelPackage.to_hdf5 / model_io.save_model) raise
@@ -58,15 +60,16 @@ def _write_entry(grp, key: str, value: Any) -> None:
         sub = grp.create_group(key)
         for k, v in value.items():
             _write_entry(sub, str(k), v)
-    elif hasattr(value, "__dict__"):
-        # last resort, like the reference: flatten the object's attrs
-        sub = grp.create_group(key)
-        for k, v in vars(value).items():
-            _write_entry(sub, str(k), v)
     else:
+        # deliberate deviation from the reference (hdftools.py:96-103
+        # flattens arbitrary objects via __dict__, whose loader then
+        # restores them as plain dicts — silent round-trip corruption):
+        # callers tag helper objects via model_io._encode_h5; anything
+        # else fails loudly here instead
         raise TypeError(
             f"{type(value).__name__} value for key {key!r} is not "
-            "representable in the HDF5 model layout"
+            "representable in the HDF5 model layout (encode it with "
+            "model_io._encode_h5 first)"
         )
 
 

@@ -127,6 +127,53 @@ def _decode(obj: Any):
     return obj
 
 
+def _encode_h5(obj: Any):
+    """HDF5-friendly twin of _encode: numpy arrays stay RAW (hdftools
+    stores them as datasets), while the structures HDF5 cannot express
+    natively get small tagged groups — lists/tuples as order-keyed
+    groups, None as a sentinel group, helper objects as
+    {'__object__', 'state'} like the JSON codec.  MLlib state is
+    rejected at any depth, same as _encode."""
+    if isinstance(obj, np.ndarray) or isinstance(
+            obj, (str, bool, int, float, np.integer, np.floating, np.bool_)):
+        return obj
+    if obj is None:
+        return {"__none__": True}
+    if isinstance(obj, (list, tuple)):
+        return {
+            "__seq__": "tuple" if isinstance(obj, tuple) else "list",
+            "items": {f"{i:06d}": _encode_h5(x) for i, x in enumerate(obj)},
+        }
+    if isinstance(obj, dict):
+        return {k: _encode_h5(v) for k, v in obj.items()}
+    _reject_mllib(obj)
+    if type(obj).__name__ in _helper_registry():
+        return {"__object__": type(obj).__name__,
+                "state": _encode_h5(vars(obj))}
+    return obj
+
+
+def _decode_h5(obj: Any):
+    if isinstance(obj, dict):
+        if "__none__" in obj:
+            return None
+        if "__seq__" in obj:
+            seq = str(obj["__seq__"])
+            items = [ _decode_h5(v) for _, v in
+                      sorted(obj.get("items", {}).items()) ]
+            return tuple(items) if seq == "tuple" else items
+        if "__object__" in obj:
+            cls = _helper_registry()[str(obj["__object__"])]
+            inst = cls.__new__(cls)
+            for k, v in _decode_h5(obj["state"]).items():
+                setattr(inst, k, v)
+            return inst
+        return {k: _decode_h5(v) for k, v in obj.items()}
+    if isinstance(obj, bytes):
+        return obj.decode("utf-8")
+    return obj
+
+
 def model_to_dict(model: Any) -> dict:
     """hyper-params (__init__ attrs) + fitted params (trailing underscore),
     mirroring BaseModelPackage._get_model_params (bases.py:70-90)."""
@@ -191,23 +238,33 @@ def register_model(cls: type) -> type:
 
 def _registry() -> dict[str, type]:
     if not _REGISTRY:
-        from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+        from tslearn_spark.clustering import (
+            GlobalAlignmentKernelKMeans, KernelKMeans, KShape, TimeSeriesKMeans,
+        )
         from tslearn_spark.early_classification import NonMyopicEarlyClassifier
         from tslearn_spark.labels import LabelCategorizer
+        from tslearn_spark.matrix_profile import MatrixProfile
         from tslearn_spark.neighbors import (
             KNeighborsTimeSeries,
             KNeighborsTimeSeriesClassifier,
             KNeighborsTimeSeriesRegressor,
         )
-        from tslearn_spark.neural_network import TimeSeriesMLPRegressor
-        from tslearn_spark.piecewise import SAX, OneDSAX
+        from tslearn_spark.neural_network import (
+            TimeSeriesMLPClassifier,
+            TimeSeriesMLPRegressor,
+        )
+        from tslearn_spark.piecewise import (
+            OneDSAX, PiecewiseAggregateApproximation, SAX,
+        )
         from tslearn_spark.shapelets import LearningShapelets
         from tslearn_spark.svm import TimeSeriesSVC, TimeSeriesSVR
 
         for cls in (
-            TimeSeriesKMeans, KShape, KernelKMeans, SAX, OneDSAX,
-            TimeSeriesSVC, TimeSeriesSVR, TimeSeriesMLPRegressor,
-            LearningShapelets, NonMyopicEarlyClassifier, LabelCategorizer,
+            TimeSeriesKMeans, KShape, KernelKMeans, GlobalAlignmentKernelKMeans,
+            SAX, OneDSAX, PiecewiseAggregateApproximation, MatrixProfile,
+            TimeSeriesSVC, TimeSeriesSVR, TimeSeriesMLPClassifier,
+            TimeSeriesMLPRegressor, LearningShapelets,
+            NonMyopicEarlyClassifier, LabelCategorizer,
             KNeighborsTimeSeries, KNeighborsTimeSeriesClassifier,
             KNeighborsTimeSeriesRegressor,
         ):
@@ -229,12 +286,39 @@ def model_from_dict(d: dict) -> Any:
     return model
 
 
+def _model_from_h5_dict(d: dict, expected: type | None = None,
+                        path: str = "<hdf5>") -> Any:
+    """Build a model from a load_dict payload (one file read — shared by
+    Class.from_hdf5 and load_model).  Dispatch follows the STORED class
+    name; ``expected`` enforces the from_json-style type check."""
+    stored = str(d.get("class", ""))
+    cls = _registry().get(stored)
+    if cls is None:
+        raise KeyError(f"{path} encodes unknown model class {stored!r}")
+    if expected is not None and not issubclass(cls, expected):
+        raise TypeError(
+            f"{path} encodes a {stored}, not a {expected.__name__}"
+        )
+    hyper = {
+        k: None if (isinstance(v, str) and v == "None") else v
+        for k, v in _decode_h5(d.get("hyper_params", {})).items()
+    }
+    try:
+        model = cls(**hyper)
+    except TypeError:
+        model = cls.__new__(cls)
+        for k, v in hyper.items():
+            setattr(model, k, v)
+    for k, v in _decode_h5(d.get("model_params", {})).items():
+        setattr(model, k, v)
+    return model
+
+
 def load_model(path: str, fmt: str | None = None) -> Any:
     if _resolve_fmt(path, fmt) == "hdf5":
         from tslearn_spark import hdftools
 
-        d = hdftools.load_dict(path, "data")
-        cls = _registry()[str(d.pop("class"))]
-        return cls.from_hdf5(path)
+        return _model_from_h5_dict(hdftools.load_dict(path, "data"),
+                                   path=path)
     with open(path) as f:
         return model_from_dict(json.load(f))

@@ -255,7 +255,12 @@ def minhash_lsh_candidates(
     if verify_threshold is not None:
         # the verifier needs the same token arrays the signatures hash;
         # persist ONE tokenize+shingle pass and share it across both
-        # subtrees (Catalyst has no cross-branch subexpression reuse)
+        # subtrees (Catalyst has no cross-branch subexpression reuse).
+        # The cache is pinned by the returned lazy DataFrame and is
+        # never explicitly unpersisted (same convention as
+        # ngram_jaccard_pairs's .cache() chain): Spark's LRU storage
+        # evicts it under pressure, and sessions that interleave many
+        # verified calls should catalog.clearCache() between them.
         toks = _doc_token_arrays(docs, text_col, n_shingle).persist()
     sig = minhash_signatures(docs, text_col, num_hashes, n_shingle, seed,
                              toks=toks)
@@ -385,6 +390,13 @@ def simhash_pairs_from_signatures(
         # (a complement pair agrees on no band) so it degrades to the
         # best guarantee banding can give (hamming <= bits - 1)
         n_bands = min(max_hamming + 1, bits)
+    if n_bands > bits:
+        # a zero-width band masks with (1<<0)-1 = 0: every doc lands in
+        # bucket 0 and the band join degenerates to |D|^2 — refuse
+        raise ValueError(
+            f"n_bands={n_bands} exceeds the signature width ({bits} bits); "
+            "each band needs at least one bit"
+        )
     bounds = _simhash_band_bounds(n_bands, bits)
     banded = sig.select(
         F.col(id_col).alias("doc_id"),
