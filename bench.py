@@ -151,8 +151,20 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
     sf1_dir = ensure_sf1(spark)
     gen_s = round(time.perf_counter() - t_gen0, 3)
     spark.catalog.clearCache()
+    # hard time budget: the section must never endanger the whole bench
+    # run (a regressed quadratic query could otherwise add minutes);
+    # once exceeded, remaining queries record skipped_over_budget —
+    # visible truncation, not silent
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "240"))
+    t_suite0 = time.perf_counter()
     out = {}
     for name, expect in SCALE_QUERIES:
+        if time.perf_counter() - t_suite0 > budget:
+            out[name] = {"sec": None, "vs_sf01_cold": None,
+                         "expect": expect, "skipped_over_budget": True}
+            print(f"[bench] sf1 {name}: skipped (budget {budget}s)",
+                  file=sys.stderr)
+            continue
         t0 = time.perf_counter()
         df = qs[name](spark, sf1_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -166,7 +178,7 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
         print(f"[bench] sf1 {name}: {dt}s ({out[name]['vs_sf01_cold']}x)",
               file=sys.stderr)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
-            "queries": out}
+            "budget_sec": budget, "queries": out}
 
 
 def _prior_medians(sf: float) -> tuple[dict, str | None]:

@@ -334,6 +334,88 @@ class TestEstimatorBattery:
         assert lc._is_fitted()
 
 
+_REF_ROOT = "/root/reference/tslearn"
+
+# our class name -> (reference class name, reference file)
+_REF_SIGNATURES = {
+    "TimeSeriesKMeans": ("TimeSeriesKMeans", "clustering/kmeans.py"),
+    "KernelKMeans": ("KernelKMeans", "clustering/kmeans.py"),
+    "KShape": ("KShape", "clustering/kshape.py"),
+    "KNeighborsTimeSeries": ("KNeighborsTimeSeries", "neighbors/neighbors.py"),
+    "KNeighborsTimeSeriesClassifier":
+        ("KNeighborsTimeSeriesClassifier", "neighbors/neighbors.py"),
+    "KNeighborsTimeSeriesRegressor":
+        ("KNeighborsTimeSeriesRegressor", "neighbors/neighbors.py"),
+    "TimeSeriesSVC": ("TimeSeriesSVC", "svm/svm.py"),
+    "TimeSeriesSVR": ("TimeSeriesSVR", "svm/svm.py"),
+    "LearningShapelets": ("LearningShapelets", "shapelets/shapelets.py"),
+    "SAX": ("SymbolicAggregateApproximation", "piecewise/piecewise.py"),
+    "OneDSAX":
+        ("OneD_SymbolicAggregateApproximation", "piecewise/piecewise.py"),
+    "PiecewiseAggregateApproximation":
+        ("PiecewiseAggregateApproximation", "piecewise/piecewise.py"),
+    "MatrixProfile": ("MatrixProfile", "matrix_profile/matrix_profile.py"),
+    "TimeSeriesResampler":
+        ("TimeSeriesResampler", "preprocessing/preprocessing.py"),
+    "TimeSeriesScalerMinMax":
+        ("TimeSeriesScalerMinMax", "preprocessing/preprocessing.py"),
+    "TimeSeriesScalerMeanVariance":
+        ("TimeSeriesScalerMeanVariance", "preprocessing/preprocessing.py"),
+    "NonMyopicEarlyClassifier":
+        ("NonMyopicEarlyClassifier",
+         "early_classification/early_classification.py"),
+    "LabelCategorizer": ("LabelCategorizer", "utils/utils.py"),
+}
+
+
+def _ref_init_args(cls_name: str, rel_path: str):
+    import ast
+    import os
+
+    path = os.path.join(_REF_ROOT, rel_path)
+    if not os.path.exists(path):
+        return None
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == cls_name:
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and item.name == "__init__":
+                    args = [a.arg for a in item.args.args if a.arg != "self"]
+                    return args + [a.arg for a in item.args.kwonlyargs]
+    return None
+
+
+class TestSignatureParity:
+    """Constructor signatures match the reference POSITIONALLY: the
+    reference's __init__ parameters, in the reference's order, form a
+    prefix of ours — so reference scripts constructing estimators with
+    positional args bind identically.  Engine-only knobs (documented)
+    may only trail.  Signatures are AST-parsed from the reference
+    source, so a reference upgrade re-checks automatically."""
+
+    @pytest.mark.parametrize("ours", sorted(_REF_SIGNATURES),
+                             ids=lambda n: n)
+    def test_init_order_is_reference_prefix(self, ours):
+        ref_name, rel = _REF_SIGNATURES[ours]
+        ref_args = _ref_init_args(ref_name, rel)
+        if ref_args is None:
+            pytest.skip("reference source unavailable or inherited __init__")
+        cls = {c.__name__: c for c in _all_estimator_classes()}[ours]
+        mine = cls._param_names()
+        assert mine[: len(ref_args)] == ref_args, (
+            f"{ours}: reference order {ref_args}, engine order {mine}"
+        )
+        extras = mine[len(ref_args):]
+        # engine-only knobs must be explicitly accounted for here
+        allowed_extras = {
+            "KShape": ["sz_stats_cap"],
+            "LearningShapelets": ["lr"],
+        }.get(ours, [])
+        assert extras == allowed_extras, (
+            f"{ours}: undeclared engine-only params {extras}"
+        )
+
+
 class TestDeprecatedAliases:
     def test_aliases_warn_and_subclass(self):
         import warnings

@@ -129,18 +129,20 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     def __init__(
         self,
         n_clusters: int = 3,
-        metric: str = "euclidean",
         max_iter: int = 50,
         tol: float = 1e-6,
         n_init: int = 1,
-        random_state: int = 0,
+        metric: str = "euclidean",
         max_iter_barycenter: int = 100,
         metric_params: dict | None = None,
-        init: str = "k-means++",
         n_jobs: int | None = None,
         dtw_inertia: bool = False,
         verbose: int = 0,
+        random_state: int | None = None,
+        init: str = "k-means++",
     ):
+        # positional parameter ORDER matches the reference exactly
+        # (kmeans.py:592-595), so positional construction binds the same
         self.n_clusters = n_clusters
         self.metric = metric
         self.max_iter = max_iter
@@ -261,7 +263,7 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         for attempt in range(max_attempts):
             if successful >= self.n_init:
                 break
-            seed = self.random_state + attempt
+            seed = (self.random_state or 0) + attempt
             try:
                 centers, inertia, n_iter = self._fit_one(df, seed)
             except EmptyClusterError:
@@ -392,7 +394,8 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
     """
 
     def __init__(self, n_clusters: int = 3, max_iter: int = 100, tol: float = 1e-6,
-                 n_init: int = 1, verbose: bool = False, random_state: int = 0,
+                 n_init: int = 1, verbose: bool = False,
+                 random_state: int | None = None,
                  init: str = "random", sz_stats_cap: int = 2048):
         self.n_clusters = n_clusters
         self.max_iter = max_iter
@@ -670,7 +673,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
                 print("Init %d" % (successful + 1))
             try:
                 centers, inertia, n_iter = self._fit_one(
-                    df, self.random_state + attempt
+                    df, (self.random_state or 0) + attempt
                 )
             except EmptyClusterError:
                 if self.verbose:
@@ -734,7 +737,7 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                  tol: float = 1e-6, n_init: int = 1,
                  kernel_params: dict | None = None, sigma: float = 1.0,
                  n_jobs: int | None = None, verbose: int = 0,
-                 random_state: int = 0):
+                 random_state: int | None = None):
         self.n_clusters = n_clusters
         self.kernel = kernel
         self.max_iter = max_iter
@@ -856,7 +859,7 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                 print("Init %d" % (successful + 1))
             try:
                 labels, inertia, n_iter = self._fit_one(
-                    spark, gram, labw, id_rows, self.random_state + attempt
+                    spark, gram, labw, id_rows, (self.random_state or 0) + attempt
                 )
             except EmptyClusterError:
                 if self.verbose:
@@ -983,7 +986,7 @@ class GlobalAlignmentKernelKMeans(KernelKMeans):
     def __init__(self, n_clusters: int = 3, max_iter: int = 50, tol: float = 1e-6,
                  n_init: int = 1, kernel_params: dict | None = None,
                  sigma: float = 1.0, n_jobs: int | None = None, verbose: int = 0,
-                 random_state: int = 0, **kwargs):
+                 random_state: int | None = None, **kwargs):
         import warnings
 
         if "kernel" in kwargs:

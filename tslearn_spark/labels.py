@@ -18,9 +18,20 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
         # reference utils.py:633-634
         return {"X_types": ["1dlabels"]}
 
-    def __init__(self, single_column_if_binary: bool = False):
+    def __init__(self, single_column_if_binary: bool = False,
+                 forward_match: dict | None = None,
+                 backward_match=None):
+        # forward/backward_match are the reference's fitted mapping
+        # exposed as constructor params (utils.py:572-580) so sklearn
+        # clone(get_params()) reconstructs a fitted instance; passing
+        # them pre-fits the categorizer
         self.single_column_if_binary = single_column_if_binary
-        self.classes_: list[str] | None = None
+        self.forward_match = forward_match
+        self.backward_match = backward_match
+        self.classes_: list[str] | None = (
+            [str(c) for c in backward_match] if backward_match is not None
+            else None
+        )
 
     def _labels_df(self, labels, label_col):
         """Array-like y (the reference's protocol, utils.py:528-634) ->
@@ -46,6 +57,9 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
             r[label_col]
             for r in labels.select(label_col).distinct().orderBy(label_col).collect()
         ]
+        # reference fit resets then rebuilds the mapping (utils.py:578-588)
+        self.forward_match = {c: i for i, c in enumerate(self.classes_)}
+        self.backward_match = list(self.classes_)
         return self
 
     def transform(self, labels, label_col: str = "label") -> DataFrame:

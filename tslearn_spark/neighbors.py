@@ -614,9 +614,11 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
 class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
     """neighbors.py:353-562 twin over knn_classify."""
 
-    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 weights: str = "uniform", metric_params: dict | None = None,
+    def __init__(self, n_neighbors: int = 5, weights: str = "uniform",
+                 metric: str = "dtw", metric_params: dict | None = None,
                  n_jobs: int | None = None, verbose: int = 0):
+        # positional order matches the reference (neighbors.py:429-435):
+        # (n_neighbors, weights, metric, ...)
         super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
@@ -648,9 +650,11 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
 class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
     """neighbors.py:565-717 twin over knn_regress."""
 
-    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 weights: str = "uniform", metric_params: dict | None = None,
+    def __init__(self, n_neighbors: int = 5, weights: str = "uniform",
+                 metric: str = "dtw", metric_params: dict | None = None,
                  n_jobs: int | None = None, verbose: int = 0):
+        # positional order matches the reference (neighbors.py:429-435):
+        # (n_neighbors, weights, metric, ...)
         super().__init__(n_neighbors, metric, metric_params, n_jobs, verbose)
         self.weights = weights
 
