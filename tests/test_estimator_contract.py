@@ -385,6 +385,32 @@ def _ref_init_args(cls_name: str, rel_path: str):
     return None
 
 
+def _ref_init_defaults(cls_name: str, rel_path: str) -> dict:
+    """{param: literal default} for literal-expressible defaults."""
+    import ast
+    import os
+
+    path = os.path.join(_REF_ROOT, rel_path)
+    if not os.path.exists(path):
+        return {}
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == cls_name:
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and item.name == "__init__":
+                    args = [a.arg for a in item.args.args if a.arg != "self"]
+                    defaults = item.args.defaults
+                    out = {}
+                    for name, d in zip(args[len(args) - len(defaults):],
+                                       defaults):
+                        try:
+                            out[name] = ast.literal_eval(d)
+                        except (ValueError, SyntaxError):
+                            pass  # computed default — skip
+                    return out
+    return {}
+
+
 class TestSignatureParity:
     """Constructor signatures match the reference POSITIONALLY: the
     reference's __init__ parameters, in the reference's order, form a
@@ -414,6 +440,28 @@ class TestSignatureParity:
         assert extras == allowed_extras, (
             f"{ours}: undeclared engine-only params {extras}"
         )
+
+    @pytest.mark.parametrize("ours", sorted(_REF_SIGNATURES),
+                             ids=lambda n: n)
+    def test_init_defaults_match_reference(self, ours):
+        """A default-constructed estimator configures like the
+        reference's: literal default values are compared one by one."""
+        import inspect
+
+        ref_name, rel = _REF_SIGNATURES[ours]
+        ref_defaults = _ref_init_defaults(ref_name, rel)
+        if not ref_defaults:
+            pytest.skip("reference source unavailable or inherited __init__")
+        cls = {c.__name__: c for c in _all_estimator_classes()}[ours]
+        sig = inspect.signature(cls.__init__)
+        mismatches = {
+            name: (refv, sig.parameters[name].default)
+            for name, refv in ref_defaults.items()
+            if name in sig.parameters
+            and sig.parameters[name].default != refv
+            and not (sig.parameters[name].default is None and refv is None)
+        }
+        assert not mismatches, f"{ours}: (ref, ours) = {mismatches}"
 
 
 class TestDeprecatedAliases:

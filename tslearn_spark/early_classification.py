@@ -84,7 +84,8 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def __init__(self, n_clusters: int = 2, base_classifier=None,
                  min_t: int = 1, lamb: float = 1.0,
-                 cost_time_parameter: float = 1.0, random_state: int = 0):
+                 cost_time_parameter: float = 1.0,
+                 random_state: int | None = None):
         if base_classifier is not None:
             raise NotImplementedError(
                 "custom base_classifier estimators are not supported; the "
@@ -142,7 +143,7 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
         # stratified half split by cluster (early_classification.py:170-176):
         # hash-ordered row_number per cluster — deterministic, no driver pass
         w = Window.partitionBy("cluster").orderBy(
-            F.xxhash64(F.lit(self.random_state), F.col("series_id"))
+            F.xxhash64(F.lit(self.random_state or 0), F.col("series_id"))
         )
         cnt = Window.partitionBy("cluster")
         split = labeled.withColumn("_rn", F.row_number().over(w)).withColumn(

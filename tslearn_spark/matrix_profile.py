@@ -220,8 +220,10 @@ class MatrixProfile(BaseModelPackage, TimeSeriesBaseEstimator):
         # reference matrix_profile.py:252-253
         return {"allow_nan": True, "allow_variable_length": True}
 
-    def __init__(self, subsequence_length: int = 4,
+    def __init__(self, subsequence_length: int = 1,
                  implementation: str = "numpy", scale: bool = True):
+        # subsequence_length default 1 matches the reference
+        # (matrix_profile.py:214-218)
         if implementation != "numpy":
             raise NotImplementedError(
                 "implementation=%r requires stumpy; only 'numpy' is "

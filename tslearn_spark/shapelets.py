@@ -79,18 +79,20 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         return {"allow_nan": True, "allow_variable_length": True}
 
     def __init__(self, n_shapelets_per_size: dict[int, int] | None = None,
-                 max_iter: int = 200, batch_size: int = 64, verbose: int = 0,
-                 optimizer: str = "adam", weight_regularizer: float = 0.0,
+                 max_iter: int = 10000, batch_size: int = 256, verbose: int = 0,
+                 optimizer: str = "sgd", weight_regularizer: float = 0.0,
                  shapelet_length: float = 0.15, total_lengths: int = 3,
                  max_size: int | None = None, scale: bool = False,
-                 random_state: int = 0, lr: float = 0.05):
-        """Reference signature (shapelets.py:336-350) plus a trailing
-        ``lr``.  optimizer is "adam" (our default — the driver-sample
-        trainer converges far faster than plain sgd at these step
-        counts) or "sgd" (the reference's Keras default, implemented as
-        a plain gradient step); other values raise.  scale applies the
-        reference's per-series min-max scaling (shapelets.py:623-626)
-        to training, transform, locate and predict alike."""
+                 random_state: int | None = None, lr: float = 0.05):
+        """Reference signature AND defaults (shapelets.py:336-350:
+        max_iter=10000, batch_size=256, optimizer='sgd',
+        random_state=None) plus a trailing ``lr``.  optimizer is "sgd"
+        (the reference's Keras default, implemented as a plain gradient
+        step) or "adam" (an engine extra — converges far faster at
+        small step counts, used by the driver queries with explicit
+        max_iter); other values raise.  scale applies the reference's
+        per-series min-max scaling (shapelets.py:623-626) to training,
+        transform, locate and predict alike."""
         if optimizer not in ("adam", "sgd"):
             raise NotImplementedError(
                 "optimizer must be 'adam' or 'sgd' (Keras optimizer "
