@@ -464,6 +464,85 @@ class TestSignatureParity:
         assert not mismatches, f"{ours}: (ref, ours) = {mismatches}"
 
 
+# module-level public functions: our module -> reference files whose
+# top-level functions must exist here with reference-prefix signatures
+_REF_FUNC_FILES = {
+    "metrics": ["metrics/dtw_variants.py", "metrics/softdtw_variants.py",
+                "metrics/ctw.py", "metrics/cycc.py", "metrics/sax.py"],
+    "barycenters": ["barycenters/euclidean.py", "barycenters/dba.py",
+                    "barycenters/softdtw.py"],
+}
+
+
+def _ref_module_funcs(rel_path: str) -> dict:
+    import ast
+    import os
+
+    path = os.path.join(_REF_ROOT, rel_path)
+    if not os.path.exists(path):
+        return {}
+    tree = ast.parse(open(path).read())
+    out = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+            args = [a.arg for a in node.args.args]
+            defaults = {}
+            for name, d in zip(args[len(args) - len(node.args.defaults):],
+                               node.args.defaults):
+                try:
+                    defaults[name] = ast.literal_eval(d)
+                except (ValueError, SyntaxError):
+                    pass
+            out[node.name] = (args, defaults)
+    return out
+
+
+class TestFunctionSignatureParity:
+    """Module-level metric/barycenter functions: names, positional
+    order, and literal defaults AST-checked against the reference —
+    a reference script calling `dtw_path_from_metric(s1, s2, 'cityblock',
+    'sakoe_chiba')` or `dtw_barycenter_averaging(X, 10, None, 30, 1e-5,
+    w)` positionally must bind identically.  njit_* numba internals are
+    exempt (engine kernels are vectorized numpy, SURVEY §2.4)."""
+
+    @pytest.mark.parametrize("mod", sorted(_REF_FUNC_FILES), ids=lambda m: m)
+    def test_function_signatures(self, mod):
+        import importlib
+        import inspect
+
+        ours_mod = importlib.import_module(f"tslearn_spark.{mod}")
+        problems = []
+        checked = 0
+        for rel in _REF_FUNC_FILES[mod]:
+            for name, (args, defaults) in _ref_module_funcs(rel).items():
+                if name.startswith("njit_"):
+                    continue  # numba internals, not user API
+                ours = getattr(ours_mod, name, None)
+                if ours is None or not callable(ours):
+                    problems.append(f"missing {name}")
+                    continue
+                try:
+                    sig = inspect.signature(ours)
+                except (TypeError, ValueError):
+                    continue
+                mine = [p for p in sig.parameters
+                        if sig.parameters[p].kind not in
+                        (inspect.Parameter.VAR_POSITIONAL,
+                         inspect.Parameter.VAR_KEYWORD)]
+                if mine[: len(args)] != args:
+                    problems.append(f"order {name}: ref={args} ours={mine}")
+                    continue
+                checked += 1
+                for pname, refv in defaults.items():
+                    mv = sig.parameters[pname].default
+                    if mv != refv and not (mv is None and refv is None):
+                        problems.append(
+                            f"default {name}.{pname}: ref={refv!r} ours={mv!r}")
+        if checked == 0:
+            pytest.skip("reference source unavailable")
+        assert not problems, problems
+
+
 class TestDeprecatedAliases:
     def test_aliases_warn_and_subclass(self):
         import warnings

@@ -328,13 +328,57 @@ class TestCTW:
         assert abs(B[0, 0]) > 5 * abs(B[1, 0])
 
 
+class TestConstrainedPathFromMetric:
+    def test_dtw_path_from_metric_sakoe_chiba(self):
+        # sqeuclidean ground + band == banded DTW squared
+        rs = np.random.RandomState(5)
+        s1, s2 = rs.rand(12, 1), rs.rand(12, 1)
+        path, score = K.dtw_path_from_metric(
+            s1, s2, metric="sqeuclidean",
+            global_constraint="sakoe_chiba", sakoe_chiba_radius=1)
+        ref = K.dtw(s1, s2, global_constraint="sakoe_chiba",
+                    sakoe_chiba_radius=1)
+        assert score == pytest.approx(ref * ref)
+        assert all(abs(i - j) <= 1 for i, j in path)
+
+    def test_dtw_path_from_metric_unconstrained_unchanged(self):
+        rs = np.random.RandomState(6)
+        s1, s2 = rs.rand(10, 1), rs.rand(8, 1)
+        _, score = K.dtw_path_from_metric(s1, s2, metric="sqeuclidean")
+        assert score == pytest.approx(K.dtw(s1, s2) ** 2)
+
+    def test_lcss_path_constrained_matches_lcss(self):
+        rs = np.random.RandomState(7)
+        s1, s2 = rs.rand(14, 1), rs.rand(14, 1)
+        path, sim = K.lcss_path(s1, s2, eps=0.2,
+                                global_constraint="sakoe_chiba",
+                                sakoe_chiba_radius=2)
+        assert sim == pytest.approx(
+            K.lcss(s1, s2, eps=0.2, global_constraint="sakoe_chiba",
+                   sakoe_chiba_radius=2))
+        assert all(abs(i - j) <= 2 for i, j in path)
+
+    def test_lcss_path_from_metric_constrained(self):
+        rs = np.random.RandomState(8)
+        s1, s2 = rs.rand(14, 1), rs.rand(14, 1)
+        # euclidean ground == the default lcss match predicate
+        _, sim = K.lcss_path_from_metric(
+            s1, s2, eps=0.2, metric="euclidean",
+            global_constraint="sakoe_chiba", sakoe_chiba_radius=2)
+        assert sim == pytest.approx(
+            K.lcss(s1, s2, eps=0.2, global_constraint="sakoe_chiba",
+                   sakoe_chiba_radius=2))
+
+
 class TestHeuristics:
     def test_sigma_gamma_positive(self):
+        # explicit random_state: the default is None like the reference
+        # (softdtw_variants.py:221-313), i.e. nondeterministic sampling
         rs = np.random.RandomState(12)
         data = [rs.randn(16, 1) for _ in range(20)]
-        s = K.sigma_gak(data)
+        s = K.sigma_gak(data, random_state=0)
         assert s > 0
-        assert K.gamma_soft_dtw(data) == pytest.approx(2 * s * s)
+        assert K.gamma_soft_dtw(data, random_state=0) == pytest.approx(2 * s * s)
 
 
 class TestMatrixProfile:

@@ -223,6 +223,34 @@ class TestBarycenters:
         out = euclidean_barycenter(df)
         np.testing.assert_allclose(out.ravel(), [1, 2, 3.5, 4.5])
 
+    def test_euclidean_weights_array(self, spark):
+        # reference weights protocol (euclidean.py:8-43): array aligned
+        # with the series -> weighted positionwise mean
+        from tslearn_spark.barycenters import euclidean_barycenter
+
+        df = DS.dataset_to_df(spark, [[0.0, 0.0], [4.0, 8.0]])
+        out = euclidean_barycenter(df, weights=np.array([3.0, 1.0]))
+        np.testing.assert_allclose(out.ravel(), [1.0, 2.0])
+
+    def test_dba_weights_and_n_init(self, spark):
+        # weights array: the heavier series dominates the barycenter;
+        # n_init>1 returns the best-cost run (deterministic init ->
+        # identical runs, like the reference without random init)
+        from tslearn_spark.barycenters import (
+            dtw_barycenter_averaging, dtw_barycenter_averaging_one_init,
+        )
+
+        df = DS.dataset_to_df(spark, [[0.0, 0.0, 0.0], [6.0, 6.0, 6.0]])
+        out = dtw_barycenter_averaging(df, max_iter=5,
+                                       weights=np.array([2.0, 1.0]))
+        np.testing.assert_allclose(out.ravel(), [2.0, 2.0, 2.0], atol=1e-6)
+        bary, cost = dtw_barycenter_averaging_one_init(
+            df, max_iter=5, weights=np.array([2.0, 1.0]))
+        np.testing.assert_allclose(bary, out)
+        assert np.isfinite(cost) and cost >= 0
+        out2 = dtw_barycenter_averaging(df, max_iter=5, n_init=2)
+        np.testing.assert_allclose(out2.ravel(), [3.0, 3.0, 3.0], atol=1e-6)
+
     def test_dba_golden_equal_length(self, spark):
         # dba.py:451-481: [[1,2,3,4],[1,2,4,5]] -> [1,2,3.5,4.5]
         from tslearn_spark.barycenters import dtw_barycenter_averaging

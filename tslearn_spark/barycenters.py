@@ -55,11 +55,39 @@ def euclidean_barycenter_df(df: DataFrame, weight_col: str | None = None) -> Dat
     )
 
 
-def euclidean_barycenter(df: DataFrame, weights=None) -> np.ndarray:
+
+def _attach_weights(df: DataFrame, weights=None, weight_col: str | None = None):
+    """(src_df, weight_col_name) with the reference's ``weights`` array
+    protocol honored: an array aligns with the series in series_id order
+    (array-like inputs get series_id 0..n-1 at ingest, so this matches
+    the reference's row order).  ``weight_col`` is the engine-native
+    alternative — a column already on the DataFrame."""
+    if weight_col is not None:
+        return df, weight_col
+    if weights is None:
+        return df.withColumn("_w1", F.lit(1.0)), "_w1"
+    ids = [r["series_id"]
+           for r in df.select("series_id").orderBy("series_id").collect()]
+    w = np.asarray(weights, dtype=np.float64).ravel()
+    if len(w) != len(ids):
+        raise ValueError(
+            f"weights has {len(w)} entries for {len(ids)} series"
+        )
+    wdf = df.sparkSession.createDataFrame(
+        [(int(i), float(x)) for i, x in zip(ids, w)],
+        "series_id long, _w1 double",
+    )
+    return df.join(F.broadcast(wdf), "series_id"), "_w1"
+
+
+def euclidean_barycenter(X, weights=None) -> np.ndarray:
+    """Positionwise (weighted) mean barycenter (euclidean.py:8-43);
+    parameter names and weight semantics match the reference."""
     from tslearn_spark.bases import as_ts_df
 
-    df, _ = as_ts_df(df)
-    rows = euclidean_barycenter_df(df).orderBy("t", "dim").collect()
+    df, _ = as_ts_df(X)
+    src, wcol = _attach_weights(df, weights)
+    rows = euclidean_barycenter_df(src, wcol).orderBy("t", "dim").collect()
     n_t = max(r["t"] for r in rows) + 1
     n_d = max(r["dim"] for r in rows) + 1
     out = np.zeros((n_t, n_d))
@@ -110,27 +138,30 @@ def _dba_udf(center: np.ndarray, metric_params: dict):
     return _udf
 
 
-def dtw_barycenter_averaging(
-    df: DataFrame,
+def dtw_barycenter_averaging_one_init(
+    X,
     barycenter_size: int | None = None,
     init_barycenter: np.ndarray | None = None,
     max_iter: int = 30,
     tol: float = 1e-5,
-    weight_col: str | None = None,
+    weights=None,
     metric_params: dict | None = None,
     verbose: bool = False,
-) -> np.ndarray:
-    """DBA (dba.py:394-511): E-step = DTW paths to current center,
-    M-step = per-position weighted mean of matched points.
+    weight_col: str | None = None,
+) -> tuple[np.ndarray, float]:
+    """One DBA run (dba.py:514-604): E-step = DTW paths to the current
+    center, M-step = per-position weighted mean of matched points.
+    Returns (barycenter, final weighted cost) like the reference.
 
     Driver holds only the center (sz x d floats); each iteration is one
     job: UDF pass + exploded grouped aggregate.  The input DataFrame is
     cached by the caller for multi-iteration reuse.  Array-like input
-    (the reference's protocol) adapts via the active session.
+    and the ``weights`` array follow the reference protocol;
+    ``weight_col`` (engine extra) names an existing weight column.
     """
     from tslearn_spark.bases import as_ts_df
 
-    df, _ = as_ts_df(df)
+    df, _ = as_ts_df(X)
     metric_params = metric_params or {}
     first = df.select("values").first()
     d = len(first["values"][0])
@@ -148,27 +179,62 @@ def dtw_barycenter_averaging(
 
         res = resample(df.select("series_id", "values"), barycenter_size)
         center = euclidean_barycenter(res)
-    wcol = weight_col or "_w1"
-    src = df if weight_col else df.withColumn("_w1", F.lit(1.0))
-    prev_cost = np.inf
+    src, wcol = _attach_weights(df, weights, weight_col)
+    sum_w = float(src.agg(F.sum(wcol).alias("s")).first()["s"])
+    cost = float("inf")
     for it in range(max_iter):
         udf = _dba_udf(center, metric_params)
         matches = src.select(F.explode(udf("values", wcol)).alias("m")).select("m.*")
-        agg = (
+        agg_rows = (
             matches.groupBy("pos", "dim")
-            .agg(F.sum("wsum").alias("s"), F.sum("wtot").alias("t"))
+            .agg(F.sum("wsum").alias("s"), F.sum("wtot").alias("t"),
+                 F.sum("cost").alias("c"))
             .collect()
         )
+        # per-series cost rides only the (pos=0, dim=0) rows (the DTW
+        # path always visits i=0), so summing it counts each series once
+        cost = sum(r["c"] for r in agg_rows
+                   if r["pos"] == 0 and r["dim"] == 0) / sum_w
         new_center = center.copy()
-        for r in agg:
+        for r in agg_rows:
             new_center[r["pos"], r["dim"]] = r["s"] / r["t"]
         delta = float(np.linalg.norm(new_center - center))
         center = new_center
         if verbose:
-            print(f"[DBA] iter={it} delta={delta}")
+            print(f"[DBA] iter={it} delta={delta} cost={cost}")
         if delta < tol:
             break
-    return center
+    return center, cost
+
+
+def dtw_barycenter_averaging(
+    X,
+    barycenter_size: int | None = None,
+    init_barycenter: np.ndarray | None = None,
+    max_iter: int = 30,
+    tol: float = 1e-5,
+    weights=None,
+    metric_params: dict | None = None,
+    verbose: bool = False,
+    n_init: int = 1,
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """DBA (dba.py:394-511): best of ``n_init`` one-init runs by final
+    cost, reference signature and order (weight_col trails as the
+    engine extra)."""
+    best_cost, best = np.inf, None
+    for i in range(n_init):
+        if verbose:
+            print(f"Attempt {i + 1}")
+        bary, loss = dtw_barycenter_averaging_one_init(
+            X, barycenter_size=barycenter_size,
+            init_barycenter=init_barycenter, max_iter=max_iter, tol=tol,
+            weights=weights, metric_params=metric_params, verbose=verbose,
+            weight_col=weight_col,
+        )
+        if loss < best_cost:
+            best_cost, best = loss, bary
+    return best
 
 
 # reference alias: dtw_barycenter_averaging IS the Petitjean E-M variant
@@ -177,7 +243,7 @@ dtw_barycenter_averaging_petitjean = dtw_barycenter_averaging
 
 
 def dtw_barycenter_averaging_subgradient(
-    df: DataFrame,
+    X,
     barycenter_size: int | None = None,
     init_barycenter: np.ndarray | None = None,
     max_iter: int = 30,
@@ -185,8 +251,10 @@ def dtw_barycenter_averaging_subgradient(
     final_step_size: float = 0.005,
     tol: float = 1e-5,
     random_state: int | None = None,
-    weight_col: str | None = None,
+    weights=None,
     metric_params: dict | None = None,
+    verbose: bool = False,
+    weight_col: str | None = None,
 ) -> np.ndarray:
     """Stochastic-subgradient DBA (dba.py:607-741, Schultz & Jain 2017).
 
@@ -201,13 +269,19 @@ def dtw_barycenter_averaging_subgradient(
     """
     from tslearn_spark.bases import as_ts_df
 
-    df, _ = as_ts_df(df)
+    df, _ = as_ts_df(X)
     from tslearn_spark.kernels import dtw_path
 
     metric_params = metric_params or {}
     rng = np.random.RandomState(random_state)
-    wcol_sel = [F.col(weight_col).alias("_w")] if weight_col else [F.lit(1.0).alias("_w")]
-    pdf = df.select(F.col("series_id"), F.col("values"), *wcol_sel).toPandas()
+    if weights is not None and weight_col is None:
+        src, wcol = _attach_weights(df, weights)
+    else:
+        src, wcol = (df, weight_col) if weight_col else (
+            df.withColumn("_w1", F.lit(1.0)), "_w1")
+    pdf = src.select(
+        F.col("series_id"), F.col("values"), F.col(wcol).alias("_w")
+    ).orderBy("series_id").toPandas()
     series = [
         np.asarray([np.asarray(r, dtype=np.float64) for r in v]) for v in pdf["values"]
     ]
@@ -249,6 +323,8 @@ def dtw_barycenter_averaging_subgradient(
             center = center - (2.0 * eta / w) * delta
             if eta > final_step_size:
                 eta -= (initial_step_size - final_step_size) / n
+        if verbose:
+            print(f"[DBA-subgradient] cost={cost}")
         if abs(cost_prev - cost) < tol or cost_prev < cost:
             break
         cost_prev = cost
@@ -282,10 +358,12 @@ def _sdtw_value_grad_udf(Z: np.ndarray, gamma: float):
 
 
 def softdtw_barycenter(
-    df: DataFrame,
+    X,
     gamma: float = 1.0,
-    max_iter: int = 50,
+    weights=None,
+    method: str = "L-BFGS-B",
     tol: float = 1e-3,
+    max_iter: int = 50,
     init: np.ndarray | None = None,
     weight_col: str | None = None,
 ) -> np.ndarray:
@@ -300,7 +378,12 @@ def softdtw_barycenter(
     """
     from tslearn_spark.bases import as_ts_df
 
-    df, _ = as_ts_df(df)
+    if method != "L-BFGS-B":
+        raise NotImplementedError(
+            f"method={method!r}: only 'L-BFGS-B' (the reference default) "
+            "is implemented — the driver runs its own L-BFGS"
+        )
+    df, _ = as_ts_df(X)
     if init is None:
         sz = int(df.select(F.max(F.size("values")).alias("m")).first()["m"])
         from tslearn_spark.preprocessing import resample
@@ -311,8 +394,12 @@ def softdtw_barycenter(
         Z = np.asarray(init, dtype=np.float64)
         if Z.ndim == 1:
             Z = Z.reshape(-1, 1)
-    wcol = weight_col or "_w1"
-    src = (df if weight_col else df.withColumn("_w1", F.lit(1.0))).cache()
+    if weights is not None and weight_col is None:
+        src, wcol = _attach_weights(df, weights)
+    else:
+        src, wcol = (df, weight_col) if weight_col else (
+            df.withColumn("_w1", F.lit(1.0)), "_w1")
+    src = src.cache()
 
     def objective(Zc: np.ndarray) -> tuple[float, np.ndarray]:
         udf = _sdtw_value_grad_udf(Zc, gamma)

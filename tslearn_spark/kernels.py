@@ -602,32 +602,95 @@ def dtw_from_metric(s1, s2=None, metric="euclidean") -> float:
     return float(C[-1, -1])
 
 
-def dtw_path_from_metric(s1, s2=None, metric="euclidean"):
-    """(path, score) over an arbitrary or precomputed ground metric
+def _dtw_from_dist_matrix_windowed(D: np.ndarray, lo: np.ndarray,
+                                   hi: np.ndarray) -> np.ndarray:
+    """Masked accumulated matrix from a ground matrix: cells outside the
+    per-row [lo, hi] window stay inf (dtw_variants.py:201-231 with the
+    compute_mask overlay).  Cell loop — path functions run driver-side
+    on single pairs, so clarity beats vectorization here."""
+    sz1, sz2 = D.shape
+    C = np.full((sz1, sz2), np.inf)
+    for i in range(sz1):
+        j0, j1 = int(lo[i]), int(hi[i])
+        for j in range(max(j0, 0), min(j1, sz2 - 1) + 1):
+            if i == 0 and j == 0:
+                C[i, j] = D[i, j]
+                continue
+            best = np.inf
+            if i > 0:
+                best = min(best, C[i - 1, j])
+            if j > 0:
+                best = min(best, C[i, j - 1])
+            if i > 0 and j > 0:
+                best = min(best, C[i - 1, j - 1])
+            C[i, j] = D[i, j] + best
+    return C
+
+
+def dtw_path_from_metric(s1, s2=None, metric="euclidean",
+                         global_constraint=None, sakoe_chiba_radius=None,
+                         itakura_max_slope=None, **kwds):
+    """(path, score) over an arbitrary or precomputed ground metric,
+    with the reference's global-constraint support
     (dtw_variants.py:234-381)."""
     if s2 is None and isinstance(s1, np.ndarray) and s1.ndim == 2:
         D = s1
     else:
+        if kwds and not callable(metric):
+            raise NotImplementedError(
+                "extra metric kwds are only supported for callable metrics"
+            )
+        if kwds and callable(metric):
+            from functools import partial
+
+            metric = partial(metric, **kwds)
         D = _ground_dist_matrix(s1, s2, metric)
-    C = _dtw_from_dist_matrix(np.asarray(D, dtype=np.float64))
+    D = np.asarray(D, dtype=np.float64)
+    if (global_constraint not in (None, "")
+            or sakoe_chiba_radius is not None
+            or itakura_max_slope is not None):
+        lo, hi = _bounds(D.shape[0], D.shape[1], global_constraint,
+                         sakoe_chiba_radius, itakura_max_slope)
+        C = _dtw_from_dist_matrix_windowed(D, lo, hi)
+    else:
+        C = _dtw_from_dist_matrix(D)
     return _return_path(C), float(C[-1, -1])
 
 
-def lcss_path_from_metric(s1, s2=None, eps: float = 1.0, metric="euclidean"):
-    """LCSS path/score with an arbitrary ground metric
-    (dtw_variants.py:1721-1879)."""
+def lcss_path_from_metric(s1, s2=None, eps: float = 1.0, metric="euclidean",
+                          global_constraint=None, sakoe_chiba_radius=None,
+                          itakura_max_slope=None, **kwds):
+    """LCSS path/score with an arbitrary ground metric and the
+    reference's global-constraint support (dtw_variants.py:1721-1879).
+    Masked semantics are reference-literal: out-of-window cells stay 0
+    in the DP (njit_lcss_accumulated_matrix_from_dist_matrix:1685-1718)
+    and the backtrack only matches in-window cells."""
     if s2 is None and isinstance(s1, np.ndarray) and s1.ndim == 2:
         D = s1
         sz1, sz2 = D.shape
     else:
+        if kwds and not callable(metric):
+            raise NotImplementedError(
+                "extra metric kwds are only supported for callable metrics"
+            )
+        if kwds and callable(metric):
+            from functools import partial
+
+            metric = partial(metric, **kwds)
         D = _ground_dist_matrix(s1, s2, metric)
         sz1, sz2 = D.shape
-    match = D <= eps
+    lo, hi = _bounds(sz1, sz2, global_constraint, sakoe_chiba_radius,
+                     itakura_max_slope)
+    in_win = (np.arange(sz2)[None, :] >= lo[:, None]) & (
+        np.arange(sz2)[None, :] <= hi[:, None])
+    match = (D <= eps) & in_win
     acc = np.zeros((sz1 + 1, sz2 + 1), dtype=np.int64)
     for i in range(sz1):
         row = acc[i + 1]
         prev = acc[i]
         for j in range(sz2):
+            if not in_win[i, j]:
+                continue  # reference leaves masked cells at 0
             if match[i, j]:
                 row[j + 1] = prev[j] + 1
             else:
@@ -671,8 +734,12 @@ def subsequence_cost_matrix(subseq, longseq) -> np.ndarray:
     return C
 
 
-def subsequence_path(C: np.ndarray, idx_path_end: int) -> list[tuple[int, int]]:
-    """Backtrack from (last_row, idx_path_end) up to row 0 (dtw_variants.py:782-843)."""
+def subsequence_path(acc_cost_mat: np.ndarray,
+                     idx_path_end: int) -> list[tuple[int, int]]:
+    """Backtrack from (last_row, idx_path_end) up to row 0
+    (dtw_variants.py:782-843); first parameter name matches the
+    reference so keyword calls bind."""
+    C = acc_cost_mat
     i, j = C.shape[0] - 1, int(idx_path_end)
     path = [(i, j)]
     while i > 0:
@@ -840,10 +907,13 @@ def lcss(s1, s2, eps: float = 1.0, global_constraint=None, sakoe_chiba_radius=No
     return float(acc[-1, -1]) / min(s1.shape[0], s2.shape[0])
 
 
-def lcss_path(s1, s2, eps: float = 1.0, **kw) -> tuple[list[tuple[int, int]], float]:
+def lcss_path(s1, s2, eps: float = 1.0, global_constraint=None,
+              sakoe_chiba_radius=None,
+              itakura_max_slope=None) -> tuple[list[tuple[int, int]], float]:
     """LCSS + matched-pair path (dtw_variants.py:1541-1683)."""
     s1, s2 = to_2d(s1), to_2d(s2)
-    acc = lcss_accumulated_matrix(s1, s2, eps, **kw)
+    acc = lcss_accumulated_matrix(s1, s2, eps, global_constraint,
+                                  sakoe_chiba_radius, itakura_max_slope)
     i, j = s1.shape[0], s2.shape[0]
     path: list[tuple[int, int]] = []
     D = np.sqrt(sq_dist_matrix(s1, s2))
@@ -899,13 +969,14 @@ def _sdtw_forward(D: np.ndarray, gamma: float) -> np.ndarray:
     return R
 
 
-def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
+def soft_dtw(ts1, ts2, gamma: float = 1.0, return_matrix: bool = False):
     """Soft-DTW score; gamma=0 reduces to squared DTW (softdtw_variants.py:316-374).
 
     Anti-diagonal vectorized forward pass of soft_dtw_fast.pyx:40-67.
     R is the (sz1+2, sz2+2) accumulated matrix with the classic border.
+    Parameter names ts1/ts2 match the reference signature.
     """
-    s1, s2 = to_2d(s1), to_2d(s2)
+    s1, s2 = to_2d(ts1), to_2d(ts2)
     D = sq_dist_matrix(s1, s2)
     sz1, sz2 = D.shape
     R = _sdtw_forward(D, gamma)
@@ -914,12 +985,13 @@ def soft_dtw(s1, s2, gamma: float = 1.0, return_matrix: bool = False):
     return float(R[sz1, sz2])
 
 
-def soft_dtw_alignment(s1, s2, gamma: float = 1.0):
+def soft_dtw_alignment(ts1, ts2, gamma: float = 1.0):
     """Soft alignment matrix E = dScore/dD + score (softdtw_variants.py:377-448).
 
     Backward pass of soft_dtw_fast.pyx:70-104, anti-diagonal vectorized.
+    Parameter names ts1/ts2 match the reference signature.
     """
-    s1, s2 = to_2d(s1), to_2d(s2)
+    s1, s2 = to_2d(ts1), to_2d(ts2)
     D = sq_dist_matrix(s1, s2)
     sz1, sz2 = D.shape
     if gamma == 0.0:
@@ -1055,7 +1127,7 @@ def gak(s1, s2, sigma: float = 1.0) -> float:
     return float(num / den)
 
 
-def sigma_gak(dataset, n_samples: int = 100, random_state: int = 0) -> float:
+def sigma_gak(dataset, n_samples: int = 100, random_state=None) -> float:
     """Bandwidth heuristic: median pairwise dist * sqrt(median sz) (softdtw_variants.py:221-272)."""
     rs = np.random.RandomState(random_state)
     series = [to_2d(ts) for ts in dataset]
@@ -1070,7 +1142,7 @@ def sigma_gak(dataset, n_samples: int = 100, random_state: int = 0) -> float:
     return float(np.median(dists[iu]) * np.sqrt(med_sz))
 
 
-def gamma_soft_dtw(dataset, n_samples: int = 100, random_state: int = 0) -> float:
+def gamma_soft_dtw(dataset, n_samples: int = 100, random_state=None) -> float:
     """gamma = 2 * sigma_gak^2 (softdtw_variants.py:275-313)."""
     return 2.0 * sigma_gak(dataset, n_samples, random_state) ** 2
 

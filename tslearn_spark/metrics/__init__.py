@@ -674,11 +674,16 @@ def cdist_dtw(dataset1, dataset2=None, global_constraint=None,
 
 
 def cdist_ctw(dataset1, dataset2=None, max_iter=100, n_components=None,
-              n_jobs=None, verbose=0) -> np.ndarray:
-    """CTW cross-distance matrix (ctw.py:264-330)."""
+              global_constraint=None, sakoe_chiba_radius=None,
+              itakura_max_slope=None, n_jobs=None, verbose=0) -> np.ndarray:
+    """CTW cross-distance matrix (ctw.py:264-330), constraint params in
+    the reference's positions."""
     return _np_cdist(
         dataset1, dataset2,
-        lambda a, b: ctw(a, b, max_iter=max_iter, n_components=n_components),
+        lambda a, b: ctw(a, b, max_iter=max_iter, n_components=n_components,
+                         global_constraint=global_constraint,
+                         sakoe_chiba_radius=sakoe_chiba_radius,
+                         itakura_max_slope=itakura_max_slope),
         diag=0.0,
     )
 

@@ -112,10 +112,13 @@ def ctw_path(s1, s2, max_iter: int = 100, n_components: int | None = None,
 
 def ctw(s1, s2, max_iter: int = 100, n_components: int | None = None,
         global_constraint=None, sakoe_chiba_radius=None,
-        itakura_max_slope=None, iterate: bool = False) -> float:
-    """CTW score (reference ctw.py:264-330 semantics — see ctw_path)."""
+        itakura_max_slope=None, verbose: bool = False,
+        iterate: bool = False) -> float:
+    """CTW score (reference ctw.py:178-261 semantics — see ctw_path).
+    Parameter order matches the reference (verbose before the engine's
+    trailing ``iterate``)."""
     return ctw_path(s1, s2, max_iter=max_iter, n_components=n_components,
                     global_constraint=global_constraint,
                     sakoe_chiba_radius=sakoe_chiba_radius,
                     itakura_max_slope=itakura_max_slope,
-                    iterate=iterate)[3]
+                    verbose=verbose, iterate=iterate)[3]

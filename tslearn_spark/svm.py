@@ -117,7 +117,13 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
             return _flat_kernel_matrix(X, X, self.kernel, self.gamma_,
                                        self.degree, self.coef0)
         if self.gamma == "auto":
-            self.gamma_ = K.gamma_soft_dtw(self._train_values)  # svm.py:30-33
+            # svm.py:30-33; seeded from the estimator's own random_state
+            # (0 when unset) so gamma='auto' fits are reproducible — the
+            # reference leaves the sample unseeded and is not
+            rs = getattr(self, "random_state", None)
+            self.gamma_ = K.gamma_soft_dtw(
+                self._train_values, random_state=0 if rs is None else rs
+            )
         else:
             self.gamma_ = float(self.gamma)
         self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))  # svm.py:49
