@@ -471,6 +471,9 @@ _REF_FUNC_FILES = {
                 "metrics/ctw.py", "metrics/cycc.py", "metrics/sax.py"],
     "barycenters": ["barycenters/euclidean.py", "barycenters/dba.py",
                     "barycenters/softdtw.py"],
+    "utils": ["utils/utils.py"],
+    "dataset": ["generators/generators.py"],
+    "clustering": ["clustering/utils.py"],
 }
 
 

@@ -177,7 +177,7 @@ class TestShapelets:
     def test_transform_locate_predict(self, spark):
         from tslearn_spark.shapelets import LearningShapelets
 
-        df = DS.random_walk_blobs(spark, n_ts_per_blob=10, sz=16, d=2, n_blobs=3,
+        df = DS.random_walk_blobs(spark=spark, n_ts_per_blob=10, sz=16, d=2, n_blobs=3,
                                   random_state=0)
         clf = LearningShapelets(n_shapelets_per_size={5: 5}, max_iter=100,
                                 random_state=0).fit(df)
@@ -205,7 +205,7 @@ class TestShapelets:
 
         from tslearn_spark.shapelets import LearningShapelets
 
-        df = DS.random_walk_blobs(spark, n_ts_per_blob=5, sz=12, d=1, n_blobs=2,
+        df = DS.random_walk_blobs(spark=spark, n_ts_per_blob=5, sz=12, d=1, n_blobs=2,
                                   random_state=1)
         # scale=True: transform distances computed on min-max'd series
         clf = LearningShapelets(n_shapelets_per_size={4: 2}, max_iter=20,

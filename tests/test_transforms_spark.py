@@ -243,14 +243,14 @@ class TestCodec:
 
 class TestGenerators:
     def test_random_walks_shape_and_determinism(self, spark):
-        df1 = DS.random_walks(spark, n_ts=5, sz=16, d=2, random_state=0)
-        df2 = DS.random_walks(spark, n_ts=5, sz=16, d=2, random_state=0)
+        df1 = DS.random_walks(spark=spark, n_ts=5, sz=16, d=2, random_state=0)
+        df2 = DS.random_walks(spark=spark, n_ts=5, sz=16, d=2, random_state=0)
         a1, a2 = arrays(df1), arrays(df2)
         assert a1[0].shape == (16, 2)
         np.testing.assert_allclose(a1[0], a2[0])
 
     def test_blobs_labels(self, spark):
-        df = DS.random_walk_blobs(spark, n_ts_per_blob=3, sz=8, d=1, n_blobs=2,
+        df = DS.random_walk_blobs(spark=spark, n_ts_per_blob=3, sz=8, d=1, n_blobs=2,
                                   random_state=0)
         labs = [r["label"] for r in df.orderBy("series_id").collect()]
         assert labs == ["0", "0", "0", "1", "1", "1"]

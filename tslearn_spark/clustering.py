@@ -918,18 +918,26 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
 
-def silhouette_score(df: DataFrame, labels, metric: str = "dtw", **params) -> float:
+def silhouette_score(X, labels, metric=None, sample_size=None,
+                     metric_params=None, n_jobs=None, verbose=0,
+                     random_state=None, **params) -> float:
     """Silhouette on the distributed cross-distance edges (clustering/utils.py:66-197).
 
     a(i) = mean intra-cluster dist, b(i) = min over other clusters of mean
     dist; s = (b-a)/max(a,b); fully SQL after the metric join.
     softdtw uses the normalized variant sdtw(x,y)-(sdtw(x,x)+sdtw(y,y))/2.
-    Accepts the reference's (X array, labels array) protocol too.
+    Reference signature: metric=None means dtw; sample_size subsamples
+    the series (seeded by random_state) before scoring; n_jobs/verbose
+    accepted for parity (parallelism comes from the cluster).  Accepts
+    the reference's (X array, labels array) protocol too.
     """
     from tslearn_spark import metrics as M
     from tslearn_spark.bases import as_ts_df
 
-    df, _ = as_ts_df(df)
+    if metric is None:
+        metric = "dtw"  # clustering/utils.py:172
+    params = dict(metric_params or {}, **params)
+    df, _ = as_ts_df(X)
     if not isinstance(labels, DataFrame):
         # arbitrary label values (strings, floats, ...) are accepted like
         # the reference: map to dense integer codes for the groupBy key
@@ -940,6 +948,20 @@ def silhouette_score(df: DataFrame, labels, metric: str = "dtw", **params) -> fl
             [(int(i), int(c)) for i, c in enumerate(codes)],
             "series_id long, cluster int",
         )
+    if sample_size is not None:
+        # seeded subsample of the series ids (clustering/utils.py:166-169
+        # routes to sklearn's check_random_state + permutation); labels
+        # follow through the join below
+        import numpy as _np
+
+        ids = [r["series_id"]
+               for r in df.select("series_id").orderBy("series_id").collect()]
+        rs = _np.random.RandomState(random_state)
+        keep = set(rs.permutation(ids)[: int(sample_size)].tolist())
+        keep_df = df.sparkSession.createDataFrame(
+            [(int(i),) for i in keep], "series_id long")
+        df = df.join(F.broadcast(keep_df), "series_id")
+        labels = labels.join(F.broadcast(keep_df), "series_id")
 
     if metric == "softdtw":
         edges = M.cdist(df, metric="softdtw", symmetric_zero_diag=False, **params)

@@ -184,14 +184,30 @@ def ts_zeros(sz: int, d: int = 1) -> np.ndarray:
 # generators (reference: generators/generators.py:7-112)
 # ---------------------------------------------------------------------------
 
+def _session_or_active(spark: SparkSession | None) -> SparkSession:
+    """Generators follow the reference positional signature
+    (generators.py:7-112), so the session rides as a trailing optional:
+    None resolves to the active session, matching how reference scripts
+    call random_walks(n_ts=..., sz=...) with no session in sight."""
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is None:
+        raise RuntimeError(
+            "random_walks/random_walk_blobs need an active SparkSession "
+            "(start one, or pass spark=...)"
+        )
+    return active
+
+
 def random_walks(
-    spark: SparkSession,
     n_ts: int = 100,
     sz: int = 256,
     d: int = 1,
     mu: float = 0.0,
     std: float = 1.0,
     random_state: int | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Cumulative-sum Gaussian walks, distributed (generators.py:7-54).
 
@@ -201,6 +217,7 @@ def random_walks(
     shuffle.  For test determinism a seed pins numpy per-series RNG
     (seed is per series_id, so partitioning cannot change outputs).
     """
+    spark = _session_or_active(spark)
     seed = 0 if random_state is None else int(random_state)
 
     @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
@@ -219,15 +236,16 @@ def random_walks(
 
 
 def random_walk_blobs(
-    spark: SparkSession,
     n_ts_per_blob: int = 100,
     sz: int = 256,
     d: int = 1,
     n_blobs: int = 2,
     noise_level: float = 1.0,
     random_state: int | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """k seed walks + per-blob white noise; returns ts + label (generators.py:57-112)."""
+    spark = _session_or_active(spark)
     seed = 0 if random_state is None else int(random_state)
     rs = np.random.RandomState(seed)
     base = np.cumsum(rs.randn(n_blobs, sz, d), axis=1)
