@@ -202,6 +202,37 @@ class TestKNN:
         got_r = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
         assert got_r[0] == pytest.approx(0.5)
 
+    def test_classifier_predict_proba(self, spark):
+        """Reference neighbors.py:532-559 (sklearn vote semantics):
+        per-class share of the neighbor weight mass, ordered by
+        classes_; uniform weights -> vote counts / k, distance weights
+        -> 1/dist mass.  Exact values pinned on a 3-NN fixture."""
+        from tslearn_spark.neighbors import KNeighborsTimeSeriesClassifier
+
+        X = [[0.0, 0.0], [0.1, 0.1], [0.2, 0.2], [9.0, 9.0]]
+        df = DS.dataset_to_df(spark, X, labels=["a", "a", "b", "b"])
+        clf = KNeighborsTimeSeriesClassifier(
+            n_neighbors=3, metric="euclidean").fit(df)
+        assert list(clf.classes_) == ["a", "b"]
+        q = DS.dataset_to_df(spark, [[0.05, 0.05]])
+        probs = clf.predict_proba(q).collect()[0]["probabilities"]
+        # 3 nearest of the query: ids 0,1 (a) and 2 (b) -> [2/3, 1/3]
+        assert probs[0] == pytest.approx(2 / 3)
+        assert probs[1] == pytest.approx(1 / 3)
+        # distance weights: mass proportional to 1/dist
+        clfd = KNeighborsTimeSeriesClassifier(
+            n_neighbors=3, metric="euclidean", weights="distance").fit(df)
+        probs = clfd.predict_proba(q).collect()[0]["probabilities"]
+        import numpy as _np
+
+        d = [_np.sqrt(2) * abs(0.05 - v) for v in (0.0, 0.1, 0.2)]
+        w = [1 / x for x in d]
+        assert probs[0] == pytest.approx((w[0] + w[1]) / sum(w))
+        assert probs[1] == pytest.approx(w[2] / sum(w))
+        # numpy-in -> (n, n_classes) matrix out
+        mat = clf.predict_proba(_np.array([[[0.05], [0.05]]]))
+        assert mat.shape == (1, 2) and mat[0][0] == pytest.approx(2 / 3)
+
     def test_regression(self, spark):
         from tslearn_spark.neighbors import knn_regress
 
@@ -288,10 +319,61 @@ class TestClustering:
         df = DS.dataset_to_df(spark, blob1 + blob2)
         km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=10,
                               random_state=0).fit(df)
+        # reference public shape (kmeans.py:545-551 + its doctests call
+        # .cluster_centers_.shape): ndarray (n_clusters, sz, d)
+        assert km.cluster_centers_.shape == (2, 8, 1)
         pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
         g1 = {pred[i] for i in range(5)}
         g2 = {pred[i] for i in range(5, 10)}
         assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+
+    def test_labels_attribute_matches_predict(self, spark):
+        """labels_ after fit (kmeans.py:544,696; kshape.py:67,155) — a
+        lazy (series_id, cluster) DataFrame whose rows equal predict on
+        the training set, and what fit_predict returns (kmeans.py:431)."""
+        from tslearn_spark.clustering import KShape, TimeSeriesKMeans
+
+        rs = np.random.RandomState(5)
+        t = np.linspace(0, 4 * np.pi, 16)
+        blob1 = [np.sin(t) + rs.randn(16) * 0.05 for _ in range(4)]
+        blob2 = [np.cos(t) + 5 + rs.randn(16) * 0.05 for _ in range(4)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=5,
+                              random_state=0).fit(df)
+        labs = {r["series_id"]: r["cluster"] for r in km.labels_.collect()}
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        assert labs == pred
+        ks = KShape(n_clusters=2, max_iter=3, random_state=0).fit(df)
+        labs = {r["series_id"]: r["cluster"] for r in ks.labels_.collect()}
+        pred = {r["series_id"]: r["cluster"] for r in ks.predict(df).collect()}
+        assert labs == pred
+
+    def test_kmeans_ndarray_init_and_invalid_init(self, spark):
+        """init may be an explicit (k, sz, d) array (kmeans.py:625-626);
+        an unknown string raises (kmeans.py:656-658); a wrong-k array
+        trips the reference's initial-guess assert (utils.py:200-204)."""
+        import pytest
+
+        from tslearn_spark.clustering import TimeSeriesKMeans
+
+        rs = np.random.RandomState(3)
+        blob1 = [rs.randn(8) * 0.1 for _ in range(5)]
+        blob2 = [rs.randn(8) * 0.1 + 10 for _ in range(5)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        init = np.stack([np.asarray(blob1[0]).reshape(-1, 1),
+                         np.asarray(blob2[0]).reshape(-1, 1)])
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean", max_iter=5,
+                              random_state=0, init=init).fit(df)
+        assert km.cluster_centers_.shape == (2, 8, 1)
+        pred = {r["series_id"]: r["cluster"] for r in km.predict(df).collect()}
+        # explicit init pins the labels: blob1 -> 0, blob2 -> 1
+        assert all(pred[i] == 0 for i in range(5))
+        assert all(pred[i] == 1 for i in range(5, 10))
+        with pytest.raises(ValueError, match="invalid"):
+            TimeSeriesKMeans(n_clusters=2, init="frobnicate").fit(df)
+        with pytest.raises(AssertionError, match="Initial guess"):
+            TimeSeriesKMeans(n_clusters=3, metric="euclidean",
+                             init=init).fit(df)
 
     def test_kmeans_dtw(self, spark):
         from tslearn_spark.clustering import TimeSeriesKMeans
@@ -342,6 +424,8 @@ class TestClustering:
                  for _ in range(4)]
         df = DS.dataset_to_df(spark, blob1 + blob2)
         ks = KShape(n_clusters=2, max_iter=5, random_state=3).fit(df)
+        # reference public shape (kshape.py:80-83): ndarray (k, sz, d)
+        assert ks.cluster_centers_.shape == (2, 24, 1)
         pred = {r["series_id"]: r["cluster"] for r in ks.predict(df).collect()}
         assert len(set(pred.values())) == 2
 
@@ -545,6 +629,10 @@ class TestClustering:
         assert len({labs[i] for i in range(4)}) == 1
         assert len({labs[i] for i in range(4, 8)}) == 1
         assert labs[0] != labs[4]
+        # reference sample_weight_ (kmeans.py:209,363): the weights used
+        sw = {r["series_id"]: r["weight"]
+              for r in kk.sample_weight_.collect()}
+        assert sw == {i: 1.0 for i in range(8)}
 
     def test_kshape_explicit_init_and_n_init(self, spark):
         """init accepts explicit centers (fit starts from them); n_init

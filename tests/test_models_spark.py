@@ -156,6 +156,96 @@ class TestSVM:
         for i in range(6):
             assert pred[i] == pytest.approx(2.0 * i, abs=0.5)
 
+    def test_svc_libsvm_attribute_surface(self, spark):
+        """Reference fitted-attr surface (svm.py:155-196): n_support_ /
+        support_ / dual_coef_ / intercept_ / support_vectors_ /
+        svm_estimator_ in libsvm layout.  Self-consistency: each ovo
+        machine's decision function is reproducible from the PACKED
+        dual_coef_ columns, and support_ is class-grouped so that
+        support_vectors_ slicing by n_support_ is valid."""
+        from tslearn_spark.svm import TimeSeriesSVC, _flat_kernel_matrix
+
+        rs = np.random.RandomState(9)
+        X = ([rs.randn(6) * 0.3 for _ in range(5)]
+             + [rs.randn(6) * 0.3 + 3 for _ in range(5)]
+             + [rs.randn(6) * 0.3 - 3 for _ in range(5)])
+        labels = [str(i // 5) for i in range(15)]
+        df = DS.dataset_to_df(spark, X, labels=labels)
+        clf = TimeSeriesSVC(C=1.0, kernel="rbf", gamma=0.5).fit(df)
+        k = len(clf.classes_)
+        assert k == 3
+        # shape contracts
+        n_sv = clf.n_support_
+        assert n_sv.shape == (k,) and n_sv.dtype == np.int32
+        assert int(n_sv.sum()) == len(clf.support_) == clf.dual_coef_.shape[1]
+        assert clf.dual_coef_.shape[0] == k - 1
+        assert clf.intercept_.shape == (k * (k - 1) // 2,)
+        assert clf.svm_estimator_ is clf.model_
+        # doctest contract (reference svm.py:190-196)
+        sv = clf.support_vectors_
+        assert sum(len(s) for s in sv) == int(clf.svm_estimator_.n_support_.sum())
+        for c, s in enumerate(sv):
+            assert s.shape == (int(n_sv[c]), 6, 1)
+        # support_ is grouped by class, ascending within each class
+        y_idx = np.array([int(l) for l in labels])
+        start = 0
+        for c in range(k):
+            seg = clf.support_[start:start + int(n_sv[c])]
+            assert (y_idx[seg] == c).all()
+            assert (np.diff(seg) > 0).all()
+            start += int(n_sv[c])
+        # decision functions reconstruct from the packed duals
+        Xf = np.stack([np.asarray(x, dtype=np.float64) for x in X])
+        Kmat = _flat_kernel_matrix(Xf, Xf, "rbf", clf.gamma_, 3, 0.0)
+        pos = {int(t): j for j, t in enumerate(clf.support_)}
+        for mi, (a, b, m, idx) in enumerate(clf.model_.machines_):
+            want = m.decision_function(Kmat[:, idx])
+            got = np.full(len(X), clf.intercept_[mi])
+            for t in idx:
+                j = pos.get(int(t))
+                if j is None:
+                    continue
+                c = int(y_idx[t])
+                o = b if c == a else a
+                got += clf.dual_coef_[o - (o > c), j] * Kmat[:, t]
+            np.testing.assert_allclose(got, want, atol=1e-9)
+        # deprecated alias warns and stacks all SVs
+        with pytest.warns(DeprecationWarning):
+            all_sv = clf.support_vectors_time_series_()
+        assert all_sv.shape == (int(n_sv.sum()), 6, 1)
+        # coef_ is linear-kernel-only (sklearn semantics)
+        with pytest.raises(AttributeError, match="linear"):
+            clf.coef_
+        lin = TimeSeriesSVC(C=1.0, kernel="linear").fit(df)
+        assert lin.coef_.shape == (k - 1, 6)
+
+    def test_svr_libsvm_attribute_surface(self, spark):
+        """SVR twin: support_ / dual_coef_ (1, n_SV) / intercept_ (1,) /
+        support_vectors_ (n_SV, sz, d); prediction reconstructs from the
+        dual surface."""
+        from tslearn_spark.svm import TimeSeriesSVR, _flat_kernel_matrix
+
+        rs = np.random.RandomState(4)
+        X = [rs.randn(6) for _ in range(12)]
+        ys = [float(np.sum(x)) for x in X]
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(list(enumerate(ys)), "series_id long, y double"),
+            "series_id",
+        )
+        reg = TimeSeriesSVR(C=1.0, kernel="rbf", gamma=0.5, epsilon=0.1).fit(df)
+        n_sv = len(reg.support_)
+        assert reg.dual_coef_.shape == (1, n_sv)
+        assert reg.intercept_.shape == (1,)
+        assert reg.support_vectors_.shape == (n_sv, 6, 1)
+        assert reg.svm_estimator_ is reg.model_
+        # dual reconstruction == the engine's distributed prediction
+        Xf = np.stack([np.asarray(x, dtype=np.float64) for x in X])
+        Kmat = _flat_kernel_matrix(Xf, Xf, "rbf", reg.gamma_, 3, 0.0)
+        want = {r["series_id"]: r["prediction"] for r in reg.predict(df).collect()}
+        got = Kmat[:, reg.support_] @ reg.dual_coef_[0] + reg.intercept_[0]
+        for i in range(len(X)):
+            assert got[i] == pytest.approx(want[i], abs=1e-9)
+
     def test_svr_sign(self, spark):
         # tests/test_variablelength.py:47-51: predictions correlate with sign
         from tslearn_spark.svm import TimeSeriesSVR
@@ -188,6 +278,91 @@ class TestShapelets:
         pred = clf.predict(df).join(df.select("series_id", "label"), "series_id")
         acc = pred.where(F.col("prediction") == F.col("label")).count() / 30
         assert acc >= 0.8  # separable blobs
+
+    def test_reference_attribute_surface(self, spark):
+        """Reference fitted attrs (shapelets.py:291-306): NaN-padded
+        shapelets_as_time_series_, history_ loss curve, n_iter_, and the
+        three submodel handles whose .predict agrees with the
+        distributed transform/locate/predict paths."""
+        import pytest as _pytest
+
+        from tslearn_spark.shapelets import LearningShapelets
+
+        df = DS.random_walk_blobs(spark=spark, n_ts_per_blob=6, sz=16, d=1,
+                                  n_blobs=2, random_state=2)
+        clf = LearningShapelets(n_shapelets_per_size={3: 2, 4: 1},
+                                max_iter=15, random_state=0)
+        # unfitted: the reference probes fitted state via hasattr
+        assert not hasattr(clf, "model_")
+        clf.fit(df)
+        # doctest shape contract (shapelets.py:392-393)
+        sts = clf.shapelets_as_time_series_
+        assert sts.shape == (3, 4, 1)
+        assert np.isnan(sts[0, 3, 0]) and np.isnan(sts[1, 3, 0])
+        assert not np.isnan(sts[2]).any()
+        # history/n_iter (shapelets.py:445-451)
+        assert clf.n_iter_ == 15 and len(clf.history_["loss"]) == 15
+        assert all(np.isfinite(v) for v in clf.history_["loss"])
+        # submodels agree with the distributed paths
+        rows = df.select("series_id", "values").orderBy("series_id").collect()
+        X = np.array([[ [float(x) for x in r] for r in row["values"]]
+                      for row in rows])
+        td = {r["series_id"]: r["shapelet_dists"]
+              for r in clf.transform(df).collect()}
+        np.testing.assert_allclose(
+            clf.transformer_model_.predict(X),
+            np.array([td[r["series_id"]] for r in rows]), atol=1e-9)
+        tl = {r["series_id"]: r["shapelet_locs"]
+              for r in clf.locate(df).collect()}
+        np.testing.assert_array_equal(
+            clf.locator_model_.predict(X),
+            np.array([tl[r["series_id"]] for r in rows]))
+        probas = clf.model_.predict(X)
+        assert probas.shape == (12, 2)
+        np.testing.assert_allclose(probas.sum(axis=1), 1.0, atol=1e-12)
+        tp = {r["series_id"]: r["prediction"]
+              for r in clf.predict(df).collect()}
+        for i, row in enumerate(rows):
+            assert str(clf.classes_[int(np.argmax(probas[i]))]) \
+                == tp[row["series_id"]]
+
+    def test_weights_api_and_predict_proba(self, spark):
+        """get_weights/set_weights keras-layer layout (reference
+        shapelets.py:750-825, doctests pinned) and the distributed
+        predict_proba softmax head."""
+        from tslearn_spark.shapelets import LearningShapelets
+
+        df = DS.random_walk_blobs(spark=spark, n_ts_per_blob=6, sz=16, d=1,
+                                  n_blobs=3, random_state=1)
+        clf = LearningShapelets(n_shapelets_per_size={10: 5}, max_iter=5,
+                                random_state=0).fit(df)
+        # doctest: classification layer (n_shp_total, n_classes); one
+        # shapelet layer per (size-group, dim) of shape (n_shp_i, size_i)
+        assert clf.get_weights("classification")[0].shape == (5, 3)
+        assert clf.get_weights("shapelets_0_0")[0].shape == (5, 10)
+        assert len(clf.get_weights("shapelets_0_0")) == 1
+        assert len(clf.get_weights()) == 3  # 1 shapelet layer + W + b
+        # set_weights doctest: overwrite one shapelet group, read it back
+        clf2 = LearningShapelets(n_shapelets_per_size={3: 1}, max_iter=5,
+                                 random_state=0).fit(df)
+        clf2.set_weights([np.array([[1.0, 2.0, 3.0]])],
+                         layer_name="shapelets_0_0")
+        np.testing.assert_allclose(clf2.shapelets_as_time_series_,
+                                   [[[1.0], [2.0], [3.0]]])
+        # full-model round trip: get -> perturb -> set -> get
+        w = clf.get_weights()
+        w[0] = w[0] + 1.0
+        clf.set_weights(w)
+        np.testing.assert_allclose(clf.get_weights()[0], w[0])
+        # predict_proba: rows sum to 1, argmax == predict
+        probs = {r["series_id"]: r["probabilities"]
+                 for r in clf.predict_proba(df).collect()}
+        preds = {r["series_id"]: r["prediction"]
+                 for r in clf.predict(df).collect()}
+        classes = [str(c) for c in clf.classes_]
+        for i, p in probs.items():
+            assert sum(p) == pytest.approx(1.0, abs=1e-9)
+            assert classes[int(np.argmax(p))] == preds[i]
 
     def test_size_heuristic(self):
         from tslearn_spark.shapelets import grabocka_params_to_shapelet_size_dict
@@ -244,6 +419,22 @@ class TestMLP:
         pred = clf.predict(df).join(df.select("series_id", "label"), "series_id")
         acc = pred.where(F.col("prediction") == F.col("label")).count() / 20
         assert acc == 1.0
+        # sklearn MLP surface: probabilities ordered by classes_, summing
+        # to 1, argmax agreeing with predict; log twin is its ln
+        probs = {r["series_id"]: r["probabilities"]
+                 for r in clf.predict_proba(df).collect()}
+        preds = {r["series_id"]: r["prediction"]
+                 for r in clf.predict(df).collect()}
+        lps = {r["series_id"]: r["log_probabilities"]
+               for r in clf.predict_log_proba(df).collect()}
+        classes = [str(c) for c in clf.classes_]
+        for i in probs:
+            assert sum(probs[i]) == pytest.approx(1.0, abs=1e-9)
+            assert classes[int(np.argmax(probs[i]))] == preds[i]
+            np.testing.assert_allclose(lps[i], np.log(probs[i]), atol=1e-9)
+        # numpy-in -> (n, n_classes) matrix
+        mat = clf.predict_proba(np.array([x.reshape(-1, 1) for x in X[:3]]))
+        assert mat.shape == (3, 2)
 
     def test_regressor(self, spark):
         from tslearn_spark.neural_network import TimeSeriesMLPRegressor
@@ -445,9 +636,9 @@ class TestModelIO:
             save_model(clf, str(tmp_path / "clf.json"))
 
     def test_unsupported_formats_fail_loudly(self, tmp_path):
-        """pickle is always rejected with the documented reason; hdf5 is
-        rejected loudly only where h5py is absent (reference exposes all
-        three at bases.py:164-287; hdf5 gated like its HDF5_INSTALLED)."""
+        """hdf5 is rejected loudly only where h5py is absent (reference
+        exposes all three codecs at bases.py:164-287; hdf5 gated like
+        its HDF5_INSTALLED); unknown formats always raise."""
         import pytest
 
         from tslearn_spark.hdftools import HDF5_INSTALLED
@@ -460,8 +651,6 @@ class TestModelIO:
                 save_model(sax, str(tmp_path / "m.h5"))
             with pytest.raises(NotImplementedError, match="HDF5"):
                 save_model(sax, str(tmp_path / "m.json"), fmt="hdf5")
-        with pytest.raises(ValueError, match="pickle.*rejected"):
-            save_model(sax, str(tmp_path / "m.pkl"))
         with pytest.raises(ValueError, match="unknown model format"):
             save_model(sax, str(tmp_path / "m.json"), fmt="msgpack")
         # load side enforces the same matrix
@@ -573,14 +762,59 @@ class TestBasesProtocol:
         with pytest.raises(TypeError):
             SAX.from_json(path)
 
-    def test_rejected_codecs(self, tmp_path):
+    def test_unfitted_codecs_raise(self, tmp_path):
         from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.hdftools import HDF5_INSTALLED
 
         km = TimeSeriesKMeans()
-        with pytest.raises(NotImplementedError):
-            km.to_hdf5(str(tmp_path / "m.h5"))
-        with pytest.raises(ValueError):
+        if not HDF5_INSTALLED:
+            with pytest.raises(NotImplementedError):
+                km.to_hdf5(str(tmp_path / "m.h5"))
+        # pickle shares to_json's not-fitted guard (bases.py:257-268
+        # pickles the same dict _to_dict builds)
+        with pytest.raises(ValueError, match="fit"):
             km.to_pickle(str(tmp_path / "m.pkl"))
+
+    def test_fit_to_pickle_from_pickle_roundtrip(self, spark, tmp_path):
+        """Reference to_pickle/from_pickle (bases.py:257-287): protocol-2
+        dump of the param dict; here the encoded dict, so the stream
+        holds only stdlib types."""
+        import pickle
+
+        from tslearn_spark.clustering import TimeSeriesKMeans
+        from tslearn_spark.piecewise import SAX
+
+        X = [[1.0, 1.1, 1.0], [0.9, 1.0, 1.1],
+             [8.0, 8.2, 8.1], [8.1, 8.0, 7.9]]
+        df = DS.dataset_to_df(spark, X)
+        km = TimeSeriesKMeans(n_clusters=2, metric="euclidean",
+                              random_state=0).fit(df)
+        path = str(tmp_path / "km.pkl")
+        km.to_pickle(path)
+        back = TimeSeriesKMeans.from_pickle(path)
+        np.testing.assert_allclose(back.cluster_centers_, km.cluster_centers_)
+        assert back.n_clusters == 2
+        # wrong-class load fails loudly, like from_json
+        with pytest.raises(TypeError):
+            SAX.from_pickle(path)
+        # the stream carries only stdlib types — no numpy objects, so
+        # artifacts survive numpy major-version changes
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+
+        def only_stdlib(o):
+            if isinstance(o, dict):
+                return all(only_stdlib(v) for v in o.values())
+            if isinstance(o, (list, tuple)):
+                return all(only_stdlib(v) for v in o)
+            return isinstance(o, (str, int, float, bool, type(None)))
+
+        assert only_stdlib(payload)
+        # save_model/load_model infer pickle from the .pkl extension
+        from tslearn_spark.model_io import load_model, save_model
+
+        save_model(km, str(tmp_path / "m2.pickle"))
+        assert load_model(str(tmp_path / "m2.pickle")).n_clusters == 2
 
     def test_scalers_have_params_not_package(self):
         from tslearn_spark.preprocessing import TimeSeriesScalerMeanVariance

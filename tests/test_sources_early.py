@@ -285,6 +285,78 @@ class TestEarlyClassification:
         cost = model.early_classification_cost(df)
         assert cost > 0
 
+    def test_predict_proba_and_earliness(self, spark):
+        """Reference early_classification.py:455-530: with the built-in
+        1-NN base classifier the probabilities are one-hot at the
+        predicted class; times match predict_class_and_earliness."""
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        data = [
+            [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6],
+            [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1],
+            [3, 2, 1, 1, 2, 3], [3, 2, 1, 1, 2, 3],
+        ]
+        y = ["0", "0", "0", "1", "1", "1", "0", "0"]
+        df = DS.dataset_to_df(spark, [[float(v) for v in row] for row in data],
+                              labels=y).cache()
+        model = NonMyopicEarlyClassifier(n_clusters=3, lamb=1000.0,
+                                         cost_time_parameter=0.1,
+                                         random_state=0).fit(df)
+        cls_rows = {r["series_id"]: r
+                    for r in model.predict_class_and_earliness(df).collect()}
+        rows = {r["series_id"]: r
+                for r in model.predict_proba_and_earliness(df).collect()}
+        classes = [str(c) for c in model.classes_]
+        for i in range(8):
+            p = rows[i]["probabilities"]
+            assert sum(p) == 1.0 and set(p) <= {0.0, 1.0}
+            assert classes[p.index(1.0)] == cls_rows[i]["prediction"]
+            assert rows[i]["pred_time"] == cls_rows[i]["pred_time"]
+        # predict_proba = first element, same rows
+        pp = {r["series_id"]: r["probabilities"]
+              for r in model.predict_proba(df).collect()}
+        assert all(pp[i] == rows[i]["probabilities"] for i in range(8))
+        # numpy-in -> (probas matrix, times array)
+        import numpy as np
+
+        Xarr = np.array(data, dtype=np.float64)[:, :, None]
+        probs, times = model.predict_proba_and_earliness(Xarr)
+        assert probs.shape == (8, 2) and times.shape == (8,)
+
+    def test_classifiers_dict_attribute(self, spark):
+        """classifiers_ is a dict {t: per-prefix classifier} after fit
+        (early_classification.py:48-50,164-165; the reference doctest
+        pins type(model.classifiers_) is dict).  The full-length
+        member's predictions equal 1-NN over the whole series, and each
+        handle exposes classes_ (the reference's classes_ property reads
+        classifiers_[min_t].classes_, early_classification.py:123-124)."""
+        import pytest
+
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        data = [
+            [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6],
+            [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1],
+            [3, 2, 1, 1, 2, 3], [3, 2, 1, 1, 2, 3],
+        ]
+        y = ["0", "0", "0", "1", "1", "1", "0", "0"]
+        df = DS.dataset_to_df(spark, [[float(v) for v in row] for row in data],
+                              labels=y).cache()
+        model = NonMyopicEarlyClassifier(n_clusters=3, lamb=1000.0,
+                                         cost_time_parameter=0.1,
+                                         random_state=0)
+        with pytest.raises(AttributeError):
+            model.classifiers_
+        model.fit(df)
+        clfs = model.classifiers_
+        assert type(clfs) is dict
+        assert sorted(clfs) == list(range(model.min_t, 7))
+        assert list(clfs[model.min_t].classes_) == ["0", "1"]
+        # the sz-length member is plain 1-NN against the classifier half
+        pred = {r["series_id"]: r["prediction"]
+                for r in clfs[6].predict(df).collect()}
+        assert all(pred[i] == y[i] for i in range(8))
+
     def test_cluster_probas_golden(self, spark):
         """get_cluster_probas doctest: lamb=0 -> uniform."""
         from tslearn_spark.early_classification import NonMyopicEarlyClassifier

@@ -92,6 +92,65 @@ class TestPAASAX:
         got = arrays(inv, "inv")[0].ravel()
         np.testing.assert_allclose(got, [0.5, 0.5, -0.45, -0.45, 0, 0], atol=1e-9)
 
+    def test_numpy_instance_api_doctests(self, spark):
+        """The reference class doctests for the numpy instance surface
+        (piecewise.py:77-107 PAA, :291-325 SAX, :545-575 1d-SAX):
+        fit_transform -> distance_* / distance / inverse_transform on
+        plain arrays, exact values pinned."""
+        from tslearn_spark.piecewise import (
+            OneDSAX, PiecewiseAggregateApproximation, SAX,
+        )
+
+        data = [[-1.0, 2.0, 0.1, -1.0, 1.0, -1.0],
+                [1.0, 3.2, -1.0, -3.0, 1.0, -1.0]]
+        paa = PiecewiseAggregateApproximation(n_segments=3)
+        paa_data = paa.fit_transform(data)
+        assert paa_data.shape == (2, 3, 1)
+        np.testing.assert_allclose(paa_data[:, :, 0],
+                                   [[0.5, -0.45, 0.0], [2.1, -2.0, 0.0]],
+                                   atol=1e-9)
+        assert paa.distance_paa(paa_data[0], paa_data[1]) == pytest.approx(
+            3.1503968, abs=1e-5)
+        assert paa.distance(data[0], data[1]) == pytest.approx(
+            3.1503968, abs=1e-5)
+        inv = paa.inverse_transform(paa_data)
+        np.testing.assert_allclose(
+            inv[0].ravel(), [0.5, 0.5, -0.45, -0.45, 0.0, 0.0], atol=1e-9)
+        np.testing.assert_allclose(
+            inv[1].ravel(), [2.1, 2.1, -2.0, -2.0, 0.0, 0.0], atol=1e-9)
+
+        sax = SAX(n_segments=3, alphabet_size_avg=2)
+        sax_data = sax.fit_transform(data)
+        assert sax_data.shape == (2, 3, 1)
+        np.testing.assert_array_equal(sax_data[:, :, 0],
+                                      [[1, 0, 1], [1, 0, 1]])
+        assert sax.distance_sax(sax_data[0], sax_data[1]) == 0.0
+        assert sax.distance(data[0], data[1]) == 0.0
+        inv = sax.inverse_transform(sax_data)
+        m = 0.67448975
+        np.testing.assert_allclose(
+            inv[0].ravel(), [m, m, -m, -m, m, m], atol=1e-7)
+
+        ods = OneDSAX(n_segments=3, alphabet_size_avg=2,
+                      alphabet_size_slope=2, sigma_l=1.0)
+        ods_data = ods.fit_transform(data)
+        assert ods_data.shape == (2, 3, 2)
+        np.testing.assert_array_equal(
+            ods_data[0], [[1, 1], [0, 0], [1, 0]])
+        # inherited SAX MINDIST over the symbol matrix (reference doctest
+        # calls distance_sax on the 1d-SAX symbols)
+        assert ods.distance_sax(ods_data[0], ods_data[1]) == 0.0
+        assert ods.distance(data[0], data[1]) == 0.0
+        inv = ods.inverse_transform(ods_data)
+        np.testing.assert_allclose(
+            inv[0].ravel(),
+            [0.33724488, 1.01173463, -0.33724488, -1.01173463,
+             1.01173463, 0.33724488], atol=1e-7)
+        # unfitted numpy methods fail loudly
+        with pytest.raises(ValueError, match="fit"):
+            PiecewiseAggregateApproximation(n_segments=3).distance_paa(
+                paa_data[0], paa_data[1])
+
     def test_sax_golden(self, spark):
         # piecewise.py:290-322: alphabet 2 -> [[1,0,1],[1,0,1]]
         df = DS.dataset_to_df(spark, self.FIX)

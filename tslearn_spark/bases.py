@@ -4,8 +4,9 @@ Reference: tslearn/bases/bases.py:13-287.  BaseModelPackage provides the
 instance-level persistence protocol (`model.to_json(path)`,
 `Class.from_json(path)`, `_to_dict`, `_get_model_params`, `_is_fitted`)
 over the SAME hyper/fitted-param dict that `model_io` serializes;
-to_hdf5/to_pickle fail loudly per the documented codec policy
-(model_io module docstring).  TimeSeriesBaseEstimator supplies the
+to_pickle shares that dict payload, and to_hdf5 is gated on h5py
+(loud NotImplementedError otherwise — codec matrix in the model_io
+module docstring).  TimeSeriesBaseEstimator supplies the
 sklearn get_params/set_params protocol via __init__ introspection
 (the reference inherits sklearn's BaseEstimator; sklearn is absent
 here, so the protocol is implemented directly).
@@ -290,7 +291,7 @@ class BaseModelPackage:
             }),
             "model_params": model_io._encode_h5({
                 k: v for k, v in self._get_model_params().items()
-                if v is not None
+                if v is not None and not model_io._is_spark_df(v)
             }),
         }
         hdftools.save_dict(d, path, "data")
@@ -308,12 +309,25 @@ class BaseModelPackage:
         )
 
     def to_pickle(self, path: str) -> None:
-        from tslearn_spark.model_io import _resolve_fmt
+        """Protocol-2 pickle of the param dict (bases.py:257-268) — the
+        engine pickles the encoded (JSON-shaped) dict so the stream
+        holds only stdlib types; routes through _to_dict so the
+        not-fitted guard applies."""
+        from tslearn_spark import model_io
 
-        _resolve_fmt(path, "pickle")
+        self._to_dict()  # not-fitted guard, same as to_json
+        model_io.save_model(self, path, fmt="pickle")
 
     @classmethod
     def from_pickle(cls, path: str) -> Any:
-        from tslearn_spark.model_io import _resolve_fmt
+        """Load an instance saved by to_pickle (bases.py:271-287).
+        pickle.load executes arbitrary code on crafted files — only
+        load trusted artifacts (the reference shares this caveat)."""
+        from tslearn_spark import model_io
 
-        _resolve_fmt(path, "pickle")
+        model = model_io.load_model(path, fmt="pickle")
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} encodes a {type(model).__name__}, not a {cls.__name__}"
+            )
+        return model

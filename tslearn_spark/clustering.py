@@ -51,6 +51,21 @@ def _collect_sample(df: DataFrame, cap: int, seed: int) -> list[np.ndarray]:
     return [np.asarray(r["values"], dtype=np.float64) for r in rows]
 
 
+def _stack_centers(centers) -> np.ndarray:
+    """Pack fitted centroids into the reference's public shape
+    ``(n_clusters, sz, d)`` (kmeans.py:545-551, kshape.py:80-83):
+    one float64 ndarray, NaN-padded to the longest center when sizes
+    differ — exactly the reference's variable-length convention, and
+    the kernels' to_2d trims the padding back off on use."""
+    arrs = [K.to_2d(c) for c in centers]
+    sz = max(a.shape[0] for a in arrs)
+    d = max(a.shape[1] for a in arrs)
+    out = np.full((len(arrs), sz, d), np.nan)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0], : a.shape[1]] = a
+    return out
+
+
 def _collect_small(df: DataFrame, n: int, seed: int) -> list[np.ndarray]:
     sample = _collect_sample(df, max(n, 512), seed)
     rs = np.random.RandomState(seed)
@@ -159,7 +174,12 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         # metric is not dtw (model-selection aid)
         self.dtw_inertia = dtw_inertia
         self.verbose = verbose
-        self.cluster_centers_: list[np.ndarray] | None = None
+        # reference shape (n_clusters, sz, d) after fit (kmeans.py:545-551)
+        self.cluster_centers_: np.ndarray | None = None
+        # training assignments (kmeans.py:544,696) — a LAZY DataFrame
+        # (series_id, cluster) here, never a driver materialization
+        # (same convention as KernelKMeans.labels_)
+        self.labels_: DataFrame | None = None
         self.inertia_: float = np.inf
         self.n_iter_: int = 0
 
@@ -273,11 +293,28 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                 best = (inertia, centers, n_iter)
         if best[1] is None:
             raise EmptyClusterError("all inits hit empty clusters")
-        self.inertia_, self.cluster_centers_, self.n_iter_ = best
+        self.inertia_, centers, self.n_iter_ = best
+        self.cluster_centers_ = _stack_centers(centers)
+        # reference labels_ (kmeans.py:696): final assignments over the
+        # training set — a lazy plan on the cached df, computed on use
+        self.labels_ = self._assignments(df, centers).select(
+            "series_id", "cluster"
+        )
         self._df = df
         return self
 
     def _init_centers(self, df: DataFrame, seed: int) -> list[np.ndarray]:
+        # explicit initial centroids (kmeans.py:625-626, checked against
+        # n_clusters at kmeans.py:70/_check_initial_guess)
+        if hasattr(self.init, "__array__") or isinstance(self.init, (list, tuple)):
+            centers = [K.to_2d(c) for c in self.init]
+            # reference message (clustering/utils.py:200-204), raised as
+            # AssertionError there via a bare assert
+            assert len(centers) == self.n_clusters, (
+                "Initial guess index array must contain "
+                f"{self.n_clusters} samples, {len(centers)} given"
+            )
+            return centers
         if self.init == "k-means++":
             from tslearn_spark import metrics as M
 
@@ -285,6 +322,11 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
             dist_fn = M.METRIC_PARAMS[self.metric](**self.metric_params)
             return _k_init(
                 sample, self.n_clusters, np.random.RandomState(seed), dist_fn
+            )
+        if self.init != "random":
+            # reference kmeans.py:656-658
+            raise ValueError(
+                "Value %r for parameter 'init' is invalid" % self.init
             )
         return _collect_small(df, self.n_clusters, seed)
 
@@ -341,11 +383,12 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
     def fit_predict(self, df: DataFrame, y=None):
-        """fit + training assignments (sklearn ClusterMixin contract)."""
+        """fit + training assignments — returns the fitted labels_
+        directly (kmeans.py:431), no second assignment pass."""
         from tslearn_spark.bases import as_ts_df, collect_col
 
         df, was_array = as_ts_df(df)
-        out = self.fit(df).predict(df)
+        out = self.fit(df).labels_
         return collect_col(out, was_array, "cluster")
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -405,7 +448,11 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         self.random_state = random_state
         self.init = init  # "random" (kshape.py:96) or a list of (sz, d) arrays
         self.sz_stats_cap = sz_stats_cap
-        self.cluster_centers_: list[np.ndarray] | None = None
+        # reference shape (n_clusters, sz, d) after fit (kshape.py:80-83)
+        self.cluster_centers_: np.ndarray | None = None
+        # training assignments (kshape.py:67,155) — lazy DataFrame
+        # (series_id, cluster), same convention as KernelKMeans.labels_
+        self.labels_: DataFrame | None = None
         self.inertia_: float = np.inf
         self.n_iter_: int = 0
 
@@ -686,7 +733,13 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
                 best = (inertia, centers, n_iter)
         if best[1] is None:
             raise EmptyClusterError("all inits hit empty clusters")
-        self.inertia_, self.cluster_centers_, self.n_iter_ = best
+        self.inertia_, centers, self.n_iter_ = best
+        self.cluster_centers_ = _stack_centers(centers)
+        # reference labels_ (kshape.py:155): assignments of the z-normed
+        # training set under the fitted shapes — lazy plan on the cached df
+        self.labels_ = self._assignments(df, centers).select(
+            "series_id", "cluster"
+        )
         return self
 
     def predict(self, df: DataFrame) -> DataFrame:
@@ -702,10 +755,12 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
     def fit_predict(self, df: DataFrame, y=None):
+        """fit + training assignments — the fitted labels_ directly
+        (kshape.py:245-263), no second z-norm + assignment pass."""
         from tslearn_spark.bases import as_ts_df, collect_col
 
         df, was_array = as_ts_df(df)
-        out = self.fit(df).predict(df)
+        out = self.fit(df).labels_
         return collect_col(out, was_array, "cluster")
 
 
@@ -749,6 +804,8 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         self.verbose = verbose
         self.random_state = random_state
         self.labels_: DataFrame | None = None
+        # (series_id, weight) after fit (kmeans.py:209,363)
+        self.sample_weight_: DataFrame | None = None
         self.inertia_: float = np.inf
         self.n_iter_: int = 0
 
@@ -871,6 +928,12 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         if best[1] is None:
             raise EmptyClusterError("all inits hit empty clusters")
         self.inertia_, self.labels_, self.n_iter_ = best
+        # reference sample_weight_ (kmeans.py:209,363): the weights
+        # actually used — lazy (series_id, weight) DataFrame here, all
+        # 1.0 when no weight_col was given
+        self.sample_weight_ = labw.select(
+            F.col("id2").alias("series_id"), F.col("_w").alias("weight")
+        )
         self._gram = gram
         self._df = df
         self._labw = labw
@@ -911,10 +974,12 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
     def fit_predict(self, df: DataFrame, y=None):
+        """fit + training assignments — the fitted labels_ directly
+        (kshape.py:245-263), no second z-norm + assignment pass."""
         from tslearn_spark.bases import as_ts_df, collect_col
 
         df, was_array = as_ts_df(df)
-        out = self.fit(df).predict(df)
+        out = self.fit(df).labels_
         return collect_col(out, was_array, "cluster")
 
 

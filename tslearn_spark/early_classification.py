@@ -77,6 +77,62 @@ def _make_stopper(centers, pyck, pyhatyck, sz, d, min_t, lamb, alpha, k):
     return stop
 
 
+class _Prefix1NN:
+    """The per-truncation classifier the reference clones per t
+    (early_classification.py:48-50, 164-165): 1-NN euclidean over the
+    classifier half, truncated to the first ``t`` observations.
+
+    The engine trains every prefix in ONE shared pair-join plan at fit
+    time; this handle replays that exact criterion (cumulative squared
+    distance through position t, ties broken by ascending training id)
+    for a single t on new data — so ``classifiers_[t].predict`` agrees
+    with what fit measured at that prefix."""
+
+    def __init__(self, owner: "NonMyopicEarlyClassifier", t: int):
+        self._owner = owner
+        self.t = int(t)
+
+    @property
+    def classes_(self) -> np.ndarray:
+        return self._owner.classes_
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        q = df.select(
+            F.col("series_id").alias("qid"), F.col("values").alias("values1")
+        )
+        t_ = self._owner._clf_df.select(
+            F.col("series_id").alias("tid"), F.col("values").alias("values2"),
+            F.col("_y").alias("y_hat"),
+        )
+        pairs = q.crossJoin(F.broadcast(t_)).withColumn(
+            "_d2",
+            F.expr(
+                f"""
+                aggregate(
+                  zip_with(slice(values1, 1, {self.t}),
+                           slice(values2, 1, {self.t}), (r1, r2) ->
+                    aggregate(zip_with(r1, r2, (x, y) -> (x - y) * (x - y)),
+                              0.0D, (acc, z) -> acc + z)),
+                  0.0D, (acc, z) -> acc + z)
+                """
+            ),
+        )
+        wnn = Window.partitionBy("qid").orderBy(
+            F.col("_d2").asc(), F.col("tid").asc()
+        )
+        out = (
+            pairs.withColumn("_rn", F.row_number().over(wnn))
+            .where(F.col("_rn") == 1)
+            .select(F.col("qid").alias("series_id"),
+                    F.col("y_hat").cast("string").alias("prediction"))
+        )
+        return collect_col(out, was_array, "prediction",
+                           labels=getattr(self._owner, "_y_numeric", True))
+
+
 class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
     def _more_tags(self):
         # reference early_classification.py:576-582
@@ -202,6 +258,20 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
                 np.fill_diagonal(conf, 0.0)
         return self
 
+    @property
+    def classifiers_(self) -> dict:
+        """dict {t: per-prefix classifier}, t in [min_t, sz]
+        (early_classification.py:48-50,164-165; the doctest checks
+        ``type(model.classifiers_) is dict``).  Built lazily — the
+        engine's prefixes share one fit-time plan, so the handles carry
+        no training state of their own."""
+        if not hasattr(self, "_clf_df"):
+            raise AttributeError(
+                "classifiers_ is only available after fit"
+            )
+        return {t: _Prefix1NN(self, t)
+                for t in range(self.min_t, self._sz + 1)}
+
     # -- cost machinery (early_classification.py:213-359) -------------------
     def get_cluster_probas(self, Xi: np.ndarray) -> np.ndarray:
         t = Xi.shape[0]
@@ -311,6 +381,37 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
                      else _np.asarray(preds))
             return preds, _np.array([r["pred_time"] for r in rows])
         return out
+
+    def predict_proba_and_earliness(self, df: DataFrame):
+        """Probability estimates + stopping times (reference
+        early_classification.py:455-491): with the built-in 1-NN base
+        classifier the reference's per-class estimate is ONE-HOT at the
+        predicted class, so this is predict_class_and_earliness plus a
+        codegen one-hot over classes_ — no extra distributed pass."""
+        out = self.predict_class_and_earliness(df)
+        if isinstance(out, tuple):  # array-in -> (probas, times) arrays
+            preds, times = out
+            probs = (
+                np.asarray([str(c) for c in self.classes_])[None, :]
+                == np.asarray([str(p) for p in preds])[:, None]
+            ).astype(np.float64)
+            return probs, times
+        class_arr = F.array(*[F.lit(str(c)) for c in self.classes_])
+        probs = F.transform(
+            class_arr,
+            lambda c: F.when(c == F.col("prediction"),
+                             F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        return out.select("series_id", probs.alias("probabilities"),
+                          "pred_time")
+
+    def predict_proba(self, df: DataFrame):
+        """First element of predict_proba_and_earliness
+        (early_classification.py:493-530)."""
+        out = self.predict_proba_and_earliness(df)
+        if isinstance(out, tuple):
+            return out[0]
+        return out.select("series_id", "probabilities")
 
     def predict(self, df: DataFrame):
         """Predicted class at the early stopping time

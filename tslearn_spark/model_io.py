@@ -19,14 +19,22 @@ HDF5                     gated    reference layout via
                                   NotImplementedError otherwise
                                   (h5py is absent in the test
                                   container)
-pickle                   no       intentionally rejected: not stable
-                                  across Python/numpy versions, and a
-                                  code-execution vector for shared
-                                  model artifacts
+pickle                   yes      reference protocol-2 dump of the
+                                  param dict (bases.py:257-287) — but
+                                  of the ENCODED dict (the JSON
+                                  payload), so the stream holds only
+                                  stdlib types: no numpy objects ⇒
+                                  stable across numpy versions.
+                                  pickle.load still executes
+                                  arbitrary code on crafted files
+                                  (true of the reference too) — never
+                                  load untrusted artifacts; prefer
+                                  JSON for sharing
 =======================  =======  ==================================
 
 Per-estimator matrix (reference: each estimator inherits all three
-codecs from BaseModelPackage; here "json" is the one live codec):
+codecs from BaseModelPackage; json/pickle share one dict payload here,
+so the rows below apply to both — hdf5 likewise wherever h5py exists):
 
 =========================  =========  ==============================
 estimator                  json       notes
@@ -56,8 +64,8 @@ DataFrame-shaped state is never serialized, mirroring the reference's
 refusal to persist raw training data (bases.py:conv_blacklist).
 
 ``save_model``/``load_model`` accept an explicit ``fmt`` or infer it
-from the extension; hdf5 and pickle fail loudly with the reason above
-rather than silently writing JSON.
+from the extension; an hdf5 request without h5py fails loudly with the
+reason above rather than silently writing JSON.
 """
 
 from __future__ import annotations
@@ -174,13 +182,22 @@ def _decode_h5(obj: Any):
     return obj
 
 
+def _is_spark_df(v: Any) -> bool:
+    """DataFrame-shaped state (lazy plans over training data, e.g. the
+    clusterers' labels_) is never serialized — it mirrors the reference's
+    refusal to persist raw training data (bases.py conv_blacklist);
+    re-derive it by refitting or predicting on the training set."""
+    return (type(v).__module__ or "").startswith("pyspark.sql")
+
+
 def model_to_dict(model: Any) -> dict:
     """hyper-params (__init__ attrs) + fitted params (trailing underscore),
-    mirroring BaseModelPackage._get_model_params (bases.py:70-90)."""
+    mirroring BaseModelPackage._get_model_params (bases.py:70-90).
+    DataFrame-valued state is skipped (see _is_spark_df)."""
     hyper = {}
     fitted = {}
     for k, v in vars(model).items():
-        if k.startswith("_"):
+        if k.startswith("_") or _is_spark_df(v):
             continue
         if k.endswith("_"):
             fitted[k] = _encode(v)
@@ -208,21 +225,28 @@ def _resolve_fmt(path: str, fmt: str | None) -> str:
 
         hdftools._require_h5py()
         return fmt
-    if fmt == "pickle":
+    if fmt not in ("json", "pickle"):
         raise ValueError(
-            "pickle persistence is intentionally rejected: it is not "
-            "stable across Python/numpy versions and is a code-execution "
-            "vector for shared model artifacts — save with a .json path "
-            "instead (see model_io module docstring)."
+            f"unknown model format: {fmt!r} "
+            "(supported: 'json', 'pickle', 'hdf5')"
         )
-    if fmt != "json":
-        raise ValueError(f"unknown model format: {fmt!r} (only 'json' is supported)")
     return fmt
 
 
 def save_model(model: Any, path: str, fmt: str | None = None) -> None:
-    if _resolve_fmt(path, fmt) == "hdf5":
+    fmt = _resolve_fmt(path, fmt)
+    if fmt == "hdf5":
         model.to_hdf5(path)
+        return
+    if fmt == "pickle":
+        # reference pickles the param dict at protocol 2
+        # (bases.py:257-268); the engine pickles the ENCODED dict — the
+        # exact JSON payload — so the stream carries only stdlib types
+        # (no numpy objects, stable across numpy versions)
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(model_to_dict(model), f, protocol=2)
         return
     with open(path, "w") as f:
         json.dump(model_to_dict(model), f)
@@ -315,10 +339,18 @@ def _model_from_h5_dict(d: dict, expected: type | None = None,
 
 
 def load_model(path: str, fmt: str | None = None) -> Any:
-    if _resolve_fmt(path, fmt) == "hdf5":
+    fmt = _resolve_fmt(path, fmt)
+    if fmt == "hdf5":
         from tslearn_spark import hdftools
 
         return _model_from_h5_dict(hdftools.load_dict(path, "data"),
                                    path=path)
+    if fmt == "pickle":
+        # pickle.load runs arbitrary code on crafted input (as in the
+        # reference, bases.py:271-287) — only load trusted artifacts
+        import pickle
+
+        with open(path, "rb") as f:
+            return model_from_dict(pickle.load(f))
     with open(path) as f:
         return model_from_dict(json.load(f))

@@ -633,6 +633,10 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
             self._y_numeric = _np.asarray(y).dtype.kind in "iufb"
         self._label_col = label_col
         self._index = df.select("series_id", "values", label_col).cache()
+        # sklearn classifier contract: sorted training classes
+        self.classes_ = np.array(sorted(
+            r[0] for r in self._index.select(label_col).distinct().collect()
+        ))
         return self
 
     def predict(self, queries: DataFrame) -> DataFrame:
@@ -645,6 +649,50 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
                            label_col=self._label_col, **self.metric_params)
         return collect_col(out, was_array, "prediction",
                            labels=getattr(self, "_y_numeric", True))
+
+    def predict_proba(self, queries: DataFrame) -> DataFrame:
+        """Class probabilities (reference neighbors.py:532-559, sklearn
+        vote semantics): per query, each class's share of the (uniform
+        or 1/dist) neighbor weight mass.  Returns (series_id,
+        probabilities array<double>) ordered by ``classes_``; array
+        input returns the (n, n_classes) matrix.
+
+        Same distributed shape as predict: top-k join, then ONE grouped
+        aggregate — the per-class mass pivots to an array via a map
+        lookup, no extra shuffle beyond the vote's."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        assert hasattr(self, "_index"), "fit before predict"
+        queries, was_array = as_ts_df(queries)
+        lc = self._label_col
+        nn = kneighbors(queries, self._index, k=self.n_neighbors,
+                        metric=self.metric, **self.metric_params)
+        labeled = nn.join(
+            F.broadcast(self._index.select(F.col("series_id").alias("id2"),
+                                           F.col(lc))),
+            "id2",
+        )
+        if self.weights == "distance":
+            wexpr = 1.0 / F.when(F.col("dist") <= 0.0,
+                                 F.lit(1e-12)).otherwise(F.col("dist"))
+        else:
+            wexpr = F.lit(1.0)
+        # map keys must be unique: aggregate vote weight per class first
+        per_class = (
+            labeled.groupBy("id1", lc).agg(F.sum(wexpr).alias("_w"))
+            .groupBy("id1")
+            .agg(F.map_from_arrays(
+                F.collect_list(F.col(lc).cast("string")),
+                F.collect_list("_w")).alias("_m"))
+        )
+        cols = [F.coalesce(F.col("_m").getItem(str(c)), F.lit(0.0))
+                for c in self.classes_]
+        total = sum(cols[1:], cols[0])
+        out = per_class.select(
+            F.col("id1").alias("series_id"),
+            F.array(*[c / total for c in cols]).alias("probabilities"),
+        )
+        return collect_col(out, was_array, "probabilities")
 
 
 class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):

@@ -253,6 +253,41 @@ class TimeSeriesMLPClassifier(_MLPBase):
         return collect_col(res, was_array, "prediction",
                            labels=getattr(self, "_y_numeric", True))
 
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        """Class probabilities ordered by ``classes_`` (sklearn MLP
+        surface the reference inherits, neural_network.py:19-107):
+        MLlib's probability vector re-exposed as array<double> —
+        distributed end to end, one model.transform pass."""
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        feats = df.select(
+            "series_id", array_to_vector(F.flatten("values")).alias("features")
+        )
+        out = self.model_.transform(feats).select(
+            "series_id",
+            vector_to_array(F.col("probability")).alias("probabilities"),
+        )
+        return collect_col(out, was_array, "probabilities")
+
+    def predict_log_proba(self, df: DataFrame) -> DataFrame:
+        """log of predict_proba (sklearn contract); ln(0) -> -inf like
+        numpy, computed in codegen via a transform HOF."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        proba = self.predict_proba(df)
+        if isinstance(proba, np.ndarray):
+            with np.errstate(divide="ignore"):
+                return np.log(proba)
+        out = proba.select(
+            "series_id",
+            F.expr("transform(probabilities, x -> ln(x))").alias(
+                "log_probabilities"),
+        )
+        return out
+
 
 class TimeSeriesMLPRegressor(_MLPBase):
     """neural_network.py:108-168 twin.

@@ -143,6 +143,13 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
         self.breakpoints_avg_ = sax_breakpoints(self.alphabet_size_avg)
         self.breakpoints_avg_middle_ = sax_bin_medians(self.alphabet_size_avg)
         df, _ = as_ts_df(df)
+        # fit-time dims (reference _X_fit_dims_, piecewise.py:334+):
+        # sz drives distance scaling / inverse length; n is not needed
+        first = df.select(
+            F.min(F.size(values_col)).alias("sz"),
+            F.first(F.size(F.element_at(values_col, 1))).alias("d"),
+        ).first()
+        self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
         if self.scale:
             # global (dataset-wide) per-dim mean/std — one tiny aggregate
             long_stats = (
@@ -183,6 +190,60 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
             )
 
         return transform_compat(df, build, out_col, int_out=True)
+
+    def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
+        """fit (records breakpoints + _X_fit_dims_) then transform —
+        the reference's TransformerMixin contract."""
+        return self.fit(df).transform(df, **kw)
+
+    # -- numpy instance API (reference piecewise.py:429-505) ------------
+    def _require_fit_dims(self) -> None:
+        if getattr(self, "_X_fit_dims_", None) is None:
+            raise ValueError(
+                "Model must be fit on data first: the fit-time series "
+                "length drives the distance scaling / inverse length "
+                "(reference _X_fit_dims_)"
+            )
+
+    @staticmethod
+    def _as_sym2d(x) -> np.ndarray:
+        a = np.asarray(x, dtype=np.int64)
+        return a.reshape(-1, 1) if a.ndim == 1 else a
+
+    def distance_sax(self, sax1, sax2) -> float:
+        """MINDIST between two SAX representations (cysax.pyx:39-53:
+        symbol pairs differing by >1 contribute (bp[max-1]-bp[min])^2;
+        total scaled by sqrt(sz/n_segments))."""
+        self._require_fit_dims()
+        s1, s2 = self._as_sym2d(sax1), self._as_sym2d(sax2)
+        bp = np.asarray(self.breakpoints_avg_, dtype=np.float64)
+        big, small = np.maximum(s1, s2), np.minimum(s1, s2)
+        mask = (big - small) > 1
+        s = float(((bp[big[mask] - 1] - bp[small[mask]]) ** 2).sum())
+        return float(np.sqrt(s * float(self._X_fit_dims_[1]) / s1.shape[0]))
+
+    def distance(self, ts1, ts2) -> float:
+        """MINDIST between two raw series (piecewise.py:454-477)."""
+        sax = self.transform([ts1, ts2])
+        return self.distance_sax(sax[0], sax[1])
+
+    def inverse_transform(self, X) -> np.ndarray:
+        """Series from SAX symbols: bin medians repeated per segment
+        (cysax.pyx:58-75 inv_transform_sax; positions past
+        seg_sz*n_segments stay 0 exactly like the reference)."""
+        self._require_fit_dims()
+        X = np.asarray(X, dtype=np.int64)
+        if X.ndim == 2:
+            X = X[:, :, None]
+        mids = np.asarray(self.breakpoints_avg_middle_, dtype=np.float64)
+        n, szs, d = X.shape
+        orig = int(self._X_fit_dims_[1])
+        seg = orig // szs
+        out = np.zeros((n, orig, d))
+        vals = mids[X]  # (n, szs, d)
+        for t in range(szs):
+            out[:, t * seg:(t + 1) * seg, :] = vals[:, t:t + 1, :]
+        return out
 
     def distance_col(self, sax1: str, sax2: str, original_size: int | str) -> Column:
         """MINDIST (cysax.pyx:39-54): pairs differing by >1 symbol contribute
@@ -284,7 +345,70 @@ class OneDSAX(SAX):
         sigma_l = self.sigma_l if self.sigma_l is not None else float(np.sqrt(0.03 / seg_sz))
         self.breakpoints_slope_ = sax_breakpoints(self.alphabet_size_slope, scale=sigma_l)
         self.breakpoints_slope_middle_ = sax_bin_medians(self.alphabet_size_slope, scale=sigma_l)
+        # keep any d recorded by a full fit; offline fit_sz knows only sz
+        d_prev = getattr(self, "_X_fit_dims_", (None, None, None))[2]
+        self._X_fit_dims_ = (None, int(sz), d_prev)
         return self
+
+    # -- numpy instance API (reference piecewise.py:700-777) ------------
+    def distance_1d_sax(self, sax1, sax2) -> float:
+        """Distance between 1d-SAX representations (cysax.pyx:96-124):
+        per-timestep difference of the reconstructed avg+slope lines,
+        sqrt of the squared sum — NO extra original_size scaling."""
+        self._require_fit_dims()
+        s1, s2 = self._as_sym2d(sax1), self._as_sym2d(sax2)
+        avg_m = np.asarray(self.breakpoints_avg_middle_, dtype=np.float64)
+        slope_m = np.asarray(self.breakpoints_slope_middle_, dtype=np.float64)
+        szs = s1.shape[0]
+        d = s1.shape[1] // 2
+        orig = int(self._X_fit_dims_[1])
+        seg = orig // szs
+        s = 0.0
+        for t in range(szs):
+            t0 = t * seg
+            # reference uses t0 + .5*seg_sz here (and .5*(seg_sz-1) in
+            # the inverse) — replicated exactly, cysax.pyx:114 vs 146
+            tm = t0 + 0.5 * seg
+            tt = np.arange(t0, seg * (t + 1), dtype=np.float64)
+            for di in range(d):
+                a1, a2 = avg_m[s1[t, di]], avg_m[s2[t, di]]
+                b1 = slope_m[s1[t, di + d]]
+                b2 = slope_m[s2[t, di + d]]
+                diff = (a1 - a2) + (b1 - b2) * (tt - tm)
+                s += float((diff ** 2).sum())
+        return float(np.sqrt(s))
+
+    def distance(self, ts1, ts2) -> float:
+        """1d-SAX distance between two raw series (piecewise.py:730-753)."""
+        sax = self.transform([ts1, ts2])
+        return self.distance_1d_sax(sax[0], sax[1])
+
+    def inverse_transform(self, X) -> np.ndarray:
+        """Series from 1d-SAX symbols: per segment the avg+slope line
+        around the segment middle (cysax.pyx:127-152)."""
+        self._require_fit_dims()
+        X = np.asarray(X, dtype=np.int64)
+        if X.ndim == 2:
+            X = X[:, :, None]
+        avg_m = np.asarray(self.breakpoints_avg_middle_, dtype=np.float64)
+        slope_m = np.asarray(self.breakpoints_slope_middle_, dtype=np.float64)
+        n, szs, dd = X.shape
+        d = dd // 2
+        orig = int(self._X_fit_dims_[1])
+        seg = orig // szs
+        # reference uses numpy.empty (tail garbage when orig % szs != 0);
+        # zeros here — deterministic, identical on divisible sizes
+        out = np.zeros((n, orig, d))
+        for t in range(szs):
+            t0 = t * seg
+            tm = float(t0) + 0.5 * (seg - 1)
+            tt = np.arange(t0, seg * (t + 1), dtype=np.float64)
+            avg = avg_m[X[:, t, :d]]          # (n, d)
+            slope = slope_m[X[:, t, d:]]      # (n, d)
+            out[:, t0:seg * (t + 1), :] = (
+                avg[:, None, :] + slope[:, None, :] * (tt - tm)[None, :, None]
+            )
+        return out
 
     def slopes_col(self, values_col: str = "values") -> Column:
         """Per-segment per-dim OLS slope over absolute t (cyslopes).
@@ -410,6 +534,17 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
         self.n_segments = n_segments
 
     def fit(self, df: DataFrame = None, y=None) -> "PiecewiseAggregateApproximation":
+        if df is not None:
+            from tslearn_spark.bases import as_ts_df
+
+            df2, _ = as_ts_df(df)
+            first = df2.select(
+                F.min(F.size("values")).alias("sz"),
+                F.first(F.size(F.element_at("values", 1))).alias("d"),
+            ).first()
+            # reference _X_fit_dims_ (piecewise.py:154-158): sz drives
+            # the distance scaling and inverse length
+            self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
         return self
 
     def transform(self, df: DataFrame, values_col: str = "values",
@@ -422,7 +557,9 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
             out_col)
 
     def fit_transform(self, df: DataFrame, y=None, **kw) -> DataFrame:
-        return self.transform(df, **kw)
+        # fit records _X_fit_dims_ (the reference's TransformerMixin
+        # fit-then-transform), so distance/inverse work afterwards
+        return self.fit(df).transform(df, **kw)
 
     @staticmethod
     def inverse_col(paa_col_name: str, original_size: int) -> Column:
@@ -431,6 +568,45 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
     @staticmethod
     def distance_col(paa1: str, paa2: str, original_size: int) -> Column:
         return paa_distance_col(paa1, paa2, original_size)
+
+    # -- numpy instance API (reference piecewise.py:191-258) ------------
+    def _require_fit_dims(self) -> None:
+        if getattr(self, "_X_fit_dims_", None) is None:
+            raise ValueError(
+                "Model must be fit on data first: the fit-time series "
+                "length drives the distance scaling / inverse length "
+                "(reference _X_fit_dims_)"
+            )
+
+    def distance_paa(self, paa1, paa2) -> float:
+        """Keogh-Pazzani PAA lower-bound distance between two PAA
+        representations (piecewise.py:191-213):
+        ||paa1 - paa2|| * sqrt(sz / n_segments)."""
+        self._require_fit_dims()
+        diff = np.asarray(paa1, dtype=np.float64) - np.asarray(
+            paa2, dtype=np.float64)
+        return float(np.linalg.norm(diff)
+                     * np.sqrt(self._X_fit_dims_[1] / self.n_segments))
+
+    def distance(self, ts1, ts2) -> float:
+        """PAA distance between two raw series (piecewise.py:215-236)."""
+        paa = self.transform([ts1, ts2])
+        return self.distance_paa(paa[0], paa[1])
+
+    def inverse_transform(self, X) -> np.ndarray:
+        """Segment means repeated per window (cysax.pyx:19-35
+        inv_transform_paa; positions past seg_sz*n_segments stay 0)."""
+        self._require_fit_dims()
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim == 2:
+            X = X[:, :, None]
+        n, szs, d = X.shape
+        orig = int(self._X_fit_dims_[1])
+        seg = orig // szs
+        out = np.zeros((n, orig, d))
+        for t in range(szs):
+            out[:, t * seg:(t + 1) * seg, :] = X[:, t:t + 1, :]
+        return out
 
 
 # the reference's public class names (piecewise.py:329, 586)

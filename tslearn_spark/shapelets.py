@@ -67,6 +67,42 @@ def _min_dists(ts: np.ndarray, bank: list[np.ndarray]) -> tuple[np.ndarray, np.n
     return dists, locs
 
 
+class _ShapeletSubmodel:
+    """Numpy twin of the reference's keras submodels (shapelets.py:
+    295-305: transformer_model_ / locator_model_ / model_): a handle
+    with the same ``.predict(X)`` contract over a tslearn-format
+    dataset, backed by the owner's fitted bank + softmax head.  The
+    distributed paths are the owner's transform/locate/predict methods;
+    this is the driver-side array surface reference scripts use."""
+
+    def __init__(self, owner: "LearningShapelets", mode: str):
+        self._owner = owner
+        self._mode = mode
+
+    def predict(self, X) -> np.ndarray:
+        o = self._owner
+        out = []
+        for xi in X:
+            ts = np.asarray(xi, dtype=np.float64)
+            if ts.ndim == 1:
+                ts = ts.reshape(-1, 1)
+            # trailing all-NaN rows are padding (variable length)
+            while ts.shape[0] and np.isnan(ts[-1]).all():
+                ts = ts[:-1]
+            if o.scale:
+                ts = o._minmax(ts)
+            dists, locs = _min_dists(ts, o.shapelets_)
+            if self._mode == "transform":
+                out.append(dists)
+            elif self._mode == "locate":
+                out.append(locs)
+            else:  # proba: softmax over the linear head
+                logits = dists @ o.W_ + o.b_
+                p = np.exp(logits - logits.max())
+                out.append(p / p.sum())
+        return np.stack(out)
+
+
 class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shapelet model: numpy Adam training of shapelets + softmax layer.
 
@@ -195,6 +231,7 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         mS = [np.zeros_like(s) for s in bank]; vS = [np.zeros_like(s) for s in bank]
         beta1, beta2, eps = 0.9, 0.999, 1e-8
         print_every = max(1, self.max_iter // 20)
+        losses: list[float] = []
         for step in range(1, self.max_iter + 1):
             sel = rs.choice(len(X), size=min(self.batch_size, len(X)), replace=False)
             gW = np.zeros_like(W); gb = np.zeros_like(b)
@@ -222,6 +259,7 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
             gb *= scale
             for k in range(n_shp_total):
                 gS[k] *= scale
+            losses.append(batch_loss * scale)
             if self.verbose and (step == 1 or step % print_every == 0):
                 print("step %d/%d loss %.4f"
                       % (step, self.max_iter, batch_loss * scale))
@@ -241,9 +279,119 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
                     target -= self.lr * mhat / (np.sqrt(vhat) + eps)
         self.shapelets_ = bank
         self.W_, self.b_ = W, b
+        # reference history_/n_iter_ (shapelets.py:306,445-451): keras
+        # fit history dict -> here the per-step mean batch loss
+        self.history_ = {"loss": losses}
+        self.n_iter_ = len(losses)
         return self
 
     # -- distributed transform / locate / predict --------------------------
+    # -- keras-layer weight surface (shapelets.py:750-825) ---------------
+    def _size_groups(self) -> list[tuple[int, int, int]]:
+        """(start, count, size) per sorted shapelet size — the bank is
+        built in sorted-size order at fit, so group i is contiguous and
+        maps 1:1 to the reference's 'shapelets_i_*' keras layers."""
+        groups, start = [], 0
+        for L, n_shp in sorted(self.n_shapelets_per_size.items()):
+            groups.append((start, n_shp, L))
+            start += n_shp
+        return groups
+
+    def get_weights(self, layer_name: str | None = None) -> list:
+        """Model weights, keras-layout (reference shapelets.py:750-786):
+        'shapelets_i_j' -> [(n_shp_i, size_i)] (dimension j of size-group
+        i), 'classification' -> [W, b], None -> every layer in graph
+        order."""
+        if getattr(self, "shapelets_", None) is None:
+            raise AttributeError("get_weights is only available after fit")
+        groups = self._size_groups()
+        d = self.shapelets_[0].shape[1]
+        if layer_name is None:
+            out = []
+            for start, n_shp, L in groups:
+                for j in range(d):
+                    out.append(np.stack(
+                        [self.shapelets_[start + k][:, j]
+                         for k in range(n_shp)]))
+            return out + [self.W_.copy(), self.b_.copy()]
+        if layer_name == "classification":
+            return [self.W_.copy(), self.b_.copy()]
+        i, j = (int(x) for x in layer_name.split("_")[1:])
+        start, n_shp, _L = groups[i]
+        return [np.stack([self.shapelets_[start + k][:, j]
+                          for k in range(n_shp)])]
+
+    def set_weights(self, weights: list, layer_name: str | None = None) -> None:
+        """Inverse of get_weights (reference shapelets.py:788-825; its
+        doctest sets 'shapelets_0_0' and reads the new shapelet back via
+        shapelets_as_time_series_)."""
+        if getattr(self, "shapelets_", None) is None:
+            raise AttributeError("set_weights is only available after fit")
+        groups = self._size_groups()
+        d = self.shapelets_[0].shape[1]
+        if layer_name == "classification":
+            self.W_ = np.asarray(weights[0], dtype=np.float64)
+            self.b_ = np.asarray(weights[1], dtype=np.float64)
+            return
+        if layer_name is None:
+            pos = 0
+            for gi in range(len(groups)):
+                for j in range(d):
+                    self.set_weights([weights[pos]], f"shapelets_{gi}_{j}")
+                    pos += 1
+            self.set_weights(weights[pos:pos + 2], "classification")
+            return
+        i, j = (int(x) for x in layer_name.split("_")[1:])
+        start, n_shp, L = groups[i]
+        mat = np.asarray(weights[0], dtype=np.float64)
+        for k in range(n_shp):
+            self.shapelets_[start + k][:, j] = mat[k]
+
+    # -- reference submodel surface (shapelets.py:295-305): keras Models
+    # there; numpy twins here with the same .predict(X) contracts, built
+    # lazily so they never enter the serialized param dict ---------------
+    @property
+    def model_(self):
+        """Full classifier submodel — .predict(X) returns class
+        probabilities like the reference's softmax head."""
+        return self._submodel("proba")
+
+    @property
+    def transformer_model_(self):
+        """.predict(X) -> (n, n_shapelets) min-distances."""
+        return self._submodel("transform")
+
+    @property
+    def locator_model_(self):
+        """.predict(X) -> (n, n_shapelets) argmin match positions."""
+        return self._submodel("locate")
+
+    def _submodel(self, mode: str) -> "_ShapeletSubmodel":
+        if getattr(self, "shapelets_", None) is None:
+            # unfitted: AttributeError so hasattr(self, 'model_') is
+            # False, matching the reference's fitted-state probe
+            # (shapelets.py:607)
+            raise AttributeError("submodels are only available after fit")
+        return _ShapeletSubmodel(self, mode)
+
+    @property
+    def shapelets_as_time_series_(self) -> np.ndarray:
+        """Shapelets as one tslearn-format dataset: (n_shapelets,
+        max_shapelet_sz, d), NaN-padded past each shapelet's length
+        (reference property at shapelets.py:380-403; its doctest pins
+        the (3, 4, 1) shape for sizes {3: 2, 4: 1})."""
+        bank = self.shapelets_
+        if bank is None:
+            raise AttributeError(
+                "shapelets_as_time_series_ is only available after fit"
+            )
+        shp_sz = max(s.shape[0] for s in bank)
+        d = bank[0].shape[1]
+        out = np.full((len(bank), shp_sz, d), np.nan)
+        for i, s in enumerate(bank):
+            out[i, : s.shape[0], :] = s
+        return out
+
     def _bank_udf(self, mode: str):
         bank = [s.copy() for s in self.shapelets_]
         scale = self.scale
@@ -313,6 +461,34 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         out = df.select("series_id", _udf("values").alias("prediction"))
         return collect_col(out, was_array, "prediction",
                            labels=getattr(self, "_y_numeric", True))
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        """Class probabilities ordered by classes_ (reference
+        shapelets.py:497-513 keras softmax head) — same distributed
+        shape as predict, one vectorized pandas-UDF map."""
+        from tslearn_spark.bases import as_ts_df, collect_col
+
+        df, was_array = as_ts_df(df)
+        W, b = self.W_, self.b_
+        bank = [s.copy() for s in self.shapelets_]
+        scale = self.scale
+        minmax = self._minmax
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _udf(values: pd.Series) -> pd.Series:
+            out = []
+            for v in values:
+                ts = _nested(v)
+                if scale:
+                    ts = minmax(ts)
+                dists, _ = _min_dists(ts, bank)
+                logits = dists @ W + b
+                p = np.exp(logits - logits.max())
+                out.append((p / p.sum()).tolist())
+            return pd.Series(out)
+
+        out = df.select("series_id", _udf("values").alias("probabilities"))
+        return collect_col(out, was_array, "probabilities")
 
 
 class SerializableShapeletModel(LearningShapelets):

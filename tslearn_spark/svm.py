@@ -242,12 +242,65 @@ class TimeSeriesSVC(_GakSVMBase):
             # sigmoids on 5-fold CV decision values (svm.py:103-106)
             self.model_.fit_platt(Gram, y, random_state=self.random_state)
         self.classes_ = self.model_.classes_
-        # support vectors: any machine with nonzero dual (svm.py:241-249)
-        sv = np.zeros(len(self._train_ids), dtype=bool)
-        for _, _, m, idx in self.model_.machines_:
-            sv[idx[np.abs(m.dual_coef_) > 1e-8]] = True
-        self.support_ = np.where(sv)[0]
+        # libsvm layout: SV indices grouped by class (sklearn SVC.support_;
+        # the reference's support_vectors_ property slices this ordering
+        # by n_support_, svm.py:249-258)
+        self.support_ = self.model_.support_
         return self
+
+    # -- fitted attributes the reference reads off svm_estimator_
+    # (svm.py:155-196 docstring + doctest) ------------------------------
+    @property
+    def svm_estimator_(self):
+        """The underlying fitted solver (reference svm.py:180: the
+        sklearn SVC; here the from-scratch ovo SMO twin, exposing the
+        same support_/n_support_/dual_coef_/intercept_ surface)."""
+        return self.model_
+
+    @property
+    def n_support_(self) -> np.ndarray:
+        return self.model_.n_support_
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        return self.model_.dual_coef_
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        return self.model_.intercept_
+
+    @property
+    def support_vectors_(self) -> list:
+        """List of (n_SV_c, sz, d) arrays, one per class (svm.py:249-258)."""
+        X = [K.to_2d(v) for v in self._train_values]
+        out, start = [], 0
+        for n in self.n_support_:
+            ids = self.support_[start:start + int(n)]
+            out.append(np.stack([X[i] for i in ids]) if len(ids)
+                       else np.empty((0,) + X[0].shape))
+            start += int(n)
+        return out
+
+    @property
+    def coef_(self) -> np.ndarray:
+        """Readonly, linear kernel only — derived from dual_coef_ and the
+        flattened support vectors (sklearn SVC semantics; svm.py:171-175)."""
+        if self.kernel != "linear":
+            raise AttributeError(
+                "coef_ is only available when using a linear kernel"
+            )
+        X = self._flat_train()
+        return self.dual_coef_ @ X[self.support_]
+
+    def support_vectors_time_series_(self, X=None):
+        """Deprecated alias (reference svm.py:236-247)."""
+        import warnings
+
+        warnings.warn(
+            "The use of `support_vectors_time_series_` is deprecated; "
+            "use `support_vectors_` property instead.", DeprecationWarning)
+        Xs = [K.to_2d(v) for v in self._train_values]
+        return np.stack([Xs[i] for i in self.support_])
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Distributed: cross-Gram edges -> pivot to rows -> OVO vote.
@@ -286,6 +339,30 @@ class TimeSeriesSVC(_GakSVMBase):
             edges.groupBy("id1")
             .agg(F.map_from_arrays(F.collect_list("id2"),
                                    F.collect_list("dist")).alias("krow"))
+        )
+
+    @property
+    def n_iter_(self) -> int:
+        """Reference parity (svm.py:232-235): always 1, with the same
+        warning — the underlying solver's iteration counts are not part
+        of the public contract there."""
+        import warnings
+
+        warnings.warn('n_iter_ is always set to 1 for TimeSeriesSVC, since '
+                      'it is non-trivial to access the underlying libsvm')
+        return 1
+
+    def predict_log_proba(self, queries: DataFrame):
+        """log of predict_proba (svm.py:327-346); same distributed plan
+        with a ln() transform on top, -inf at exact zeros like numpy."""
+        proba = self.predict_proba(queries)
+        if isinstance(proba, np.ndarray):
+            with np.errstate(divide="ignore"):
+                return np.log(proba)
+        return proba.select(
+            "series_id",
+            F.expr("transform(probabilities, x -> ln(x))").alias(
+                "log_probabilities"),
         )
 
     def predict_proba(self, queries: DataFrame) -> DataFrame:
@@ -393,7 +470,60 @@ class TimeSeriesSVR(_GakSVMBase):
                for r in df.select("series_id", target_col).collect()}
         y = np.array([tgt[i] for i in self._train_ids], dtype=np.float64)
         self.model_ = KernelSVR(self.C, self.epsilon).fit(Gram, y)
+        # sklearn SVR surface (reference svm.py:360-381 docstring)
+        self.support_ = self.model_.support_
         return self
+
+    @property
+    def svm_estimator_(self):
+        """Underlying fitted solver (reference svm.py: sklearn SVR; here
+        the from-scratch epsilon-SVR twin with the same dual surface)."""
+        return self.model_
+
+    @property
+    def n_iter_(self) -> int:
+        """Reference parity (svm.py:129-132): always 1, same warning."""
+        import warnings
+
+        warnings.warn('n_iter_ is always set to 1 for TimeSeriesSVR, since '
+                      'it is non-trivial to access the underlying libsvm')
+        return 1
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        return self.model_.dual_coef_
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        return self.model_.intercept_
+
+    @property
+    def support_vectors_(self) -> np.ndarray:
+        """(n_SV, sz, d) — the reference indexes _X_fit by support_
+        (svm.py TimeSeriesSVR.support_vectors_)."""
+        X = [K.to_2d(v) for v in self._train_values]
+        return (np.stack([X[i] for i in self.support_]) if len(self.support_)
+                else np.empty((0,) + X[0].shape))
+
+    @property
+    def coef_(self) -> np.ndarray:
+        """Readonly, linear kernel only (sklearn SVR semantics)."""
+        if self.kernel != "linear":
+            raise AttributeError(
+                "coef_ is only available when using a linear kernel"
+            )
+        X = self._flat_train()
+        return self.dual_coef_ @ X[self.support_]
+
+    def support_vectors_time_series_(self, X=None):
+        """Deprecated alias (reference svm.py:133-145)."""
+        import warnings
+
+        warnings.warn(
+            "The use of `support_vectors_time_series_` is deprecated; "
+            "use `support_vectors_` property instead.", DeprecationWarning)
+        Xs = [K.to_2d(v) for v in self._train_values]
+        return np.stack([Xs[i] for i in self.support_])
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Pure SQL reduction: edges join broadcast duals -> sum + b."""

@@ -242,6 +242,9 @@ class MulticlassSVC:
 
     def fit(self, K: np.ndarray, y: np.ndarray) -> "MulticlassSVC":
         self.classes_ = np.unique(y)
+        # class index per training point, kept for the libsvm-layout
+        # support_/n_support_/dual_coef_ properties below
+        self._y_idx = np.searchsorted(self.classes_, y)
         self.machines_ = []
         for a in range(len(self.classes_)):
             for bb in range(a + 1, len(self.classes_)):
@@ -251,6 +254,60 @@ class MulticlassSVC:
                 m = BinarySVC(self._sub_C(idx)).fit(K[np.ix_(idx, idx)], ysub)
                 self.machines_.append((a, bb, m, idx))
         return self
+
+    # -- libsvm-layout fitted attributes (sklearn SVC surface; the
+    # reference reads these off svm_estimator_, e.g. svm.py:190-196
+    # doctest sums n_support_ and svm.py:249-258 slices support_) ------
+    _SV_TOL = 1e-8
+
+    def _sv_mask(self) -> np.ndarray:
+        sv = np.zeros(len(self._y_idx), dtype=bool)
+        for _, _, m, idx in self.machines_:
+            sv[idx[np.abs(m.dual_coef_) > self._SV_TOL]] = True
+        return sv
+
+    @property
+    def support_(self) -> np.ndarray:
+        """SV training indices GROUPED BY CLASS (classes_ order),
+        ascending within a class — libsvm's ordering, which the
+        reference's support_vectors_ property relies on when it slices
+        support_ by n_support_ (svm.py:249-258)."""
+        sv = self._sv_mask()
+        return np.concatenate(
+            [np.where(sv & (self._y_idx == c))[0]
+             for c in range(len(self.classes_))]
+        ).astype(np.int32)
+
+    @property
+    def n_support_(self) -> np.ndarray:
+        sv = self._sv_mask()
+        return np.array(
+            [int((sv & (self._y_idx == c)).sum())
+             for c in range(len(self.classes_))], dtype=np.int32)
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        """(n_class-1, n_SV): the column for SV t of class c holds its
+        alpha*y in each machine (c vs o), at row o - (o > c) — libsvm's
+        packing of the ovo duals."""
+        support = self.support_
+        pos = {int(t): j for j, t in enumerate(support)}
+        out = np.zeros((max(len(self.classes_) - 1, 1), len(support)))
+        for a, b, m, idx in self.machines_:
+            for p, t in enumerate(idx):
+                j = pos.get(int(t))
+                if j is None:
+                    continue
+                c = int(self._y_idx[t])
+                o = b if c == a else a
+                out[o - (o > c), j] = m.dual_coef_[p]
+        return out
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        """Per ovo machine, in (a, b) a<b order — decision_function is
+        dual_coef @ K + intercept, matching sklearn's sign."""
+        return np.array([m.b_ for _, _, m, _ in self.machines_])
 
     def fit_platt(self, K: np.ndarray, y: np.ndarray,
                   random_state: int | None = None) -> "MulticlassSVC":
@@ -351,6 +408,24 @@ def smo_svr(K: np.ndarray, y: np.ndarray, C: float = 1.0, epsilon: float = 0.1,
 
 
 class KernelSVR:
+    """Fitted attrs mirror sklearn SVR's libsvm surface: support_ (SV
+    indices), dual_coef_ (1, n_SV), intercept_ (1,) — derived from the
+    full beta_ vector the solver stores."""
+
+    _SV_TOL = 1e-8
+
+    @property
+    def support_(self) -> np.ndarray:
+        return np.where(np.abs(self.beta_) > self._SV_TOL)[0].astype(np.int32)
+
+    @property
+    def dual_coef_(self) -> np.ndarray:
+        return self.beta_[self.support_][None, :]
+
+    @property
+    def intercept_(self) -> np.ndarray:
+        return np.array([self.b_])
+
     def __init__(self, C: float = 1.0, epsilon: float = 0.1):
         self.C = C
         self.epsilon = epsilon
