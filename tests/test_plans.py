@@ -187,3 +187,29 @@ class TestDeclaredAllPairs:
         edges = self_pairs(df)
         plan = plan_of(edges)
         assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+class TestFitLaziness:
+    def test_sax_fit_triggers_no_jobs(self, spark):
+        """SAX/PAA fit is plan-only (scale=False): the _X_fit_dims_ probe
+        the numpy instance methods need is a LAZY plan, so Spark
+        pipelines (ts_paa_sax, knn_sax_classify) never pay an extra
+        upstream scan at fit time.  Regression lock for the round-7
+        eager-dims slip."""
+        from tslearn_spark import dataset as DS
+        from tslearn_spark.piecewise import PiecewiseAggregateApproximation, SAX
+
+        df = DS.dataset_to_df(spark, [[1.0, 2.0, 3.0, 4.0],
+                                      [4.0, 3.0, 2.0, 1.0]])
+        df.count()  # warm the input so fit-time jobs are attributable
+        st = spark.sparkContext.statusTracker()
+        before = len(st.getJobIdsForGroup(None) or [])
+        sax = SAX(n_segments=2, alphabet_size_avg=4).fit(df)
+        paa = PiecewiseAggregateApproximation(n_segments=2).fit(df)
+        after = len(st.getJobIdsForGroup(None) or [])
+        assert after - before == 0
+        # the numpy surface still works — dims materialize on demand
+        assert sax.distance([1.0, 2.0, 3.0, 4.0],
+                            [4.0, 3.0, 2.0, 1.0]) >= 0.0
+        assert paa.distance([1.0, 2.0, 3.0, 4.0],
+                            [4.0, 3.0, 2.0, 1.0]) > 0.0

@@ -143,13 +143,15 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
         self.breakpoints_avg_ = sax_breakpoints(self.alphabet_size_avg)
         self.breakpoints_avg_middle_ = sax_bin_medians(self.alphabet_size_avg)
         df, _ = as_ts_df(df)
-        # fit-time dims (reference _X_fit_dims_, piecewise.py:334+):
-        # sz drives distance scaling / inverse length; n is not needed
-        first = df.select(
-            F.min(F.size(values_col)).alias("sz"),
+        # fit-time dims (reference _X_fit_dims_ = the padded dataset's
+        # shape, so sz = MAX length): needed only by the numpy instance
+        # methods (distance/inverse) — kept LAZY as a plan here so pure
+        # Spark pipelines never pay an extra scan at fit
+        self._X_fit_dims_ = None
+        self._fit_dims_plan = df.select(
+            F.max(F.size(values_col)).alias("sz"),
             F.first(F.size(F.element_at(values_col, 1))).alias("d"),
-        ).first()
-        self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
+        )
         if self.scale:
             # global (dataset-wide) per-dim mean/std — one tiny aggregate
             long_stats = (
@@ -199,11 +201,15 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
     # -- numpy instance API (reference piecewise.py:429-505) ------------
     def _require_fit_dims(self) -> None:
         if getattr(self, "_X_fit_dims_", None) is None:
-            raise ValueError(
-                "Model must be fit on data first: the fit-time series "
-                "length drives the distance scaling / inverse length "
-                "(reference _X_fit_dims_)"
-            )
+            plan = getattr(self, "_fit_dims_plan", None)
+            if plan is None:
+                raise ValueError(
+                    "Model must be fit on data first: the fit-time series "
+                    "length drives the distance scaling / inverse length "
+                    "(reference _X_fit_dims_)"
+                )
+            first = plan.first()  # one tiny job, first numpy-method use only
+            self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
 
     @staticmethod
     def _as_sym2d(x) -> np.ndarray:
@@ -346,8 +352,8 @@ class OneDSAX(SAX):
         self.breakpoints_slope_ = sax_breakpoints(self.alphabet_size_slope, scale=sigma_l)
         self.breakpoints_slope_middle_ = sax_bin_medians(self.alphabet_size_slope, scale=sigma_l)
         # keep any d recorded by a full fit; offline fit_sz knows only sz
-        d_prev = getattr(self, "_X_fit_dims_", (None, None, None))[2]
-        self._X_fit_dims_ = (None, int(sz), d_prev)
+        prev = getattr(self, "_X_fit_dims_", None) or (None, None, None)
+        self._X_fit_dims_ = (None, int(sz), prev[2])
         return self
 
     # -- numpy instance API (reference piecewise.py:700-777) ------------
@@ -538,13 +544,14 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
             from tslearn_spark.bases import as_ts_df
 
             df2, _ = as_ts_df(df)
-            first = df2.select(
-                F.min(F.size("values")).alias("sz"),
+            # reference _X_fit_dims_ (piecewise.py:154-158, the padded
+            # dataset shape: sz = MAX length) — lazy plan, materialized
+            # only when the numpy distance/inverse methods need it
+            self._X_fit_dims_ = None
+            self._fit_dims_plan = df2.select(
+                F.max(F.size("values")).alias("sz"),
                 F.first(F.size(F.element_at("values", 1))).alias("d"),
-            ).first()
-            # reference _X_fit_dims_ (piecewise.py:154-158): sz drives
-            # the distance scaling and inverse length
-            self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
+            )
         return self
 
     def transform(self, df: DataFrame, values_col: str = "values",
@@ -572,11 +579,15 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
     # -- numpy instance API (reference piecewise.py:191-258) ------------
     def _require_fit_dims(self) -> None:
         if getattr(self, "_X_fit_dims_", None) is None:
-            raise ValueError(
-                "Model must be fit on data first: the fit-time series "
-                "length drives the distance scaling / inverse length "
-                "(reference _X_fit_dims_)"
-            )
+            plan = getattr(self, "_fit_dims_plan", None)
+            if plan is None:
+                raise ValueError(
+                    "Model must be fit on data first: the fit-time series "
+                    "length drives the distance scaling / inverse length "
+                    "(reference _X_fit_dims_)"
+                )
+            first = plan.first()
+            self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
 
     def distance_paa(self, paa1, paa2) -> float:
         """Keogh-Pazzani PAA lower-bound distance between two PAA
