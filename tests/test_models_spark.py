@@ -217,7 +217,13 @@ class TestSVM:
         with pytest.raises(AttributeError, match="linear"):
             clf.coef_
         lin = TimeSeriesSVC(C=1.0, kernel="linear").fit(df)
-        assert lin.coef_.shape == (k - 1, 6)
+        # sklearn's _one_vs_one_coef: one hyperplane per ovo machine
+        assert lin.coef_.shape == (k * (k - 1) // 2, 6)
+        # each row IS that machine's hyperplane: w @ x + b == decision
+        for mi, (a, b, m, idx) in enumerate(lin.model_.machines_):
+            want = m.decision_function(Xf @ Xf[idx].T)  # linear K(query, sub)
+            got = Xf @ lin.coef_[mi] + lin.intercept_[mi]
+            np.testing.assert_allclose(got, want, atol=1e-9)
 
     def test_svr_libsvm_attribute_surface(self, spark):
         """SVR twin: support_ / dual_coef_ (1, n_SV) / intercept_ (1,) /

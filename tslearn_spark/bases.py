@@ -315,7 +315,9 @@ class BaseModelPackage:
         not-fitted guard applies."""
         from tslearn_spark import model_io
 
-        self._to_dict()  # not-fitted guard, same as to_json
+        if not self._is_fitted():
+            # same guard/message as _to_dict, without encoding twice
+            raise ValueError("Model must be fit before it can be packaged")
         model_io.save_model(self, path, fmt="pickle")
 
     @classmethod

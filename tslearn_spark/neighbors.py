@@ -633,11 +633,22 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
             self._y_numeric = _np.asarray(y).dtype.kind in "iufb"
         self._label_col = label_col
         self._index = df.select("series_id", "values", label_col).cache()
-        # sklearn classifier contract: sorted training classes
-        self.classes_ = np.array(sorted(
-            r[0] for r in self._index.select(label_col).distinct().collect()
-        ))
+        self._classes_cache = None  # computed lazily (see classes_)
         return self
+
+    @property
+    def classes_(self) -> np.ndarray:
+        """Sorted training classes (sklearn classifier contract) —
+        materialized lazily on first access so fit stays plan-only
+        (same laziness contract as the piecewise fit-dims)."""
+        if getattr(self, "_classes_cache", None) is None:
+            if not hasattr(self, "_index"):
+                raise AttributeError("classes_ is only available after fit")
+            self._classes_cache = np.array(sorted(
+                r[0] for r in
+                self._index.select(self._label_col).distinct().collect()
+            ))
+        return self._classes_cache
 
     def predict(self, queries: DataFrame) -> DataFrame:
         from tslearn_spark.bases import as_ts_df, collect_col

@@ -283,8 +283,10 @@ class TimeSeriesMLPClassifier(_MLPBase):
                 return np.log(proba)
         out = proba.select(
             "series_id",
-            F.expr("transform(probabilities, x -> ln(x))").alias(
-                "log_probabilities"),
+            F.expr(
+                "transform(probabilities, x -> CASE WHEN x <= 0.0D THEN "
+                "double('-Infinity') ELSE ln(x) END)"
+            ).alias("log_probabilities"),
         )
         return out
 

@@ -338,8 +338,13 @@ class OneDSAX(SAX):
 
         df, _ = as_ts_df(df)
         super().fit(df, values_col=values_col)
-        sz = int(df.select(F.min(F.size(values_col)).alias("m")).first()["m"])
-        return self.fit_sz(sz)
+        # materialize the SAX dims plan (one tiny job, same count as the
+        # old min-size probe) — MAX length, the reference's padded-
+        # dataset shape (piecewise.py:601-617 reads X.shape[1]), so the
+        # numpy surface is consistent with the SAX/PAA siblings
+        first = self._fit_dims_plan.first()
+        self._X_fit_dims_ = (None, int(first["sz"]), int(first["d"]))
+        return self.fit_sz(int(first["sz"]))
 
     def fit_sz(self, sz: int) -> "OneDSAX":
         """Breakpoints need the fit-time sz (piecewise.py:601-617).

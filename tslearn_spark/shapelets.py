@@ -214,6 +214,12 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
             self.n_shapelets_per_size = grabocka_params_to_shapelet_size_dict(
                 len(X), sz, n_classes, self.shapelet_length, self.total_lengths
             )
+        else:
+            # JSON round-trips stringify dict keys; renormalize so the
+            # sorted-size bank order is numeric on refit
+            self.n_shapelets_per_size = {
+                int(k): int(v) for k, v in self.n_shapelets_per_size.items()
+            }
         rs = np.random.RandomState(self.random_state)
         # init: random windows from the data (k-means init simplified,
         # shapelets.py:78-91 — windows are cluster seeds)
@@ -292,7 +298,10 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         built in sorted-size order at fit, so group i is contiguous and
         maps 1:1 to the reference's 'shapelets_i_*' keras layers."""
         groups, start = [], 0
-        for L, n_shp in sorted(self.n_shapelets_per_size.items()):
+        # int() the keys: a JSON round-trip turns them into strings, and
+        # lexical sort would mis-map groups (e.g. '12' before '8')
+        for L, n_shp in sorted((int(k), int(v))
+                               for k, v in self.n_shapelets_per_size.items()):
             groups.append((start, n_shp, L))
             start += n_shp
         return groups

@@ -53,6 +53,20 @@ def _flat_kernel_matrix(X: np.ndarray, Y: np.ndarray, kernel: str,
     return np.tanh(gamma * dot + coef0)  # sigmoid
 
 
+def _pad_stack(arrs: list) -> np.ndarray:
+    """Stack (sz_i, d) series into (n, max_sz, d), NaN-padded — the
+    reference returns padded tslearn datasets for support_vectors_ on
+    variable-length fits (gak accepts ragged input)."""
+    if not arrs:
+        return np.empty((0, 0, 0))
+    sz = max(a.shape[0] for a in arrs)
+    d = arrs[0].shape[1]
+    out = np.full((len(arrs), sz, d), np.nan)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0], :] = a
+    return out
+
+
 class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shared init carries the full reference signature (svm.py:211-214,
     485-487) for drop-in parity: gak-irrelevant kernel shape params
@@ -276,8 +290,7 @@ class TimeSeriesSVC(_GakSVMBase):
         out, start = [], 0
         for n in self.n_support_:
             ids = self.support_[start:start + int(n)]
-            out.append(np.stack([X[i] for i in ids]) if len(ids)
-                       else np.empty((0,) + X[0].shape))
+            out.append(_pad_stack([X[i] for i in ids]))
             start += int(n)
         return out
 
@@ -290,7 +303,12 @@ class TimeSeriesSVC(_GakSVMBase):
                 "coef_ is only available when using a linear kernel"
             )
         X = self._flat_train()
-        return self.dual_coef_ @ X[self.support_]
+        # one hyperplane per ovo machine, (n_pairs, n_features) in
+        # (a, b) a<b order — sklearn's _one_vs_one_coef (the reference
+        # docstring's [n_class-1, ...] note is sklearn's doc typo);
+        # binary case degenerates to one row
+        return np.stack([m.dual_coef_ @ X[idx]
+                         for _, _, m, idx in self.model_.machines_])
 
     def support_vectors_time_series_(self, X=None):
         """Deprecated alias (reference svm.py:236-247)."""
@@ -300,7 +318,7 @@ class TimeSeriesSVC(_GakSVMBase):
             "The use of `support_vectors_time_series_` is deprecated; "
             "use `support_vectors_` property instead.", DeprecationWarning)
         Xs = [K.to_2d(v) for v in self._train_values]
-        return np.stack([Xs[i] for i in self.support_])
+        return _pad_stack([Xs[i] for i in self.support_])
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Distributed: cross-Gram edges -> pivot to rows -> OVO vote.
@@ -361,8 +379,10 @@ class TimeSeriesSVC(_GakSVMBase):
                 return np.log(proba)
         return proba.select(
             "series_id",
-            F.expr("transform(probabilities, x -> ln(x))").alias(
-                "log_probabilities"),
+            F.expr(
+                "transform(probabilities, x -> CASE WHEN x <= 0.0D THEN "
+                "double('-Infinity') ELSE ln(x) END)"
+            ).alias("log_probabilities"),
         )
 
     def predict_proba(self, queries: DataFrame) -> DataFrame:
@@ -502,8 +522,7 @@ class TimeSeriesSVR(_GakSVMBase):
         """(n_SV, sz, d) — the reference indexes _X_fit by support_
         (svm.py TimeSeriesSVR.support_vectors_)."""
         X = [K.to_2d(v) for v in self._train_values]
-        return (np.stack([X[i] for i in self.support_]) if len(self.support_)
-                else np.empty((0,) + X[0].shape))
+        return _pad_stack([X[i] for i in self.support_])
 
     @property
     def coef_(self) -> np.ndarray:
@@ -523,7 +542,7 @@ class TimeSeriesSVR(_GakSVMBase):
             "The use of `support_vectors_time_series_` is deprecated; "
             "use `support_vectors_` property instead.", DeprecationWarning)
         Xs = [K.to_2d(v) for v in self._train_values]
-        return np.stack([Xs[i] for i in self.support_])
+        return _pad_stack([Xs[i] for i in self.support_])
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Pure SQL reduction: edges join broadcast duals -> sum + b."""
