@@ -181,13 +181,30 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
             "budget_sec": budget, "queries": out}
 
 
+_HISTORY_FILE = ".bench_history.json"  # gitignored self-record
+
+
 def _prior_medians(sf: float) -> tuple[dict, str | None]:
-    """Most recent BENCH_r*.json next to this file AT THE SAME SF, for
-    round-over-round regression flags (cross-sf ratios are meaningless)."""
+    """Freshest prior medians AT THE SAME SF for round-over-round
+    regression flags (cross-sf ratios are meaningless).
+
+    Prefers the self-recorded history (bench.py appends every run,
+    including the driver's own, so it is always at least as fresh) and
+    falls back to the driver's BENCH_r*.json — whose "parsed" field the
+    driver sometimes truncates to null, which used to silently disable
+    the check."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _HISTORY_FILE)) as f:
+            hist = json.load(f)
+        for entry in reversed(hist):
+            if entry.get("sf") == sf and entry.get("queries"):
+                return entry["queries"], _HISTORY_FILE
+    except (OSError, ValueError):
+        pass
     best = (-1, None, {})
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -204,6 +221,24 @@ def _prior_medians(sf: float) -> tuple[dict, str | None]:
             best = (int(m.group(1)), os.path.basename(p),
                     data.get("queries", {}) or {})
     return best[2], best[1]
+
+
+def _record_history(sf: float, timings: dict) -> None:
+    """Append this run's medians (last 10 per file) for the next run's
+    regression baseline; best-effort, never fails the bench."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, _HISTORY_FILE)
+    try:
+        try:
+            with open(path) as f:
+                hist = json.load(f)
+        except (OSError, ValueError):
+            hist = []
+        hist.append({"sf": sf, "queries": timings, "at": time.time()})
+        with open(path, "w") as f:
+            json.dump(hist[-10:], f)
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -244,6 +279,7 @@ def main() -> None:
     # run at sf0.001 would produce meaningless ratios)
     cold_base = {name: ts[0] for name, ts in samples.items() if ts}
     scale = _scale_section(spark, qs, cold_base) if float(sf) == 0.1 else None
+    _record_history(float(sf), timings)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
