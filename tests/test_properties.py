@@ -560,3 +560,52 @@ def test_jpeg_grayscale_single_component():
     arr = decode_jpeg(_encode_jpeg(px))
     assert np.abs(arr - px / 255.0).max() < 0.05
     assert np.abs(arr[:, :, 0] - arr[:, :, 1]).max() < 0.02  # stays gray
+
+
+# ---------------------------------------------------------------------------
+# piecewise numpy API: the classic lower-bounding chain
+# ---------------------------------------------------------------------------
+
+@given(st.integers(0, 10_000), st.integers(1, 6), st.sampled_from([2, 4, 8]),
+       st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_sax_paa_euclidean_lower_bound_chain(seed, n_seg, alphabet, seg_sz):
+    """Keogh/Lin lower-bounding guarantees on the numpy instance API
+    (reference piecewise.py:191-213, cysax.pyx:39-53):
+
+        MINDIST(sax1, sax2) <= PAA_dist(paa1, paa2) <= euclidean(x, y)
+
+    for any pair of series whose length divides into the segments.
+    These inequalities are what make PAA/SAX admissible index filters —
+    if either ever exceeded the true distance, pruned candidates could
+    be true matches (silent recall loss at scale)."""
+    from tslearn_spark.piecewise import PiecewiseAggregateApproximation, SAX
+    from tslearn_spark.stats import sax_bin_medians, sax_breakpoints
+
+    rs = np.random.RandomState(seed)
+    sz = n_seg * seg_sz
+    x = rs.randn(sz)
+    y = rs.randn(sz) * rs.uniform(0.5, 2.0) + rs.uniform(-1, 1)
+
+    # representations per the engine's own definitions (hash-gated
+    # against DuckDB by the driver queries; rebuilt here numpy-side so
+    # the property runs without a session)
+    paa1 = x.reshape(n_seg, seg_sz).mean(axis=1)
+    paa2 = y.reshape(n_seg, seg_sz).mean(axis=1)
+    bps = sax_breakpoints(alphabet)
+    sym1 = np.searchsorted(bps, paa1, side="right")
+    sym2 = np.searchsorted(bps, paa2, side="right")
+
+    paa = PiecewiseAggregateApproximation(n_segments=n_seg)
+    paa._X_fit_dims_ = (None, sz, 1)
+    sax = SAX(n_segments=n_seg, alphabet_size_avg=alphabet)
+    sax.breakpoints_avg_ = bps
+    sax.breakpoints_avg_middle_ = sax_bin_medians(alphabet)
+    sax._X_fit_dims_ = (None, sz, 1)
+
+    d_euc = float(np.sqrt(((x - y) ** 2).sum()))
+    d_paa = paa.distance_paa(paa1, paa2)
+    d_sax = sax.distance_sax(sym1, sym2)
+    eps = 1e-9
+    assert 0.0 <= d_sax <= d_paa + eps
+    assert d_paa <= d_euc + eps
