@@ -213,3 +213,106 @@ class TestFitLaziness:
                             [4.0, 3.0, 2.0, 1.0]) >= 0.0
         assert paa.distance([1.0, 2.0, 3.0, 4.0],
                             [4.0, 3.0, 2.0, 1.0]) > 0.0
+
+
+class TestSaxWordDedup:
+    """Round-8 lock: the SAX kNN pair join is word-bounded, not n^2.
+
+    MINDIST depends only on (query word, train word, query length), so
+    _sax_knn scores DISTINCT word pairs and joins the k survivors back
+    to the series ids (neighbors.py _sax_knn docstring).  On a corpus
+    whose words collapse, the scored pair set must shrink with the word
+    space — the property that makes knn_sax_classify scale-invariant
+    once the word space saturates (592 words at both sf0.1 and sf1)."""
+
+    def _wordy_df(self, spark, n=60, sz=32):
+        # 3 prototype shapes + sub-breakpoint jitter -> exactly 3 SAX words
+        protos = [
+            np.sin(np.linspace(0.0, 4.0, sz)),
+            np.linspace(-1.5, 1.5, sz),
+            np.concatenate([np.full(sz // 2, -1.0), np.full(sz - sz // 2, 1.0)]),
+        ]
+        rs = np.random.RandomState(7)
+        rows = [
+            (i, [[float(x + 0.01 * rs.rand())] for x in protos[i % 3]],
+             int(i % 3))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "series_id long, values array<array<double>>, label int"
+        )
+
+    def test_candidate_set_is_word_bounded(self, spark):
+        from tslearn_spark.neighbors import _sax_word_candidates
+        from tslearn_spark.piecewise import SAX
+
+        df = self._wordy_df(spark)
+        k = 2
+        sax = SAX(n_segments=4, alphabet_size_avg=4).fit(df)
+        q_sym = sax.transform(df).select(
+            F.col("series_id").alias("id1"), F.col("sax").alias("sax1"),
+            F.flatten("sax").alias("w1"), F.size("values").alias("sz1"))
+        q_words = q_sym.groupBy("w1", "sz1").agg(F.first("sax1").alias("sax1"))
+        t_words = sax.transform(df).select(
+            F.col("series_id").alias("id2"), F.col("sax").alias("sax2"),
+            F.flatten("sax").alias("w2"),
+        ).groupBy("w2").agg(
+            F.slice(F.sort_array(F.collect_list("id2")), 1, k).alias("_ids"),
+            F.first("sax2").alias("sax2"))
+        t_cand = t_words.select("sax2", F.explode("_ids").alias("id2"))
+        n_words = df.count() and q_words.count()
+        assert n_words <= 3  # the corpus collapses to <=3 words
+        # train side carries at most k ids per word — 60 rows never reach
+        # the join; the scored pair set is words x (words * k), not n^2
+        assert t_cand.count() <= n_words * k
+        cand = _sax_word_candidates(q_words, t_cand, sax, keep=k)
+        assert cand.count() <= n_words * k
+
+    def test_dedup_path_matches_naive_full_join(self, spark):
+        """Exactness: the word-dedup result set (id1, id2, rank) equals
+        the naive all-pairs MINDIST top-k, including id tie-breaks."""
+        from tslearn_spark.metrics import _spread
+        from tslearn_spark.neighbors import kneighbors
+        from tslearn_spark.piecewise import SAX
+
+        df = self._wordy_df(spark, n=40)
+        k = 3
+        out = kneighbors(df, df, k=k, metric="sax", drop_self=True,
+                         n_segments=4, alphabet_size_avg=4)
+        got = {(r["id1"], r["rank"]): r["id2"] for r in out.collect()}
+        sax = SAX(n_segments=4, alphabet_size_avg=4).fit(df)
+        q = sax.transform(df).select(
+            F.col("series_id").alias("id1"), F.col("sax").alias("sax1"),
+            F.size("values").alias("sz1"))
+        t = sax.transform(df).select(
+            F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))
+        from pyspark.sql import Window
+        naive = (
+            _spread(q).crossJoin(F.broadcast(t))
+            .where(F.col("id1") != F.col("id2"))
+            .withColumn("dist", sax.distance_col("sax1", "sax2", "sz1"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("id1").orderBy(
+                    F.col("dist").asc(), F.col("id2").asc())))
+            .where(F.col("rank") <= k)
+        )
+        want = {(r["id1"], r["rank"]): r["id2"] for r in naive.collect()}
+        assert got == want
+
+    def test_raw_rows_never_feed_the_cross_join(self, spark):
+        """Plan lock: the only nested-loop join in the sax kNN plan sits
+        above AGGREGATED word tables — the raw series rows reach it
+        only through a groupBy (objhashaggregate on collect_list /
+        first), so the join input row counts are word-space-bounded."""
+        from tslearn_spark.neighbors import kneighbors
+
+        df = self._wordy_df(spark)
+        out = kneighbors(df, df, k=1, metric="sax", drop_self=True,
+                         n_segments=4, alphabet_size_avg=4)
+        plan = plan_of(out)
+        # one join instance == two mentions (tree node + detail section)
+        assert plan.count("BroadcastNestedLoopJoin") == 2
+        # both word tables are built by aggregates (collect_list slice on
+        # the train side, first() on the query side)
+        assert "collect_list" in plan and "slice" in plan
+        assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
