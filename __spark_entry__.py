@@ -2470,6 +2470,14 @@ def oracle_sql() -> dict[str, str]:
         # replayed exactly); assignment = argmax centroid cosine (ties ->
         # lowest centroid id, matching np.argmax first-max); probes = top-4
         # lists per query; exact rerank within probed lists
+        # Both ANN oracles use the engine's normalize-THEN-sum association
+        # (x/||x|| per element first, cosine = sum of normalized products)
+        # rather than dot/(||a||*||b||): the two associations agree
+        # mathematically but can differ in final ulps, and ranking happens
+        # BEFORE the displayed round(6) — on near-tie data the quotient
+        # form could flip an argmax/rank the engine's BLAS path doesn't.
+        # tests/test_pipeline.py (near-tie fixture) pins this agreement on
+        # adversarial exact-tie data.
         "ann_ivf_topk": """
             WITH e AS (
               SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2477,18 +2485,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ),
             norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+            en AS (
+              SELECT e.vec_id, e.i,
+                     e.v / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS v
+              FROM e JOIN norms n ON n.vec_id = e.vec_id
+            ),
             cent_ids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 16),
-            ce AS (SELECT c.cid, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cid),
-            cnorm AS (SELECT cid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY cid),
+            ce AS (SELECT c.cid, en.i, en.v FROM cent_ids c JOIN en ON en.vec_id = c.cid),
             simc AS (
-              SELECT e.vec_id, ce.cid,
-                     sum(e.v * ce.v)
-                       / (CASE WHEN n1.nrm * n2.nrm = 0 THEN 1.0
-                               ELSE n1.nrm * n2.nrm END) AS cos
-              FROM e JOIN ce ON ce.i = e.i
-              JOIN norms n1 ON n1.vec_id = e.vec_id
-              JOIN cnorm n2 ON n2.cid = ce.cid
-              GROUP BY e.vec_id, ce.cid, n1.nrm, n2.nrm
+              SELECT en.vec_id, ce.cid, sum(en.v * ce.v) AS cos
+              FROM en JOIN ce ON ce.i = en.i
+              GROUP BY en.vec_id, ce.cid
             ),
             ranked AS (
               SELECT vec_id, cid,
@@ -2504,20 +2511,12 @@ def oracle_sql() -> dict[str, str]:
               FROM probes p JOIN assign a ON a.list_id = p.list_id
               WHERE a.vec_id != p.query_id
             ),
-            pair_dots AS (
-              SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
-              FROM cand c
-              JOIN e a ON a.vec_id = c.query_id
-              JOIN e b ON b.vec_id = c.neighbor_id AND b.i = a.i
-              GROUP BY c.query_id, c.neighbor_id
-            ),
             cos AS (
-              SELECT query_id, neighbor_id,
-                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0
-                            ELSE na.nrm * nb.nrm END) AS cosine
-              FROM pair_dots
-              JOIN norms na ON na.vec_id = query_id
-              JOIN norms nb ON nb.vec_id = neighbor_id
+              SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS cosine
+              FROM cand c
+              JOIN en a ON a.vec_id = c.query_id
+              JOIN en b ON b.vec_id = c.neighbor_id AND b.i = a.i
+              GROUP BY c.query_id, c.neighbor_id
             ),
             rk AS (
               SELECT query_id, neighbor_id, cosine,
@@ -2535,18 +2534,16 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ),
             norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
-            dots AS (
-              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
-              FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
-              GROUP BY a.vec_id, b.vec_id
+            en AS (
+              SELECT e.vec_id, e.i,
+                     e.v / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS v
+              FROM e JOIN norms n ON n.vec_id = e.vec_id
             ),
             cos AS (
-              SELECT query_id, neighbor_id,
-                     dot / (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0 ELSE na.nrm * nb.nrm END)
-                       AS cosine
-              FROM dots
-              JOIN norms na ON na.vec_id = query_id
-              JOIN norms nb ON nb.vec_id = neighbor_id
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) AS cosine
+              FROM en a JOIN en b ON a.i = b.i AND a.vec_id != b.vec_id
+              GROUP BY a.vec_id, b.vec_id
             ),
             rk AS (
               SELECT query_id, neighbor_id, cosine,

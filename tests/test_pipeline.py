@@ -463,6 +463,76 @@ class TestMultimodal:
             float(decode_image(wav).mean()))
 
 
+class TestAnnOracleTieRobust:
+    """Round-8 lock: the ANN oracles replay the engine's normalize-then-sum
+    association, so ranking agrees even on adversarial tie data.
+
+    The fixture's vectors have power-of-two norms and small-integer
+    entries, so every normalized element is an exact dyadic (x/8 or
+    x/16) and every cosine is EXACT in float64 regardless of summation
+    order — both engines compute bit-identical cosines, and deliberate
+    multi-way ties (duplicates, same-direction different-magnitude,
+    permutations sharing a dot product, a zero vector) force the
+    (cosine DESC, id ASC) tie-break to decide the ranking on both
+    sides.  An oracle using the dot/(|a||b|) association passes on
+    generic random data but is not guaranteed to here."""
+
+    # all rows: sum of squares = 64 (norm 8) except #10 (256 -> norm 16)
+    # and the zero vector #11; ids 8 and 2 are exact duplicates; #10 is
+    # 2x #2 (same direction); #7/#9 tie with #2 against query #0
+    _V = [
+        (8, 0, 0, 0, 0, 0, 0, 0),      # 0
+        (0, 8, 0, 0, 0, 0, 0, 0),      # 1
+        (4, 4, 4, 4, 0, 0, 0, 0),      # 2
+        (0, 0, 0, 0, 4, 4, 4, 4),      # 3
+        (6, 4, 2, 2, 2, 0, 0, 0),      # 4
+        (2, 6, 4, 2, 0, 2, 0, 0),      # 5
+        (-8, 0, 0, 0, 0, 0, 0, 0),     # 6
+        (4, 4, -4, -4, 0, 0, 0, 0),    # 7
+        (4, 4, 4, 4, 0, 0, 0, 0),      # 8  dup of 2
+        (4, -4, 4, -4, 0, 0, 0, 0),    # 9
+        (8, 8, 8, 8, 0, 0, 0, 0),      # 10 same direction as 2, norm 16
+        (0, 0, 0, 0, 0, 0, 0, 0),      # 11 zero vector
+        (0, 0, 8, 0, 0, 0, 0, 0),      # 12
+        (0, 0, 0, 8, 0, 0, 0, 0),      # 13
+        (2, 2, 2, 2, 2, 2, 2, 6),      # 14
+        (6, 2, 2, 2, 2, 2, 2, 2),      # 15
+        (4, 0, 4, 0, 4, 0, 4, 0),      # 16
+        (0, 4, 0, 4, 0, 4, 0, 4),      # 17
+    ]
+
+    def test_exact_tie_fixture_matches_duckdb(self, spark, tmp_path):
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(self._V)]
+        fix = tmp_path / "annfix"
+        fix.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(fix / "embeddings.parquet"))
+        qs, osql = entrymod.queries(), entrymod.oracle_sql()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{fix}/embeddings.parquet/*.parquet')")
+        for name in ("ann_cosine_topk", "ann_ivf_topk"):
+            got = qs[name](spark, str(fix)).toPandas().sort_values(
+                ["query_id", "rank"]).reset_index(drop=True)
+            want = con.execute(osql[name]).fetchdf().sort_values(
+                ["query_id", "rank"]).reset_index(drop=True)
+            assert list(got["query_id"]) == list(want["query_id"]), name
+            assert list(got["neighbor_id"]) == list(want["neighbor_id"]), name
+            np.testing.assert_array_equal(
+                got["cosine"].to_numpy(), want["cosine"].to_numpy(), name)
+        # the fixture is genuinely adversarial: query 0's top-5 contains
+        # tied cosines decided only by the id tie-break
+        q0 = got[got["query_id"] == 0]["cosine"].to_numpy()
+        assert len(np.unique(q0)) < len(q0)
+
+
 class TestStreamingBatch:
     def events(self, spark):
         import datetime
@@ -921,3 +991,97 @@ class TestStreamingBatch:
         q.awaitTermination(60)
         got = spark.sql("SELECT count(*) AS n FROM paa_stream").first()["n"]
         assert got == 10  # 2 users x 5 windows
+
+    def test_watermark_drops_late_events_and_state(self, spark, tmp_path):
+        """Round-8 lock: late-data semantics under a real watermark.
+
+        Two checkpointed availableNow runs over a file source with a
+        file sink (append mode — the mode where watermarks finalize
+        windows).  Run 1 establishes watermark = max(ts) - 2min and
+        flushes every window ending at or before it.  Run 2 injects an
+        event BEHIND that watermark into an already-finalized window
+        plus on-time events: the late event must be dropped (the
+        finalized window is never re-emitted and never corrected), the
+        on-time windows must emit, and the final output must equal the
+        batch twin over the NON-LATE events restricted to windows the
+        final watermark finalized.  The state store must shrink to the
+        un-finalized tail — the 100-TB streaming concern (unbounded
+        window state).
+        """
+        import datetime
+
+        from tslearn_spark.streaming import stream_tumbling_paa
+
+        def t(m, s=10):
+            return datetime.datetime(2024, 1, 1, 10, m, s)
+
+        src = tmp_path / "wm_src"
+        sink = tmp_path / "wm_sink"
+        ckpt = tmp_path / "wm_ckpt"
+        src.mkdir()
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+            out = stream_tumbling_paa(
+                stream, window_duration="1 minute", watermark="2 minutes")
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            return q
+
+        batch1 = [(1, t(0), 1.0), (1, t(1), 2.0), (1, t(2), 3.0),
+                  (1, t(5, 50), 4.0)]
+        spark.createDataFrame(
+            batch1, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src / "b1"))
+        # single-dir file source: register both batches' files under src
+        import shutil
+        for f in (src / "b1").glob("*.parquet"):
+            shutil.move(str(f), str(src / f.name))
+        run_once()
+        emitted1 = spark.read.parquet(str(sink))
+        # watermark = 10:05:50 - 2min = 10:03:50 -> windows ending
+        # <= 10:03:50 finalized: 10:00, 10:01, 10:02 starts
+        got1 = {r["win_start"].minute: (r["n_events"], r["segment_mean"])
+                for r in emitted1.collect()}
+        assert got1 == {0: (1, 1.0), 1: (1, 2.0), 2: (1, 3.0)}
+
+        # run 2: a LATE event behind the watermark aimed at the already-
+        # finalized 10:00 window, plus on-time events advancing the
+        # watermark to 10:06:00 (finalizing the 10:04 and 10:05 windows)
+        batch2 = [(1, t(0, 30), 100.0),          # late -> must be dropped
+                  (1, t(4), 5.0),                # on-time, new window
+                  (1, t(8, 0), 6.0)]             # advances watermark
+        spark.createDataFrame(
+            batch2, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src / "b2"))
+        for f in (src / "b2").glob("*.parquet"):
+            shutil.move(str(f), str(src / f.name))
+        q2 = run_once()
+
+        final = spark.read.parquet(str(sink))
+        got = {r["win_start"].minute: (r["n_events"], r["segment_mean"])
+               for r in final.collect()}
+        # the late 100.0 never lands: the 10:00 window keeps its run-1
+        # values and is not duplicated; 10:05:50's window [10:05,10:06)
+        # finalizes exactly at watermark == window end
+        assert got == {0: (1, 1.0), 1: (1, 2.0), 2: (1, 3.0),
+                       4: (1, 5.0), 5: (1, 4.0)}
+        assert final.count() == 5  # no re-emission of finalized windows
+        # batch-twin agreement on the finalized region over NON-late data
+        batch_all = spark.createDataFrame(
+            batch1 + batch2[1:], "user_id long, ts timestamp, value double")
+        twin = {r["win_start"].minute: (r["n_events"], r["segment_mean"])
+                for r in stream_tumbling_paa(batch_all).collect()
+                if r["win_start"].minute < 6}
+        assert got == twin
+        # state store kept only the un-finalized tail (the 10:08 window)
+        prog = q2.lastProgress
+        if prog and prog.get("stateOperators"):
+            assert prog["stateOperators"][0]["numRowsTotal"] <= 2

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from tslearn_spark import metrics as M
 from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
+from tslearn_spark.topk import topk_rows_tiebreak
 
 # query sets up to ~this many float64s (~64 MB) ride the broadcast-matmul
 # fast path for euclidean; beyond it (or for elastic metrics) the generic
@@ -67,10 +68,12 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
             if drop_self:
                 d2 = np.where(cid[:, None] == ids_b[None, :], np.inf, d2)
             kk = min(k, d2.shape[0])
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+            # tie-aware partial top-k (tslearn_spark.topk): duplicate
+            # train series tie exactly; the cutoff ties must resolve by
+            # smallest id or the final (dist, id2) window loses rows
             out_q, out_n, out_d = [], [], []
             for qi in range(d2.shape[1]):
-                rows = part[:, qi]
+                rows = topk_rows_tiebreak(d2[:, qi], cid, kk)
                 out_q.extend([ids_b[qi]] * len(rows))
                 out_n.extend(cid[rows])
                 out_d.extend(np.sqrt(d2[rows, qi]))
@@ -265,9 +268,14 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                     dists = flat.reshape(n_q, n_t)
                     if drop_self:
                         dists[qi[:, None] == ids_t[None, :]] = np.inf
-                    part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-                    best_d = dists[rr, part]
-                    best_i = part
+                    # tie-aware per-row top-k (tslearn_spark.topk):
+                    # duplicate train series tie exactly and the cutoff
+                    # must resolve by smallest id, like the final window
+                    best_i = np.stack([
+                        topk_rows_tiebreak(dists[row], ids_t, kk)
+                        for row in range(n_q)
+                    ])
+                    best_d = dists[rr, best_i]
                 else:
                     # pass 1 (seeds): per query the s_seed closest-LENGTH
                     # train series — cheapest bands AND likely-near under
@@ -283,7 +291,11 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                     d_seed = d_seed.reshape(n_q, s_seed)
                     if drop_self:
                         d_seed[qi[:, None] == ids_t[seed_idx]] = np.inf
-                    sel_s = np.argpartition(d_seed, kk - 1, axis=1)[:, :kk]
+                    sel_s = np.stack([
+                        topk_rows_tiebreak(d_seed[row],
+                                           ids_t[seed_idx[row]], kk)
+                        for row in range(n_q)
+                    ])
                     best_d = d_seed[rr, sel_s]        # (n_q, kk) running top-k
                     best_i = seed_idx[rr, sel_s]      # train indices
                     # pass 2: every non-seed candidate, capped at the current
@@ -304,7 +316,11 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                             d_rest[qi[:, None] == ids_t[j_rest]] = np.inf
                         cat_d = np.concatenate([best_d, d_rest], axis=1)
                         cat_i = np.concatenate([best_i, j_rest], axis=1)
-                        sel2 = np.argpartition(cat_d, kk - 1, axis=1)[:, :kk]
+                        sel2 = np.stack([
+                            topk_rows_tiebreak(cat_d[row],
+                                               ids_t[cat_i[row]], kk)
+                            for row in range(n_q)
+                        ])
                         best_d = cat_d[rr, sel2]
                         best_i = cat_i[rr, sel2]
                 for row in range(n_q):
@@ -630,9 +646,14 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         return self
 
     def kneighbors(self, queries: DataFrame | None = None,
-                   n_neighbors: int | None = None) -> DataFrame:
+                   n_neighbors: int | None = None,
+                   return_distance: bool = True) -> DataFrame:
         """(id1, id2, dist, rank).  queries=None -> self-kNN excluding the
-        identical id, like the reference's X=None contract."""
+        identical id, like the reference's X=None contract.
+
+        return_distance=False (reference neighbors.py:227-266 signature)
+        drops the distances: array input returns only the index matrix,
+        DataFrame input the frame without the dist column."""
         from tslearn_spark.bases import as_ts_df
 
         assert hasattr(self, "_index"), "fit before kneighbors"
@@ -649,9 +670,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
             out = kneighbors(queries, self._index, k=k, metric=self.metric,
                              **self.metric_params)
         if not was_array:
-            return out
+            return out if return_distance else out.drop("dist")
         # reference numpy contract (neighbors.py:227-266): return
-        # (dists (n_q, k), indices (n_q, k)) ordered by rank
+        # (dists (n_q, k), indices (n_q, k)) ordered by rank — indices
+        # only when return_distance=False
         import numpy as np
 
         rows = out.orderBy("id1", "rank").collect()
@@ -662,7 +684,7 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         for r in rows:
             dists[pos[r["id1"]], r["rank"] - 1] = r["dist"]
             inds[pos[r["id1"]], r["rank"] - 1] = r["id2"]
-        return dists, inds
+        return (dists, inds) if return_distance else inds
 
 
 class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):

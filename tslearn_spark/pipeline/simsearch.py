@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tslearn_spark.topk import topk_rows_tiebreak
+
 
 def _dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0.0D, (s, v) -> s + v)"
@@ -109,11 +111,12 @@ def brute_force_topk(
                 self_mask = cid[:, None] == ids_b[None, :]
                 sims = np.where(self_mask, -np.inf, sims)
             kk = min(k, sims.shape[0])
-            # partial top-k per query within this batch
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_query)
+            # partial top-k per query within this batch; ties at the
+            # cutoff resolved by smallest id (tslearn_spark.topk) so the
+            # final (cosine DESC, id ASC) window never loses a tied row
             out_q, out_n, out_c = [], [], []
             for qi in range(sims.shape[1]):
-                rows = part[:, qi]
+                rows = topk_rows_tiebreak(sims[:, qi], cid, kk, largest=True)
                 out_q.extend([ids_b[qi]] * len(rows))
                 out_n.extend(cid[rows])
                 out_c.extend(sims[rows, qi])
@@ -158,17 +161,16 @@ def ivf_topk(
     |D| x n_probe / n_lists per query instead of |D|.
 
     Centroids default to the ``n_lists`` lowest-id candidate vectors — a
-    deterministic quantizer a SQL oracle can replay.  (Exactness caveat:
-    Spark normalizes vectors then takes BLAS dot products, while a SQL
-    oracle typically divides a raw aggregated dot by the norm product;
-    the two associations can differ in final ulps, so argmax assignment
-    and rank order agree only when no two cosines are within rounding
-    distance of each other.  The driver's hash gate passes on the test
-    fixtures; on adversarial near-tie data the oracle would need the
-    same normalize-then-sum association.)  Production would train
-    k-means centroids (MLlib KMeans over the embedding column) and pass
-    them via ``centroids``; every stage downstream of the centroid
-    matrix is identical.
+    deterministic quantizer a SQL oracle can replay with the same
+    normalize-then-sum association this path uses (each element divided
+    by its vector's norm FIRST, cosine = sum of normalized products);
+    an oracle that divides a raw aggregated dot by the norm product can
+    differ in final ulps and flip argmax/rank on near-tie data, so the
+    shipped oracles mirror the association (pinned by the exact-tie
+    fixture in tests/test_pipeline.py).  Production would train k-means
+    centroids (MLlib KMeans over the embedding column) and pass them via
+    ``centroids``; every stage downstream of the centroid matrix is
+    identical.
 
     Execution is ONE pass over the candidates (assignment and scoring
     fused — no pair join, no vector pairs on the wire): each partition
@@ -223,11 +225,12 @@ def ivf_topk(
                     mask = cid[rows][:, None] == q_ids_b[qsel][None, :]
                     sims = np.where(mask, -np.inf, sims)
                 kk = min(k, sims.shape[0])
-                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                cid_l = cid[rows]
                 for qi in range(sims.shape[1]):
-                    rr = part[:, qi]
+                    rr = topk_rows_tiebreak(sims[:, qi], cid_l, kk,
+                                            largest=True)
                     out_q.extend([q_ids_b[qsel[qi]]] * len(rr))
-                    out_n.extend(cid[rows[rr]])
+                    out_n.extend(cid_l[rr])
                     out_c.extend(sims[rr, qi])
             if out_q:
                 yield pd.DataFrame({
