@@ -177,8 +177,170 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
         }
         print(f"[bench] sf1 {name}: {dt}s ({out[name]['vs_sf01_cold']}x)",
               file=sys.stderr)
+    recall = _ann_recall_section(spark, sf1_dir)
+    fits = _fits_section(spark, sf1_dir)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
-            "budget_sec": budget, "queries": out}
+            "budget_sec": budget, "queries": out, "ann_recall": recall,
+            "fits": fits}
+
+
+# ANN speed/recall tradeoff at sf1 — recall@10 of the scale paths
+# (hyperplane LSH grid, trained-centroid IVF) against the brute-force
+# oracle, measured on a ~1k-query sample (recall is a per-query average,
+# so query sampling estimates it soundly while cutting the ground-truth
+# cost 20x; the CANDIDATE side is always the full corpus).  Context for
+# reading the numbers: the synthetic embeddings are near-uniform, where
+# top-10 neighbors are barely closer than the bulk — hyperplane LSH
+# recall is intrinsically low there, while IVF's trained coarse
+# quantizer still buys a real speed/recall curve.  Clustered real
+# corpora sit far above these floors (tests/test_pipeline.py measures
+# recall ~1.0 on clustered fixtures).
+def _ann_recall_section(spark, sf1_dir: str) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SCALE_RECALL", "1") == "0":
+        return None
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import load_tables
+    from tslearn_spark.pipeline import (
+        brute_force_topk, ivf_topk, lsh_topk, train_ivf_centroids,
+    )
+
+    budget = float(os.environ.get("SPARK_GRAFT_RECALL_BUDGET", "180"))
+    t_suite0 = time.perf_counter()
+    k = 10
+    emb = load_tables(spark, sf1_dir)["embeddings"]
+    qsample = emb.where(F.col("vec_id") % 20 == 0).localCheckpoint()
+    n_q = qsample.count()
+    t0 = time.perf_counter()
+    exact = brute_force_topk(qsample, emb, k=k).select(
+        "query_id", "neighbor_id").localCheckpoint()
+    total = exact.count()
+    exact_sec = round(time.perf_counter() - t0, 3)
+    out: dict = {"n_queries": n_q, "k": k, "exact_sec": exact_sec}
+
+    def run(name, thunk):
+        if time.perf_counter() - t_suite0 > budget:
+            out[name] = {"sec": None, "recall_at_10": None,
+                         "skipped_over_budget": True}
+            print(f"[bench] sf1 recall {name}: skipped (budget {budget}s)",
+                  file=sys.stderr)
+            return
+        t0 = time.perf_counter()
+        approx = thunk().select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 3),
+                     "recall_at_10": round(hits / total, 3)}
+        print(f"[bench] sf1 recall {name}: {out[name]}", file=sys.stderr)
+
+    for bits, n_tables in ((10, 8), (12, 8)):
+        run(f"lsh_b{bits}_t{n_tables}",
+            lambda b=bits, t=n_tables: lsh_topk(
+                qsample, emb, k=k, bits=b, n_tables=t))
+    t0 = time.perf_counter()
+    # max_iter=5: the coarse quantizer's recall curve saturates early and
+    # the bench pays the training cost every round
+    cen = train_ivf_centroids(emb, n_lists=64, max_iter=5)
+    out["ivf_train_sec"] = round(time.perf_counter() - t0, 3)
+    for n_probe in (8, 16):
+        run(f"ivf_l64_p{n_probe}",
+            lambda p=n_probe: ivf_topk(
+                qsample, emb, k=k, n_lists=64, n_probe=p, centroids=cen))
+    qsample.unpersist()
+    exact.unpersist()
+    return out
+
+
+# Iterative-estimator fits at sf1 — the surface the one-shot scale
+# queries never touch: convergence loops are where lineage growth,
+# empty-cluster retries, and per-iteration shuffle cost live.  Each fit
+# records total seconds, iteration count, per-iteration wall times, and
+# a tail ratio (last iter / median iter) — creep across iterations
+# (a growing plan/lineage) shows up as a rising tail, not in totals.
+# Quadratic-by-design fits (the kernel-kmeans Gram, the early
+# classifier's all-pairs prefix join) run on a fixed-size sample so
+# the section stays inside its budget; their per-iteration loops are
+# measured at full fidelity (the Gram is localCheckpoint'd once, so
+# iteration cost is edges-bound either way).
+def _fits_section(spark, sf1_dir: str) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SCALE_FITS", "1") == "0":
+        return None
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _events_series
+    from tslearn_spark.clustering import KernelKMeans, KShape, TimeSeriesKMeans
+    from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+    from tslearn_spark.preprocessing import resample, transform_mean_variance
+
+    budget = float(os.environ.get("SPARK_GRAFT_FITS_BUDGET", "360"))
+    t_suite0 = time.perf_counter()
+    base = _events_series(spark, sf1_dir)
+    ts16 = transform_mean_variance(resample(base, 16)).localCheckpoint()
+    ts32 = resample(base.where(F.size("values") >= 2), 32).localCheckpoint()
+    # quadratic-by-design fits get a FIXED-size sample (~300 series):
+    # their scale story is per-iteration flatness over the checkpointed
+    # edge set, not Gram growth — a proportional sample would square the
+    # Gram into the whole budget
+    n_series = ts16.count()
+    mod = max(1, round(n_series / 300))
+    capped = ts16.where(F.col("series_id") % mod == 0).localCheckpoint()
+
+    def _labels_count(est):
+        lab = getattr(est, "labels_", None)
+        if lab is None or not hasattr(lab, "select"):
+            return None
+        return lab.select("cluster").distinct().count()
+
+    out: dict = {}
+
+    def run(name, thunk, note):
+        if time.perf_counter() - t_suite0 > budget:
+            out[name] = {"sec": None, "skipped_over_budget": True, "note": note}
+            print(f"[bench] sf1 fit {name}: skipped (budget {budget}s)",
+                  file=sys.stderr)
+            return
+        t0 = time.perf_counter()
+        est = thunk()
+        n_found = _labels_count(est)
+        dt = round(time.perf_counter() - t0, 3)
+        iters = [round(x, 3) for x in getattr(est, "_iter_seconds_", [])]
+        med = statistics.median(iters) if iters else None
+        out[name] = {
+            "sec": dt,
+            "n_iter": int(getattr(est, "n_iter_", len(iters)) or len(iters)),
+            "iter_secs": iters,
+            # lineage creep shows as a RISING tail (last iter vs median);
+            # the first iteration legitimately carries UDF-worker warmup
+            "iter_tail_ratio": round(iters[-1] / med, 2) if med else None,
+            "clusters_found": n_found,
+            "note": note,
+        }
+        print(f"[bench] sf1 fit {name}: {dt}s iters={iters}", file=sys.stderr)
+
+    run("kmeans_dtw",
+        lambda: TimeSeriesKMeans(
+            n_clusters=3, metric="dtw", max_iter=3, max_iter_barycenter=3,
+            n_init=1, random_state=0).fit(ts16),
+        "full sf1 input; DTW assign + DBA update per iteration")
+    run("kshape",
+        lambda: KShape(n_clusters=3, max_iter=3, random_state=0).fit(ts32),
+        "full sf1 input; map-side sufficient stats per iteration")
+    run("kernel_kmeans",
+        lambda: KernelKMeans(
+            n_clusters=3, kernel="gak", max_iter=5, random_state=0,
+            kernel_params={"sigma": 2.0}).fit(capped),
+        "fixed ~300-series sample (Gram is quadratic by design); "
+        "iterations aggregate the checkpointed Gram edges")
+    def _early():
+        lab = capped.withColumn(
+            "label", (F.col("series_id") % 3).cast("string"))
+        return NonMyopicEarlyClassifier(
+            n_clusters=3, random_state=0).fit(lab)
+    run("early_classifier", _early,
+        "fixed ~300-series sample (all-pairs prefix join is quadratic "
+        "by design); one-shot pair-join plan, no iteration loop")
+    for df in (ts16, ts32, capped):
+        df.unpersist()
+    return {"budget_sec": budget, "fits": out}
 
 
 _HISTORY_FILE = ".bench_history.json"  # gitignored self-record

@@ -353,10 +353,18 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return float(row["i"])
 
     def _fit_one(self, df: DataFrame, seed: int):
+        import time as _time
+
         centers = self._init_centers(df, seed)
         prev_inertia = np.inf
         inertia = np.inf
+        # diagnostic: wall seconds per Lloyd iteration (last init wins) —
+        # bench.py's sf1 fits section asserts these stay flat, i.e. no
+        # lineage creep across iterations (centers are driver-side numpy,
+        # so each iteration's plan depth is constant by construction)
+        iter_secs: list[float] = []
         for it in range(self.max_iter):
+            t0 = _time.perf_counter()
             assigned = self._assignments(df, centers)
             assigned = assigned.cache()
             inertia = self._inertia_of(assigned, centers)
@@ -364,12 +372,14 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                 print("%.3f" % inertia, end=" --> ")
             centers = self._update_centroids(assigned, centers)
             assigned.unpersist()
+            iter_secs.append(_time.perf_counter() - t0)
             self.n_iter_ = it + 1
             if abs(prev_inertia - inertia) < self.tol:
                 break
             prev_inertia = inertia
         if self.verbose:
             print("")
+        self._iter_seconds_ = iter_secs
         return centers, inertia, self.n_iter_
 
     def predict(self, df: DataFrame) -> DataFrame:
@@ -679,7 +689,11 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
                        for c in self.init]
         prev_inertia = np.inf
         n_iter = 0
+        import time as _time
+
+        iter_secs: list[float] = []  # see TimeSeriesKMeans._fit_one
         for it in range(self.max_iter):
+            t0 = _time.perf_counter()
             assigned = self._assignments(df, centers).cache()
             inertia = float(
                 assigned.groupBy().agg(F.avg(F.col("dist") * F.col("dist")).alias("i")).first()["i"]
@@ -691,6 +705,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
                 break
             centers = self._extract_shapes(assigned, centers)
             assigned.unpersist()
+            iter_secs.append(_time.perf_counter() - t0)
             n_iter = it + 1
             if abs(prev_inertia - inertia) < self.tol:
                 prev_inertia = inertia
@@ -698,6 +713,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
             prev_inertia = inertia
         if self.verbose:
             print("")
+        self._iter_seconds_ = iter_secs
         return centers, prev_inertia, n_iter
 
     def fit(self, df: DataFrame, y=None) -> "KShape":
@@ -849,7 +865,11 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
                 )
 
         _check_no_empty(labels)
+        import time as _time
+
+        iter_secs: list[float] = []  # see TimeSeriesKMeans._fit_one
         for it in range(self.max_iter):
+            t0 = _time.perf_counter()
             labj = labels.select(F.col("series_id").alias("id2"), F.col("cluster"))
             scored = (
                 gram.join(F.broadcast(labj.join(labw, "id2")), "id2")
@@ -870,12 +890,14 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
             inertia = float(labels.groupBy().agg(F.sum("d2").alias("i")).first()["i"])
             if self.verbose:
                 print("%.3f" % inertia, end=" --> ")
+            iter_secs.append(_time.perf_counter() - t0)
             n_iter = it + 1
             if abs(prev_inertia - inertia) < self.tol:
                 break
             prev_inertia = inertia
         if self.verbose:
             print("")
+        self._iter_seconds_ = iter_secs
         return labels.select("series_id", "cluster"), inertia, n_iter
 
     def fit(self, df: DataFrame, y=None,
