@@ -538,7 +538,12 @@ class TestLabelCategorizer:
         )
         lc = LabelCategorizer(single_column_if_binary=True).fit(labels)
         got = {r["series_id"]: r["onehot"] for r in lc.transform(labels).collect()}
-        assert got == {0: [1.0], 1: [-1.0]}
+        # reference semantics (utils.py:598-600): column 0 of the one-hot
+        # matrix, i.e. 1/0 — caught by the doctest replay in round 8
+        assert got == {0: [1.0], 1: [0.0]}
+        back = lc.inverse_transform(lc.transform(labels).drop("label"))
+        assert {r["series_id"]: r["label"] for r in back.collect()} == \
+            {0: "n", 1: "p"}
 
 
 class TestModelIO:

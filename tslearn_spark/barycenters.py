@@ -170,15 +170,20 @@ def dtw_barycenter_averaging_one_init(
         if center.ndim == 1:
             center = center.reshape(-1, 1)
     else:
-        # init = mean of series resampled to barycenter_size (dba.py:14-22)
-        if barycenter_size is None:
-            barycenter_size = int(
-                df.select(F.max(F.size("values")).alias("m")).first()["m"]
-            )
-        from tslearn_spark.preprocessing import resample
-
-        res = resample(df.select("series_id", "values"), barycenter_size)
-        center = euclidean_barycenter(res)
+        # init (dba.py:14-22 _init_avg): positionwise nanmean at the
+        # ORIGINAL length, THEN linear interp to barycenter_size —
+        # mean-then-resample.  (Resample-then-mean differs whenever
+        # barycenter_size != sz: the interp of the mean is not the mean
+        # of the interps — caught by the dba.py doctest replay, r8.)
+        full = euclidean_barycenter(df.select("series_id", "values"))
+        if barycenter_size is None or barycenter_size == full.shape[0]:
+            center = full
+        else:
+            xs = np.linspace(0.0, 1.0, full.shape[0])
+            xnew = np.linspace(0.0, 1.0, barycenter_size)
+            center = np.stack(
+                [np.interp(xnew, xs, full[:, dd])
+                 for dd in range(full.shape[1])], axis=1)
     src, wcol = _attach_weights(df, weights, weight_col)
     sum_w = float(src.agg(F.sum(wcol).alias("s")).first()["s"])
     cost = float("inf")

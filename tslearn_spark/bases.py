@@ -200,6 +200,25 @@ class TimeSeriesBaseEstimator:
             setattr(self, k, v)
         return self
 
+    def __repr__(self) -> str:
+        """sklearn BaseEstimator-style repr — ``ClassName(param=value)``
+        listing only non-default constructor params, so ``est.fit(X)``
+        echoes like the reference in doctests/REPLs."""
+        sig = inspect.signature(type(self).__init__)
+        parts = []
+        for name in self._param_names():
+            if not hasattr(self, name):
+                continue
+            default = sig.parameters[name].default
+            val = getattr(self, name)
+            try:
+                if val is default or bool(val == default):
+                    continue
+            except Exception:
+                pass  # incomparable (arrays etc.) -> show it
+            parts.append(f"{name}={val!r}")
+        return f"{type(self).__name__}({', '.join(parts)})"
+
 
 class BaseModelPackage:
     """Instance persistence protocol (bases.py:31-287)."""

@@ -29,8 +29,18 @@ import pandas as pd
 
 
 def _as_dataset(X) -> np.ndarray:
-    """Coerce to a (n, sz, d) float array (NaN padding allowed)."""
-    arr = np.asarray(X, dtype=np.float64)
+    """Coerce to a (n, sz, d) float array (NaN padding allowed).
+
+    Ragged inputs (series of different lengths) NaN-pad to the longest,
+    exactly like the reference, whose converters run everything through
+    to_time_series_dataset first (cast.py:15-55 doctests pass
+    ``[[1, 2], [1, 4, 3]]``)."""
+    try:
+        arr = np.asarray(X, dtype=np.float64)
+    except ValueError:  # ragged -> pad
+        from tslearn_spark.utils import to_time_series_dataset
+
+        return to_time_series_dataset(X)
     if arr.ndim == 1:
         arr = arr.reshape(1, -1, 1)
     elif arr.ndim == 2:
@@ -83,12 +93,21 @@ def from_pyts_dataset(X) -> np.ndarray:
 
 
 def to_seglearn_dataset(X) -> np.ndarray:
-    """(n, sz, d) -> object array of per-series (sz_i, d) (cast.py:135-173)."""
+    """(n, sz, d) -> array of per-series (sz_i, d) (cast.py:135-173).
+
+    Equal-length input stacks to a dense (n, sz, d) array — the
+    reference returns ``numpy.array([Xi[:ts_size(Xi)] ...])``, which
+    stacks when homogeneous; ragged input degrades to an object array.
+    """
     X_ = _as_dataset(X)
-    out = np.empty(len(X_), dtype=object)
-    for i, Xi in enumerate(X_):
-        out[i] = _trim(Xi)
-    return out
+    series = [_trim(Xi) for Xi in X_]
+    try:
+        return np.array(series)
+    except ValueError:  # ragged lengths
+        out = np.empty(len(series), dtype=object)
+        for i, s in enumerate(series):
+            out[i] = s
+        return out
 
 
 def from_seglearn_dataset(X) -> np.ndarray:
@@ -173,8 +192,10 @@ def to_tsfresh_dataset(X) -> pd.DataFrame:
 
 def from_tsfresh_dataset(X) -> np.ndarray:
     if not isinstance(X, pd.DataFrame):
-        raise ValueError("tsfresh datasets are pandas DataFrames")
-    dims = sorted(c for c in X.columns if c.startswith("dim_"))
+        raise ValueError("X is not a valid input tsfresh array.")
+    # value columns = everything but (id, time), ORIGINAL column order
+    # kept (reference cast.py:564-603 — names are arbitrary, not dim_*)
+    dims = [c for c in X.columns if c not in ("id", "time")]
     series = []
     for _, grp in X.sort_values(["id", "time"]).groupby("id", sort=True):
         series.append(grp[dims].to_numpy(dtype=np.float64))

@@ -128,7 +128,45 @@ def _assign_udf(centers: list[np.ndarray], metric: str, metric_params: dict):
     return _udf
 
 
-class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
+class _LabelsCompatMixin:
+    """numpy-compat ``labels_``: the engine stores training assignments
+    as a lazy (series_id, cluster) DataFrame; the reference stores an
+    ndarray in input-row order (kmeans.py:696).  When fit() ingested an
+    array, labels_ materializes to the ndarray (array ingest assigns
+    series_id 0..n-1, so series_id order IS input order); DataFrame
+    pipelines keep the lazy plan.  Assignment through the setter (fit,
+    or external fixed-label protocols) stores the frame verbatim."""
+
+    @property
+    def labels_(self):
+        lab = getattr(self, "_labels_df", None)
+        if lab is None:
+            raise AttributeError(
+                f"{type(self).__name__} has no attribute 'labels_' "
+                "(fit the model first)")
+        if getattr(self, "_fit_was_array", False) and hasattr(lab, "select"):
+            if getattr(self, "_labels_np", None) is None:
+                rows = lab.orderBy("series_id").collect()
+                self._labels_np = np.array([r["cluster"] for r in rows])
+            return self._labels_np
+        return lab
+
+    @labels_.setter
+    def labels_(self, value):
+        self._labels_df = value
+        self._labels_np = None
+
+    def _is_fitted(self) -> bool:
+        # labels_ moved out of vars() into the property; without this a
+        # fitted KernelKMeans (whose only substantive state IS labels_)
+        # would read as unfitted to BaseModelPackage._is_fitted
+        if getattr(self, "_labels_df", None) is not None:
+            return True
+        return super()._is_fitted()
+
+
+class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
+                       TimeSeriesBaseEstimator):
     """Lloyd's loop with metric in {euclidean, dtw, softdtw} (kmeans.py:471-859).
 
     Assignment is a narrow pandas-UDF map (centroids broadcast in the
@@ -265,7 +303,7 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
     def fit(self, df: DataFrame, y=None) -> "TimeSeriesKMeans":
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df)
+        df, self._fit_was_array = as_ts_df(df)
         # spread across cores before caching: assignment UDF stages are
         # compute-bound, and AQE would otherwise coalesce small inputs
         # to one partition (see metrics._spread)
@@ -426,7 +464,7 @@ class TimeSeriesKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, _was_array, "distances")
 
 
-class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
+class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
     """KShape (kshape.py:21-291): assignment by 1-NCC; centroid = dominant
     eigenvector of the aligned correlation matrix (shape extraction).
 
@@ -723,7 +761,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark.bases import as_ts_df
         from tslearn_spark.preprocessing import transform_mean_variance
 
-        df, _ = as_ts_df(df)
+        df, self._fit_was_array = as_ts_df(df)
 
         df = transform_mean_variance(df.select("series_id", "values")).cache()
         best = (np.inf, None, 0)
@@ -780,7 +818,7 @@ class KShape(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "cluster")
 
 
-class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
+class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
     """Kernel k-means on a cached distributed Gram (kmeans.py:136-457).
 
     Assignment follows the reference's exact criterion
@@ -909,7 +947,7 @@ class KernelKMeans(BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark import metrics as M
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df)
+        df, self._fit_was_array = as_ts_df(df)
 
         if self.kernel == "gak" and self.sigma != 1.0:
             warnings.warn(
@@ -1024,7 +1062,20 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
     if metric is None:
         metric = "dtw"  # clustering/utils.py:172
     params = dict(metric_params or {}, **params)
-    df, _ = as_ts_df(X)
+    precomputed = metric == "precomputed"
+    if precomputed:
+        # reference protocol (clustering/utils.py:93-96): X IS the
+        # (n, n) distance matrix — already driver-sized by definition
+        import numpy as _np
+
+        Xm = _np.asarray(X, dtype=_np.float64)
+        if Xm.ndim != 2 or Xm.shape[0] != Xm.shape[1]:
+            raise ValueError(
+                "metric='precomputed' requires a square distance matrix")
+        spark = SparkSession.getActiveSession()
+        df = spark.range(Xm.shape[0]).withColumnRenamed("id", "series_id")
+    else:
+        df, _ = as_ts_df(X)
     if not isinstance(labels, DataFrame):
         # arbitrary label values (strings, floats, ...) are accepted like
         # the reference: map to dense integer codes for the groupBy key
@@ -1050,7 +1101,18 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
         df = df.join(F.broadcast(keep_df), "series_id")
         labels = labels.join(F.broadcast(keep_df), "series_id")
 
-    if metric == "softdtw":
+    if precomputed:
+        n_m = Xm.shape[0]
+        edges = df.sparkSession.createDataFrame(
+            [(int(i), int(j), float(Xm[i, j]))
+             for i in range(n_m) for j in range(n_m) if i != j],
+            "id1 long, id2 long, dist double",
+        )
+        # honor the sample (the keep filter already restricted df/labels)
+        ids = df.select(F.col("series_id").alias("id1"))
+        edges = edges.join(F.broadcast(ids), "id1").join(
+            F.broadcast(ids.withColumnRenamed("id1", "id2")), "id2")
+    elif metric == "softdtw":
         edges = M.cdist(df, metric="softdtw", symmetric_zero_diag=False, **params)
         selfs = edges.where(F.col("id1") == F.col("id2")).select(
             F.col("id1").alias("sid"), F.col("dist").alias("self_d")

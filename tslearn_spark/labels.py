@@ -77,10 +77,13 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def _transform_df(self, labels: DataFrame, label_col: str) -> DataFrame:
         if self.single_column_if_binary and len(self.classes_) == 2:
+            # reference transform keeps COLUMN 0 of the one-hot matrix
+            # (utils.py:598-600): 1.0 for the first class, 0.0 for the
+            # other — not a +/-1 encoding
             return labels.withColumn(
                 "onehot",
                 F.array(
-                    F.when(F.col(label_col) == self.classes_[0], 1.0).otherwise(-1.0)
+                    F.when(F.col(label_col) == self.classes_[0], 1.0).otherwise(0.0)
                 ),
             )
         arr = F.array(*[
@@ -110,9 +113,12 @@ class LabelCategorizer(BaseModelPackage, TimeSeriesBaseEstimator):
             return _smart_labels([r["label"] for r in rows])
         classes = self.classes_
         if self.single_column_if_binary and len(classes) == 2:
+            # reference inverse hstacks (y, 1-y) then argmaxes
+            # (utils.py:607-609): class 0 wins iff y >= 0.5 (numpy argmax
+            # takes the FIRST index on the y == 0.5 tie)
             return df.withColumn(
                 "label",
-                F.when(F.col(onehot_col)[0] > 0, classes[0]).otherwise(classes[1]),
+                F.when(F.col(onehot_col)[0] >= 0.5, classes[0]).otherwise(classes[1]),
             )
         cases = F.array(*[F.lit(c) for c in classes])
         return df.withColumn(

@@ -679,6 +679,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         rows = out.orderBy("id1", "rank").collect()
         qids = sorted({r["id1"] for r in rows})
         pos = {q: i for i, q in enumerate(qids)}
+        # clamp the matrix width to the neighbors that EXIST — the
+        # reference caps k at n_candidates (self-kNN on 3 series with
+        # n_neighbors=10 returns (3, 2), neighbors.py:46-56 doctest)
+        k = min(k, max((r["rank"] for r in rows), default=k))
         dists = np.full((len(qids), k), np.nan)
         inds = np.full((len(qids), k), -1, dtype=np.int64)
         for r in rows:

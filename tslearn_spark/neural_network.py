@@ -188,14 +188,16 @@ class TimeSeriesMLPClassifier(_MLPBase):
     driver.  Flattening is a JVM-side ``flatten`` + array_to_vector.
     """
 
-    def fit(self, df: DataFrame, y=None,
-            label_col: str = "label") -> "TimeSeriesMLPClassifier":
+    def fit(self, X=None, y=None, label_col: str = "label",
+            df: DataFrame | None = None) -> "TimeSeriesMLPClassifier":
         from pyspark.ml.classification import MultilayerPerceptronClassifier
         from pyspark.ml.functions import array_to_vector
 
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df, y=y, y_col=label_col)
+        # reference keyword is X (neural_network.py:37); df kept as an
+        # engine-native alias
+        df, _ = as_ts_df(df if df is not None else X, y=y, y_col=label_col)
         if y is not None:
             self._y_numeric = np.asarray(y).dtype.kind in "iufb"
 
@@ -222,6 +224,7 @@ class TimeSeriesMLPClassifier(_MLPBase):
         feats = feats.repartition(n_par).cache()
         n_feat = int(df.select(F.size(F.flatten("values")).alias("n")).first()["n"])
         layers = [n_feat, *self.hidden_layer_sizes, len(classes)]
+        self._layers_ = layers
         clf = MultilayerPerceptronClassifier(
             layers=layers,
             maxIter=self.max_iter,
@@ -232,6 +235,33 @@ class TimeSeriesMLPClassifier(_MLPBase):
         )
         self.model_ = clf.fit(feats)
         return self
+
+    def _unpack_mllib(self):
+        """MLlib's flat weight vector -> sklearn-layout (coefs_,
+        intercepts_): each affine block stores the (n_out, n_in) matrix
+        column-major — i.e. the (n_in, n_out) matrix row-major — then
+        its n_out bias values."""
+        if not hasattr(self, "model_"):
+            raise AttributeError("only available after fit")
+        w = np.asarray(self.model_.weights.toArray(), dtype=np.float64)
+        Ws, bs, off = [], [], 0
+        for a, b in zip(self._layers_[:-1], self._layers_[1:]):
+            Ws.append(w[off:off + a * b].reshape(a, b))
+            off += a * b
+            bs.append(w[off:off + b])
+            off += b
+        return Ws, bs
+
+    @property
+    def coefs_(self):
+        """sklearn MLPClassifier attribute: per-layer (n_in, n_out)
+        weight matrices (reference inherits them from sklearn)."""
+        return self._unpack_mllib()[0]
+
+    @property
+    def intercepts_(self):
+        """sklearn MLPClassifier attribute: per-layer bias vectors."""
+        return self._unpack_mllib()[1]
 
     def predict(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.functions import array_to_vector
@@ -303,11 +333,14 @@ class TimeSeriesMLPRegressor(_MLPBase):
     Nothing row-shaped ever reaches the driver; traffic per step is
     O(n_partitions * n_weights)."""
 
-    def fit(self, df: DataFrame, y=None,
-            target_col: str = "y") -> "TimeSeriesMLPRegressor":
+    def fit(self, X=None, y=None, target_col: str = "y",
+            df: DataFrame | None = None) -> "TimeSeriesMLPRegressor":
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
+        # reference keyword is X (neural_network.py:37); df kept as an
+        # engine-native alias
+        df, _ = as_ts_df(df if df is not None else X, y=y, y_col=target_col,
+                         y_numeric=True)
         flat = df.select(
             F.flatten("values").alias("x"),
             F.col(target_col).cast("double").alias("y"),
@@ -375,6 +408,22 @@ class TimeSeriesMLPRegressor(_MLPBase):
         flat.unpersist()
         self.mlp_ = mlp
         return self
+
+    @property
+    def coefs_(self):
+        """sklearn MLPRegressor attribute: per-layer (n_in, n_out)
+        weight matrices — the from-scratch _MLP already stores them in
+        that orientation."""
+        if not hasattr(self, "mlp_"):
+            raise AttributeError("coefs_ is only available after fit")
+        return list(self.mlp_.Ws)
+
+    @property
+    def intercepts_(self):
+        """sklearn MLPRegressor attribute: per-layer bias vectors."""
+        if not hasattr(self, "mlp_"):
+            raise AttributeError("intercepts_ is only available after fit")
+        return list(self.mlp_.bs)
 
     def predict(self, df: DataFrame) -> DataFrame:
         from tslearn_spark.bases import as_ts_df, collect_col

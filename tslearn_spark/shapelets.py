@@ -283,7 +283,12 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
                     mhat = m_ / (1 - beta1 ** step)
                     vhat = v_ / (1 - beta2 ** step)
                     target -= self.lr * mhat / (np.sqrt(vhat) + eps)
-        self.shapelets_ = bank
+        # reference shape contract (shapelets.py:364-378): shapelets_ is
+        # an OBJECT ndarray of (sz, d) series — .shape == (n_shapelets,)
+        shp = np.empty(len(bank), dtype=object)
+        for i, s in enumerate(bank):
+            shp[i] = s
+        self.shapelets_ = shp
         self.W_, self.b_ = W, b
         # reference history_/n_iter_ (shapelets.py:306,445-451): keras
         # fit history dict -> here the per-step mean batch loss
@@ -502,10 +507,14 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
 
 class SerializableShapeletModel(LearningShapelets):
     """Deprecated alias of LearningShapelets (reference
-    shapelets.py:892-907): kept for import parity; warns like the
-    original."""
+    shapelets.py:892-1015): keeps the ORIGINAL signature — its
+    ``learning_rate`` (default 0.01, shapelet_length 0.3) maps onto the
+    optimizer step — and warns like the original."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, n_shapelets_per_size=None, max_iter=10000,
+                 batch_size=256, verbose=0, learning_rate=0.01,
+                 weight_regularizer=0.0, shapelet_length=0.3,
+                 total_lengths=3, random_state=None):
         import warnings
 
         warnings.warn(
@@ -514,7 +523,14 @@ class SerializableShapeletModel(LearningShapelets):
             DeprecationWarning,
             stacklevel=2,
         )
-        super().__init__(*args, **kwargs)
+        super().__init__(
+            n_shapelets_per_size=n_shapelets_per_size, max_iter=max_iter,
+            batch_size=batch_size, verbose=verbose,
+            weight_regularizer=weight_regularizer,
+            shapelet_length=shapelet_length, total_lengths=total_lengths,
+            random_state=random_state, lr=learning_rate,
+        )
+        self.learning_rate = learning_rate
 
 
 # plain alias, exactly as the reference (shapelets.py:889)

@@ -437,6 +437,25 @@ class TimeSeriesSVC(_GakSVMBase):
         spark = queries.sparkSession
         bc = spark.sparkContext.broadcast((train_ids, model))
 
+        if n_cls == 2:
+            # sklearn collapses binary to ONE value per sample — shape
+            # (n,), positive -> classes_[1] (the svm.py:198 doctest
+            # checks the shape); our ovo pair machine scores positive
+            # for classes_[0], hence the sign flip
+            @F.pandas_udf("double")
+            def dec2(krows: pd.Series) -> pd.Series:
+                tids, m = bc.value
+                vals = []
+                for kr in krows:
+                    vec = np.array([kr[t] for t in tids])[None, :]
+                    vals.append(float(-m.decision_function_ovo(vec)[0][0]))
+                return pd.Series(vals)
+
+            out = self._krow_frame(queries).select(
+                F.col("id1").alias("series_id"), dec2("krow").alias("decision")
+            )
+            return collect_col(out, was_array, "decision")
+
         @F.pandas_udf("array<double>")
         def dec(krows: pd.Series) -> pd.Series:
             tids, m = bc.value
