@@ -330,6 +330,22 @@ class TestSimsearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5  # 8 tables x 4 bits on 50 vecs: should be high
 
+    def test_auto_bits_holds_bucket_occupancy(self, spark):
+        """bits="auto" is the fixed-parameter-quadratic escape hatch:
+        the hyperplane count grows with log2(n / target_occupancy), so
+        expected bucket occupancy — and per-row candidate work — stays
+        constant as the corpus grows."""
+        from tslearn_spark.pipeline import auto_lsh_bits, lsh_topk
+
+        assert auto_lsh_bits(50) == 4                 # floor
+        assert auto_lsh_bits(64 * 2**6) == 6
+        assert auto_lsh_bits(64 * 2**6 * 10) == 10    # 10x rows -> +log2(10)
+        assert auto_lsh_bits(10**12) == 24            # ceiling
+        # end-to-end: "auto" resolves and the query still runs
+        df, _ = self.make_vecs(spark, n=40)
+        out = lsh_topk(df, df, k=1, bits="auto", n_tables=8)
+        assert out.where(F.col("rank") == 1).count() > 0
+
     def test_ivf_exhaustive_probe_is_exact(self, spark):
         """n_probe == n_lists probes every inverted list, so IVF must
         reproduce the brute-force ranking exactly."""
@@ -1085,3 +1101,93 @@ class TestStreamingBatch:
         prog = q2.lastProgress
         if prog and prog.get("stateOperators"):
             assert prog["stateOperators"][0]["numRowsTotal"] <= 2
+
+    def test_session_window_watermark_merge_and_late_drop(self, spark,
+                                                          tmp_path):
+        """Session windows under a real watermark: a late event aimed at
+        an already-finalized session is dropped (never re-opens it), an
+        on-time event that bridges into a live session MERGES with it,
+        and only sessions whose (end + gap) fell behind the watermark
+        are emitted."""
+        import datetime
+
+        from tslearn_spark.streaming import stream_session_stats
+
+        def t(m, s=0):
+            return datetime.datetime(2024, 1, 1, 10, m, s)
+
+        src = tmp_path / "sw_src"
+        sink = tmp_path / "sw_sink"
+        ckpt = tmp_path / "sw_ckpt"
+        src.mkdir()
+        import shutil
+
+        def add(rows, name):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(str(src / name))
+            for f in (src / name).glob("*.parquet"):
+                shutil.move(str(f), str(src / f"{name}_{f.name}"))
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+            out = stream_session_stats(stream, gap="1 minute",
+                                       watermark="2 minutes")
+            q = (
+                out.writeStream.format("parquet").option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        # run 1: session A = two events within the gap; a far heartbeat
+        # advances the watermark to 10:08 and finalizes A
+        add([(1, t(0, 0), 1.0), (1, t(0, 30), 2.0), (1, t(10), 9.0)], "b1")
+        run_once()
+        got1 = {(r["session_start"].minute, r["n_events"],
+                 r["mean_value"])
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert got1 == {(0, 2, 1.5)}  # A emitted once; heartbeat still open
+
+        # run 2: late event inside finalized A (dropped), an on-time
+        # event whose gap-window bridges INTO the live heartbeat session
+        # (merges), and a final event advancing the watermark past both
+        add([(1, t(0, 45), 100.0),   # late -> dropped, A never re-emitted
+             (1, t(9, 30), 3.0),     # merges with the 10:10 heartbeat
+             (1, t(20), 0.0)], "b2")
+        run_once()
+        got = {(r["session_start"].minute, r["session_start"].second,
+                r["n_events"], r["mean_value"])
+               for r in spark.read.parquet(str(sink)).collect()}
+        # A keeps its run-1 values; merged session spans 10:09:30-10:11
+        assert got == {(0, 0, 2, 1.5), (9, 30, 2, 6.0)}
+
+
+class TestTopkTiebreak:
+    """Pure-numpy lock on the tie-aware partial top-k helpers."""
+
+    def test_matrix_matches_per_column_on_planted_ties(self):
+        from tslearn_spark.topk import topk_matrix_tiebreak, topk_rows_tiebreak
+
+        rs = np.random.RandomState(11)
+        scores = rs.randint(0, 6, size=(40, 17)).astype(float)  # many ties
+        ids = rs.permutation(40).astype(np.int64)
+        for largest in (False, True):
+            sel = topk_matrix_tiebreak(scores, ids, 5, largest=largest)
+            for qi in range(scores.shape[1]):
+                want = topk_rows_tiebreak(scores[:, qi], ids, 5,
+                                          largest=largest)
+                got_set = {(scores[r, qi], ids[r]) for r in sel[:, qi]}
+                want_set = {(scores[r, qi], ids[r]) for r in want}
+                assert got_set == want_set, (qi, largest)
+
+    def test_cutoff_tie_resolves_by_smallest_id(self):
+        from tslearn_spark.topk import topk_rows_tiebreak
+
+        scores = np.array([1.0, 2.0, 2.0, 2.0, 3.0])
+        ids = np.array([50, 40, 10, 30, 5])
+        rows = topk_rows_tiebreak(scores, ids, 2)
+        # 1.0 always in; the 2.0 three-way tie must pick id 10
+        assert set(ids[rows]) == {50, 10}

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tslearn_spark import metrics as M
 from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
-from tslearn_spark.topk import topk_rows_tiebreak
+from tslearn_spark.topk import topk_matrix_tiebreak, topk_rows_tiebreak
 
 # query sets up to ~this many float64s (~64 MB) ride the broadcast-matmul
 # fast path for euclidean; beyond it (or for elastic metrics) the generic
@@ -71,16 +71,12 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
             # tie-aware partial top-k (tslearn_spark.topk): duplicate
             # train series tie exactly; the cutoff ties must resolve by
             # smallest id or the final (dist, id2) window loses rows
-            out_q, out_n, out_d = [], [], []
-            for qi in range(d2.shape[1]):
-                rows = topk_rows_tiebreak(d2[:, qi], cid, kk)
-                out_q.extend([ids_b[qi]] * len(rows))
-                out_n.extend(cid[rows])
-                out_d.extend(np.sqrt(d2[rows, qi]))
+            sel = topk_matrix_tiebreak(d2, cid, kk)
+            cols = np.arange(d2.shape[1])[None, :]
             yield pd.DataFrame({
-                "id1": np.asarray(out_q, dtype=np.int64),
-                "id2": np.asarray(out_n, dtype=np.int64),
-                "dist": np.asarray(out_d, dtype=np.float64),
+                "id1": np.repeat(ids_b, kk),
+                "id2": cid[sel].T.ravel(),
+                "dist": np.sqrt(d2[sel, cols]).T.ravel(),
             })
 
     partial = train.mapInPandas(gen, "id1 long, id2 long, dist double").where(
@@ -268,13 +264,10 @@ def _dtw_topk_broadcast(queries: DataFrame, train: DataFrame, k: int,
                     dists = flat.reshape(n_q, n_t)
                     if drop_self:
                         dists[qi[:, None] == ids_t[None, :]] = np.inf
-                    # tie-aware per-row top-k (tslearn_spark.topk):
-                    # duplicate train series tie exactly and the cutoff
-                    # must resolve by smallest id, like the final window
-                    best_i = np.stack([
-                        topk_rows_tiebreak(dists[row], ids_t, kk)
-                        for row in range(n_q)
-                    ])
+                    # tie-aware top-k (tslearn_spark.topk): duplicate
+                    # train series tie exactly and the cutoff must
+                    # resolve by smallest id, like the final window
+                    best_i = topk_matrix_tiebreak(dists.T, ids_t, kk).T
                     best_d = dists[rr, best_i]
                 else:
                     # pass 1 (seeds): per query the s_seed closest-LENGTH

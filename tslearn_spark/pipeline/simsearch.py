@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tslearn_spark.topk import topk_rows_tiebreak
+from tslearn_spark.topk import topk_matrix_tiebreak
 
 
 def _dot(a: str, b: str) -> str:
@@ -114,16 +114,12 @@ def brute_force_topk(
             # partial top-k per query within this batch; ties at the
             # cutoff resolved by smallest id (tslearn_spark.topk) so the
             # final (cosine DESC, id ASC) window never loses a tied row
-            out_q, out_n, out_c = [], [], []
-            for qi in range(sims.shape[1]):
-                rows = topk_rows_tiebreak(sims[:, qi], cid, kk, largest=True)
-                out_q.extend([ids_b[qi]] * len(rows))
-                out_n.extend(cid[rows])
-                out_c.extend(sims[rows, qi])
+            sel = topk_matrix_tiebreak(sims, cid, kk, largest=True)
+            cols = np.arange(sims.shape[1])[None, :]
             yield pd.DataFrame({
-                "query_id": np.asarray(out_q, dtype=np.int64),
-                "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                "cosine": np.asarray(out_c, dtype=np.float64),
+                "query_id": np.repeat(ids_b, kk),
+                "neighbor_id": cid[sel].T.ravel(),
+                "cosine": sims[sel, cols].T.ravel(),
             })
 
     partial = candidates.mapInPandas(
@@ -226,12 +222,11 @@ def ivf_topk(
                     sims = np.where(mask, -np.inf, sims)
                 kk = min(k, sims.shape[0])
                 cid_l = cid[rows]
-                for qi in range(sims.shape[1]):
-                    rr = topk_rows_tiebreak(sims[:, qi], cid_l, kk,
-                                            largest=True)
-                    out_q.extend([q_ids_b[qsel[qi]]] * len(rr))
-                    out_n.extend(cid_l[rr])
-                    out_c.extend(sims[rr, qi])
+                sel = topk_matrix_tiebreak(sims, cid_l, kk, largest=True)
+                cols = np.arange(sims.shape[1])[None, :]
+                out_q.extend(np.repeat(q_ids_b[qsel], kk))
+                out_n.extend(cid_l[sel].T.ravel())
+                out_c.extend(sims[sel, cols].T.ravel())
             if out_q:
                 yield pd.DataFrame({
                     "query_id": np.asarray(out_q, dtype=np.int64),
@@ -307,11 +302,30 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return F.expr(" + ".join(terms))
 
 
+def auto_lsh_bits(n_candidates: int, target_occupancy: int = 64,
+                  min_bits: int = 4, max_bits: int = 24) -> int:
+    """Hyperplane count that holds expected bucket occupancy at
+    ``target_occupancy`` rows: bits = ceil(log2(n / occupancy)).
+
+    THE scale knob for lsh_topk: at fixed bits a growing corpus packs
+    linearly more rows per bucket on BOTH sides of the self-join, so
+    scored pairs grow quadratically (bench.py measured 164s at 10x rows
+    with bits=6).  Growing bits with log2(n) keeps per-bucket pair work
+    ~occupancy^2 and total candidate volume ~linear in n.
+    """
+    import math
+
+    if n_candidates <= target_occupancy:
+        return min_bits
+    return int(min(max(math.ceil(math.log2(n_candidates / target_occupancy)),
+                       min_bits), max_bits))
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int | str = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -323,6 +337,11 @@ def lsh_topk(
     """Approximate cosine top-k: per-table bucket equi-join, union, exact
     re-rank of the candidate union.  Recall grows with n_tables; cost per
     table ~ |D| / 2^bits per bucket.
+
+    ``bits="auto"`` sizes the hyperplane count from the candidate row
+    count (one count job) via auto_lsh_bits, so bucket occupancy — and
+    with it the scored-pair volume per row — stays constant as the
+    corpus grows instead of the quadratic blowup a fixed bits causes.
 
     ``broadcast_queries=False`` switches the per-table bucket join to a
     plain shuffle equi-join on the bucket id — use it when the query
@@ -354,6 +373,8 @@ def lsh_topk(
     ``dim``: embedding width; pass it to avoid the one-row probe job
     that otherwise reads it from the first candidate row.
     """
+    if bits == "auto":
+        bits = auto_lsh_bits(candidates.count())
     if dim is None:
         first = candidates.select(vec_col).first()
         dim = len(first[vec_col])

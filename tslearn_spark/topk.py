@@ -21,6 +21,31 @@ from __future__ import annotations
 import numpy as np
 
 
+def topk_matrix_tiebreak(scores: np.ndarray, ids: np.ndarray, kk: int,
+                         largest: bool = False) -> np.ndarray:
+    """Column-wise ``topk_rows_tiebreak`` over a (n, m) score matrix —
+    returns (kk, m) row indices.
+
+    Ties are rare on continuous scores, so the hot path stays ONE
+    vectorized argpartition; only columns whose cutoff value is tied
+    across the selection boundary (cutoff count inside the selection <
+    cutoff count overall) pay the per-column id-ordered fix.
+    """
+    n, m = scores.shape
+    if n <= kk:
+        return np.tile(np.arange(n)[:, None], (1, m))
+    c = -scores if largest else scores
+    sel = np.argpartition(c, kk - 1, axis=0)[:kk]           # (kk, m)
+    cols = np.arange(m)[None, :]
+    cutoff = c[sel, cols].max(axis=0)                       # (m,)
+    with np.errstate(invalid="ignore"):
+        eq_all = (c == cutoff[None, :]).sum(axis=0)
+        eq_sel = (c[sel, cols] == cutoff[None, :]).sum(axis=0)
+    for qi in np.nonzero(eq_all > eq_sel)[0]:
+        sel[:, qi] = topk_rows_tiebreak(scores[:, qi], ids, kk, largest)
+    return sel
+
+
 def topk_rows_tiebreak(scores: np.ndarray, ids: np.ndarray, kk: int,
                        largest: bool = False) -> np.ndarray:
     """Indices of the ``kk`` best entries of ``scores`` (smallest when
