@@ -205,6 +205,7 @@ _SHIM = {
     "tslearn.metrics.softdtw_variants": "tslearn_spark.metrics",
     "tslearn.utils": "tslearn_spark.utils",
     "tslearn.clustering": "tslearn_spark.clustering",
+    "tslearn.clustering.utils": "tslearn_spark.clustering",
     "tslearn.piecewise": "tslearn_spark.piecewise",
     "tslearn.barycenters": "tslearn_spark.barycenters",
     "tslearn.neighbors": "tslearn_spark.neighbors",
@@ -234,11 +235,25 @@ def tslearn_shim(spark):
     gen = types.ModuleType("tslearn.generators")
     gen.random_walks = _ref_random_walks
     gen.random_walk_blobs = _ref_random_walk_blobs
+    added_attrs = []  # (owner_module, attr) set on REAL modules -> undo
     for ref, ours in _SHIM.items():
         mod = gen if ours is None else importlib.import_module(ours)
         sys.modules[ref] = mod
-        setattr(root, ref.split(".", 1)[1].split(".")[0], mod)
+        parts = ref.split(".")
+        if len(parts) == 2:
+            setattr(root, parts[1], mod)
+        else:
+            # nested submodule (tslearn.metrics.dtw_variants, ...): the
+            # parent mapping is a REAL tslearn_spark module, so attach
+            # the leaf as an attribute for `parent.leaf` access and
+            # remember to detach it afterwards
+            parent = sys.modules[".".join(parts[:-1])]
+            if not hasattr(parent, parts[-1]):
+                setattr(parent, parts[-1], mod)
+                added_attrs.append((parent, parts[-1]))
     yield
+    for owner, attr in added_attrs:
+        delattr(owner, attr)
     for k, v in saved.items():
         if v is None:
             sys.modules.pop(k, None)

@@ -1,0 +1,163 @@
+"""Replay of the reference's own unit-test files (SURVEY.md §5: the
+reference test strategy is the model) against the Spark twins.
+
+Each sklearn-free reference test file is exec'd AT TEST TIME from the
+read-only reference checkout — nothing is copied into this repo — under
+the same ``tslearn.* -> tslearn_spark`` import shim the doctest replay
+uses, plus a minimal ``scipy.spatial.distance.cdist`` stand-in (the
+files only use the euclidean/sqeuclidean forms).  Every ``test_*``
+function in a file becomes one parametrized case; non-passes must be
+explained in XFAIL.
+
+Files needing sklearn at import (test_estimators, test_shapelets,
+test_svm, test_serialize_models, test_variablelength, test_piecewise)
+are out of scope here — their operators are covered by the doctest
+replay and this repo's own suites.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.test_reference_doctests import (  # noqa: F401  (fixture reuse)
+    _SHIM,
+    _ref_random_walk_blobs,
+    _ref_random_walks,
+    tslearn_shim,
+)
+
+REF_TESTS = "/root/reference/tslearn/tests"
+
+FILES = [
+    "test_metrics.py",
+    "test_barycenters.py",
+    "test_clustering.py",
+    "test_neighbors.py",
+    "test_preprocessing.py",
+    "test_matrixprofile.py",
+    "test_utils.py",
+]
+
+# explained non-passes: "<file>::<test_name>" or whole "<file>";
+# "skip:" prefix skips instead of xfail
+XFAIL: dict[str, str] = {
+    "test_metrics.py::test_ctw": "engine ctw_path returns (path, A, B, "
+    "score) — the reference's middle value is a fitted sklearn CCA "
+    "object (from-scratch CCA here; same deviation as the ctw_path "
+    "doctest xfail)",
+    "test_clustering.py::test_kmeans": "rng-draw alignment: the test "
+    "threads ONE RandomState through several fits before drawing the "
+    "fixed-init DBA data; engines consume different draw counts inside "
+    "fit, so that later draw differs — with our draws the fixed "
+    "explicit init leaves a cluster empty on the first assignment, and "
+    "(reference semantics) every retry of a FIXED init fails "
+    "identically, so fit legitimately returns _X_fit=None.  All "
+    "assertions before that data draw pass (euclidean/dtw/softdtw "
+    "labels vs cdist argmin, predict equality, the n_clusters=101 "
+    "silent-failure contract, variable-length fits, the k-means++ "
+    "paths and the euclidean init ValueError)",
+    "test_metrics.py::test_softdtw": "one-ulp: asserts EXACT equality "
+    "between dtw_path's sqrt-then-squared score and the gamma=0 "
+    "soft-DTW accumulation; the row-scan DTW and anti-diagonal soft "
+    "pass accumulate in different orders (values agree to 1 ulp, "
+    "assert_allclose-level agreement is pinned by our own kernels "
+    "tests)",
+}
+
+
+def _collect():
+    cases = []
+    for fn in FILES:
+        path = os.path.join(REF_TESTS, fn)
+        if not os.path.exists(path):
+            continue
+        tree = ast.parse(open(path).read())
+        names = [n.name for n in tree.body
+                 if isinstance(n, ast.FunctionDef) and n.name.startswith("test_")]
+        for name in names:
+            cases.append((fn, name))
+    return cases
+
+
+CASES = _collect()
+
+
+def _euclidean_cdist(XA, XB, metric="euclidean"):
+    XA = np.asarray(XA, dtype=np.float64)
+    XB = np.asarray(XB, dtype=np.float64)
+    d2 = (
+        np.sum(XA * XA, axis=1)[:, None]
+        + np.sum(XB * XB, axis=1)[None, :]
+        - 2.0 * (XA @ XB.T)
+    )
+    np.maximum(d2, 0.0, out=d2)
+    if metric == "sqeuclidean":
+        return d2
+    if metric == "euclidean":
+        return np.sqrt(d2)
+    raise NotImplementedError(metric)
+
+
+@pytest.fixture(scope="module")
+def scipy_shim():
+    """Minimal scipy.spatial.distance.cdist — the replayed files use
+    only the euclidean and sqeuclidean metrics."""
+    saved = {k: sys.modules.get(k)
+             for k in ("scipy", "scipy.spatial", "scipy.spatial.distance")}
+    scipy = types.ModuleType("scipy")
+    spatial = types.ModuleType("scipy.spatial")
+    distance = types.ModuleType("scipy.spatial.distance")
+    distance.cdist = _euclidean_cdist
+    spatial.distance = distance
+    scipy.spatial = spatial
+    sys.modules["scipy"] = scipy
+    sys.modules["scipy.spatial"] = spatial
+    sys.modules["scipy.spatial.distance"] = distance
+    yield
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+_MODULE_CACHE: dict[str, dict] = {}
+
+
+def _load(fn):
+    if fn not in _MODULE_CACHE:
+        path = os.path.join(REF_TESTS, fn)
+        ns = {"__name__": f"ref_{fn[:-3]}", "__file__": path}
+        code = compile(open(path).read(), path, "exec")
+        exec(code, ns)
+        # generator names resolve to the reference-RNG numpy twins
+        ns["random_walks"] = _ref_random_walks
+        ns["random_walk_blobs"] = _ref_random_walk_blobs
+        _MODULE_CACHE[fn] = ns
+    return _MODULE_CACHE[fn]
+
+
+@pytest.mark.parametrize("fn,name", CASES,
+                         ids=[f"{fn}::{name}" for fn, name in CASES])
+def test_reference_unittest(fn, name, spark, tslearn_shim, scipy_shim,
+                            tmp_path, monkeypatch):
+    reason = XFAIL.get(f"{fn}::{name}") or XFAIL.get(fn)
+    if reason and reason.startswith("skip:"):
+        pytest.skip(reason[5:].strip())
+    monkeypatch.chdir(tmp_path)  # tests that write tempfiles stay sandboxed
+    try:
+        ns = _load(fn)
+        ns[name]()
+    except Exception as exc:  # noqa: BLE001 — triaged via the registry
+        if reason:
+            pytest.xfail(f"{reason}: {exc!r}"[:500])
+        raise
+    if reason:
+        pytest.fail(f"XPASS: {fn}::{name} passes but is marked xfail "
+                    f"({reason}) — remove the entry")

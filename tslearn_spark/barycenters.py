@@ -80,6 +80,14 @@ def _attach_weights(df: DataFrame, weights=None, weight_col: str | None = None):
     return df.join(F.broadcast(wdf), "series_id"), "_w1"
 
 
+def _set_weights(w, n: int) -> np.ndarray:
+    """Reference weight normalization (barycenters/utils.py:8-22): None
+    or a mis-sized vector falls back to uniform ones(n)."""
+    if w is None or len(w) != n:
+        return np.ones((n,))
+    return np.asarray(w, dtype=np.float64)
+
+
 def euclidean_barycenter(X, weights=None) -> np.ndarray:
     """Positionwise (weighted) mean barycenter (euclidean.py:8-43);
     parameter names and weight semantics match the reference."""
@@ -237,7 +245,10 @@ def dtw_barycenter_averaging(
             weights=weights, metric_params=metric_params, verbose=verbose,
             weight_col=weight_col,
         )
-        if loss < best_cost:
+        # "or best is None": max_iter=0 legitimately reports an inf cost
+        # (no EM step ran) yet must still return the init barycenter —
+        # the reference's 0-iteration DBA IS the euclidean barycenter
+        if loss < best_cost or best is None:
             best_cost, best = loss, bary
     return best
 

@@ -123,7 +123,13 @@ def collect_col(out_df, was_array: bool, col: str, id_col: str = "series_id",
         return out_df
     import numpy as np
 
-    rows = out_df.select(id_col, col).orderBy(id_col).collect()
+    # driver-side sort, NOT .orderBy: the result is array-input-sized by
+    # definition, and a distributed orderBy range-partitions — whose
+    # sampling sketch can try to interpret an upstream pandas UDF outside
+    # an execution plan (Spark INTERNAL_ERROR "Cannot evaluate
+    # expression", seen on the KShape z-norm + assignment plan)
+    rows = sorted(out_df.select(id_col, col).collect(),
+                  key=lambda r: r[id_col])
     vals = [r[col] for r in rows]
     if labels:
         return _smart_labels(vals)

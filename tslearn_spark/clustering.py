@@ -31,6 +31,90 @@ class EmptyClusterError(Exception):
     """clustering/utils.py:13-26."""
 
 
+def _check_no_empty_cluster(labels, n_clusters: int) -> None:
+    """Raise EmptyClusterError when any cluster index in [0, n_clusters)
+    has no member (reference clustering/utils.py:27-33).  Accepts a
+    numpy label vector; the distributed fits run their own DataFrame
+    equivalent inside the Lloyd loops."""
+    labels = np.asarray(labels)
+    for k in range(n_clusters):
+        if np.sum(labels == k) == 0:
+            raise EmptyClusterError
+
+
+def _check_full_length(centroids):
+    """Resample NaN-padded centroids to full length (reference
+    clustering/utils.py:36-44): each centroid is linearly resampled
+    over its finite prefix to the padded dataset's length."""
+    from tslearn_spark.preprocessing import TimeSeriesResampler
+
+    centroids = np.asarray(centroids, dtype=np.float64)
+    return TimeSeriesResampler(sz=centroids.shape[1]).fit_transform(centroids)
+
+
+_DOT_EXPR = "aggregate(zip_with(x1, x2, (p, q) -> p * q), 0.0D, (s, v) -> s + v)"
+_D2_EXPR = ("aggregate(zip_with(x1, x2, (p, q) -> (p - q) * (p - q)), "
+            "0.0D, (s, v) -> s + v)")
+
+
+def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
+                           params: dict) -> DataFrame:
+    """(id1, id2, dist) Gram edges for the sklearn pairwise kernels the
+    reference's KernelKMeans accepts besides "gak" (kmeans.py:274-289
+    routes them to sklearn.metrics.pairwise.pairwise_kernels over the
+    FLATTENED series).  Pure SQL over the pair join — the per-pair work
+    is one codegen fold, so the same Gram-edge dataflow the gak path
+    uses runs unchanged downstream.  Defaults match sklearn: gamma =
+    1 / n_features for rbf/sigmoid/poly, degree 3, coef0 1.
+    """
+    a = d1.select(F.col("series_id").alias("id1"),
+                  F.flatten("values").alias("x1"))
+    b = d2.select(F.col("series_id").alias("id2"),
+                  F.flatten("values").alias("x2"))
+    pairs = a.crossJoin(b)
+    if kernel in ("rbf", "sigmoid", "polynomial", "poly"):
+        gamma = params.get("gamma")
+        if gamma is None:
+            first = d1.select(
+                F.size(F.flatten("values")).alias("n")).first()
+            gamma = 1.0 / float(first["n"])
+    if kernel == "rbf":
+        val = F.expr(f"exp({-1.0}D * {float(gamma)!r}D * {_D2_EXPR})")
+    elif kernel == "linear":
+        val = F.expr(_DOT_EXPR)
+    elif kernel == "cosine":
+        val = F.expr(
+            f"{_DOT_EXPR} / (sqrt(aggregate(transform(x1, v -> v * v), 0.0D,"
+            f" (s, v) -> s + v)) * sqrt(aggregate(transform(x2, v -> v * v),"
+            f" 0.0D, (s, v) -> s + v)))")
+    elif kernel == "sigmoid":
+        coef0 = float(params.get("coef0", 1.0))
+        val = F.expr(f"tanh({float(gamma)!r}D * {_DOT_EXPR} + {coef0!r}D)")
+    elif kernel in ("polynomial", "poly"):
+        coef0 = float(params.get("coef0", 1.0))
+        degree = float(params.get("degree", 3))
+        val = F.expr(f"pow({float(gamma)!r}D * {_DOT_EXPR} + {coef0!r}D, "
+                     f"{degree!r}D)")
+    else:
+        raise ValueError(
+            f"Unsupported kernel {kernel!r}: use 'gak' or one of "
+            "rbf/linear/cosine/sigmoid/polynomial")
+    return pairs.select("id1", "id2", val.alias("dist"))
+
+
+def _seed_of(random_state) -> int:
+    """Normalize the reference's random_state protocol (int |
+    numpy.RandomState | None — sklearn check_random_state) to the int
+    seed the distributed fits thread through their init attempts.  A
+    RandomState object contributes one deterministic draw of its
+    current state, like the reference consuming it statefully."""
+    if random_state is None:
+        return 0
+    if isinstance(random_state, np.random.RandomState):
+        return int(random_state.randint(0, 2**31 - 1))
+    return int(random_state)
+
+
 # driver-side sample cap for seeding (k-means++ candidate pool): at 100 TB
 # the full dataset never reaches the driver — a hash-ordered sample does
 _SEED_SAMPLE_CAP = 4096
@@ -146,7 +230,11 @@ class _LabelsCompatMixin:
                 "(fit the model first)")
         if getattr(self, "_fit_was_array", False) and hasattr(lab, "select"):
             if getattr(self, "_labels_np", None) is None:
-                rows = lab.orderBy("series_id").collect()
+                # sort driver-side: a distributed orderBy would range-
+                # partition, whose sampling sketch tries to interpret the
+                # assignment pandas-UDF outside an execution plan
+                # (Spark INTERNAL_ERROR "Cannot evaluate expression")
+                rows = sorted(lab.collect(), key=lambda r: r["series_id"])
                 self._labels_np = np.array([r["cluster"] for r in rows])
             return self._labels_np
         return lab
@@ -310,27 +398,54 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
         n_par = df.sparkSession.sparkContext.defaultParallelism
         df = df.select("series_id", "values").repartition(n_par).cache()
         n = df.count()
-        if n < self.n_clusters:
-            raise ValueError("n_clusters > n_series")
-        # reference retry semantics (kmeans.py:775-788): an init attempt
+        if self.metric == "euclidean":
+            # the euclidean metric is defined on equal-size series only;
+            # the reference raises ValueError when the dataset (or an
+            # explicit init, NaN-trimmed) breaks that — driver-side here
+            # so callers see ValueError, not a wrapped worker error
+            # (reference test_clustering.py:126-138)
+            shape = df.select(
+                F.countDistinct(F.size("values")).alias("k"),
+                F.first(F.size("values")).alias("sz"),
+            ).first()
+            if shape["k"] != 1:
+                raise ValueError(
+                    "euclidean k-means requires equal-size time series")
+            if hasattr(self.init, "__array__") or isinstance(
+                    self.init, (list, tuple)):
+                from tslearn_spark.utils import to_time_series_dataset
+
+                # the effective init length is the PADDED one (explicit
+                # inits pass _check_full_length, which resamples to it)
+                if to_time_series_dataset(self.init).shape[1] != shape["sz"]:
+                    raise ValueError(
+                        "explicit euclidean init centroids must match "
+                        "the series length")
+        # reference retry semantics (kmeans.py:775-789): an init attempt
         # that hits an empty cluster is retried with a fresh seed, up to
-        # max(n_init, 10) total attempts for n_init successful fits
+        # max(n_init, 10) total attempts for n_init successful fits;
+        # when NO attempt succeeds fit returns SILENTLY with
+        # _X_fit = None (_post_fit, clustering/utils.py:209-216) — e.g.
+        # n_clusters > n_series, which cannot seed non-empty clusters
         best = (np.inf, None, 0)
         successful = 0
         max_attempts = max(self.n_init, 10)
-        for attempt in range(max_attempts):
-            if successful >= self.n_init:
-                break
-            seed = (self.random_state or 0) + attempt
-            try:
-                centers, inertia, n_iter = self._fit_one(df, seed)
-            except EmptyClusterError:
-                continue
-            successful += 1
-            if inertia < best[0]:
-                best = (inertia, centers, n_iter)
+        if n >= self.n_clusters:  # else every attempt is doomed: skip
+            for attempt in range(max_attempts):
+                if successful >= self.n_init:
+                    break
+                seed = _seed_of(self.random_state) + attempt
+                try:
+                    centers, inertia, n_iter = self._fit_one(df, seed)
+                except EmptyClusterError:
+                    continue
+                successful += 1
+                if inertia < best[0]:
+                    best = (inertia, centers, n_iter)
         if best[1] is None:
-            raise EmptyClusterError("all inits hit empty clusters")
+            self._X_fit = None
+            return self
+        self._X_fit = df
         self.inertia_, centers, self.n_iter_ = best
         self.cluster_centers_ = _stack_centers(centers)
         # reference labels_ (kmeans.py:696): final assignments over the
@@ -342,10 +457,17 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
         return self
 
     def _init_centers(self, df: DataFrame, seed: int) -> list[np.ndarray]:
-        # explicit initial centroids (kmeans.py:625-626, checked against
+        # explicit initial centroids (kmeans.py:625-632, checked against
         # n_clusters at kmeans.py:70/_check_initial_guess)
         if hasattr(self.init, "__array__") or isinstance(self.init, (list, tuple)):
-            centers = [K.to_2d(c) for c in self.init]
+            from tslearn_spark.utils import to_time_series_dataset
+
+            # reference runs _check_full_length over the provided init:
+            # NaN-padded centroids are linearly RESAMPLED to the padded
+            # length, not trimmed — a [1,2,3,nan,nan] init becomes a
+            # 5-point lerp of [1,2,3] (test_clustering.py:126-147)
+            arr = _check_full_length(to_time_series_dataset(self.init))
+            centers = [K.to_2d(c) for c in arr]
             # reference message (clustering/utils.py:200-204), raised as
             # AssertionError there via a bare assert
             assert len(centers) == self.n_clusters, (
@@ -774,7 +896,7 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
                 print("Init %d" % (successful + 1))
             try:
                 centers, inertia, n_iter = self._fit_one(
-                    df, (self.random_state or 0) + attempt
+                    df, _seed_of(self.random_state) + attempt
                 )
             except EmptyClusterError:
                 if self.verbose:
@@ -786,7 +908,10 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
             if inertia < best[0]:
                 best = (inertia, centers, n_iter)
         if best[1] is None:
-            raise EmptyClusterError("all inits hit empty clusters")
+            # reference _post_fit: silent failure marker, no raise
+            self._X_fit = None
+            return self
+        self._X_fit = df
         self.inertia_, centers, self.n_iter_ = best
         self.cluster_centers_ = _stack_centers(centers)
         # reference labels_ (kshape.py:155): assignments of the z-normed
@@ -796,13 +921,39 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
         )
         return self
 
+    def _cross_dists(self, X) -> np.ndarray:
+        """(n, k) SBD distances to the fitted centers — the reference's
+        private helper (kshape.py:147-151): 1 - max normalized
+        cross-correlation.  Driver-side numpy by design: the centers are
+        driver state, and the reference test surface calls this on
+        arrays; distributed assignment runs through predict()."""
+        from tslearn_spark import kernels as K
+
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim == 2:
+            X = X[:, :, None]
+        C = self.cluster_centers_
+        out = np.empty((X.shape[0], C.shape[0]))
+        for i in range(X.shape[0]):
+            for j in range(C.shape[0]):
+                out[i, j] = 1.0 - K.normalized_cc_max(X[i], C[j])
+        return out
+
     def predict(self, df: DataFrame) -> DataFrame:
         from tslearn_spark.bases import as_ts_df, collect_col
         from tslearn_spark.preprocessing import transform_mean_variance
 
         df, was_array = as_ts_df(df)
         assert self.cluster_centers_ is not None
-        dfz = transform_mean_variance(df.select("series_id", "values"))
+        # localCheckpoint: the z-norm is a deep higher-order-function
+        # expression, and Spark's Python-UDF extraction fails to pull the
+        # assignment UDF out of a projection whose argument inlines it
+        # (INTERNAL_ERROR "Cannot evaluate expression" at collect) —
+        # materializing the scaled input gives the UDF a plain column,
+        # the same pattern the driver queries use (caught by the
+        # reference test_clustering replay, r8)
+        dfz = transform_mean_variance(
+            df.select("series_id", "values")).localCheckpoint()
         out = self._assignments(dfz, self.cluster_centers_).select(
             "series_id", "cluster", "dist"
         )
@@ -954,12 +1105,29 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
                 "'sigma' is deprecated; pass kernel_params={'sigma': ...} "
                 "instead", DeprecationWarning, stacklevel=2,
             )
+        # reference sigma_gak_ (kmeans.py:343-349): the sigma actually
+        # used for gak (resolving "auto" via the bandwidth heuristic),
+        # None for every other kernel
+        kp = self._get_kernel_params()
+        if self.kernel == "gak":
+            self.sigma_gak_ = kp.get("sigma", 1.0)
+            if self.sigma_gak_ == "auto":
+                sample = _collect_sample(df, _SEED_SAMPLE_CAP,
+                                         _seed_of(self.random_state))
+                self.sigma_gak_ = float(K.sigma_gak(sample))
+            kp["sigma"] = self.sigma_gak_
+        else:
+            self.sigma_gak_ = None
         # localCheckpoint, not cache(): cache keeps the full cdist plan in
         # every downstream logical plan, and the iterative loop below would
         # nest it k times over — Catalyst re-optimization grows superlinearly
         # and dominated wall clock (measured 410s -> ~10s at sf0.01).
         # Checkpointing truncates lineage to the materialized blocks.
-        gram = M.cdist(df, metric=self.kernel, **self._get_kernel_params()).localCheckpoint()
+        if self.kernel == "gak":
+            gram = M.cdist(df, metric="gak", **kp).localCheckpoint()
+        else:
+            gram = _pairwise_kernel_edges(
+                df, df, self.kernel, kp).localCheckpoint()
         spark = df.sparkSession
         wcol = F.col(weight_col) if weight_col else F.lit(1.0)
         labw = df.select(F.col("series_id").alias("id2"), wcol.alias("_w")).cache()
@@ -976,7 +1144,7 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
                 print("Init %d" % (successful + 1))
             try:
                 labels, inertia, n_iter = self._fit_one(
-                    spark, gram, labw, id_rows, (self.random_state or 0) + attempt
+                    spark, gram, labw, id_rows, _seed_of(self.random_state) + attempt
                 )
             except EmptyClusterError:
                 if self.verbose:
@@ -986,7 +1154,10 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
             if inertia < best[0]:
                 best = (inertia, labels, n_iter)
         if best[1] is None:
-            raise EmptyClusterError("all inits hit empty clusters")
+            # reference _post_fit: silent failure marker, no raise
+            self._X_fit = None
+            return self
+        self._X_fit = df
         self.inertia_, self.labels_, self.n_iter_ = best
         # reference sample_weight_ (kmeans.py:209,363): the weights
         # actually used — lazy (series_id, weight) DataFrame here, all
@@ -1006,15 +1177,25 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         dist(x, C) = 2 - 2 * sum_{j in C} w_j k(x, j) / sum w_j, over
         the cross-Gram K(new, train) — an edges DataFrame, same as fit.
         """
-        assert self.labels_ is not None, "fit before predict"
+        assert getattr(self, "_labels_df", None) is not None, \
+            "fit before predict"
         from pyspark.sql import Window
 
         from tslearn_spark import metrics as M
         from tslearn_spark.bases import as_ts_df, collect_col
 
         df, was_array = as_ts_df(df)
-        gram = M.cdist(df, self._df, metric=self.kernel, **self._get_kernel_params())
-        labj = self.labels_.select(F.col("series_id").alias("id2"), F.col("cluster"))
+        kp = self._get_kernel_params()
+        if self.kernel == "gak":
+            if getattr(self, "sigma_gak_", None) is not None:
+                kp["sigma"] = self.sigma_gak_
+            gram = M.cdist(df, self._df, metric="gak", **kp)
+        else:
+            gram = _pairwise_kernel_edges(df, self._df, self.kernel, kp)
+        # _labels_df, not the labels_ property: after an array fit the
+        # property view is an ndarray (numpy-compat), the join needs the frame
+        labj = self._labels_df.select(F.col("series_id").alias("id2"),
+                                      F.col("cluster"))
         scored = (
             gram.join(F.broadcast(labj.join(self._labw, "id2")), "id2")
             .groupBy("id1", "cluster")

@@ -697,12 +697,14 @@ def lcss_path_from_metric(s1, s2=None, eps: float = 1.0, metric="euclidean",
                 row[j + 1] = max(row[j], prev[j + 1])
     i, j = sz1, sz2
     path = []
+    # reference-literal backtrack (dtw_variants.py:1559-1574): in-window
+    # close pairs always take the diagonal; non-match ties move j
     while i > 0 and j > 0:
-        if match[i - 1, j - 1] and acc[i, j] == acc[i - 1, j - 1] + 1:
+        if match[i - 1, j - 1]:
             path.append((i - 1, j - 1))
             i -= 1
             j -= 1
-        elif acc[i - 1, j] >= acc[i, j - 1]:
+        elif acc[i - 1, j] > acc[i, j - 1]:
             i -= 1
         else:
             j -= 1
@@ -917,12 +919,17 @@ def lcss_path(s1, s2, eps: float = 1.0, global_constraint=None,
     i, j = s1.shape[0], s2.shape[0]
     path: list[tuple[int, int]] = []
     D = np.sqrt(sq_dist_matrix(s1, s2))
+    # reference-literal backtrack (dtw_variants.py:1542-1555): a close
+    # pair ALWAYS takes the diagonal (no acc recheck), and non-match
+    # ties between acc[i-1][j] and acc[i][j-1] move j (strict > moves i)
+    # — the order the test corpus pins, e.g. lcss_path([1,2,3],
+    # [-2,5,7], eps=3) == [(0, 0), (2, 1)]
     while i > 0 and j > 0:
-        if D[i - 1, j - 1] <= eps and acc[i, j] == acc[i - 1, j - 1] + 1:
+        if D[i - 1, j - 1] <= eps:
             path.append((i - 1, j - 1))
             i -= 1
             j -= 1
-        elif acc[i - 1, j] >= acc[i, j - 1]:
+        elif acc[i - 1, j] > acc[i, j - 1]:
             i -= 1
         else:
             j -= 1
