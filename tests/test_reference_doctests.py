@@ -217,6 +217,8 @@ _SHIM = {
     "tslearn.early_classification": "tslearn_spark.early_classification",
     "tslearn.generators": None,  # synthetic: reference-RNG numpy twins
     "tslearn.datasets": "tslearn_spark.sources",
+    "tslearn.hdftools": "tslearn_spark.hdftools",
+    "tslearn.bases": "tslearn_spark.bases",
 }
 
 

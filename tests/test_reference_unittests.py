@@ -42,11 +42,19 @@ FILES = [
     "test_preprocessing.py",
     "test_matrixprofile.py",
     "test_utils.py",
+    # these two import sklearn only for NotFittedError/clone — covered
+    # by the minimal sklearn shim below
+    "test_piecewise.py",
+    "test_serialize_models.py",
 ]
 
 # explained non-passes: "<file>::<test_name>" or whole "<file>";
 # "skip:" prefix skips instead of xfail
 XFAIL: dict[str, str] = {
+    "test_serialize_models.py::test_hdftools": "skip: the test itself "
+    "uses the numpy.int/numpy.float aliases removed in numpy 1.24 (and "
+    "h5py is absent in this environment; the layout is round-trip "
+    "tested skip-if-absent in our own suite)",
     "test_metrics.py::test_ctw": "engine ctw_path returns (path, A, B, "
     "score) — the reference's middle value is a fitted sklearn CCA "
     "object (from-scratch CCA here; same deviation as the ctw_path "
@@ -105,6 +113,33 @@ def _euclidean_cdist(XA, XB, metric="euclidean"):
 
 
 @pytest.fixture(scope="module")
+def sklearn_shim():
+    """Minimal sklearn stand-in for the two names the replayed files
+    import: exceptions.NotFittedError (sklearn's IS a ValueError
+    subclass, and the engine's unfitted errors are ValueErrors) and
+    base.clone (reconstruct from get_params)."""
+    saved = {k: sys.modules.get(k)
+             for k in ("sklearn", "sklearn.exceptions", "sklearn.base",
+                       "sklearn.model_selection")}
+    sk = types.ModuleType("sklearn")
+    exceptions = types.ModuleType("sklearn.exceptions")
+    exceptions.NotFittedError = ValueError
+    base = types.ModuleType("sklearn.base")
+    base.clone = lambda est: type(est)(**est.get_params())
+    sk.exceptions = exceptions
+    sk.base = base
+    sys.modules["sklearn"] = sk
+    sys.modules["sklearn.exceptions"] = exceptions
+    sys.modules["sklearn.base"] = base
+    yield
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
 def scipy_shim():
     """Minimal scipy.spatial.distance.cdist — the replayed files use
     only the euclidean and sqeuclidean metrics."""
@@ -133,12 +168,28 @@ _MODULE_CACHE: dict[str, dict] = {}
 def _load(fn):
     if fn not in _MODULE_CACHE:
         path = os.path.join(REF_TESTS, fn)
-        ns = {"__name__": f"ref_{fn[:-3]}", "__file__": path}
+        file_alias = path
+        if fn == "test_serialize_models.py":
+            # the file anchors its tmp dir next to __file__ — the
+            # reference checkout is read-only, so alias __file__ into a
+            # writable sandbox for the whole module's lifetime
+            import tempfile
+
+            file_alias = os.path.join(
+                tempfile.mkdtemp(prefix="ref_serialize_"), fn)
+        ns = {"__name__": f"ref_{fn[:-3]}", "__file__": file_alias}
         code = compile(open(path).read(), path, "exec")
         exec(code, ns)
         # generator names resolve to the reference-RNG numpy twins
         ns["random_walks"] = _ref_random_walks
         ns["random_walk_blobs"] = _ref_random_walk_blobs
+        if fn == "test_serialize_models.py":
+            try:
+                import h5py  # noqa: F401
+            except ImportError:
+                # hdf5 is env-gated (code-complete, h5py absent) — run
+                # the json/pickle legs instead of failing mid-loop
+                ns["all_formats"] = ["json", "pickle"]
         _MODULE_CACHE[fn] = ns
     return _MODULE_CACHE[fn]
 
@@ -146,11 +197,14 @@ def _load(fn):
 @pytest.mark.parametrize("fn,name", CASES,
                          ids=[f"{fn}::{name}" for fn, name in CASES])
 def test_reference_unittest(fn, name, spark, tslearn_shim, scipy_shim,
-                            tmp_path, monkeypatch):
+                            sklearn_shim, tmp_path, monkeypatch):
     reason = XFAIL.get(f"{fn}::{name}") or XFAIL.get(fn)
     if reason and reason.startswith("skip:"):
         pytest.skip(reason[5:].strip())
     monkeypatch.chdir(tmp_path)  # tests that write tempfiles stay sandboxed
+    # a few reference tests draw from the GLOBAL numpy RNG (e.g. kshape's
+    # seed indices) — pin it so the replay is deterministic run-to-run
+    np.random.seed(0)
     try:
         ns = _load(fn)
         ns[name]()

@@ -102,6 +102,18 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     return pairs.select("id1", "id2", val.alias("dist"))
 
 
+def _x_fit_of(raw, was_array: bool, df: DataFrame):
+    """Successful-fit marker (reference _post_fit's _X_fit): for array
+    ingest, the padded numpy training dataset — serializable, like the
+    reference's; for DataFrame ingest, the training DataFrame handle
+    (never serialized — model_io's training-data policy)."""
+    if was_array:
+        from tslearn_spark.utils import to_time_series_dataset
+
+        return to_time_series_dataset(raw)
+    return df
+
+
 def _seed_of(random_state) -> int:
     """Normalize the reference's random_state protocol (int |
     numpy.RandomState | None — sklearn check_random_state) to the int
@@ -391,6 +403,7 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
     def fit(self, df: DataFrame, y=None) -> "TimeSeriesKMeans":
         from tslearn_spark.bases import as_ts_df
 
+        raw = df
         df, self._fit_was_array = as_ts_df(df)
         # spread across cores before caching: assignment UDF stages are
         # compute-bound, and AQE would otherwise coalesce small inputs
@@ -445,7 +458,7 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
         if best[1] is None:
             self._X_fit = None
             return self
-        self._X_fit = df
+        self._X_fit = _x_fit_of(raw, self._fit_was_array, df)
         self.inertia_, centers, self.n_iter_ = best
         self.cluster_centers_ = _stack_centers(centers)
         # reference labels_ (kmeans.py:696): final assignments over the
@@ -883,6 +896,7 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
         from tslearn_spark.bases import as_ts_df
         from tslearn_spark.preprocessing import transform_mean_variance
 
+        raw = df
         df, self._fit_was_array = as_ts_df(df)
 
         df = transform_mean_variance(df.select("series_id", "values")).cache()
@@ -902,7 +916,11 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
                 if self.verbose:
                     print("Resumed because of empty cluster")
                 if not isinstance(self.init, str):
-                    raise  # a fixed explicit init cannot be re-drawn
+                    # a fixed explicit init is deterministic: retrying it
+                    # repeats the failure, so fall through to the
+                    # reference's silent-failure outcome (_X_fit=None)
+                    # without burning max_attempts identical fits
+                    break
                 continue
             successful += 1
             if inertia < best[0]:
@@ -911,7 +929,7 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
             # reference _post_fit: silent failure marker, no raise
             self._X_fit = None
             return self
-        self._X_fit = df
+        self._X_fit = _x_fit_of(raw, self._fit_was_array, df)
         self.inertia_, centers, self.n_iter_ = best
         self.cluster_centers_ = _stack_centers(centers)
         # reference labels_ (kshape.py:155): assignments of the z-normed
@@ -1098,6 +1116,7 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         from tslearn_spark import metrics as M
         from tslearn_spark.bases import as_ts_df
 
+        raw = df
         df, self._fit_was_array = as_ts_df(df)
 
         if self.kernel == "gak" and self.sigma != 1.0:
@@ -1157,7 +1176,7 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
             # reference _post_fit: silent failure marker, no raise
             self._X_fit = None
             return self
-        self._X_fit = df
+        self._X_fit = _x_fit_of(raw, self._fit_was_array, df)
         self.inertia_, self.labels_, self.n_iter_ = best
         # reference sample_weight_ (kmeans.py:209,363): the weights
         # actually used — lazy (series_id, weight) DataFrame here, all
@@ -1169,6 +1188,30 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         self._df = df
         self._labw = labw
         return self
+
+    # -- serialization surface (reference kmeans.py:257-260) ------------
+    def _get_model_params(self) -> dict:
+        # drop DataFrame-shaped state (sample_weight_) here, not just at
+        # encode time: callers iterate these keys and compare values
+        params = {
+            k: v for k, v in super()._get_model_params().items()
+            if not (type(v).__module__ or "").startswith("pyspark.sql")
+        }
+        if isinstance(getattr(self, "_X_fit", None), np.ndarray):
+            # array-fit models embed the training data like the
+            # reference; DataFrame fits stay hyper-params-only (model_io
+            # training-data policy)
+            params["_X_fit"] = self._X_fit
+        return params
+
+    def _post_restore(self) -> None:
+        """Refit from the restored training arrays: the Gram, labels and
+        weight structures are engine-side DataFrames that are never
+        serialized, and the fit is deterministic for a given
+        random_state, so refitting reproduces the fitted state the
+        artifact recorded (inertia_/n_iter_/labels)."""
+        if isinstance(getattr(self, "_X_fit", None), np.ndarray):
+            self.fit(self._X_fit)
 
     def predict(self, df: DataFrame) -> DataFrame:
         """Assign new series to the fitted clusters via the cross-Gram.

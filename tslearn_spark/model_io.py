@@ -104,6 +104,10 @@ def _reject_mllib(obj: Any) -> None:
 
 def _encode(obj: Any):
     if isinstance(obj, np.ndarray):
+        if obj.dtype == object:
+            # object ndarrays (e.g. shapelets_: ragged per-shapelet
+            # series, reference shapelets.py:364-378) encode element-wise
+            return {"__ndarray_object__": [_encode(x) for x in obj]}
         return {"__ndarray__": obj.tolist(), "dtype": str(obj.dtype)}
     if isinstance(obj, (np.integer,)):
         return int(obj)
@@ -121,6 +125,12 @@ def _encode(obj: Any):
 
 def _decode(obj: Any):
     if isinstance(obj, dict):
+        if "__ndarray_object__" in obj:
+            items = [_decode(x) for x in obj["__ndarray_object__"]]
+            out = np.empty(len(items), dtype=object)
+            for i, x in enumerate(items):
+                out[i] = x
+            return out
         if "__ndarray__" in obj:
             return np.array(obj["__ndarray__"], dtype=obj.get("dtype", "float64"))
         if "__object__" in obj:
@@ -191,22 +201,31 @@ def _is_spark_df(v: Any) -> bool:
 
 
 def model_to_dict(model: Any) -> dict:
-    """hyper-params (__init__ attrs) + fitted params (trailing underscore),
-    mirroring BaseModelPackage._get_model_params (bases.py:70-90).
-    DataFrame-valued state is skipped (see _is_spark_df)."""
-    hyper = {}
-    fitted = {}
-    for k, v in vars(model).items():
-        if k.startswith("_") or _is_spark_df(v):
-            continue
-        if k.endswith("_"):
-            fitted[k] = _encode(v)
-        else:
-            hyper[k] = _encode(v)
+    """hyper-params (get_params / __init__ attrs) + fitted params.
+
+    Fitted params come from the estimator's ``_get_model_params`` when it
+    defines one — classes whose fitted state lives under leading
+    underscores (KNN's _ts_fit training data, piecewise _X_fit_dims_,
+    KernelKMeans _X_fit) override it exactly like the reference
+    (neighbors.py:251-255, piecewise.py:118-120, kmeans.py:257-260) —
+    else from the default trailing-underscore vars scan.
+    DataFrame-valued state is skipped either way (see _is_spark_df)."""
+    if hasattr(model, "get_params"):
+        hyper_src = model.get_params()
+    else:
+        hyper_src = {k: v for k, v in vars(model).items()
+                     if not k.startswith("_") and not k.endswith("_")}
+    if hasattr(model, "_get_model_params"):
+        fitted_src = model._get_model_params()
+    else:
+        fitted_src = {k: v for k, v in vars(model).items()
+                      if k.endswith("_") and not k.startswith("_")}
     return {
         "class": type(model).__name__,
-        "hyper_params": hyper,
-        "model_params": fitted,
+        "hyper_params": {k: _encode(v) for k, v in hyper_src.items()
+                         if not _is_spark_df(v)},
+        "model_params": {k: _encode(v) for k, v in fitted_src.items()
+                         if not _is_spark_df(v)},
     }
 
 
@@ -307,6 +326,11 @@ def model_from_dict(d: dict) -> Any:
             setattr(model, k, v)
     for k, v in _decode(d["model_params"]).items():
         setattr(model, k, v)
+    # estimators whose fitted state embeds training data (reference KNN
+    # _ts_fit, KernelKMeans _X_fit) rebuild their engine-side structures
+    # (index DataFrame, Gram) from the restored arrays
+    if hasattr(model, "_post_restore"):
+        model._post_restore()
     return model
 
 
@@ -335,6 +359,8 @@ def _model_from_h5_dict(d: dict, expected: type | None = None,
             setattr(model, k, v)
     for k, v in _decode_h5(d.get("model_params", {})).items():
         setattr(model, k, v)
+    if hasattr(model, "_post_restore"):  # see model_from_dict
+        model._post_restore()
     return model
 
 

@@ -395,9 +395,12 @@ def _sax_knn(queries: DataFrame, train: DataFrame, k: int,
     """
     from tslearn_spark.piecewise import SAX
 
-    n_segments = int(params.get("n_segments", 10))
-    alphabet = int(params.get("alphabet_size_avg", 5))
-    sax = SAX(n_segments=n_segments, alphabet_size_avg=alphabet).fit(train)
+    sax = params.get("_fitted_sax")  # class API reuses its fit-time SAX
+    if sax is None:
+        n_segments = int(params.get("n_segments", 10))
+        alphabet = int(params.get("alphabet_size_avg", 5))
+        sax = SAX(n_segments=n_segments, alphabet_size_avg=alphabet,
+                  scale=bool(params.get("scale", False))).fit(train)
     keep = k + 1 if drop_self else k
     # flattened word as the group/join key (d is constant per dataset, so
     # the flat key and the nested sax array determine each other); the
@@ -634,9 +637,61 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
     def fit(self, df: DataFrame, y=None) -> "KNeighborsTimeSeries":
         from tslearn_spark.bases import as_ts_df
 
+        raw = df
         df, self._fit_was_array = as_ts_df(df)
+        if self._fit_was_array:
+            # reference serialization contract (neighbors.py:251-255):
+            # the fitted "model" IS the training data — kept as the
+            # padded array only for array ingest (small by definition);
+            # a DataFrame index is never serialized (model_io notes)
+            from tslearn_spark.utils import to_time_series_dataset
+
+            self._ts_fit = to_time_series_dataset(raw)
         self._index = df.select("series_id", "values").cache()
+        self._fit_metric_state(df)
         return self
+
+    def _fit_metric_state(self, df: DataFrame) -> None:
+        """Metric-specific fit-time state: metric='sax' pre-fits the SAX
+        model on the index (reference neighbors.py stores it as _sax —
+        test_piecewise.py:88-95 reaches knn._sax._scale/_unscale) so
+        queries reuse it instead of refitting per call."""
+        if self.metric == "sax":
+            from tslearn_spark.piecewise import SAX
+
+            mp = self.metric_params or {}
+            self._sax = SAX(
+                n_segments=int(mp.get("n_segments", 10)),
+                alphabet_size_avg=int(mp.get("alphabet_size_avg", 5)),
+                scale=bool(mp.get("scale", False)),
+            ).fit(df)
+
+    def _metric_call_params(self) -> dict:
+        params = dict(self.metric_params or {})
+        if getattr(self, "_sax", None) is not None:
+            params["_fitted_sax"] = self._sax
+        return params
+
+    # -- serialization surface (reference neighbors.py:243-255) ---------
+    def _is_fitted(self) -> bool:
+        return hasattr(self, "_index") or \
+            getattr(self, "_ts_fit", None) is not None
+
+    def _get_model_params(self) -> dict:
+        out = {}
+        if getattr(self, "_ts_fit", None) is not None:
+            out["_ts_fit"] = self._ts_fit
+            if getattr(self, "_y", None) is not None:
+                out["_y"] = self._y
+        return out
+
+    def _post_restore(self) -> None:
+        """Rebuild the index DataFrame from restored training arrays."""
+        if getattr(self, "_ts_fit", None) is not None:
+            if getattr(self, "_y", None) is not None:
+                self.fit(self._ts_fit, y=self._y)
+            else:
+                self.fit(self._ts_fit)
 
     def kneighbors(self, queries: DataFrame | None = None,
                    n_neighbors: int | None = None,
@@ -658,10 +713,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         if queries is None:
             out = kneighbors(self._index, self._index, k=k,
                              metric=self.metric, drop_self=True,
-                             **self.metric_params)
+                             **self._metric_call_params())
         else:
             out = kneighbors(queries, self._index, k=k, metric=self.metric,
-                             **self.metric_params)
+                             **self._metric_call_params())
         if not was_array:
             return out if return_distance else out.drop("dist")
         # reference numpy contract (neighbors.py:227-266): return
@@ -699,13 +754,21 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
             label_col: str = "label") -> "KNeighborsTimeSeriesClassifier":
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df, y=y, y_col=label_col)
+        raw = df
+        df, self._fit_was_array = as_ts_df(df, y=y, y_col=label_col)
         if y is not None:
             import numpy as _np
 
             self._y_numeric = _np.asarray(y).dtype.kind in "iufb"
+        if self._fit_was_array:  # see KNeighborsTimeSeries.fit
+            from tslearn_spark.utils import to_time_series_dataset
+
+            self._ts_fit = to_time_series_dataset(raw)
+            if y is not None:
+                self._y = np.asarray(y)
         self._label_col = label_col
         self._index = df.select("series_id", "values", label_col).cache()
+        self._fit_metric_state(df)
         self._classes_cache = None  # computed lazily (see classes_)
         return self
 
@@ -730,7 +793,7 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         queries, was_array = as_ts_df(queries)
         out = knn_classify(queries, self._index, k=self.n_neighbors,
                            metric=self.metric, weights=self.weights,
-                           label_col=self._label_col, **self.metric_params)
+                           label_col=self._label_col, **self._metric_call_params())
         return collect_col(out, was_array, "prediction",
                            labels=getattr(self, "_y_numeric", True))
 
@@ -750,7 +813,7 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         queries, was_array = as_ts_df(queries)
         lc = self._label_col
         nn = kneighbors(queries, self._index, k=self.n_neighbors,
-                        metric=self.metric, **self.metric_params)
+                        metric=self.metric, **self._metric_call_params())
         labeled = nn.join(
             F.broadcast(self._index.select(F.col("series_id").alias("id2"),
                                            F.col(lc))),
@@ -794,9 +857,18 @@ class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
             target_col: str = "y") -> "KNeighborsTimeSeriesRegressor":
         from tslearn_spark.bases import as_ts_df
 
-        df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
+        raw = df
+        df, self._fit_was_array = as_ts_df(df, y=y, y_col=target_col,
+                                           y_numeric=True)
+        if self._fit_was_array:  # see KNeighborsTimeSeries.fit
+            from tslearn_spark.utils import to_time_series_dataset
+
+            self._ts_fit = to_time_series_dataset(raw)
+            if y is not None:
+                self._y = np.asarray(y, dtype=np.float64)
         self._target_col = target_col
         self._index = df.select("series_id", "values", target_col).cache()
+        self._fit_metric_state(df)
         return self
 
     def predict(self, queries: DataFrame) -> DataFrame:
@@ -806,5 +878,5 @@ class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
         queries, was_array = as_ts_df(queries)
         out = knn_regress(queries, self._index, k=self.n_neighbors,
                           metric=self.metric, weights=self.weights,
-                          target_col=self._target_col, **self.metric_params)
+                          target_col=self._target_col, **self._metric_call_params())
         return collect_col(out, was_array, "prediction")

@@ -181,6 +181,13 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
                   out_col: str = "sax") -> DataFrame:
         from tslearn_spark.bases import transform_compat
 
+        if getattr(self, "breakpoints_avg_", None) is None:
+            # reference raises sklearn NotFittedError — a ValueError
+            # subclass — from its breakpoints check (piecewise.py:334-336)
+            raise ValueError(
+                f"{type(self).__name__} model not fitted yet: call fit "
+                "or fit_transform before transform/distance")
+
         def build(d):
             v = self._scaled(values_col)
             paa = paa_col(v, self.n_segments)
@@ -198,7 +205,39 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
         the reference's TransformerMixin contract."""
         return self.fit(df).transform(df, **kw)
 
-    # -- numpy instance API (reference piecewise.py:429-505) ------------
+    def _get_model_params(self) -> dict:
+        """Default trailing-underscore params (breakpoints) + the
+        reference's _X_fit_dims_ (leading underscore, so the default
+        collector misses it); materializes the lazy dims plan so the
+        artifact's numpy distance/inverse methods work after load."""
+        params = super()._get_model_params()
+        if getattr(self, "_X_fit_dims_", None) is not None \
+                or getattr(self, "_fit_dims_plan", None) is not None:
+            self._require_fit_dims()
+            params["_X_fit_dims_"] = list(self._X_fit_dims_)
+        return params
+
+    def _post_restore(self) -> None:
+        if getattr(self, "_X_fit_dims_", None) is not None:
+            self._X_fit_dims_ = tuple(self._X_fit_dims_)
+
+    # -- numpy instance API (reference piecewise.py:387-505) ------------
+    def _scale(self, X):
+        """Global per-dim z-scale of a (n, sz, d) dataset using the
+        fit-time mu_/std_ (reference piecewise.py:387-394); identity
+        when scale=False."""
+        if not self.scale:
+            return X
+        X = np.asarray(X, dtype=np.float64)
+        return (X - self.mu_.reshape((1, 1, -1))) / self.std_.reshape((1, 1, -1))
+
+    def _unscale(self, X):
+        """Inverse of _scale (reference piecewise.py:396-403)."""
+        if not self.scale:
+            return X
+        X = np.asarray(X, dtype=np.float64)
+        return X * self.std_.reshape((1, 1, -1)) + self.mu_.reshape((1, 1, -1))
+
     def _require_fit_dims(self) -> None:
         if getattr(self, "_X_fit_dims_", None) is None:
             plan = getattr(self, "_fit_dims_plan", None)
@@ -458,7 +497,12 @@ class OneDSAX(SAX):
                   out_col: str = "sax1d") -> DataFrame:
         from tslearn_spark.bases import transform_compat
 
-        assert self.breakpoints_slope_ is not None, "call fit_sz(sz) first"
+        if self.breakpoints_slope_ is None:
+            # reference NotFittedError contract (ValueError subclass):
+            # the slope breakpoints only exist after fit/fit_sz
+            raise ValueError(
+                "OneDSAX model not fitted yet: call fit or fit_transform "
+                "before transform/distance")
 
         def build(d):
             v = self._scaled(values_col)
@@ -572,6 +616,24 @@ class PiecewiseAggregateApproximation(BaseModelPackage, TimeSeriesBaseEstimator)
         # fit records _X_fit_dims_ (the reference's TransformerMixin
         # fit-then-transform), so distance/inverse work afterwards
         return self.fit(df).transform(df, **kw)
+
+    # -- serialization surface (reference piecewise.py:118-120: fitted
+    # state IS _X_fit_dims_, leading-underscore so the default trailing-
+    # underscore collector misses it) --------------------------------
+    def _is_fitted(self) -> bool:
+        return (getattr(self, "_X_fit_dims_", None) is not None
+                or getattr(self, "_fit_dims_plan", None) is not None)
+
+    def _get_model_params(self) -> dict:
+        params = super()._get_model_params()
+        if self._is_fitted():
+            self._require_fit_dims()  # materialize the lazy dims plan
+            params["_X_fit_dims_"] = list(self._X_fit_dims_)
+        return params
+
+    def _post_restore(self) -> None:
+        if getattr(self, "_X_fit_dims_", None) is not None:
+            self._X_fit_dims_ = tuple(self._X_fit_dims_)
 
     @staticmethod
     def inverse_col(paa_col_name: str, original_size: int) -> Column:

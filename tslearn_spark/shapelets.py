@@ -102,6 +102,14 @@ class _ShapeletSubmodel:
                 out.append(p / p.sum())
         return np.stack(out)
 
+    # keras-model surface (reference scripts call model_.get_weights();
+    # the weights live on the owner estimator here)
+    def get_weights(self, layer_name: str | None = None):
+        return self._owner.get_weights(layer_name)
+
+    def set_weights(self, weights, layer_name: str | None = None):
+        return self._owner.set_weights(weights, layer_name)
+
 
 class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shapelet model: numpy Adam training of shapelets + softmax layer.
@@ -310,6 +318,15 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
             groups.append((start, n_shp, L))
             start += n_shp
         return groups
+
+    def _post_restore(self) -> None:
+        """JSON turns n_shapelets_per_size's int keys into strings —
+        restore the fit-time int-key normalization so a loaded model's
+        hyper-params compare equal to the original's."""
+        if isinstance(getattr(self, "n_shapelets_per_size", None), dict):
+            self.n_shapelets_per_size = {
+                int(k): int(v) for k, v in self.n_shapelets_per_size.items()
+            }
 
     def get_weights(self, layer_name: str | None = None) -> list:
         """Model weights, keras-layout (reference shapelets.py:750-786):
