@@ -42,10 +42,11 @@ FILES = [
     "test_preprocessing.py",
     "test_matrixprofile.py",
     "test_utils.py",
-    # these two import sklearn only for NotFittedError/clone — covered
-    # by the minimal sklearn shim below
+    # these import sklearn only for NotFittedError/clone/KFold/
+    # cross_val_score — covered by the minimal sklearn shim below
     "test_piecewise.py",
     "test_serialize_models.py",
+    "test_variablelength.py",
 ]
 
 # explained non-passes: "<file>::<test_name>" or whole "<file>";
@@ -126,11 +127,53 @@ def sklearn_shim():
     exceptions.NotFittedError = ValueError
     base = types.ModuleType("sklearn.base")
     base.clone = lambda est: type(est)(**est.get_params())
+    msel = types.ModuleType("sklearn.model_selection")
+
+    class _KFold:
+        """Documented sklearn KFold semantics: shuffled index
+        permutation split into n_splits contiguous folds, the first
+        n % n_splits folds one element larger."""
+
+        def __init__(self, n_splits=5, shuffle=False, random_state=None):
+            self.n_splits = n_splits
+            self.shuffle = shuffle
+            self.random_state = random_state
+
+        def split(self, X, y=None):
+            n = len(X)
+            idx = np.arange(n)
+            if self.shuffle:
+                rs = (self.random_state
+                      if isinstance(self.random_state, np.random.RandomState)
+                      else np.random.RandomState(self.random_state))
+                rs.shuffle(idx)
+            sizes = np.full(self.n_splits, n // self.n_splits)
+            sizes[: n % self.n_splits] += 1
+            start = 0
+            for sz in sizes:
+                test = idx[start:start + sz]
+                train = np.concatenate([idx[:start], idx[start + sz:]])
+                yield train, test
+                start += sz
+
+    def _cross_val_score(estimator, X, y=None, cv=None):
+        y = np.asarray(y)
+        scores = []
+        for train, test in cv.split(X, y):
+            est = base.clone(estimator)
+            est.fit(X[train], y[train])
+            scores.append(est.score(X[test], y[test]))
+        return np.asarray(scores)
+
+    msel.KFold = _KFold
+    msel.cross_val_score = _cross_val_score
     sk.exceptions = exceptions
     sk.base = base
+    sk.model_selection = msel
     sys.modules["sklearn"] = sk
     sys.modules["sklearn.exceptions"] = exceptions
     sys.modules["sklearn.base"] = base
+    sys.modules["sklearn.model_selection"] = msel
     yield
     for k, v in saved.items():
         if v is None:

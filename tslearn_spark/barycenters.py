@@ -289,7 +289,8 @@ def dtw_barycenter_averaging_subgradient(
     from tslearn_spark.kernels import dtw_path
 
     metric_params = metric_params or {}
-    rng = np.random.RandomState(random_state)
+    from tslearn_spark.kernels import check_random_state
+    rng = check_random_state(random_state)
     if weights is not None and weight_col is None:
         src, wcol = _attach_weights(df, weights)
     else:

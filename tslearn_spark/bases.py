@@ -165,6 +165,36 @@ _DEFAULT_TAGS = {
 }
 
 
+class ClassifierScoreMixin:
+    """sklearn ClassifierMixin.score twin: mean accuracy over an
+    array-protocol dataset (the reference inherits it from sklearn;
+    cross-validation loops call it).  Distributed pipelines score by
+    comparing prediction DataFrames directly instead."""
+
+    def score(self, X, y) -> float:
+        import numpy as np
+
+        preds = np.asarray(self.predict(X))
+        y = np.asarray(y)
+        if preds.dtype.kind in "US" or y.dtype.kind in "US":
+            preds = preds.astype(str)
+            y = y.astype(str)
+        return float(np.mean(preds == y))
+
+
+class RegressorScoreMixin:
+    """sklearn RegressorMixin.score twin: R^2 on array input."""
+
+    def score(self, X, y) -> float:
+        import numpy as np
+
+        preds = np.asarray(self.predict(X), dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        ss_res = float(np.sum((y - preds) ** 2))
+        ss_tot = float(np.sum((y - np.mean(y)) ** 2))
+        return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
+
 class TimeSeriesBaseEstimator:
     """sklearn BaseEstimator protocol (get_params/set_params/tags)."""
 

@@ -1318,7 +1318,8 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
 
         ids = [r["series_id"]
                for r in df.select("series_id").orderBy("series_id").collect()]
-        rs = _np.random.RandomState(random_state)
+        from tslearn_spark.kernels import check_random_state
+        rs = check_random_state(random_state)
         keep = set(rs.permutation(ids)[: int(sample_size)].tolist())
         keep_df = df.sparkSession.createDataFrame(
             [(int(i),) for i in keep], "series_id long")

@@ -1134,9 +1134,19 @@ def gak(s1, s2, sigma: float = 1.0) -> float:
     return float(num / den)
 
 
+
+def check_random_state(random_state) -> np.random.RandomState:
+    """sklearn's protocol: None -> global, RandomState -> itself,
+    int -> fresh RandomState (public surfaces accept all three)."""
+    if random_state is None:
+        return np.random.mtrand._rand
+    if isinstance(random_state, np.random.RandomState):
+        return random_state
+    return np.random.RandomState(random_state)
+
 def sigma_gak(dataset, n_samples: int = 100, random_state=None) -> float:
     """Bandwidth heuristic: median pairwise dist * sqrt(median sz) (softdtw_variants.py:221-272)."""
-    rs = np.random.RandomState(random_state)
+    rs = check_random_state(random_state)
     series = [to_2d(ts) for ts in dataset]
     med_sz = int(np.median([s.shape[0] for s in series]))
     pts = np.vstack(series)

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tslearn_spark import metrics as M
-from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
+from tslearn_spark.bases import (BaseModelPackage, ClassifierScoreMixin,
+                                 RegressorScoreMixin, TimeSeriesBaseEstimator)
 from tslearn_spark.topk import topk_matrix_tiebreak, topk_rows_tiebreak
 
 # query sets up to ~this many float64s (~64 MB) ride the broadcast-matmul
@@ -739,7 +740,8 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         return (dists, inds) if return_distance else inds
 
 
-class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
+class KNeighborsTimeSeriesClassifier(ClassifierScoreMixin,
+                                      KNeighborsTimeSeries):
     """neighbors.py:353-562 twin over knn_classify."""
 
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform",
@@ -842,7 +844,8 @@ class KNeighborsTimeSeriesClassifier(KNeighborsTimeSeries):
         return collect_col(out, was_array, "probabilities")
 
 
-class KNeighborsTimeSeriesRegressor(KNeighborsTimeSeries):
+class KNeighborsTimeSeriesRegressor(RegressorScoreMixin,
+                                     KNeighborsTimeSeries):
     """neighbors.py:565-717 twin over knn_regress."""
 
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform",

@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
+from tslearn_spark.bases import (BaseModelPackage, ClassifierScoreMixin,
+                                 RegressorScoreMixin, TimeSeriesBaseEstimator)
 
 
 def _act(z: np.ndarray, kind: str) -> np.ndarray:
@@ -178,7 +179,7 @@ class _MLPBase(BaseModelPackage, TimeSeriesBaseEstimator):
         ])
 
 
-class TimeSeriesMLPClassifier(_MLPBase):
+class TimeSeriesMLPClassifier(ClassifierScoreMixin, _MLPBase):
     """neural_network.py:9-105 twin, delegated to MLlib.
 
     The reference runs sklearn's MLPClassifier on flattened (sz*d,)
@@ -321,7 +322,7 @@ class TimeSeriesMLPClassifier(_MLPBase):
         return out
 
 
-class TimeSeriesMLPRegressor(_MLPBase):
+class TimeSeriesMLPRegressor(RegressorScoreMixin, _MLPBase):
     """neural_network.py:108-168 twin.
 
     MLlib has no MLP regressor, so the fit is a distributed full-batch

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from tslearn_spark import kernels as K
 from tslearn_spark import metrics as M
 from tslearn_spark.svm_solver import KernelSVR, MulticlassSVC
-from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
+from tslearn_spark.bases import (BaseModelPackage, ClassifierScoreMixin,
+                                 RegressorScoreMixin, TimeSeriesBaseEstimator)
 
 
 def _collect_gram(edges: DataFrame, ids1: list[int], ids2: list[int]) -> np.ndarray:
@@ -188,7 +189,7 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
         return M.cdist(queries, train_df, metric="gak", sigma=self.sigma_)
 
 
-class TimeSeriesSVC(_GakSVMBase):
+class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
     """GAK-kernel SVC (svm.py:68-371); one-vs-one multiclass like libsvm."""
 
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
@@ -484,7 +485,7 @@ class TimeSeriesSVC(_GakSVMBase):
         return collect_col(out, was_array, "decision")
 
 
-class TimeSeriesSVR(_GakSVMBase):
+class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
     """GAK-kernel epsilon-SVR (svm.py:374-568)."""
 
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
