@@ -135,14 +135,21 @@ SCALE_QUERIES = [
 ]
 
 
-def _scale_section(spark, qs, cold_base: dict) -> dict | None:
+def _scale_section(spark, qs, cold_base: dict,
+                   ambient: float = 1.0) -> dict | None:
     """One cold pass of SCALE_QUERIES at the generated sf1 dir; ratios
     against this run's sf0.1 COLD (pass-1) samples — the sf1 pass is
     cold, so cold-vs-cold is the like-for-like comparison (vs the warm
     3-pass median the growth of e.g. matrix_profile reads 29x when the
     cold-cold ratio is ~10x).  10x rows -> a 'linear'/'n*cand' query
     growing >>10x is a scale bug; 'quadratic' ones are expected near
-    100x pair counts and carry their own scale-path note."""
+    100x pair counts and carry their own scale-path note.
+
+    `ambient` is the control-query contention factor measured by the
+    sf0.1 passes of the SAME bench process; each sf1 entry also reports
+    sec_normalized = sec / ambient so a contended round's one-shot sf1
+    samples (round 8: ann_cosine_topk 42.5 s vs a true ~24 s) stay
+    comparable round-over-round."""
     if os.environ.get("SPARK_GRAFT_SCALE_SF1", "1") == "0":
         return None
     from tools.gen_scale_data import ensure_sf1
@@ -172,6 +179,7 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
         base = cold_base.get(name)
         out[name] = {
             "sec": dt,
+            "sec_normalized": round(dt / ambient, 3),
             "vs_sf01_cold": round(dt / base, 1) if base else None,
             "expect": expect,
         }
@@ -180,8 +188,8 @@ def _scale_section(spark, qs, cold_base: dict) -> dict | None:
     recall = _ann_recall_section(spark, sf1_dir)
     fits = _fits_section(spark, sf1_dir)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
-            "budget_sec": budget, "queries": out, "ann_recall": recall,
-            "fits": fits}
+            "budget_sec": budget, "ambient_factor": round(ambient, 3),
+            "queries": out, "ann_recall": recall, "fits": fits}
 
 
 # ANN speed/recall tradeoff at sf1 — recall@10 of the scale paths
@@ -247,6 +255,86 @@ def _ann_recall_section(spark, sf1_dir: str) -> dict | None:
                 qsample, emb, k=k, n_lists=64, n_probe=p, centroids=cen))
     qsample.unpersist()
     exact.unpersist()
+    out["clustered"] = _ann_recall_clustered(spark)
+    return out
+
+
+# Clustered-corpus recall — the subsection a user can act on.  The
+# uniform sf1 numbers above measure the intrinsic floor of hyperplane
+# LSH on near-uniform synthetic embeddings (recall 0.04-0.09 with
+# clustered-fixture recall ~1.0 — bench round 8); real embedding spaces
+# are clustered, so the speed/recall tradeoff is measured on the
+# deterministic 100k-row Gaussian-mixture corpus from
+# tools/gen_scale_data.ensure_sf1_clustered, including the auto-tuned
+# IVF defaults (auto_ivf_params) shipping as the no-hand-tuning path.
+def _ann_recall_clustered(spark) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SCALE_RECALL_CLUSTERED", "1") == "0":
+        return None
+    from pyspark.sql import functions as F
+
+    from tools.gen_scale_data import N_CLUSTERED, ensure_sf1_clustered
+    from tslearn_spark.pipeline import (
+        auto_ivf_params, brute_force_topk, ivf_topk, lsh_topk,
+        train_ivf_centroids,
+    )
+
+    budget = float(os.environ.get("SPARK_GRAFT_RECALL_CLUSTERED_BUDGET",
+                                  "240"))
+    t_suite0 = time.perf_counter()
+    k = 10
+    t0 = time.perf_counter()
+    emb = spark.read.parquet(ensure_sf1_clustered(spark)).localCheckpoint()
+    gen_s = round(time.perf_counter() - t0, 3)
+    # 2000 queries: enough that the exact pass is scoring-bound, so the
+    # speedup column reflects the scored-pair reduction rather than the
+    # index's fixed assignment cost (which amortizes over queries)
+    qsample = emb.where(F.col("vec_id") % 50 == 0).localCheckpoint()
+    n_q = qsample.count()
+    t0 = time.perf_counter()
+    exact = brute_force_topk(qsample, emb, k=k).select(
+        "query_id", "neighbor_id").localCheckpoint()
+    total = exact.count()
+    exact_sec = round(time.perf_counter() - t0, 3)
+    out: dict = {"n_rows": N_CLUSTERED, "n_queries": n_q, "k": k,
+                 "exact_sec": exact_sec, "gen_sec": gen_s}
+
+    def run(name, thunk):
+        if time.perf_counter() - t_suite0 > budget:
+            out[name] = {"sec": None, "recall_at_10": None,
+                         "skipped_over_budget": True}
+            print(f"[bench] clustered recall {name}: skipped "
+                  f"(budget {budget}s)", file=sys.stderr)
+            return
+        t0 = time.perf_counter()
+        approx = thunk().select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 3),
+                     "recall_at_10": round(hits / total, 3),
+                     "speedup_vs_exact": round(
+                         exact_sec / max(time.perf_counter() - t0, 1e-9), 1)}
+        print(f"[bench] clustered recall {name}: {out[name]}",
+              file=sys.stderr)
+
+    # LSH grid: auto-sized bits plus one step sparser, 4/8 tables
+    from tslearn_spark.pipeline import auto_lsh_bits
+    ab = auto_lsh_bits(N_CLUSTERED)
+    for bits, n_tables in ((ab, 4), (ab, 8), (ab - 2, 8)):
+        run(f"lsh_b{bits}_t{n_tables}",
+            lambda b=bits, t=n_tables: lsh_topk(
+                qsample, emb, k=k, bits=b, n_tables=t))
+    # IVF with the shipped auto defaults (trained quantizer) + probe sweep
+    n_lists, n_probe = auto_ivf_params(N_CLUSTERED)
+    out["auto_params"] = {"n_lists": n_lists, "n_probe": n_probe}
+    t0 = time.perf_counter()
+    cen = train_ivf_centroids(emb, n_lists=n_lists, max_iter=5)
+    out["ivf_train_sec"] = round(time.perf_counter() - t0, 3)
+    for p in (max(n_probe // 2, 1), n_probe, n_probe * 2):
+        run(f"ivf_l{n_lists}_p{p}",
+            lambda pp=p: ivf_topk(qsample, emb, k=k, n_lists=n_lists,
+                                  n_probe=pp, centroids=cen))
+    qsample.unpersist()
+    exact.unpersist()
+    emb.unpersist()
     return out
 
 
@@ -345,6 +433,27 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
 
 _HISTORY_FILE = ".bench_history.json"  # gitignored self-record
 
+# Ambient-load controls: pure Spark SQL queries untouched since round 4
+# whose plans never change round-over-round — their ratio vs the prior
+# recorded run measures co-tenant contention, not code.  Round 8 recorded
+# a uniform 1.24-1.48x inflation across these exact queries with ZERO
+# code change (co-tenant load 4-6 during the driver's bench window); a
+# raw-median comparison cannot distinguish that from a regression.
+CONTROL_QUERIES = ("nation_order_rollup", "part_brand_stats",
+                   "orders_priority_dist")
+
+
+def _ambient_factor(timings: dict, prior: dict) -> tuple[float, list]:
+    """Median control-query ratio vs the prior baseline, clamped to
+    [0.5, 4] (outside that the controls themselves changed — fall back
+    toward raw comparison rather than over-normalize)."""
+    ratios = [timings[c] / prior[c] for c in CONTROL_QUERIES
+              if timings.get(c) and prior.get(c)]
+    if not ratios:
+        return 1.0, []
+    f = statistics.median(ratios)
+    return min(max(f, 0.5), 4.0), [round(r, 2) for r in sorted(ratios)]
+
 
 def _prior_medians(sf: float) -> tuple[dict, str | None]:
     """Freshest prior medians AT THE SAME SF for round-over-round
@@ -354,7 +463,9 @@ def _prior_medians(sf: float) -> tuple[dict, str | None]:
     including the driver's own, so it is always at least as fresh) and
     falls back to the driver's BENCH_r*.json — whose "parsed" field the
     driver sometimes truncates to null, which used to silently disable
-    the check."""
+    the check.  History entries carry control-NORMALIZED medians when
+    present (ambient load divided out), so a contended run does not
+    poison the baseline the next run compares against."""
     import glob
     import re
 
@@ -363,8 +474,9 @@ def _prior_medians(sf: float) -> tuple[dict, str | None]:
         with open(os.path.join(here, _HISTORY_FILE)) as f:
             hist = json.load(f)
         for entry in reversed(hist):
-            if entry.get("sf") == sf and entry.get("queries"):
-                return entry["queries"], _HISTORY_FILE
+            q = entry.get("queries_normalized") or entry.get("queries")
+            if entry.get("sf") == sf and q:
+                return q, _HISTORY_FILE
     except (OSError, ValueError):
         pass
     best = (-1, None, {})
@@ -385,9 +497,13 @@ def _prior_medians(sf: float) -> tuple[dict, str | None]:
     return best[2], best[1]
 
 
-def _record_history(sf: float, timings: dict) -> None:
+def _record_history(sf: float, timings: dict, normalized: dict | None = None,
+                    ambient: float | None = None,
+                    sf1_queries: dict | None = None) -> None:
     """Append this run's medians (last 10 per file) for the next run's
-    regression baseline; best-effort, never fails the bench."""
+    regression baseline; best-effort, never fails the bench.  Both raw
+    and control-normalized medians are stored — the normalized ones are
+    what the next run baselines against."""
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, _HISTORY_FILE)
     try:
@@ -396,11 +512,58 @@ def _record_history(sf: float, timings: dict) -> None:
                 hist = json.load(f)
         except (OSError, ValueError):
             hist = []
-        hist.append({"sf": sf, "queries": timings, "at": time.time()})
+        entry = {"sf": sf, "queries": timings, "at": time.time()}
+        if normalized is not None:
+            entry["queries_normalized"] = normalized
+        if ambient is not None:
+            entry["ambient_factor"] = round(ambient, 3)
+        if sf1_queries is not None:
+            entry["sf1_queries"] = sf1_queries
+        hist.append(entry)
         with open(path, "w") as f:
             json.dump(hist[-10:], f)
     except OSError:
         pass
+
+
+def _gate(now: float, prev: float) -> bool:
+    """Regression gate: >1.5x the baseline AND slower by a non-noise
+    absolute margin."""
+    return prev > 0 and now > 1.5 * prev and now - prev > 0.5
+
+
+def _warm_remeasure(spark, qs, sf_dir: str, flagged: list,
+                    prior: dict) -> tuple[dict, dict]:
+    """The round-8 manual adjudication protocol, automated: re-run each
+    flagged query 3 warm passes alongside the controls, re-derive the
+    ambient factor from the SAME window, and confirm or clear the flag
+    on the warm normalized median.  A co-tenant blip that inflated the
+    main passes rarely spans this extra window too; a real regression
+    survives it."""
+    names = list(dict.fromkeys(list(CONTROL_QUERIES) + flagged))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(3):
+        spark.catalog.clearCache()
+        for n in names:
+            t0 = time.perf_counter()
+            qs[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[n].append(round(time.perf_counter() - t0, 3))
+    warm_med = {n: round(statistics.median(ts), 3)
+                for n, ts in samples.items()}
+    warm_ambient, warm_ratios = _ambient_factor(warm_med, prior)
+    confirmed = {}
+    detail = {"ambient_factor": round(warm_ambient, 3),
+              "control_ratios": warm_ratios, "medians": warm_med}
+    for n in flagged:
+        now_norm = round(warm_med[n] / warm_ambient, 3)
+        if n in prior and _gate(now_norm, prior[n]):
+            confirmed[n] = {"prev": prior[n], "now_warm_normalized": now_norm,
+                            "ratio": round(now_norm / prior[n], 2)}
+        print(f"[bench] warm re-measure {n}: {warm_med[n]}s raw, "
+              f"{now_norm}s normalized vs prior {prior.get(n)} -> "
+              f"{'CONFIRMED' if n in confirmed else 'cleared (ambient)'}",
+              file=sys.stderr)
+    return confirmed, detail
 
 
 def main() -> None:
@@ -427,30 +590,56 @@ def main() -> None:
             print(f"[bench] pass {pass_no + 1}/{n_runs} {name}: {dt}s", file=sys.stderr)
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    # round-over-round flags: queries >1.5x their previous recorded median
-    # (and slower by a non-noise margin) so the next round starts from data
+    # round-over-round flags on control-NORMALIZED medians: a query is a
+    # regression candidate only if it is >1.5x its prior baseline AFTER
+    # dividing out the ambient factor the control queries measured;
+    # candidates are then re-measured warm in-session and recorded as
+    # regressions only if the warm normalized median still exceeds the
+    # gate.  Raw-median flags under co-tenant load are pure noise
+    # (round 8: uniform 1.24-1.48x on untouched pure-SQL queries).
     prior, prior_file = _prior_medians(float(sf))
-    regressions = {
-        name: {"prev": prior[name], "now": t,
-               "ratio": round(t / prior[name], 2)}
-        for name, t in timings.items()
-        if name in prior and prior[name] > 0
-        and t > 1.5 * prior[name] and t - prior[name] > 0.5
-    }
+    ambient, control_ratios = _ambient_factor(timings, prior)
+    normalized = {name: round(t / ambient, 3) for name, t in timings.items()}
+    flagged = [name for name, t in normalized.items()
+               if name in prior and _gate(t, prior[name])]
+    if flagged:
+        print(f"[bench] flagged after normalization (ambient {ambient:.2f}): "
+              f"{flagged} -> warm re-measure", file=sys.stderr)
+        regressions, rerun_detail = _warm_remeasure(
+            spark, qs, sf_dir, flagged, prior)
+        # record the cleaner of cold-normalized and warm-normalized for
+        # flagged queries so one contended window cannot poison the
+        # baseline the next run compares against
+        wa = rerun_detail["ambient_factor"]
+        for n in flagged:
+            warm_norm = round(rerun_detail["medians"][n] / wa, 3)
+            normalized[n] = min(normalized[n], warm_norm)
+    else:
+        regressions, rerun_detail = {}, None
     # scale validation rides the standard sf0.1 bench run only (a smoke
     # run at sf0.001 would produce meaningless ratios)
     cold_base = {name: ts[0] for name, ts in samples.items() if ts}
-    scale = _scale_section(spark, qs, cold_base) if float(sf) == 0.1 else None
-    _record_history(float(sf), timings)
+    scale = _scale_section(spark, qs, cold_base, ambient) \
+        if float(sf) == 0.1 else None
+    sf1_queries = None
+    if scale and scale.get("queries"):
+        sf1_queries = {n: v.get("sec_normalized")
+                       for n, v in scale["queries"].items()
+                       if v.get("sec_normalized") is not None}
+    _record_history(float(sf), timings, normalized, ambient, sf1_queries)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": normalized,
+        "ambient_factor": round(ambient, 3),
+        "control_ratios": control_ratios,
         "sf": float(sf),
         "runs": n_runs,
         "samples": {name: ts for name, ts in samples.items()},
         "regressions": regressions,
+        "regressions_rerun": rerun_detail,
         "regressions_baseline": prior_file,
         "sf1": scale,
     }))

@@ -369,6 +369,74 @@ class TestConstrainedPathFromMetric:
             K.lcss(s1, s2, eps=0.2, global_constraint="sakoe_chiba",
                    sakoe_chiba_radius=2))
 
+    def test_lcss_banded_matches_reference_dp(self):
+        # Literal reference masked DP (dtw_variants.py:1399-1407): cells
+        # outside the band stay 0 and neighbors read them as 0.  A
+        # right-of-band inheritance variant diverges on itakura bands
+        # (even the final score: e.g. 13 vs the reference's 11) — this
+        # property sweep pins the literal semantics, acc matrix AND path.
+        import warnings
+
+        def ref_acc(D, eps, lo, hi):
+            l1, l2 = D.shape
+            acc = np.zeros((l1 + 1, l2 + 1), dtype=np.int64)
+            for i in range(1, l1 + 1):
+                for j in range(1, l2 + 1):
+                    if lo[i - 1] <= j - 1 <= hi[i - 1]:
+                        if D[i - 1, j - 1] <= eps:
+                            acc[i][j] = 1 + acc[i - 1][j - 1]
+                        else:
+                            acc[i][j] = max(acc[i][j - 1], acc[i - 1][j])
+            return acc
+
+        def ref_path(D, eps, lo, hi, acc, budget=5000):
+            i, j = D.shape
+            path = []
+            while i > 0 and j > 0 and budget > 0:
+                budget -= 1
+                if lo[i - 1] <= j - 1 <= hi[i - 1]:
+                    if D[i - 1, j - 1] <= eps:
+                        path.append((i - 1, j - 1))
+                        i, j = i - 1, j - 1
+                    elif acc[i - 1][j] > acc[i][j - 1]:
+                        i -= 1
+                    else:
+                        j -= 1
+            return None if budget == 0 else path[::-1]
+
+        rs = np.random.RandomState(11)
+        n_checked = 0
+        for trial in range(300):
+            sz1, sz2 = rs.randint(2, 18), rs.randint(2, 18)
+            s1, s2 = rs.randn(sz1, 1), rs.randn(sz2, 1)
+            eps = float(rs.uniform(0.2, 2.5))
+            kind = trial % 3
+            gc, scr, ims = [
+                (None, None, None),
+                ("sakoe_chiba", int(rs.randint(0, 5)), None),
+                ("itakura", None, float(rs.uniform(1.1, 5.0))),
+            ][kind]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                try:
+                    lo, hi = K._bounds(sz1, sz2, gc, scr, ims)
+                except Exception:
+                    continue
+                macc = K.lcss_accumulated_matrix(s1, s2, eps, gc, scr, ims)
+                mpath, msim = K.lcss_path(s1, s2, eps, gc, scr, ims)
+            D = np.sqrt(K.sq_dist_matrix(s1, s2))
+            racc = ref_acc(D, eps, lo, hi)
+            np.testing.assert_array_equal(macc, racc)
+            rp = ref_path(D, eps, lo, hi, racc)
+            if rp is not None:  # reference terminates -> exact path parity
+                assert mpath == rp
+            # internal consistency: in-band, close, score-consistent
+            assert all(lo[a] <= b <= hi[a] and D[a, b] <= eps
+                       for a, b in mpath)
+            assert msim == pytest.approx(racc[-1, -1] / min(sz1, sz2))
+            n_checked += 1
+        assert n_checked > 200
+
 
 class TestHeuristics:
     def test_sigma_gamma_positive(self):

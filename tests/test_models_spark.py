@@ -834,3 +834,61 @@ class TestBasesProtocol:
         assert "mu" in sc.get_params() and "std" in sc.get_params()
         # reference scalers do not inherit BaseModelPackage
         assert not hasattr(sc, "to_json")
+
+    def test_array_fit_roundtrip_restores_labels(self, spark, tmp_path):
+        """The reference checkpoint persists labels_ as a plain ndarray
+        attribute (kmeans.py:696) — a round-tripped array-fit model here
+        must answer .labels_ too (labels_ lives behind a property, so
+        the base vars() scan alone would drop it)."""
+        from tslearn_spark.clustering import KShape, TimeSeriesKMeans
+
+        X = np.array([[1.0, 1.1, 1.0], [0.9, 1.0, 1.1],
+                      [8.0, 8.2, 8.1], [8.1, 8.0, 7.9]])
+        for cls, kw in [
+            (TimeSeriesKMeans, dict(n_clusters=2, metric="euclidean")),
+            (KShape, dict(n_clusters=2)),
+        ]:
+            m = cls(random_state=0, **kw).fit(X)
+            path = str(tmp_path / f"{cls.__name__}.json")
+            m.to_json(path)
+            back = cls.from_json(path)
+            np.testing.assert_array_equal(back.labels_, m.labels_)
+            # second round-trip keeps them (no _fit_was_array on `back`)
+            path2 = str(tmp_path / f"{cls.__name__}_2.json")
+            back.to_json(path2)
+            np.testing.assert_array_equal(
+                cls.from_json(path2).labels_, m.labels_)
+
+    def test_regressor_score_constant_y_perfect_fit(self):
+        """sklearn r2_score: ss_res == 0 scores 1.0 even for constant y."""
+        from tslearn_spark.bases import RegressorScoreMixin
+
+        class Echo(RegressorScoreMixin):
+            def __init__(self, out):
+                self._out = out
+
+            def predict(self, X):
+                return self._out
+
+        assert Echo([2.0, 2.0, 2.0]).score(None, [2.0, 2.0, 2.0]) == 1.0
+        assert Echo([2.0, 2.0, 2.1]).score(None, [2.0, 2.0, 2.0]) == 0.0
+
+    def test_kernel_kmeans_gamma_resolved_at_fit(self, spark):
+        """sklearn default gamma (1/n_features) must come from the TRAIN
+        series at fit time and be reused at predict; ragged inputs to
+        the sklearn-style kernels raise like pairwise_kernels does."""
+        from tslearn_spark.clustering import (KernelKMeans,
+                                              _pairwise_kernel_edges)
+
+        rs = np.random.RandomState(3)
+        X = np.vstack([rs.randn(6, 8) + 5, rs.randn(6, 8) - 5])
+        km = KernelKMeans(n_clusters=2, kernel="rbf", random_state=0).fit(X)
+        assert km._kernel_gamma_ == pytest.approx(1.0 / 8)
+        # predict agrees with train-side assignment regardless of
+        # what gamma the query side would have resolved to
+        np.testing.assert_array_equal(km.predict(X), np.asarray(km.labels_))
+        # ragged input -> loud ValueError, not silent NULL Grams
+        ragged = DS.dataset_to_df(
+            spark, [[1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0]])
+        with pytest.raises(ValueError, match="equal-length"):
+            _pairwise_kernel_edges(ragged, ragged, "rbf", {}).collect()

@@ -100,6 +100,81 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
         os.path.join(dest_dir, "events.parquet"))
 
 
+
+# -- clustered embedding corpus (ANN recall measurement) --------------------
+# The sf1 embeddings derived above inherit the synthetic base's
+# near-uniform geometry, where top-10 neighbors are barely closer than
+# the bulk and hyperplane-LSH recall has an intrinsic ~0 floor — numbers
+# measured there say nothing about real corpora.  Real embedding spaces
+# are clustered (that is why IVF/LSH work at all), so the recall bench
+# also gets a deterministic Gaussian-mixture corpus: N_CLUSTERED rows in
+# CLUSTER_DIM dims around CLUSTER_K unit-scale centroids with sigma
+# CLUSTER_SIGMA noise — same generator pattern as the clustered fixtures
+# in tests/test_pipeline.py, at bench scale.
+N_CLUSTERED = 100_000
+CLUSTER_K = 200
+CLUSTER_DIM = 64
+CLUSTER_SIGMA = 0.3
+CLUSTER_SEED = 20260815
+
+
+def generate_clustered(spark, dest_dir: str) -> str:
+    """Write embeddings_clustered.parquet: (vec_id, embedding, label)
+    with label = mixture component.  Deterministic: centroids from one
+    seeded RandomState; per-row noise from a RandomState seeded by
+    (CLUSTER_SEED ^ vec_id), so the output is independent of partitioning."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rs = np.random.RandomState(CLUSTER_SEED)
+    centroids = rs.randn(CLUSTER_K, CLUSTER_DIM)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def gen(batches):
+        cen = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lab = (ids % CLUSTER_K).astype(np.int32)
+            out = np.empty((len(ids), CLUSTER_DIM), dtype=np.float64)
+            for i, vid in enumerate(ids):
+                r = np.random.RandomState((CLUSTER_SEED ^ int(vid)) % (2**31))
+                out[i] = cen[lab[i]] + CLUSTER_SIGMA * r.randn(CLUSTER_DIM)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": list(out.astype(np.float32)),
+                "label": lab,
+            })
+
+    path = os.path.join(dest_dir, "embeddings_clustered.parquet")
+    (
+        spark.range(0, N_CLUSTERED, 1, 32)
+        .mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+def ensure_sf1_clustered(spark, dest_dir: str | None = None) -> str:
+    """Generate the clustered recall corpus if missing; returns the
+    parquet path.  Lives in the same scale dir as the sf1 tables with
+    its own completion marker."""
+    if dest_dir is None:
+        dest_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".scale_sf1"),
+        )
+    os.makedirs(dest_dir, exist_ok=True)
+    marker = os.path.join(dest_dir, "_COMPLETE_CLUSTERED")
+    path = os.path.join(dest_dir, "embeddings_clustered.parquet")
+    if not os.path.exists(marker):
+        generate_clustered(spark, dest_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return path
+
+
 def ensure_sf1(spark, src_dir: str = "/root/testdata/sf0.1",
                dest_dir: str | None = None) -> str:
     """Generate the sf1-scale dir if missing; returns its path.  The

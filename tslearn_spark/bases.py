@@ -192,6 +192,10 @@ class RegressorScoreMixin:
         y = np.asarray(y, dtype=np.float64)
         ss_res = float(np.sum((y - preds) ** 2))
         ss_tot = float(np.sum((y - np.mean(y)) ** 2))
+        # sklearn r2_score: perfect predictions score 1.0 even when y is
+        # constant (ss_tot == 0); only imperfect-on-constant scores 0.0
+        if ss_res == 0.0:
+            return 1.0
         return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
 
 

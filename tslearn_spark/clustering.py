@@ -72,12 +72,24 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     b = d2.select(F.col("series_id").alias("id2"),
                   F.flatten("values").alias("x2"))
     pairs = a.crossJoin(b)
+    # sklearn's pairwise_kernels raises on ragged input; zip_with over
+    # unequal arrays would instead silently truncate to the shorter one
+    # and the folds would produce wrong (not NULL-visible) Grams —
+    # enforce one uniform flattened length across both sides up front
+    sides = a.select(F.size("x1").alias("n")).union(
+        b.select(F.size("x2").alias("n")))
+    agg = sides.agg(F.countDistinct("n").alias("k"),
+                    F.max("n").alias("n")).first()
+    if int(agg["k"]) > 1:
+        raise ValueError(
+            f"kernel {kernel!r} requires equal-length series: the "
+            "flattened inputs have mixed lengths (sklearn's "
+            "pairwise_kernels raises on incompatible dimensions; use "
+            "kernel='gak' for variable-length series)")
     if kernel in ("rbf", "sigmoid", "polynomial", "poly"):
         gamma = params.get("gamma")
         if gamma is None:
-            first = d1.select(
-                F.size(F.flatten("values")).alias("n")).first()
-            gamma = 1.0 / float(first["n"])
+            gamma = 1.0 / float(agg["n"])
     if kernel == "rbf":
         val = F.expr(f"exp({-1.0}D * {float(gamma)!r}D * {_D2_EXPR})")
     elif kernel == "linear":
@@ -263,6 +275,22 @@ class _LabelsCompatMixin:
         if getattr(self, "_labels_df", None) is not None:
             return True
         return super()._is_fitted()
+
+    def _get_model_params(self) -> dict:
+        """labels_ lives behind the property, so the base vars() scan
+        misses it — but the reference checkpoint format persists it as a
+        plain ndarray attribute (kmeans.py:696), and a round-tripped
+        model must answer .labels_.  Array fits embed the materialized
+        ndarray (series_id order == input order); DataFrame fits stay
+        hyper-params-only per the model_io policy.  Restored models
+        carry the ndarray in _labels_df directly, so a second round-trip
+        re-embeds it even without _fit_was_array."""
+        params = super()._get_model_params()
+        lab = getattr(self, "_labels_df", None)
+        if lab is not None and (getattr(self, "_fit_was_array", False)
+                                or isinstance(lab, np.ndarray)):
+            params["labels_"] = np.asarray(self.labels_)
+        return params
 
 
 class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
@@ -1145,6 +1173,15 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         if self.kernel == "gak":
             gram = M.cdist(df, metric="gak", **kp).localCheckpoint()
         else:
+            # resolve the sklearn gamma default (1 / n_features) from the
+            # TRAIN side once and persist it, like sigma_gak_ above —
+            # otherwise predict would re-resolve it from the query side
+            if self.kernel in ("rbf", "sigmoid", "polynomial", "poly") \
+                    and kp.get("gamma") is None:
+                first = df.select(
+                    F.size(F.flatten("values")).alias("n")).first()
+                kp["gamma"] = 1.0 / float(first["n"])
+            self._kernel_gamma_ = kp.get("gamma")
             gram = _pairwise_kernel_edges(
                 df, df, self.kernel, kp).localCheckpoint()
         spark = df.sparkSession
@@ -1234,6 +1271,9 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
                 kp["sigma"] = self.sigma_gak_
             gram = M.cdist(df, self._df, metric="gak", **kp)
         else:
+            if kp.get("gamma") is None and \
+                    getattr(self, "_kernel_gamma_", None) is not None:
+                kp["gamma"] = self._kernel_gamma_  # fit-time resolution
             gram = _pairwise_kernel_edges(df, self._df, self.kernel, kp)
         # _labels_df, not the labels_ property: after an array fit the
         # property view is an ndarray (numpy-compat), the join needs the frame

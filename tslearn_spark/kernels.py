@@ -888,15 +888,17 @@ def lcss_accumulated_matrix(s1, s2, eps: float = 1.0, global_constraint=None,
         row = acc[i + 1]
         prev = acc[i]
         li, hi_i = lo[i], hi[i]
-        # literal reference recurrence, row-sequential (cheap: int ops)
+        # literal reference recurrence, row-sequential (cheap: int ops).
+        # Out-of-band cells stay 0 exactly like the reference's masked
+        # loop (dtw_variants.py:1399-1407 writes only where the mask is
+        # finite) — inheriting values past the band changes in-band
+        # results for itakura bands (caught by the property sweep in
+        # tests/test_kernels.py::test_lcss_banded_matches_reference_dp).
         for j in range(li, hi_i + 1):
             if match[i, j]:
                 row[j + 1] = prev[j] + 1
             else:
                 row[j + 1] = max(row[j], prev[j + 1])
-        # columns right of the band inherit from left so later rows see maxes
-        if hi_i + 2 <= sz2:
-            row[hi_i + 2:] = row[hi_i + 1]
     return acc
 
 
@@ -919,13 +921,25 @@ def lcss_path(s1, s2, eps: float = 1.0, global_constraint=None,
     i, j = s1.shape[0], s2.shape[0]
     path: list[tuple[int, int]] = []
     D = np.sqrt(sq_dist_matrix(s1, s2))
-    # reference-literal backtrack (dtw_variants.py:1542-1555): a close
-    # pair ALWAYS takes the diagonal (no acc recheck), and non-match
-    # ties between acc[i-1][j] and acc[i][j-1] move j (strict > moves i)
-    # — the order the test corpus pins, e.g. lcss_path([1,2,3],
-    # [-2,5,7], eps=3) == [(0, 0), (2, 1)]
+    lo, hi = _bounds(s1.shape[0], s2.shape[0], global_constraint,
+                     sakoe_chiba_radius, itakura_max_slope)
+    # reference-literal backtrack (dtw_variants.py:1542-1555): in-band
+    # cells take the diagonal whenever the pair is close (no acc
+    # recheck), and non-match ties between acc[i-1][j] and acc[i][j-1]
+    # move j (strict > moves i) — the order the test corpus pins, e.g.
+    # lcss_path([1,2,3], [-2,5,7], eps=3) == [(0, 0), (2, 1)].
+    # The reference gates every move on isfinite(mask[i-1,j-1]) and
+    # does NOTHING when the cell is out of band (an infinite loop there
+    # — its tests never leave the band); we instead step back toward
+    # the band (right of band → decrease j, left of band → decrease i),
+    # which is path-identical wherever the reference terminates and
+    # never appends a pair the accumulated matrix did not count.
     while i > 0 and j > 0:
-        if D[i - 1, j - 1] <= eps:
+        if j - 1 > hi[i - 1]:
+            j -= 1
+        elif j - 1 < lo[i - 1]:
+            i -= 1
+        elif D[i - 1, j - 1] <= eps:
             path.append((i - 1, j - 1))
             i -= 1
             j -= 1

@@ -27,6 +27,7 @@ from tslearn_spark.pipeline.text import (
     document_fingerprints,
 )
 from tslearn_spark.pipeline.simsearch import (
+    auto_ivf_params,
     auto_lsh_bits,
     brute_force_topk,
     ivf_topk,
@@ -49,6 +50,7 @@ __all__ = [
     "document_fingerprints",
     "brute_force_topk",
     "ivf_topk",
+    "auto_ivf_params",
     "auto_lsh_bits",
     "lsh_topk",
     "train_ivf_centroids",

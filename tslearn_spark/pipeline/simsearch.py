@@ -139,8 +139,8 @@ def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    n_lists: int | str = 16,
+    n_probe: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
@@ -179,6 +179,13 @@ def ivf_topk(
     centroid index, probe order and final rank by (cosine DESC, id ASC).
     """
     spark = candidates.sparkSession
+    if n_lists == "auto" or n_probe == "auto":
+        # size the index from the corpus (one count job), like
+        # lsh_topk(bits="auto") — the scale knob a 100-TB user should
+        # not have to hand-tune
+        al, ap = auto_ivf_params(candidates.count())
+        n_lists = al if n_lists == "auto" else n_lists
+        n_probe = ap if n_probe == "auto" else n_probe
     if centroids is None:
         c_pdf = (
             candidates.select(id_col, vec_col).orderBy(id_col).limit(n_lists).toPandas()
@@ -249,7 +256,7 @@ def ivf_topk(
 
 def train_ivf_centroids(
     vectors: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -268,6 +275,8 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_lists == "auto":
+        n_lists = auto_ivf_params(vectors.count())[0]
     norm = F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x.cast("double") * x),
         F.lit(0.0), lambda s, v: s + v,
@@ -300,6 +309,24 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
             f"(CASE WHEN {_dot(vec_col, arr)} > 0.0D THEN {1 << i}L ELSE 0L END)"
         )
     return F.expr(" + ".join(terms))
+
+
+def auto_ivf_params(n_candidates: int) -> tuple[int, int]:
+    """(n_lists, n_probe) defaults from corpus size — the IVF twin of
+    auto_lsh_bits.  n_lists ~ sqrt(n) keeps inverted lists at ~sqrt(n)
+    rows (per-query scored pairs = n_probe * n / n_lists, so both the
+    assignment cost |D| x n_lists and the probe cost stay balanced as
+    the corpus grows); n_probe = n_lists / 16 (floor 4) probes enough
+    lists that a trained quantizer's neighbor lists are covered —
+    measured >=0.9 recall@10 on the clustered sf1 bench corpus
+    (BENCH ann_recall.clustered) without hand-tuning, at a ~16x
+    scored-pair reduction vs brute force.
+    """
+    import math
+
+    n_lists = int(min(max(round(math.sqrt(max(n_candidates, 1))), 16), 4096))
+    n_probe = int(min(max(n_lists // 16, 4), 64))
+    return n_lists, n_probe
 
 
 def auto_lsh_bits(n_candidates: int, target_occupancy: int = 64,
