@@ -683,6 +683,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=500)
 
 
+def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata extraction (pipeline/multimodal.py
+    parse_mp4_metadata / parse_webm_metadata — pure-stdlib ISO-BMFF box
+    walk + EBML element walk, no codec).  Each document becomes a
+    deterministic mp4 (even doc_id) or webm (odd) payload whose
+    duration/track/sample parameters are closed-form functions of
+    (doc_id, n_chars); the engine must PARSE those values back out of
+    the container bytes, and the DuckDB oracle computes the same
+    closed forms — hash equality proves the byte-level parse."""
+    import pandas as pd
+
+    from tslearn_spark.pipeline.multimodal import (
+        build_mp4, build_webm, extract_metadata,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                dur = (nc * 7) % 100000 + 1000
+                ntr = did % 3 + 1
+                if did % 2 == 0:
+                    payloads.append(build_mp4(
+                        dur, n_tracks=ntr, n_samples=nc % 50,
+                        sample_size=128 + (did % 5) * 64))
+                else:
+                    payloads.append(build_webm(dur, n_tracks=ntr))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return extract_metadata(media)
+
+
 def stream_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen-wins dedup, exercised in batch mode (the
     stateful operator's batch twin — streaming/__init__.py).  Returns
@@ -1241,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_video_metadata": multimodal_video_metadata,
         "text_quality": text_quality,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1381,6 +1420,30 @@ def oracle_sql() -> dict[str, str]:
                        0, greatest(octet_length(encode(text)) * 10 - 1, 0), 500
                    ))::INT AS frame_ts_ms
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        # real container-metadata parse: the Spark side builds an
+        # mp4/webm container from closed-form params and PARSES the
+        # bytes back (ISO-BMFF box walk / EBML walk); the oracle computes
+        # the same closed forms directly, so a hash match proves the
+        # byte-level parse recovers every field.  mp4 n_samples counts
+        # per-track stsz entries, so it multiplies by the track count.
+        "multimodal_video_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END
+                       AS container,
+                   CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END
+                       AS brand,
+                   CAST((n_chars * 7) % 100000 + 1000 AS BIGINT)
+                       AS duration_ms,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN (n_chars % 50) * (doc_id % 3 + 1)
+                        ELSE 0 END AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN (n_chars % 50) * (doc_id % 3 + 1)
+                             * (128 + (doc_id % 5) * 64)
+                        ELSE 0 END AS BIGINT) AS sample_bytes
+            FROM documents
         """,
         # streaming first-seen dedup in batch mode: survivor = min doc_id
         # per normalized-content hash (md5 collisions are content-equal at

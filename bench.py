@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_video_metadata",
     "silhouette_euclidean_16",
     "knn_sax_classify",
     "cdist_dtw_tiny",
@@ -187,9 +188,11 @@ def _scale_section(spark, qs, cold_base: dict,
               file=sys.stderr)
     recall = _ann_recall_section(spark, sf1_dir)
     fits = _fits_section(spark, sf1_dir)
+    stream = _streaming_soak_section(spark, sf1_dir)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
             "budget_sec": budget, "ambient_factor": round(ambient, 3),
-            "queries": out, "ann_recall": recall, "fits": fits}
+            "queries": out, "ann_recall": recall, "fits": fits,
+            "streaming_state": stream}
 
 
 # ANN speed/recall tradeoff at sf1 — recall@10 of the scale paths
@@ -419,16 +422,124 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         "fixed ~300-series sample (Gram is quadratic by design); "
         "iterations aggregate the checkpointed Gram edges")
     def _early():
-        lab = capped.withColumn(
+        lab = ts16.withColumn(
             "label", (F.col("series_id") % 3).cast("string"))
         return NonMyopicEarlyClassifier(
             n_clusters=3, random_state=0).fit(lab)
     run("early_classifier", _early,
-        "fixed ~300-series sample (all-pairs prefix join is quadratic "
-        "by design); one-shot pair-join plan, no iteration loop")
+        "FULL sf1 input (round-9): the prefix-confusion pass is now a "
+        "map-only plan — broadcast classifier half, vectorized per-"
+        "partition cumsum+argmin, tiny partial-count shuffle — instead "
+        "of the posexplode+window pair join that forced a ~300-series "
+        "cap")
     for df in (ts16, ts32, capped):
         df.unpersist()
     return {"budget_sec": budget, "fits": out}
+
+
+# Streaming state-size soak at sf1 — the 100-TB streaming concern the
+# micro watermark tests cannot measure: does the state store PLATEAU
+# over a sustained multi-batch run, or creep?  The sf1 events (~1M rows)
+# and documents stream through ~20 availableNow micro-batches
+# (maxFilesPerTrigger=1 over 20 parquet files); per-batch
+# stateOperators.numRowsTotal is recorded from recentProgress.
+#   * stream_running_zscore: state = one Welford row per user key, so
+#     the curve must flatten at the distinct-key population ("flat"
+#     asserts the last batches add no state).
+#   * stream_exact_dedup (ttl on): state = one row per distinct content
+#     hash with idle-TTL eviction, so the curve stays bounded below the
+#     distinct-hash total instead of growing with every batch.
+def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SCALE_STREAM", "1") == "0":
+        return None
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import load_tables
+    from tslearn_spark.streaming import (
+        stream_exact_dedup, stream_running_zscore,
+    )
+
+    budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "300"))
+    t_suite0 = time.perf_counter()
+    t = load_tables(spark, sf1_dir)
+    work = tempfile.mkdtemp(prefix="stream_soak_")
+    out: dict = {"n_batches_target": 20}
+
+    def soak(name, src_df, cols, op, distinct_expr):
+        if time.perf_counter() - t_suite0 > budget:
+            out[name] = {"skipped_over_budget": True}
+            return
+        src = os.path.join(work, name, "src")
+        ckpt = os.path.join(work, name, "ckpt")
+        os.makedirs(src, exist_ok=True)
+        src_df.select(*cols).repartition(20).write.mode(
+            "overwrite").parquet(src)
+        schema = src_df.select(*cols).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        t0 = time.perf_counter()
+        q = (op(stream).writeStream.format("noop")
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        # a stateful op with ProcessingTimeTimeout keeps an availableNow
+        # query alive firing empty batches until every registered
+        # timeout has expired — stop explicitly once the DATA batches
+        # are done (3 consecutive empty-input batches) or budget is hit
+        seen_empty = 0
+        while q.isActive and seen_empty < 3 and \
+                time.perf_counter() - t_suite0 < budget:
+            time.sleep(1.0)
+            prog = q.recentProgress
+            if prog and prog[-1]["numInputRows"] == 0:
+                seen_empty += 1
+            elif prog:
+                seen_empty = 0
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)
+        curve = [p["stateOperators"][0]["numRowsTotal"]
+                 for p in q.recentProgress
+                 if p.get("numInputRows", 0) > 0
+                 and p.get("stateOperators") and p["stateOperators"]]
+        dt = round(time.perf_counter() - t0, 3)
+        n_distinct = src_df.select(distinct_expr).distinct().count()
+        tail = curve[-5:]
+        out[name] = {
+            "sec": dt,
+            "n_batches": len(curve),
+            "state_rows_curve": curve,
+            "n_distinct_keys": n_distinct,
+            # flat tail: the last 5 batches add (nearly) no state
+            "tail_growth_rows": (tail[-1] - tail[0]) if len(tail) >= 2
+            else None,
+            "plateaued": bool(len(tail) >= 2
+                              and tail[-1] - tail[0] <=
+                              max(0.01 * max(tail[-1], 1), 2)),
+            "final_vs_distinct": round(curve[-1] / max(n_distinct, 1), 3)
+            if curve else None,
+        }
+        print(f"[bench] stream soak {name}: {out[name]['sec']}s "
+              f"batches={out[name]['n_batches']} curve={curve}",
+              file=sys.stderr)
+
+    soak("running_zscore",
+         t["events"], ["user_id", "ts", "value"],
+         lambda s: stream_running_zscore(s),
+         F.col("user_id"))
+    # ttl ~ 4-5 batch durations: state holds the trailing batches' hashes
+    # and evicts older ones mid-run, so the curve rises then caps well
+    # below the distinct-hash total (a ttl shorter than one batch would
+    # trivially evict everything; no ttl would grow without bound)
+    soak("exact_dedup_ttl",
+         t["documents"], ["doc_id", "text"],
+         lambda s: stream_exact_dedup(s, ttl_ms=10_000),
+         F.md5(F.lower(F.trim(F.col("text")))))
+    shutil.rmtree(work, ignore_errors=True)
+    return {"budget_sec": budget, "ops": out}
 
 
 _HISTORY_FILE = ".bench_history.json"  # gitignored self-record

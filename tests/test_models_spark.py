@@ -405,10 +405,13 @@ class TestShapelets:
         assert len(sgd.shapelets_) == 2
         with _pytest.raises(NotImplementedError):
             LearningShapelets(optimizer="rmsprop")
-        # auto sizing uses the class-level shapelet_length/total_lengths
+        # auto sizing lands in the FITTED attribute and leaves the
+        # hyper-parameter untouched (reference shapelets.py:433-441;
+        # sklearn check_dont_overwrite_parameters)
         auto = LearningShapelets(max_iter=1, shapelet_length=0.25,
                                  total_lengths=2, random_state=0).fit(df)
-        assert set(auto.n_shapelets_per_size) == {3, 6}
+        assert set(auto.n_shapelets_per_size_) == {3, 6}
+        assert auto.n_shapelets_per_size is None
 
 
 class TestMLP:

@@ -476,6 +476,52 @@ class TestMultimodal:
                            len(body), 2835, 2835, 0, 0)
         return header + info + body
 
+    def test_mp4_webm_metadata_roundtrip(self):
+        """parse(build(params)) recovers every field; truncated/garbage
+        bytes return None instead of raising (100-TB batch safety)."""
+        from tslearn_spark.pipeline.multimodal import (
+            build_mp4, build_webm, parse_media_metadata,
+        )
+
+        p = build_mp4(duration_ms=12345, n_tracks=2, n_samples=30,
+                      sample_size=512, brand="mp42")
+        assert parse_media_metadata(p) == {
+            "container": "mp4", "brand": "mp42", "duration_ms": 12345,
+            "n_tracks": 2, "n_samples": 60, "sample_bytes": 512 * 60}
+        w = build_webm(duration_ms=7777, n_tracks=3)
+        mw = parse_media_metadata(w)
+        assert (mw["container"], mw["duration_ms"], mw["n_tracks"]) == \
+            ("webm", 7777, 3)
+        assert parse_media_metadata(b"") is None
+        assert parse_media_metadata(b"\x00" * 100) is None
+        assert parse_media_metadata(b"RIFF1234WAVE") is None
+        for payload in (p, w):
+            for cut in (3, 9, 17, len(payload) // 2, len(payload) - 1):
+                parse_media_metadata(payload[:cut])  # never raises
+
+    def test_extract_metadata_distributed(self, spark):
+        """extract_metadata parses real container bytes per row; rows
+        with unparseable payloads come back as nulls."""
+        from tslearn_spark.pipeline.multimodal import (
+            build_mp4, build_webm, extract_metadata,
+        )
+
+        rows = [
+            (0, bytearray(build_mp4(1000, n_tracks=1, n_samples=4,
+                                    sample_size=100))),
+            (1, bytearray(build_webm(2500, n_tracks=2))),
+            (2, bytearray(b"not a container")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in extract_metadata(df).collect()}
+        assert got[0]["container"] == "mp4"
+        assert got[0]["duration_ms"] == 1000
+        assert got[0]["n_samples"] == 4
+        assert got[0]["sample_bytes"] == 400
+        assert got[1]["container"] == "webm"
+        assert got[1]["duration_ms"] == 2500 and got[1]["n_tracks"] == 2
+        assert got[2]["container"] is None
+
     def test_real_wav_decode(self):
         from tslearn_spark.pipeline.multimodal import decode_wav
 

@@ -72,6 +72,7 @@ def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
     series = [to_time_series(ts, remove_nans=True) for ts in X]
     df = dataset_to_df(spark, series)
     if y is not None:
+        y = _validate_y(y, len(series), y_numeric)
         if y_numeric:
             lab = spark.createDataFrame(
                 [(int(i), float(v)) for i, v in enumerate(y)],
@@ -84,6 +85,90 @@ def as_ts_df(X, y=None, y_col: str = "label", y_numeric: bool = False):
             )
         df = df.join(lab, "series_id")
     return df, True
+
+
+def query_d(X):
+    """Per-timestamp dimension of an array-like dataset (None for
+    DataFrames / undecidable input)."""
+    if X is None:
+        return None
+    try:
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(X, _DF):
+            return None
+        import numpy as np
+
+        first = np.asarray(X[0], dtype=np.float64)
+    except Exception:
+        return None
+    return first.shape[-1] if first.ndim >= 2 else 1
+
+
+def check_query_dims(X, d_fit) -> None:
+    """Predict-time twin of the reference's check_dims (utils.py raises
+    ValueError when X_new.shape[-1] != X_fit.shape[-1], wired through
+    every estimator's predict/transform via _preprocess_*): array-like
+    queries whose per-timestamp dimension differs from the fitted one
+    raise a driver-side ValueError instead of an opaque executor reshape
+    failure.  DataFrame queries and unknown fitted dims pass through."""
+    if d_fit is None:
+        return
+    d = query_d(X)
+    if d is not None and d != int(d_fit):
+        raise ValueError(
+            f"Dimension of the provided time series (d={d}) does not "
+            f"match the one of the fitted data (d={int(d_fit)})")
+
+
+class DataConversionWarning(UserWarning):
+    """sklearn.exceptions.DataConversionWarning twin — raised when fit
+    silently converts input (column-vector y -> 1d).  The reference
+    inherits this behavior from sklearn's check_array/column_or_1d
+    (sklearn_patches.py check_supervised_y_2d asserts the warning)."""
+
+
+def _validate_y(y, n_samples: int, y_numeric: bool):
+    """sklearn column_or_1d + type_of_target contract on array-ingest
+    targets (the reference gets these from sklearn's fit validation):
+
+    * length must match X (check_classifiers_train: fit(X, y[:-1]) must
+      raise);
+    * a column-vector (n, 1) y is ravelled with a DataConversionWarning
+      (check_supervised_y_2d); wider 2-D y is rejected;
+    * classifiers (y_numeric=False) reject continuous targets with
+      sklearn's "Unknown label type" message
+      (check_classifiers_cont_target) — float labels are fine when they
+      are all integral (sklearn calls that multiclass).
+    """
+    import warnings
+
+    import numpy as np
+
+    arr = np.asarray(y)
+    if arr.ndim == 2 and arr.shape[1] == 1:
+        warnings.warn(
+            "A column-vector y was passed when a 1d array was expected. "
+            "Please change the shape of y to (n_samples, ), for example "
+            "using ravel().", DataConversionWarning, stacklevel=3)
+        arr = arr.ravel()
+    elif arr.ndim != 1:
+        raise ValueError(
+            f"y should be a 1d array, got an array of shape {arr.shape} "
+            "instead.")
+    if len(arr) != n_samples:
+        raise ValueError(
+            f"Found input variables with inconsistent numbers of samples: "
+            f"[{n_samples}, {len(arr)}]")
+    if not y_numeric and arr.dtype.kind == "f":
+        with np.errstate(invalid="ignore"):
+            integral = np.isfinite(arr) & (arr % 1 == 0)
+        if not np.all(integral):
+            raise ValueError(
+                "Unknown label type: continuous. Maybe you are trying "
+                "to fit a classifier, which expects discrete classes on "
+                "a regression target with continuous values.")
+    return arr.tolist()
 
 
 def _smart_labels(values: list):

@@ -114,6 +114,13 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     return pairs.select("id1", "id2", val.alias("dist"))
 
 
+
+def _centers_d(centers):
+    """Fitted per-timestamp dimension from a stacked centroid array."""
+    if isinstance(centers, np.ndarray) and centers.ndim == 3:
+        return centers.shape[2]
+    return None
+
 def _x_fit_of(raw, was_array: bool, df: DataFrame):
     """Successful-fit marker (reference _post_fit's _X_fit): for array
     ingest, the padded numpy training dataset — serializable, like the
@@ -584,8 +591,9 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
         return centers, inertia, self.n_iter_
 
     def predict(self, df: DataFrame) -> DataFrame:
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import as_ts_df, check_query_dims, collect_col
 
+        check_query_dims(df, _centers_d(getattr(self, "cluster_centers_", None)))
         df, was_array = as_ts_df(df)
         assert self.cluster_centers_ is not None
         out = self._assignments(df, self.cluster_centers_).select(
@@ -605,8 +613,9 @@ class TimeSeriesKMeans(_LabelsCompatMixin, BaseModelPackage,
     def transform(self, df: DataFrame) -> DataFrame:
         """Distances to every centroid (kmeans.py:677-690): k columns;
         array input returns the reference's (n, k) matrix."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import as_ts_df, check_query_dims, collect_col
 
+        check_query_dims(df, _centers_d(getattr(self, "cluster_centers_", None)))
         df, _was_array = as_ts_df(df)
         kernel = __import__("tslearn_spark.metrics", fromlist=["METRIC_PARAMS"]).METRIC_PARAMS[
             self.metric
@@ -921,10 +930,15 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
         """Best of n_init runs by inertia; an init that hits an empty
         cluster during shape extraction is retried with a fresh seed, up
         to max(n_init, 10) total attempts (kshape.py:207-243)."""
-        from tslearn_spark.bases import as_ts_df
+        from tslearn_spark.bases import as_ts_df, query_d
         from tslearn_spark.preprocessing import transform_mean_variance
 
         raw = df
+        # ingest d, NOT centers d: shape extraction keeps dim 0 only
+        # (reference kshape.py:123-127 — centers are (sz, 1) even for
+        # multivariate input), so the predict-time dim check must
+        # compare queries against what fit actually ingested
+        self._d_fit = query_d(raw)
         df, self._fit_was_array = as_ts_df(df)
 
         df = transform_mean_variance(df.select("series_id", "values")).cache()
@@ -986,9 +1000,10 @@ class KShape(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator):
         return out
 
     def predict(self, df: DataFrame) -> DataFrame:
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import as_ts_df, check_query_dims, collect_col
         from tslearn_spark.preprocessing import transform_mean_variance
 
+        check_query_dims(df, getattr(self, "_d_fit", None))
         df, was_array = as_ts_df(df)
         assert self.cluster_centers_ is not None
         # localCheckpoint: the z-norm is a deep higher-order-function
@@ -1262,8 +1277,11 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         from pyspark.sql import Window
 
         from tslearn_spark import metrics as M
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import as_ts_df, check_query_dims, collect_col
 
+        xf = getattr(self, "_X_fit", None)
+        check_query_dims(df, _centers_d(xf if isinstance(xf, np.ndarray)
+                                        else None))
         df, was_array = as_ts_df(df)
         kp = self._get_kernel_params()
         if self.kernel == "gak":

@@ -211,43 +211,84 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
             half1 = half2 = labeled
         self._clf_df = half1.select("series_id", "values", "_y").localCheckpoint()
 
-        # ONE plan for every prefix length: pair join -> per-position d2 ->
-        # running sum over position -> 1-NN per (query, t) -> confusion
-        q = half2.select(
-            F.col("series_id").alias("qid"), F.col("values").alias("values1"),
-            F.col("cluster").alias("ck"), F.col("_y").alias("y_true"),
+        # ONE map-only plan for every prefix length: the classifier half
+        # broadcasts as a dense (n_t, sz, d) matrix (same broadcast the
+        # previous crossJoin plan shipped), each ESTIMATION partition
+        # computes its queries' prefix-cumulative distances and per-(q,t)
+        # 1-NN with vectorized numpy, and emits only PARTIAL confusion
+        # counts — (t, ck, y_true, y_hat, n) rows bounded by
+        # sz x k x classes^2 per partition.  No pair rows ever shuffle
+        # (the old posexplode + two-window plan moved |q| x |train| x sz
+        # scalar rows through two exchanges — quadratic wall clock at
+        # sf1); semantics are identical incl. the (cum asc, tid asc)
+        # tie order (train sorted by tid; argmin takes the first min).
+        t_rows = sorted(
+            self._clf_df.select("series_id", "values", "_y").collect(),
+            key=lambda r: r["series_id"],
         )
-        t_ = self._clf_df.select(
-            F.col("series_id").alias("tid"), F.col("values").alias("values2"),
-            F.col("_y").alias("y_hat"),
+        T = np.asarray(
+            [[list(map(float, ts)) for ts in r["values"]] for r in t_rows],
+            dtype=np.float64,
+        )  # (n_t, sz, d)
+        # label INDICES travel instead of label values, so the partial
+        # rows stay typed (int) whatever the label dtype is
+        yh_idx = np.searchsorted(
+            self.classes_, np.asarray([r["_y"] for r in t_rows]))
+        spark = df.sparkSession
+        classes_b = self.classes_
+        bc = spark.sparkContext.broadcast((T, yh_idx, classes_b))
+        min_t = self.min_t
+
+        def _conf_partials(batches):
+            import pandas as _pd
+
+            T_b, yi_b, cls_b = bc.value
+            n_t, sz_b, d_b = T_b.shape
+            chunk = max(1, (1 << 22) // max(n_t * sz_b, 1))
+            for pdf in batches:
+                counts: dict = {}
+                for lo in range(0, len(pdf), chunk):
+                    sub = pdf.iloc[lo:lo + chunk]
+                    Q = np.asarray(
+                        [[list(map(float, ts)) for ts in v]
+                         for v in sub["values"]], dtype=np.float64)
+                    if Q.size == 0:
+                        continue
+                    # (m, n_t, sz): per-position squared distance summed
+                    # over d, then prefix-cumulative along positions
+                    d2 = ((Q[:, None, :, :] - T_b[None, :, :, :]) ** 2
+                          ).sum(axis=3)
+                    cum = np.cumsum(d2, axis=2)
+                    nn_idx = np.argmin(cum, axis=1)  # (m, sz); first min
+                    yh = yi_b[nn_idx]                # (m, sz) class indices
+                    yt = np.searchsorted(
+                        cls_b, np.asarray(list(sub["_y"])))
+                    for i, ck in enumerate(sub["cluster"]):
+                        for pos in range(min_t - 1, sz_b):
+                            key = (pos + 1, int(ck), int(yt[i]),
+                                   int(yh[i, pos]))
+                            counts[key] = counts.get(key, 0) + 1
+                if counts:
+                    yield _pd.DataFrame(
+                        [(t, ck, a, b, n)
+                         for (t, ck, a, b), n in counts.items()],
+                        columns=["t", "ck", "yi", "yj", "n"])
+
+        partial_schema = "t int, ck int, yi int, yj int, n long"
+        stats = (
+            half2.select("values", "cluster", "_y")
+            .mapInPandas(_conf_partials, partial_schema)
+            .groupBy("t", "ck", "yi", "yj")
+            .agg(F.sum("n").alias("count"))
+            .collect()
         )
-        pairs = q.crossJoin(F.broadcast(t_)).withColumn(
-            "_d2seq", _cum_prefix_d2()
-        )
-        long = pairs.select(
-            "qid", "ck", "y_true", "tid", "y_hat",
-            F.posexplode("_d2seq").alias("_pos", "_d2"),
-        )
-        wcum = (
-            Window.partitionBy("qid", "tid").orderBy("_pos")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = long.withColumn("_cum", F.sum("_d2").over(wcum)).withColumn(
-            "t", F.col("_pos") + 1
-        ).where(F.col("t") >= self.min_t)
-        wnn = Window.partitionBy("qid", "t").orderBy(
-            F.col("_cum").asc(), F.col("tid").asc()
-        )
-        nn = cum.withColumn("_rn", F.row_number().over(wnn)).where(F.col("_rn") == 1)
-        stats = nn.groupBy("t", "ck", "y_true", "y_hat").count().collect()
 
         self.pyhatyck_ = np.zeros(
             (sz - self.min_t + 1, self.n_clusters, n_classes, n_classes)
         )
         for r in stats:
-            a = int(np.searchsorted(self.classes_, r["y_true"]))
-            b = int(np.searchsorted(self.classes_, r["y_hat"]))
-            self.pyhatyck_[r["t"] - self.min_t, r["ck"], a, b] += r["count"]
+            self.pyhatyck_[r["t"] - self.min_t, r["ck"],
+                           r["yi"], r["yj"]] += r["count"]
         # normalize like the reference: per-yhat column totals, zero diag
         for ti in range(self.pyhatyck_.shape[0]):
             for ck in range(self.n_clusters):

@@ -667,6 +667,16 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
                 scale=bool(mp.get("scale", False)),
             ).fit(df)
 
+    def _fit_d(self):
+        """Per-timestamp dimension of the fitted data (array fits only)
+        for the predict-time check_dims twin (bases.check_query_dims)."""
+        import numpy as np
+
+        ts = getattr(self, "_ts_fit", None)
+        if isinstance(ts, np.ndarray) and ts.ndim == 3:
+            return ts.shape[2]
+        return None
+
     def _metric_call_params(self) -> dict:
         params = dict(self.metric_params or {})
         if getattr(self, "_sax", None) is not None:
@@ -703,9 +713,10 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         return_distance=False (reference neighbors.py:227-266 signature)
         drops the distances: array input returns only the index matrix,
         DataFrame input the frame without the dist column."""
-        from tslearn_spark.bases import as_ts_df
+        from tslearn_spark.bases import as_ts_df, check_query_dims
 
         assert hasattr(self, "_index"), "fit before kneighbors"
+        check_query_dims(queries, self._fit_d())
         queries, was_array = as_ts_df(queries)
         if queries is None and getattr(self, "_fit_was_array", False):
             # reference self-kNN on an array-fitted index returns arrays
@@ -789,9 +800,11 @@ class KNeighborsTimeSeriesClassifier(ClassifierScoreMixin,
         return self._classes_cache
 
     def predict(self, queries: DataFrame) -> DataFrame:
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
         assert hasattr(self, "_index"), "fit before predict"
+        check_query_dims(queries, self._fit_d())
         queries, was_array = as_ts_df(queries)
         out = knn_classify(queries, self._index, k=self.n_neighbors,
                            metric=self.metric, weights=self.weights,
@@ -809,9 +822,11 @@ class KNeighborsTimeSeriesClassifier(ClassifierScoreMixin,
         Same distributed shape as predict: top-k join, then ONE grouped
         aggregate — the per-class mass pivots to an array via a map
         lookup, no extra shuffle beyond the vote's."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
         assert hasattr(self, "_index"), "fit before predict"
+        check_query_dims(queries, self._fit_d())
         queries, was_array = as_ts_df(queries)
         lc = self._label_col
         nn = kneighbors(queries, self._index, k=self.n_neighbors,
@@ -875,9 +890,11 @@ class KNeighborsTimeSeriesRegressor(RegressorScoreMixin,
         return self
 
     def predict(self, queries: DataFrame) -> DataFrame:
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
         assert hasattr(self, "_index"), "fit before predict"
+        check_query_dims(queries, self._fit_d())
         queries, was_array = as_ts_df(queries)
         out = knn_regress(queries, self._index, k=self.n_neighbors,
                           metric=self.metric, weights=self.weights,

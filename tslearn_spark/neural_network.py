@@ -179,6 +179,28 @@ class _MLPBase(BaseModelPackage, TimeSeriesBaseEstimator):
         ])
 
 
+def _check_query_width(X, n_feat):
+    """Rigid-input validation (the MLP flattens series to a fixed
+    width): an array-like query whose flattened first series differs
+    from the fitted input width raises the reference's ValueError
+    (sklearn check_array n_features contract) instead of an opaque
+    MLlib vector-size error mid-stage."""
+    if n_feat is None or X is None:
+        return
+    try:
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(X, _DF):
+            return
+        w = np.asarray(X[0], dtype=np.float64).size
+    except Exception:
+        return
+    if w != int(n_feat):
+        raise ValueError(
+            f"Query series flatten to {w} features but the model was "
+            f"fitted with {int(n_feat)} (fixed-width estimator)")
+
+
 class TimeSeriesMLPClassifier(ClassifierScoreMixin, _MLPBase):
     """neural_network.py:9-105 twin, delegated to MLlib.
 
@@ -269,6 +291,7 @@ class TimeSeriesMLPClassifier(ClassifierScoreMixin, _MLPBase):
 
         from tslearn_spark.bases import as_ts_df, collect_col
 
+        _check_query_width(df, getattr(self, "_layers_", [None])[0])
         df, was_array = as_ts_df(df)
         feats = df.select(
             "series_id", array_to_vector(F.flatten("values")).alias("features")
@@ -293,6 +316,7 @@ class TimeSeriesMLPClassifier(ClassifierScoreMixin, _MLPBase):
 
         from tslearn_spark.bases import as_ts_df, collect_col
 
+        _check_query_width(df, getattr(self, "_layers_", [None])[0])
         df, was_array = as_ts_df(df)
         feats = df.select(
             "series_id", array_to_vector(F.flatten("values")).alias("features")
@@ -429,6 +453,9 @@ class TimeSeriesMLPRegressor(RegressorScoreMixin, _MLPBase):
     def predict(self, df: DataFrame) -> DataFrame:
         from tslearn_spark.bases import as_ts_df, collect_col
 
+        mlp_f = getattr(self, "mlp_", None)
+        _check_query_width(
+            df, mlp_f.Ws[0].shape[0] if mlp_f is not None else None)
         df, was_array = as_ts_df(df)
         mlp, mu, sd = self.mlp_, self.y_mean_, self.y_std_
 

@@ -26,6 +26,16 @@ from tslearn_spark.pipeline.text import (
     token_counts,
     document_fingerprints,
 )
+from tslearn_spark.pipeline.multimodal import (
+    build_mp4,
+    build_webm,
+    extract_features,
+    extract_metadata,
+    frame_sample,
+    parse_media_metadata,
+    parse_mp4_metadata,
+    parse_webm_metadata,
+)
 from tslearn_spark.pipeline.simsearch import (
     auto_ivf_params,
     auto_lsh_bits,
@@ -54,4 +64,12 @@ __all__ = [
     "auto_lsh_bits",
     "lsh_topk",
     "train_ivf_centroids",
+    "build_mp4",
+    "build_webm",
+    "extract_features",
+    "extract_metadata",
+    "frame_sample",
+    "parse_media_metadata",
+    "parse_mp4_metadata",
+    "parse_webm_metadata",
 ]

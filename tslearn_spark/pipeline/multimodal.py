@@ -445,6 +445,298 @@ def _jpeg_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
     return np.clip(rgb, 0.0, 255.0) / 255.0
 
 
+# ---------------------------------------------------------------------------
+# Container METADATA parsers — pure stdlib, no codec work.  The pixel /
+# sample DATA of mp4/webm stays behind the deterministic fake (ffmpeg
+# absent from this environment), but the container metadata (duration,
+# track count, per-track sample counts/bytes) is real: an ISO-BMFF box
+# walk (public spec ISO/IEC 14496-12) and an EBML element walk (public
+# Matroska/WebM spec).  Matching minimal builders exist so tests and the
+# oracled query can round-trip parse(build(params)) == params.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for sibling boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return  # malformed — stop the walk, never raise mid-batch
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(payload: bytes) -> dict | None:
+    """ISO-BMFF metadata walk: ftyp major brand, mvhd timescale+duration,
+    trak count, per-trak hdlr handler + stsz sample count/bytes.
+    Returns None when the payload is not an ISO-BMFF file (no valid
+    top-level ftyp/moov structure)."""
+    if not payload or len(payload) < 16:
+        return None
+    out = {"container": "mp4", "brand": None, "duration_ms": None,
+           "n_tracks": 0, "n_samples": 0, "sample_bytes": 0}
+    saw_box = False
+
+    def walk(start, end, depth=0):
+        nonlocal saw_box
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            saw_box = True
+            if btype == b"ftyp" and depth == 0:
+                out["brand"] = payload[b0:b0 + 4].decode("ascii", "replace")
+            elif btype == b"mvhd" and b1 - b0 >= 20:
+                version = payload[b0]
+                if version == 1 and b1 - b0 >= 28:
+                    ts = int.from_bytes(payload[b0 + 20:b0 + 24], "big")
+                    dur = int.from_bytes(payload[b0 + 24:b0 + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[b0 + 12:b0 + 16], "big")
+                    dur = int.from_bytes(payload[b0 + 16:b0 + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(round(dur * 1000.0 / ts))
+            elif btype == b"trak":
+                out["n_tracks"] += 1
+            elif btype == b"stsz" and b1 - b0 >= 12:
+                fixed = int.from_bytes(payload[b0 + 4:b0 + 8], "big")
+                count = int.from_bytes(payload[b0 + 8:b0 + 12], "big")
+                out["n_samples"] += count
+                if fixed:
+                    out["sample_bytes"] += fixed * count
+                else:
+                    tbl = payload[b0 + 12:b0 + 12 + 4 * count]
+                    out["sample_bytes"] += sum(
+                        int.from_bytes(tbl[i:i + 4], "big")
+                        for i in range(0, len(tbl) - 3, 4))
+            if btype in _MP4_CONTAINERS:
+                walk(b0, b1, depth + 1)
+
+    walk(0, len(payload))
+    if not saw_box or (out["brand"] is None and out["duration_ms"] is None):
+        return None
+    return out
+
+
+def _ebml_read_vint(data: bytes, pos: int, strip_marker: bool):
+    """(value, next_pos) for one EBML variable-size integer; None on
+    malformed input."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        return None
+    val = first & (mask - 1) if strip_marker else first
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def _ebml_elements(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for siblings in [start, end)."""
+    pos = start
+    while pos < end:
+        rid = _ebml_read_vint(data, pos, strip_marker=False)
+        if rid is None:
+            return
+        eid, pos = rid
+        rsz = _ebml_read_vint(data, pos, strip_marker=True)
+        if rsz is None:
+            return
+        size, pos = rsz
+        if pos + size > end:
+            return
+        yield eid, pos, pos + size
+        pos += size
+
+
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+
+
+def parse_webm_metadata(payload: bytes) -> dict | None:
+    """EBML walk (public Matroska/WebM spec): DocType from the EBML
+    header, Duration * TimestampScale from Segment>Info, TrackEntry
+    count from Segment>Tracks.  Returns None for non-EBML payloads."""
+    import struct
+
+    if not payload or payload[:4] != b"\x1aE\xdf\xa3":
+        return None
+    out = {"container": None, "brand": None, "duration_ms": None,
+           "n_tracks": 0, "n_samples": 0, "sample_bytes": 0}
+    scale_ns = 1_000_000  # spec default: 1 ms
+    duration_units = None
+    for eid, b0, b1 in _ebml_elements(payload, 0, len(payload)):
+        if eid == _EBML_HEADER:
+            for cid, c0, c1 in _ebml_elements(payload, b0, b1):
+                if cid == _EBML_DOCTYPE:
+                    doctype = payload[c0:c1].split(b"\x00")[0].decode(
+                        "ascii", "replace")
+                    out["container"] = doctype
+                    out["brand"] = doctype
+        elif eid == _MKV_SEGMENT:
+            for cid, c0, c1 in _ebml_elements(payload, b0, b1):
+                if cid == _MKV_INFO:
+                    for gid, g0, g1 in _ebml_elements(payload, c0, c1):
+                        if gid == _MKV_TIMESCALE:
+                            scale_ns = int.from_bytes(payload[g0:g1], "big")
+                        elif gid == _MKV_DURATION:
+                            raw = payload[g0:g1]
+                            duration_units = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw)[0]
+                elif cid == _MKV_TRACKS:
+                    out["n_tracks"] += sum(
+                        1 for gid, _, _ in
+                        _ebml_elements(payload, c0, c1)
+                        if gid == _MKV_TRACKENTRY)
+    if out["container"] is None:
+        return None
+    if duration_units is not None:
+        out["duration_ms"] = int(round(duration_units * scale_ns / 1e6))
+    return out
+
+
+def parse_media_metadata(payload: bytes) -> dict | None:
+    """Container dispatch by magic: ISO-BMFF (ftyp at offset 4) or EBML."""
+    if payload and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return parse_mp4_metadata(payload)
+    if payload and payload[:4] == b"\x1aE\xdf\xa3":
+        return parse_webm_metadata(payload)
+    return None
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def build_mp4(duration_ms: int, n_tracks: int = 1, n_samples: int = 0,
+              sample_size: int = 256, brand: str = "isom") -> bytes:
+    """Minimal-but-valid ISO-BMFF container for round-trip tests and the
+    oracled metadata query: ftyp + moov{mvhd, n_tracks x trak{mdia{hdlr,
+    minf{stbl{stsz}}}}} + mdat filler.  No codec data — the mdat bytes
+    are deterministic filler."""
+    ftyp = _box(b"ftyp", brand.encode("ascii")[:4].ljust(4) +
+                (0).to_bytes(4, "big") + brand.encode("ascii")[:4].ljust(4))
+    mvhd_body = (
+        b"\x00\x00\x00\x00"                      # version/flags
+        + (0).to_bytes(4, "big") * 2             # creation/modification
+        + (1000).to_bytes(4, "big")              # timescale: 1 kHz -> ms
+        + int(duration_ms).to_bytes(4, "big")    # duration
+        + (0x00010000).to_bytes(4, "big")        # rate 1.0
+        + (0x0100).to_bytes(2, "big")            # volume 1.0
+        + b"\x00" * 10                           # reserved
+        + b"\x00" * 36                           # matrix (identity omitted)
+        + b"\x00" * 24                           # pre_defined
+        + (n_tracks + 1).to_bytes(4, "big")      # next_track_ID
+    )
+    traks = b""
+    for t in range(n_tracks):
+        handler = b"vide" if t == 0 else b"soun"
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+        stsz = _box(b"stsz", b"\x00" * 4
+                    + int(sample_size).to_bytes(4, "big")
+                    + int(n_samples).to_bytes(4, "big"))
+        stbl = _box(b"stbl", stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr + minf)
+        traks += _box(b"trak", mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + traks)
+    mdat = _box(b"mdat", bytes((7 * i) % 251 for i in range(64)))
+    return ftyp + moov + mdat
+
+
+def _ebml_size(n: int) -> bytes:
+    """EBML data-size varint (marker in the leading byte)."""
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:
+            val = n | (1 << (7 * width))
+            return val.to_bytes(width, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_elt(eid: int, body: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + _ebml_size(len(body)) + body
+
+
+def build_webm(duration_ms: int, n_tracks: int = 1,
+               doctype: str = "webm") -> bytes:
+    """Minimal-but-valid EBML/WebM container: EBML header with DocType,
+    Segment{Info{TimestampScale, Duration}, Tracks{TrackEntry...}}."""
+    import struct
+
+    header = _ebml_elt(_EBML_HEADER, _ebml_elt(
+        _EBML_DOCTYPE, doctype.encode("ascii")))
+    info = _ebml_elt(_MKV_INFO,
+                     _ebml_elt(_MKV_TIMESCALE,
+                               (1_000_000).to_bytes(3, "big"))
+                     + _ebml_elt(_MKV_DURATION,
+                                 struct.pack(">d", float(duration_ms))))
+    entries = b"".join(
+        _ebml_elt(_MKV_TRACKENTRY, _ebml_elt(0xD7, bytes([t + 1])))
+        for t in range(n_tracks))
+    tracks = _ebml_elt(_MKV_TRACKS, entries)
+    return header + _ebml_elt(_MKV_SEGMENT, info + tracks)
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_bytes", LongType()),
+    ]
+)
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas container-metadata extraction: REAL parse of mp4/webm
+    payload bytes (box/EBML walks above); unparseable payloads emit a
+    null row (never a task failure — a corrupt byte cannot kill a
+    100-TB batch)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_media_metadata(
+                    bytes(payload) if payload is not None else b"")
+                if meta is None:
+                    meta = {"container": None, "brand": None,
+                            "duration_ms": None, "n_tracks": None,
+                            "n_samples": None, "sample_bytes": None}
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA])
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, METADATA_SCHEMA)
+
+
 def decode_payload(kind: str, payload: bytes, codecs: str | None = None) -> np.ndarray:
     """Dispatch: with codecs='stdlib', payloads with real WAV/BMP/PNG
     magic decode for real; anything else (or any parse failure) falls

@@ -203,7 +203,12 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         df, _ = as_ts_df(df, y=y, y_col=label_col)
         if y is not None:
             self._y_numeric = np.asarray(y).dtype.kind in "iufb"
-        _, self._fit_sz = self._check_series_length(df)
+        _, fit_mx = self._check_series_length(df)
+        # the reference pads the fit dataset to max_size when set
+        # (shapelets.py:623-638), so _X_fit_dims[1] == max_size and
+        # post-fit queries up to max_size are accepted
+        self._fit_sz = int(self.max_size) if self.max_size is not None \
+            else fit_mx
         rows = (
             df.select("series_id", "values", label_col)
             .limit(sample_size)
@@ -218,21 +223,25 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         n_classes = len(self.classes_)
         sz = min(x.shape[0] for x in X)
         d = X[0].shape[1]
+        # resolved sizes live in the FITTED attribute (reference
+        # shapelets.py:439-441 stores n_shapelets_per_size_ and leaves
+        # the hyper-parameter untouched — sklearn's
+        # check_dont_overwrite_parameters contract)
         if self.n_shapelets_per_size is None:
-            self.n_shapelets_per_size = grabocka_params_to_shapelet_size_dict(
+            self.n_shapelets_per_size_ = grabocka_params_to_shapelet_size_dict(
                 len(X), sz, n_classes, self.shapelet_length, self.total_lengths
             )
         else:
             # JSON round-trips stringify dict keys; renormalize so the
             # sorted-size bank order is numeric on refit
-            self.n_shapelets_per_size = {
+            self.n_shapelets_per_size_ = {
                 int(k): int(v) for k, v in self.n_shapelets_per_size.items()
             }
         rs = np.random.RandomState(self.random_state)
         # init: random windows from the data (k-means init simplified,
         # shapelets.py:78-91 — windows are cluster seeds)
         bank: list[np.ndarray] = []
-        for L, n_shp in sorted(self.n_shapelets_per_size.items()):
+        for L, n_shp in sorted(self.n_shapelets_per_size_.items()):
             for _ in range(n_shp):
                 xi = X[rs.randint(len(X))]
                 t0 = rs.randint(max(xi.shape[0] - L + 1, 1))
@@ -311,22 +320,24 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         built in sorted-size order at fit, so group i is contiguous and
         maps 1:1 to the reference's 'shapelets_i_*' keras layers."""
         groups, start = [], 0
+        sizes = getattr(self, "n_shapelets_per_size_", None) \
+            or self.n_shapelets_per_size
         # int() the keys: a JSON round-trip turns them into strings, and
         # lexical sort would mis-map groups (e.g. '12' before '8')
-        for L, n_shp in sorted((int(k), int(v))
-                               for k, v in self.n_shapelets_per_size.items()):
+        for L, n_shp in sorted((int(k), int(v)) for k, v in sizes.items()):
             groups.append((start, n_shp, L))
             start += n_shp
         return groups
 
     def _post_restore(self) -> None:
-        """JSON turns n_shapelets_per_size's int keys into strings —
-        restore the fit-time int-key normalization so a loaded model's
-        hyper-params compare equal to the original's."""
-        if isinstance(getattr(self, "n_shapelets_per_size", None), dict):
-            self.n_shapelets_per_size = {
-                int(k): int(v) for k, v in self.n_shapelets_per_size.items()
-            }
+        """JSON turns the size dicts' int keys into strings — restore
+        the fit-time int-key normalization so a loaded model's params
+        compare equal to the original's."""
+        for attr in ("n_shapelets_per_size", "n_shapelets_per_size_"):
+            if isinstance(getattr(self, attr, None), dict):
+                setattr(self, attr, {
+                    int(k): int(v)
+                    for k, v in getattr(self, attr).items()})
 
     def get_weights(self, layer_name: str | None = None) -> list:
         """Model weights, keras-layout (reference shapelets.py:750-786):
@@ -449,10 +460,21 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
                 ])
             return _udf
 
+    def _shapelet_d(self):
+        """Fitted per-timestamp dimension from the shapelet bank, for
+        the predict-time check_dims twin (bases.check_query_dims)."""
+        bank = getattr(self, "shapelets_", None)
+        if bank is not None and len(bank) and hasattr(bank[0], "shape") \
+                and getattr(bank[0], "ndim", 0) == 2:
+            return bank[0].shape[1]
+        return None
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Min-distances to every shapelet (shapelets.py:514-540)."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(df, self._shapelet_d())
         df, was_array = as_ts_df(df)
         if self.max_size is not None or getattr(self, "_fit_sz", None):
             self._check_series_length(df)
@@ -461,8 +483,10 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
 
     def locate(self, df: DataFrame) -> DataFrame:
         """Argmin match positions (shapelets.py:541-586)."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(df, self._shapelet_d())
         df, was_array = as_ts_df(df)
         if self.max_size is not None or getattr(self, "_fit_sz", None):
             self._check_series_length(df)
@@ -470,8 +494,10 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         return collect_col(out, was_array, "shapelet_locs")
 
     def predict(self, df: DataFrame) -> DataFrame:
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(df, self._shapelet_d())
         df, was_array = as_ts_df(df)
         W, b, classes = self.W_, self.b_, self.classes_
         bank = [s.copy() for s in self.shapelets_]
@@ -497,8 +523,10 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         """Class probabilities ordered by classes_ (reference
         shapelets.py:497-513 keras softmax head) — same distributed
         shape as predict, one vectorized pandas-UDF map."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(df, self._shapelet_d())
         df, was_array = as_ts_df(df)
         W, b = self.W_, self.b_
         bank = [s.copy() for s in self.shapelets_]

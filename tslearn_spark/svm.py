@@ -244,6 +244,9 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
             label_col: str = "label") -> "TimeSeriesSVC":
         from tslearn_spark.bases import as_ts_df
 
+        from tslearn_spark.bases import query_d
+
+        self._d_fit = query_d(df)
         df, _ = as_ts_df(df, y=y, y_col=label_col)
         if y is not None:
             self._y_numeric = np.asarray(y).dtype.kind in "iufb"
@@ -328,8 +331,10 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         grouped collect and voted on in a pandas UDF with broadcast
         duals — no series data leaves the executors.
         """
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
         train_ids = self._train_ids
         model = self.model_
@@ -396,12 +401,14 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         libsvm's caveat), the coupling argmax may disagree with
         predict's ovo vote on boundary queries.
         """
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
         if not self.probability:
             raise ValueError(
                 "predict_proba requires probability=True at fit time"
             )
+        check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
         train_ids = self._train_ids
         model = self.model_
@@ -427,8 +434,10 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         the standard vote-tiebreak ovr aggregation of them when
         decision_function_shape='ovr'.  Returns (series_id, decision
         array<double>)."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
         train_ids = self._train_ids
         model = self.model_
@@ -504,6 +513,9 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
             target_col: str = "y") -> "TimeSeriesSVR":
         from tslearn_spark.bases import as_ts_df
 
+        from tslearn_spark.bases import query_d
+
+        self._d_fit = query_d(df)
         df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
         Gram = self._fit_gram(df)
         tgt = {r["series_id"]: r[target_col]
@@ -566,8 +578,10 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
 
     def predict(self, queries: DataFrame) -> DataFrame:
         """Pure SQL reduction: edges join broadcast duals -> sum + b."""
-        from tslearn_spark.bases import as_ts_df, collect_col
+        from tslearn_spark.bases import (as_ts_df, check_query_dims,
+                                         collect_col)
 
+        check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
         edges = self._query_gram_df(queries)
         spark = queries.sparkSession
