@@ -180,7 +180,9 @@ def _scale_section(spark, qs, cold_base: dict,
         base = cold_base.get(name)
         out[name] = {
             "sec": dt,
-            "sec_normalized": round(dt / ambient, 3),
+            # clamp like the sf0.1 recording: divide contention out,
+            # never re-inflate a clean run to a contended baseline scale
+            "sec_normalized": round(dt / max(ambient, 1.0), 3),
             "vs_sf01_cold": round(dt / base, 1) if base else None,
             "expect": expect,
         }
@@ -667,8 +669,11 @@ def _warm_remeasure(spark, qs, sf_dir: str, flagged: list,
               "control_ratios": warm_ratios, "medians": warm_med}
     for n in flagged:
         now_norm = round(warm_med[n] / warm_ambient, 3)
-        if n in prior and _gate(now_norm, prior[n]):
+        # same conjunction as the cold flag: normalized AND raw
+        if n in prior and _gate(now_norm, prior[n]) \
+                and _gate(warm_med[n], prior[n]):
             confirmed[n] = {"prev": prior[n], "now_warm_normalized": now_norm,
+                            "now_warm_raw": warm_med[n],
                             "ratio": round(now_norm / prior[n], 2)}
         print(f"[bench] warm re-measure {n}: {warm_med[n]}s raw, "
               f"{now_norm}s normalized vs prior {prior.get(n)} -> "
@@ -710,9 +715,21 @@ def main() -> None:
     # (round 8: uniform 1.24-1.48x on untouched pure-SQL queries).
     prior, prior_file = _prior_medians(float(sf))
     ambient, control_ratios = _ambient_factor(timings, prior)
-    normalized = {name: round(t / ambient, 3) for name, t in timings.items()}
-    flagged = [name for name, t in normalized.items()
-               if name in prior and _gate(t, prior[name])]
+    # Recorded history must converge to the CLEAN (idle-machine) scale:
+    # ambient > 1 divides contention out; ambient < 1 (the baseline
+    # itself was contended, this run is cleaner) records raw — dividing
+    # by a sub-1 ambient would re-inflate a clean run back to the old
+    # contended scale and propagate the contamination forever.
+    normalized = {name: round(t / max(ambient, 1.0), 3)
+                  for name, t in timings.items()}
+    # Flag only when BOTH views trip: the ambient-compensated ratio
+    # (clears contended-now vs clean-baseline false positives) AND the
+    # raw ratio (clears clean-now vs contended-baseline false positives
+    # — controls and non-controls never inflate perfectly uniformly).
+    flagged = [name for name, t in timings.items()
+               if name in prior
+               and _gate(t / ambient, prior[name])
+               and _gate(t, prior[name])]
     if flagged:
         print(f"[bench] flagged after normalization (ambient {ambient:.2f}): "
               f"{flagged} -> warm re-measure", file=sys.stderr)
@@ -721,7 +738,7 @@ def main() -> None:
         # record the cleaner of cold-normalized and warm-normalized for
         # flagged queries so one contended window cannot poison the
         # baseline the next run compares against
-        wa = rerun_detail["ambient_factor"]
+        wa = max(rerun_detail["ambient_factor"], 1.0)
         for n in flagged:
             warm_norm = round(rerun_detail["medians"][n] / wa, 3)
             normalized[n] = min(normalized[n], warm_norm)

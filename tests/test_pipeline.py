@@ -376,6 +376,28 @@ class TestSimsearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8
 
+    def test_brute_force_per_task_merge_multi_batch(self, spark):
+        """gen folds per-Arrow-batch partials into ONE per-task partial
+        (merge_topk_columns): results must be identical however small
+        the Arrow batches are — incl. exact ties resolved by id."""
+        from tslearn_spark.pipeline import brute_force_topk
+
+        rs = np.random.RandomState(9)
+        v = rs.randint(0, 3, size=(60, 4)).astype(float)  # heavy ties
+        rows = [(int(i), v[i].tolist()) for i in range(len(v))]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").coalesce(2)
+        key = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+            small = [(r["query_id"], r["rank"], r["neighbor_id"])
+                     for r in brute_force_topk(df, df, k=5).collect()]
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", key)
+        big = [(r["query_id"], r["rank"], r["neighbor_id"])
+               for r in brute_force_topk(df, df, k=5).collect()]
+        assert sorted(small) == sorted(big)
+
     def test_auto_ivf_params(self):
         """Corpus-size defaults: n_lists ~ sqrt(n) (clamped), n_probe =
         n_lists/16 (floor 4) — the no-hand-tuning IVF path (measured

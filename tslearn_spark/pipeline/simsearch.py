@@ -99,7 +99,10 @@ def brute_force_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn))
 
     def gen(batches):
+        from tslearn_spark.topk import merge_topk_columns
+
         ids_b, Qn_b = bc.value
+        best_s = best_i = None  # running per-TASK partial (rows, n_query)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -116,10 +119,21 @@ def brute_force_topk(
             # final (cosine DESC, id ASC) window never loses a tied row
             sel = topk_matrix_tiebreak(sims, cid, kk, largest=True)
             cols = np.arange(sims.shape[1])[None, :]
+            part_s, part_i = sims[sel, cols], cid[sel]
+            # fold batches into ONE partial per task: the final window's
+            # shuffle input stays O(q x k x tasks) however many Arrow
+            # batches a 128 MB split holds (per-batch emits would grow
+            # it by the batch count, ~64x at scale)
+            if best_s is None:
+                best_s, best_i = part_s, part_i
+            else:
+                best_s, best_i = merge_topk_columns(
+                    best_s, best_i, part_s, part_i, k)
+        if best_s is not None:
             yield pd.DataFrame({
-                "query_id": np.repeat(ids_b, kk),
-                "neighbor_id": cid[sel].T.ravel(),
-                "cosine": sims[sel, cols].T.ravel(),
+                "query_id": np.repeat(ids_b, best_s.shape[0]),
+                "neighbor_id": best_i.T.ravel(),
+                "cosine": best_s.T.ravel(),
             })
 
     partial = candidates.mapInPandas(

@@ -35,15 +35,48 @@ def topk_matrix_tiebreak(scores: np.ndarray, ids: np.ndarray, kk: int,
     if n <= kk:
         return np.tile(np.arange(n)[:, None], (1, m))
     c = -scores if largest else scores
-    sel = np.argpartition(c, kk - 1, axis=0)[:kk]           # (kk, m)
-    cols = np.arange(m)[None, :]
-    cutoff = c[sel, cols].max(axis=0)                       # (m,)
+    # partition along the CONTIGUOUS axis: scores arrive row-major
+    # (n, m), and argpartition over axis=0 strides column-wise through
+    # it — one explicit transposed copy makes each query's candidate
+    # row contiguous and the selection ~5x faster (this select, not the
+    # BLAS, dominates brute-force ANN wall clock: 1.9s vs 0.36s per
+    # (700 x 20k) partition call, measured round 9)
+    cT = np.ascontiguousarray(c.T)                          # (m, n)
+    selT = np.argpartition(cT, kk - 1, axis=1)[:, :kk]      # (m, kk)
+    rows = np.arange(m)[:, None]
+    vals = cT[rows, selT]
+    cutoff = vals.max(axis=1)                               # (m,)
     with np.errstate(invalid="ignore"):
-        eq_all = (c == cutoff[None, :]).sum(axis=0)
-        eq_sel = (c[sel, cols] == cutoff[None, :]).sum(axis=0)
+        eq_all = (cT == cutoff[:, None]).sum(axis=1)
+        eq_sel = (vals == cutoff[:, None]).sum(axis=1)
+    sel = selT.T.copy()                                     # (kk, m)
     for qi in np.nonzero(eq_all > eq_sel)[0]:
         sel[:, qi] = topk_rows_tiebreak(scores[:, qi], ids, kk, largest)
     return sel
+
+
+def merge_topk_columns(scores_a, ids_a, scores_b, ids_b, kk: int):
+    """Merge two column-wise partial top-k blocks (each (r, m) scores +
+    matching ids, LARGEST-first semantics) into the per-column top-kk
+    under the global (score DESC, id ASC) order.
+
+    Used to fold per-Arrow-batch partials into ONE partial per task:
+    without it a task emits q x k rows per batch, and the final window's
+    shuffle input grows with the batch count (≈ split size / batch size,
+    ~64x at 128 MB splits) instead of staying O(q x k x tasks).
+
+    Two stable argsorts give the lexicographic order: first by id ASC,
+    then stably by score DESC.  Row counts are small (<= 2 kk), so the
+    cost per merge is trivial next to the scoring BLAS.
+    """
+    s = np.vstack([scores_a, scores_b])
+    i = np.vstack([ids_a, ids_b])
+    ord1 = np.argsort(i, axis=0, kind="stable")
+    s1 = np.take_along_axis(s, ord1, axis=0)
+    i1 = np.take_along_axis(i, ord1, axis=0)
+    ord2 = np.argsort(-s1, axis=0, kind="stable")[:kk]
+    return (np.take_along_axis(s1, ord2, axis=0),
+            np.take_along_axis(i1, ord2, axis=0))
 
 
 def topk_rows_tiebreak(scores: np.ndarray, ids: np.ndarray, kk: int,
