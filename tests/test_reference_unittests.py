@@ -9,10 +9,12 @@ files only use the euclidean/sqeuclidean forms).  Every ``test_*``
 function in a file becomes one parametrized case; non-passes must be
 explained in XFAIL.
 
-Files needing sklearn at import (test_estimators, test_shapelets,
-test_svm, test_serialize_models, test_variablelength, test_piecewise)
-are out of scope here — their operators are covered by the doctest
-replay and this repo's own suites.
+Every reference test FILE is now replayed except test_estimators.py,
+whose patched check_estimator battery has its own dedicated replay
+module (tests/test_reference_estimator_checks.py) — sklearn names are
+covered by the minimal shim below (NotFittedError, clone, KFold,
+cross_val_score, cross_validate), tensorflow by a duck-typed optimizer
+shim, scipy by a cdist stand-in.
 """
 
 from __future__ import annotations
@@ -47,6 +49,12 @@ FILES = [
     "test_piecewise.py",
     "test_serialize_models.py",
     "test_variablelength.py",
+    # round 9: the last two files — cross_validate joins the sklearn
+    # shim, a duck-typed tensorflow shim satisfies importorskip +
+    # tf.optimizers.Adam, and the engine grew the _preprocess_sklearn
+    # compat surface the svm tests introspect
+    "test_shapelets.py",
+    "test_svm.py",
 ]
 
 # explained non-passes: "<file>::<test_name>" or whole "<file>";
@@ -165,8 +173,28 @@ def sklearn_shim():
             scores.append(est.score(X[test], y[test]))
         return np.asarray(scores)
 
+    def _cross_validate(estimator, X, y=None, cv=None):
+        """Documented sklearn cross_validate semantics (subset): k-fold
+        fit+score, returning the fit_time/score_time/test_score dict."""
+        import time as _time
+
+        if cv is None or isinstance(cv, int):
+            cv = _KFold(cv or 5)
+        y = np.asarray(y)
+        out = {"fit_time": [], "score_time": [], "test_score": []}
+        for train, test in cv.split(X, y):
+            est = base.clone(estimator)
+            t0 = _time.perf_counter()
+            est.fit(X[train], y[train])
+            t1 = _time.perf_counter()
+            out["test_score"].append(est.score(X[test], y[test]))
+            out["fit_time"].append(t1 - t0)
+            out["score_time"].append(_time.perf_counter() - t1)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     msel.KFold = _KFold
     msel.cross_val_score = _cross_val_score
+    msel.cross_validate = _cross_validate
     sk.exceptions = exceptions
     sk.base = base
     sk.model_selection = msel
@@ -180,6 +208,35 @@ def sklearn_shim():
             sys.modules.pop(k, None)
         else:
             sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def tensorflow_shim():
+    """Duck-typed tensorflow stand-in for the shapelet tests: the
+    reference gates them on importorskip('tensorflow') because ITS
+    LearningShapelets is keras-backed; the engine's is from-scratch and
+    needs only ``tf.optimizers.Adam(lr)`` (an optimizer OBJECT the
+    engine maps by class name) and the seeding call."""
+    saved = sys.modules.get("tensorflow")
+    tf = types.ModuleType("tensorflow")
+
+    class Adam:
+        def __init__(self, learning_rate=0.001):
+            self.learning_rate = learning_rate
+
+    class SGD:
+        def __init__(self, learning_rate=0.01):
+            self.learning_rate = learning_rate
+
+    opt = types.SimpleNamespace(Adam=Adam, SGD=SGD)
+    tf.optimizers = opt
+    tf.random = types.SimpleNamespace(set_seed=lambda seed=None: None)
+    sys.modules["tensorflow"] = tf
+    yield
+    if saved is None:
+        sys.modules.pop("tensorflow", None)
+    else:
+        sys.modules["tensorflow"] = saved
 
 
 @pytest.fixture(scope="module")
@@ -240,7 +297,8 @@ def _load(fn):
 @pytest.mark.parametrize("fn,name", CASES,
                          ids=[f"{fn}::{name}" for fn, name in CASES])
 def test_reference_unittest(fn, name, spark, tslearn_shim, scipy_shim,
-                            sklearn_shim, tmp_path, monkeypatch):
+                            sklearn_shim, tensorflow_shim, tmp_path,
+                            monkeypatch):
     reason = XFAIL.get(f"{fn}::{name}") or XFAIL.get(fn)
     if reason and reason.startswith("skip:"):
         pytest.skip(reason[5:].strip())

@@ -22,7 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
-from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
+from tslearn_spark.bases import (BaseModelPackage, ClassifierScoreMixin,
+                                 TimeSeriesBaseEstimator)
 
 
 def _nested(v) -> np.ndarray:
@@ -111,7 +112,8 @@ class _ShapeletSubmodel:
         return self._owner.set_weights(weights, layer_name)
 
 
-class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
+class LearningShapelets(ClassifierScoreMixin, BaseModelPackage,
+                        TimeSeriesBaseEstimator):
     """Shapelet model: numpy Adam training of shapelets + softmax layer.
 
     Loss = cross-entropy(softmax(W @ mindist + b), y) + 0.5*reg*||W||^2,
@@ -134,13 +136,28 @@ class LearningShapelets(BaseModelPackage, TimeSeriesBaseEstimator):
         (the reference's Keras default, implemented as a plain gradient
         step) or "adam" (an engine extra — converges far faster at
         small step counts, used by the driver queries with explicit
-        max_iter); other values raise.  scale applies the reference's
+        max_iter); the reference also accepts Keras OPTIMIZER INSTANCES
+        (tests/test_shapelets.py:30 passes tf.optimizers.Adam(.1)), so
+        duck-typed objects whose class name is Adam/SGD map to the
+        matching engine step, adopting their learning_rate when they
+        carry one.  Anything else raises.  scale applies the reference's
         per-series min-max scaling (shapelets.py:623-626) to training,
         transform, locate and predict alike."""
+        if not isinstance(optimizer, str):
+            opt_name = type(optimizer).__name__.lower()
+            if opt_name in ("adam", "sgd"):
+                opt_lr = getattr(optimizer, "learning_rate", None)
+                if opt_lr is not None:
+                    try:
+                        lr = float(opt_lr)
+                    except (TypeError, ValueError):
+                        pass  # tf variables w/o float() keep the default
+                optimizer = opt_name
         if optimizer not in ("adam", "sgd"):
             raise NotImplementedError(
-                "optimizer must be 'adam' or 'sgd' (Keras optimizer "
-                "instances are not supported)"
+                "optimizer must be 'adam'/'sgd' or an optimizer object "
+                "whose class is named Adam/SGD (other Keras optimizers "
+                "are not supported)"
             )
         self.n_shapelets_per_size = n_shapelets_per_size
         self.max_iter = max_iter

@@ -145,6 +145,45 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
         edges = M.cdist(df, metric="gak", sigma=self.sigma_)
         return _collect_gram(edges, self._train_ids, self._train_ids)
 
+    def _preprocess_sklearn(self, X, y=None, fit_time=False):
+        """Reference internal (svm.py:18-68): the matrix the reference
+        hands sklearn's SVC/SVR — the precomputed GAK Gram
+        (sigma = sqrt(gamma_/2), gamma 'auto' via gamma_soft_dtw) for
+        kernel='gak', the flattened dataset otherwise — plus y.  Compat
+        shim for reference scripts/tests that call it directly (e.g.
+        tests/test_svm.py:9-25 asserts the gamma->sigma mapping); the
+        engine's actual fit builds the same Gram distributively
+        (_fit_gram).  numpy in / numpy out."""
+        from tslearn_spark.utils import to_time_series_dataset
+
+        X = to_time_series_dataset(X)
+        if fit_time:
+            self._X_fit = X
+            if self.gamma == "auto":
+                if self.kernel == "gak":
+                    rs = getattr(self, "random_state", None)
+                    self.gamma_ = K.gamma_soft_dtw(
+                        X, random_state=0 if rs is None else rs)
+                else:
+                    self.gamma_ = 1.0 / (X.shape[1] * X.shape[2])
+            else:
+                self.gamma_ = float(self.gamma)
+            if y is not None:
+                self.classes_ = np.unique(y)
+        if self.kernel == "gak":
+            self.estimator_kernel_ = "precomputed"
+            from tslearn_spark.metrics import cdist_gak
+
+            sigma = float(np.sqrt(self.gamma_ / 2.0))
+            if fit_time:
+                sklearn_X = cdist_gak(X, sigma=sigma)
+            else:
+                sklearn_X = cdist_gak(X, self._X_fit, sigma=sigma)
+        else:
+            self.estimator_kernel_ = self.kernel
+            sklearn_X = X.reshape((X.shape[0], -1))
+        return sklearn_X if y is None else (sklearn_X, y)
+
     def _query_gram_df(self, queries: DataFrame) -> DataFrame:
         """Distributed query x train kernel edges (id1, id2, dist).
 
