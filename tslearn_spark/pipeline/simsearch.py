@@ -222,7 +222,17 @@ def ivf_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn, Cen, probers))
 
     def score_gen(batches):
+        from tslearn_spark.topk import merge_topk_columns
+
         q_ids_b, Qn_b, C, probers_b = bc.value
+        # running per-TASK partial over ALL queries (k rows, -inf pads):
+        # per-(batch, list) emits would grow the final window's shuffle
+        # input with the Arrow batch count; folding keeps it
+        # O(q x k x tasks) like brute_force_topk
+        n_q = len(q_ids_b)
+        best_s = np.full((k, n_q), -np.inf)
+        best_i = np.full((k, n_q), np.iinfo(np.int64).max, dtype=np.int64)
+        touched = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -231,7 +241,6 @@ def ivf_topk(
             cid = pdf[id_col].to_numpy(dtype=np.int64)
             # argmax returns the FIRST max -> lowest centroid index on ties
             lists = np.argmax(Vn @ C.T, axis=1)
-            out_q, out_n, out_c = [], [], []
             for l in np.unique(lists):
                 qsel = probers_b.get(int(l))
                 if qsel is None or len(qsel) == 0:
@@ -245,15 +254,20 @@ def ivf_topk(
                 cid_l = cid[rows]
                 sel = topk_matrix_tiebreak(sims, cid_l, kk, largest=True)
                 cols = np.arange(sims.shape[1])[None, :]
-                out_q.extend(np.repeat(q_ids_b[qsel], kk))
-                out_n.extend(cid_l[sel].T.ravel())
-                out_c.extend(sims[sel, cols].T.ravel())
-            if out_q:
-                yield pd.DataFrame({
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                    "cosine": np.asarray(out_c, dtype=np.float64),
-                })
+                ms, mi = merge_topk_columns(
+                    best_s[:, qsel], best_i[:, qsel],
+                    sims[sel, cols], cid_l[sel], k)
+                best_s[:ms.shape[0], qsel] = ms
+                best_i[:mi.shape[0], qsel] = mi
+                touched = True
+        if touched:
+            emit = best_s > -np.inf  # (k, n_q) mask of real partials
+            n_per_q = emit.sum(axis=0)
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids_b, n_per_q),
+                "neighbor_id": best_i.T[emit.T],
+                "cosine": best_s.T[emit.T],
+            })
 
     partial = candidates.select(id_col, vec_col).mapInPandas(
         score_gen, "query_id long, neighbor_id long, cosine double"
