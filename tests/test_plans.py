@@ -174,6 +174,29 @@ class TestPushdownAndPruning:
         assert "PushedFilters: [IsNotNull(k), GreaterThan(k,3)]" in plan
         assert "junk1" not in plan.split("ReadSchema")[1].splitlines()[0]
 
+    def test_video_metadata_plan_is_pruned_map_only(self, spark):
+        """multimodal_video_metadata plan lock: the documents scan reads
+        ONLY (doc_id, n_chars) — the wide text column is pruned — and
+        the whole query is two chained MapInPandas stages with ZERO
+        exchanges (build container bytes, parse them back)."""
+        import os
+
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(sf):
+            import pytest as _pytest
+
+            _pytest.skip("driver testdata absent")
+        df = entry.queries()["multimodal_video_metadata"](spark, sf)
+        plan = plan_of(df)
+        read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "n_chars" in read_schema
+        assert "text" not in read_schema
+        # two nodes, each named in the tree AND its detail section
+        assert plan.count("MapInPandas") == 4
+        assert "Exchange" not in plan
+
 
 class TestDeclaredAllPairs:
     def test_cdist_triangle_is_declared_all_pairs(self, spark):

@@ -99,27 +99,46 @@ def brute_force_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn))
 
     def gen(batches):
-        from tslearn_spark.topk import merge_topk_columns
+        from tslearn_spark.topk import merge_topk_columns, topk_rows_of_matrix
 
         ids_b, Qn_b = bc.value
-        best_s = best_i = None  # running per-TASK partial (rows, n_query)
+        n_q = len(ids_b)
+        # query-chunked, QUERY-MAJOR scoring: sims for a 4096-query
+        # chunk land as (cq, n_cand) — BLAS writes the layout row-wise
+        # selection wants, so no transposed copy, and the reused ~20 MB
+        # buffer keeps the task's working set small.  The naive
+        # cand-major whole-matrix path allocated 100-400 MB per task;
+        # with 32 concurrent tasks that thrashed DRAM and the allocator
+        # (measured: the same matmul+select 5-10x slower inside busy
+        # workers than on the driver).
+        q_chunk = max(1, min(4096, n_q))
+        best_s = best_i = None  # running per-TASK partial (k, n_query)
+        sims_buf = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             cid = pdf[id_col].to_numpy(dtype=np.int64)
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            sims = Cn @ Qn_b.T  # (n_cand, n_query)
-            if drop_self:
-                self_mask = cid[:, None] == ids_b[None, :]
-                sims = np.where(self_mask, -np.inf, sims)
-            kk = min(k, sims.shape[0])
-            # partial top-k per query within this batch; ties at the
-            # cutoff resolved by smallest id (tslearn_spark.topk) so the
-            # final (cosine DESC, id ASC) window never loses a tied row
-            sel = topk_matrix_tiebreak(sims, cid, kk, largest=True)
-            cols = np.arange(sims.shape[1])[None, :]
-            part_s, part_i = sims[sel, cols], cid[sel]
+            CnT = np.ascontiguousarray(Cn.T)   # (d, n_cand), tiny
+            n_cand = Cn.shape[0]
+            kk = min(k, n_cand)
+            part_s = np.empty((kk, n_q))
+            part_i = np.empty((kk, n_q), dtype=np.int64)
+            if sims_buf is None or sims_buf.shape[1] != n_cand:
+                sims_buf = np.empty((q_chunk, n_cand))
+            for lo in range(0, n_q, q_chunk):
+                hi = min(lo + q_chunk, n_q)
+                sims = np.dot(Qn_b[lo:hi], CnT, out=sims_buf[: hi - lo])
+                if drop_self:
+                    sims[ids_b[lo:hi][:, None] == cid[None, :]] = -np.inf
+                # tie-aware per-row top-k; ties at the cutoff resolved by
+                # smallest id so the final (cosine DESC, id ASC) window
+                # never loses a tied row
+                sel = topk_rows_of_matrix(sims, cid, kk, largest=True)
+                rows = np.arange(hi - lo)[:, None]
+                part_s[:, lo:hi] = sims[rows, sel].T
+                part_i[:, lo:hi] = cid[sel].T
             # fold batches into ONE partial per task: the final window's
             # shuffle input stays O(q x k x tasks) however many Arrow
             # batches a 128 MB split holds (per-batch emits would grow

@@ -55,6 +55,30 @@ def topk_matrix_tiebreak(scores: np.ndarray, ids: np.ndarray, kk: int,
     return sel
 
 
+def topk_rows_of_matrix(scores: np.ndarray, ids: np.ndarray, kk: int,
+                        largest: bool = False) -> np.ndarray:
+    """Row-wise tie-aware top-k over a QUERY-MAJOR (m, n) score matrix
+    (each row one query, columns = candidates with shared ``ids``):
+    returns (m, kk) column indices.  The row-major twin of
+    topk_matrix_tiebreak — selection runs over contiguous rows with no
+    transposed copy, so a caller that computes scores query-major
+    (Q @ C.T) pays zero layout cost."""
+    m, n = scores.shape
+    if n <= kk:
+        return np.tile(np.arange(n)[None, :], (m, 1))
+    c = -scores if largest else scores
+    sel = np.argpartition(c, kk - 1, axis=1)[:, :kk]        # (m, kk)
+    rows = np.arange(m)[:, None]
+    vals = c[rows, sel]
+    cutoff = vals.max(axis=1)
+    with np.errstate(invalid="ignore"):
+        eq_all = (c == cutoff[:, None]).sum(axis=1)
+        eq_sel = (vals == cutoff[:, None]).sum(axis=1)
+    for qi in np.nonzero(eq_all > eq_sel)[0]:
+        sel[qi] = topk_rows_tiebreak(scores[qi], ids, kk, largest)
+    return sel
+
+
 def merge_topk_columns(scores_a, ids_a, scores_b, ids_b, kk: int):
     """Merge two column-wise partial top-k blocks (each (r, m) scores +
     matching ids, LARGEST-first semantics) into the per-column top-kk
