@@ -451,9 +451,12 @@ class TestKernelKMeansPredictOracle:
         cluster retries, and the cross-Gram predict."""
         import __spark_entry__ as entry
 
+        # called directly: r10 retired this rows-only entry from the
+        # 50-query roster (see queries()'s roster comment) — this replay
+        # and the hash-gated kernel_kmeans_assign_tiny keep it covered
         got = {
             r.series_id: r.cluster
-            for r in entry.queries()["kernel_kmeans_predict"](spark, SF_DIR).collect()
+            for r in entry.kernel_kmeans_predict(spark, SF_DIR).collect()
         }
         raw = _series_from_parquet()
         s16 = {u: _znorm(_resample(v, 16)) for u, v in raw.items()}

@@ -57,8 +57,23 @@ _D2_EXPR = ("aggregate(zip_with(x1, x2, (p, q) -> (p - q) * (p - q)), "
             "0.0D, (s, v) -> s + v)")
 
 
+def _ragged_kernel_error(kernel: str) -> ValueError:
+    return ValueError(
+        f"kernel {kernel!r} requires equal-length series: the "
+        "flattened inputs have mixed lengths (sklearn's "
+        "pairwise_kernels raises on incompatible dimensions; use "
+        "kernel='gak' for variable-length series)")
+
+
+def _flat_len_check(d: DataFrame) -> tuple[int, int]:
+    """(countDistinct(flattened length), max flattened length) — one scan."""
+    agg = d.select(F.size(F.flatten("values")).alias("n")).agg(
+        F.countDistinct("n").alias("k"), F.max("n").alias("n")).first()
+    return int(agg["k"]), int(agg["n"]) if agg["n"] is not None else 0
+
+
 def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
-                           params: dict) -> DataFrame:
+                           params: dict, flat_len: int | None = None) -> DataFrame:
     """(id1, id2, dist) Gram edges for the sklearn pairwise kernels the
     reference's KernelKMeans accepts besides "gak" (kmeans.py:274-289
     routes them to sklearn.metrics.pairwise.pairwise_kernels over the
@@ -66,6 +81,11 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     is one codegen fold, so the same Gram-edge dataflow the gak path
     uses runs unchanged downstream.  Defaults match sklearn: gamma =
     1 / n_features for rbf/sigmoid/poly, degree 3, coef0 1.
+
+    ``flat_len``: the d2 (train) side's already-known flattened length —
+    callers that resolved it at fit time pass it so only the d1 (query)
+    side is scanned for the ragged-input check, instead of an eager
+    union aggregate over BOTH inputs on every predict call.
     """
     a = d1.select(F.col("series_id").alias("id1"),
                   F.flatten("values").alias("x1"))
@@ -76,20 +96,28 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     # unequal arrays would instead silently truncate to the shorter one
     # and the folds would produce wrong (not NULL-visible) Grams —
     # enforce one uniform flattened length across both sides up front
-    sides = a.select(F.size("x1").alias("n")).union(
-        b.select(F.size("x2").alias("n")))
-    agg = sides.agg(F.countDistinct("n").alias("k"),
-                    F.max("n").alias("n")).first()
-    if int(agg["k"]) > 1:
-        raise ValueError(
-            f"kernel {kernel!r} requires equal-length series: the "
-            "flattened inputs have mixed lengths (sklearn's "
-            "pairwise_kernels raises on incompatible dimensions; use "
-            "kernel='gak' for variable-length series)")
+    ragged_err = _ragged_kernel_error(kernel)
+    if flat_len is not None:
+        # train-side length known from fit: scan the query side only
+        k1, n1 = _flat_len_check(d1) if d1 is not d2 else (1, flat_len)
+        if k1 > 1 or n1 != int(flat_len):
+            raise ragged_err
+        n = int(flat_len)
+    else:
+        if d1 is d2:
+            k1, n = _flat_len_check(d1)
+        else:
+            sides = a.select(F.size("x1").alias("n")).union(
+                b.select(F.size("x2").alias("n")))
+            agg = sides.agg(F.countDistinct("n").alias("k"),
+                            F.max("n").alias("n")).first()
+            k1, n = int(agg["k"]), int(agg["n"])
+        if k1 > 1:
+            raise ragged_err
     if kernel in ("rbf", "sigmoid", "polynomial", "poly"):
         gamma = params.get("gamma")
         if gamma is None:
-            gamma = 1.0 / float(agg["n"])
+            gamma = 1.0 / float(n)
     if kernel == "rbf":
         val = F.expr(f"exp({-1.0}D * {float(gamma)!r}D * {_D2_EXPR})")
     elif kernel == "linear":
@@ -1188,17 +1216,20 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         if self.kernel == "gak":
             gram = M.cdist(df, metric="gak", **kp).localCheckpoint()
         else:
-            # resolve the sklearn gamma default (1 / n_features) from the
-            # TRAIN side once and persist it, like sigma_gak_ above —
-            # otherwise predict would re-resolve it from the query side
+            # ONE scan resolves both the ragged-input check and the
+            # sklearn gamma default (1 / n_features); the length persists
+            # (like sigma_gak_) so predict validates the query side only
+            # instead of re-scanning train+query per call
+            k_len, n_len = _flat_len_check(df)
+            if k_len > 1:
+                raise _ragged_kernel_error(self.kernel)
+            self._kernel_flat_len_ = n_len
             if self.kernel in ("rbf", "sigmoid", "polynomial", "poly") \
                     and kp.get("gamma") is None:
-                first = df.select(
-                    F.size(F.flatten("values")).alias("n")).first()
-                kp["gamma"] = 1.0 / float(first["n"])
+                kp["gamma"] = 1.0 / float(n_len)
             self._kernel_gamma_ = kp.get("gamma")
             gram = _pairwise_kernel_edges(
-                df, df, self.kernel, kp).localCheckpoint()
+                df, df, self.kernel, kp, flat_len=n_len).localCheckpoint()
         spark = df.sparkSession
         wcol = F.col(weight_col) if weight_col else F.lit(1.0)
         labw = df.select(F.col("series_id").alias("id2"), wcol.alias("_w")).cache()
@@ -1292,7 +1323,9 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
             if kp.get("gamma") is None and \
                     getattr(self, "_kernel_gamma_", None) is not None:
                 kp["gamma"] = self._kernel_gamma_  # fit-time resolution
-            gram = _pairwise_kernel_edges(df, self._df, self.kernel, kp)
+            gram = _pairwise_kernel_edges(
+                df, self._df, self.kernel, kp,
+                flat_len=getattr(self, "_kernel_flat_len_", None))
         # _labels_df, not the labels_ property: after an array fit the
         # property view is an ndarray (numpy-compat), the join needs the frame
         labj = self._labels_df.select(F.col("series_id").alias("id2"),

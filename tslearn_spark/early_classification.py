@@ -244,7 +244,10 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
 
             T_b, yi_b, cls_b = bc.value
             n_t, sz_b, d_b = T_b.shape
-            chunk = max(1, (1 << 22) // max(n_t * sz_b, 1))
+            # the broadcasted intermediate (Q[:,None,:,:] - T_b)**2 is
+            # (chunk, n_t, sz, d) — budget must divide by d too, or
+            # multivariate fits allocate d x the intended ~32 MB per task
+            chunk = max(1, (1 << 22) // max(n_t * sz_b * d_b, 1))
             for pdf in batches:
                 counts: dict = {}
                 for lo in range(0, len(pdf), chunk):

@@ -218,7 +218,11 @@ def ivf_topk(
         # not have to hand-tune
         al, ap = auto_ivf_params(candidates.count())
         n_lists = al if n_lists == "auto" else n_lists
-        n_probe = ap if n_probe == "auto" else n_probe
+        # an explicit small n_lists with n_probe="auto" must not inherit
+        # the corpus-sized probe count (n_lists=8 would get n_probe~19 —
+        # probing "all lists" silently): derive from the ACTUAL n_lists
+        n_probe = min(ap, max(int(n_lists) // 16, 4), int(n_lists)) \
+            if n_probe == "auto" else n_probe
     if centroids is None:
         c_pdf = (
             candidates.select(id_col, vec_col).orderBy(id_col).limit(n_lists).toPandas()
