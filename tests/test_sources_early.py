@@ -323,6 +323,47 @@ class TestEarlyClassification:
         probs, times = model.predict_proba_and_earliness(Xarr)
         assert probs.shape == (8, 2) and times.shape == (8,)
 
+    def test_chunked_confusion_fallback_matches_broadcast(
+            self, spark, monkeypatch):
+        """Plan lock for the classifier-half broadcast byte budget: past
+        the budget the fit switches to the chunked shuffle fallback
+        (_conf_plan_ == 'chunked') and the fitted confusion tensor is
+        BIT-IDENTICAL to the broadcast plan's — the per-pair cumsum
+        arithmetic is chunk-invariant and the struct-min merge replays
+        the (cum asc, tid asc) argmin tie order."""
+        import tslearn_spark.early_classification as EC
+        from tslearn_spark.early_classification import NonMyopicEarlyClassifier
+
+        data = [
+            [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6],
+            [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1], [1, 2, 3, 3, 2, 1],
+            [3, 2, 1, 1, 2, 3], [3, 2, 1, 1, 2, 3],
+            [0, 1, 2, 3, 4, 5], [2, 2, 2, 2, 2, 2],
+        ]
+        y = ["0", "0", "0", "1", "1", "1", "0", "0", "0", "1"]
+        df = DS.dataset_to_df(
+            spark, [[float(v) for v in row] for row in data], labels=y
+        ).cache()
+        df.count()
+        ref = NonMyopicEarlyClassifier(
+            n_clusters=3, lamb=1000.0, cost_time_parameter=0.1,
+            random_state=0).fit(df)
+        assert ref._conf_plan_ == "broadcast"
+        # 10 series * 6 positions * 1 dim = 60 values; budget 12 forces
+        # the ~5-row classifier half into >= 2 chunks
+        monkeypatch.setattr(EC, "_CLF_BROADCAST_LIMIT_VALUES", 12)
+        alt = NonMyopicEarlyClassifier(
+            n_clusters=3, lamb=1000.0, cost_time_parameter=0.1,
+            random_state=0).fit(df)
+        assert alt._conf_plan_ == "chunked"
+        np.testing.assert_array_equal(ref.pyhatyck_, alt.pyhatyck_)
+        np.testing.assert_array_equal(ref.pyck_, alt.pyck_)
+        got = {r["series_id"]: r["prediction"]
+               for r in alt.predict_class_and_earliness(df).collect()}
+        want = {r["series_id"]: r["prediction"]
+                for r in ref.predict_class_and_earliness(df).collect()}
+        assert got == want
+
     def test_classifiers_dict_attribute(self, spark):
         """classifiers_ is a dict {t: per-prefix classifier} after fit
         (early_classification.py:48-50,164-165; the reference doctest

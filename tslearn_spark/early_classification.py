@@ -35,6 +35,12 @@ from pyspark.sql import functions as F
 from tslearn_spark.bases import BaseModelPackage, TimeSeriesBaseEstimator
 
 
+# classifier halves up to ~this many float64 values ride the one-shot
+# broadcast confusion pass; bigger halves stream through in budget-sized
+# chunks (same gate+fallback shape as neighbors._DTW_BROADCAST_LIMIT_VALUES)
+_CLF_BROADCAST_LIMIT_VALUES = 8_000_000  # ~64 MB
+
+
 def _cum_prefix_d2(v1: str = "values1", v2: str = "values2"):
     """Per-position squared distance between two equal-length nested
     series — the building block for every prefix distance at once."""
@@ -222,69 +228,89 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
         # scalar rows through two exchanges — quadratic wall clock at
         # sf1); semantics are identical incl. the (cum asc, tid asc)
         # tie order (train sorted by tid; argmin takes the first min).
-        t_rows = sorted(
-            self._clf_df.select("series_id", "values", "_y").collect(),
-            key=lambda r: r["series_id"],
-        )
-        T = np.asarray(
-            [[list(map(float, ts)) for ts in r["values"]] for r in t_rows],
-            dtype=np.float64,
-        )  # (n_t, sz, d)
-        # label INDICES travel instead of label values, so the partial
-        # rows stay typed (int) whatever the label dtype is
-        yh_idx = np.searchsorted(
-            self.classes_, np.asarray([r["_y"] for r in t_rows]))
         spark = df.sparkSession
         classes_b = self.classes_
-        bc = spark.sparkContext.broadcast((T, yh_idx, classes_b))
         min_t = self.min_t
+        n_clf = self._clf_df.count()
+        n_vals = n_clf * sz * d
+        if n_vals <= _CLF_BROADCAST_LIMIT_VALUES:
+            # fast path: the whole classifier half fits the broadcast
+            # byte budget — ship it once, one map pass over half2
+            self._conf_plan_ = "broadcast"
+            t_rows = sorted(
+                self._clf_df.select("series_id", "values", "_y").collect(),
+                key=lambda r: r["series_id"],
+            )
+            T = np.asarray(
+                [[list(map(float, ts)) for ts in r["values"]]
+                 for r in t_rows], dtype=np.float64,
+            )  # (n_t, sz, d)
+            # label INDICES travel instead of label values, so the
+            # partial rows stay typed (int) whatever the label dtype is
+            yh_idx = np.searchsorted(
+                self.classes_, np.asarray([r["_y"] for r in t_rows]))
+            bc = spark.sparkContext.broadcast((T, yh_idx, classes_b))
 
-        def _conf_partials(batches):
-            import pandas as _pd
+            def _conf_partials(batches):
+                import pandas as _pd
 
-            T_b, yi_b, cls_b = bc.value
-            n_t, sz_b, d_b = T_b.shape
-            # the broadcasted intermediate (Q[:,None,:,:] - T_b)**2 is
-            # (chunk, n_t, sz, d) — budget must divide by d too, or
-            # multivariate fits allocate d x the intended ~32 MB per task
-            chunk = max(1, (1 << 22) // max(n_t * sz_b * d_b, 1))
-            for pdf in batches:
-                counts: dict = {}
-                for lo in range(0, len(pdf), chunk):
-                    sub = pdf.iloc[lo:lo + chunk]
-                    Q = np.asarray(
-                        [[list(map(float, ts)) for ts in v]
-                         for v in sub["values"]], dtype=np.float64)
-                    if Q.size == 0:
-                        continue
-                    # (m, n_t, sz): per-position squared distance summed
-                    # over d, then prefix-cumulative along positions
-                    d2 = ((Q[:, None, :, :] - T_b[None, :, :, :]) ** 2
-                          ).sum(axis=3)
-                    cum = np.cumsum(d2, axis=2)
-                    nn_idx = np.argmin(cum, axis=1)  # (m, sz); first min
-                    yh = yi_b[nn_idx]                # (m, sz) class indices
-                    yt = np.searchsorted(
-                        cls_b, np.asarray(list(sub["_y"])))
-                    for i, ck in enumerate(sub["cluster"]):
-                        for pos in range(min_t - 1, sz_b):
-                            key = (pos + 1, int(ck), int(yt[i]),
-                                   int(yh[i, pos]))
-                            counts[key] = counts.get(key, 0) + 1
-                if counts:
-                    yield _pd.DataFrame(
-                        [(t, ck, a, b, n)
-                         for (t, ck, a, b), n in counts.items()],
-                        columns=["t", "ck", "yi", "yj", "n"])
+                T_b, yi_b, cls_b = bc.value
+                n_t, sz_b, d_b = T_b.shape
+                # the broadcasted intermediate (Q[:,None,:,:] - T_b)**2
+                # is (chunk, n_t, sz, d) — budget must divide by d too,
+                # or multivariate fits allocate d x the intended ~32 MB
+                chunk = max(1, (1 << 22) // max(n_t * sz_b * d_b, 1))
+                for pdf in batches:
+                    counts: dict = {}
+                    for lo in range(0, len(pdf), chunk):
+                        sub = pdf.iloc[lo:lo + chunk]
+                        Q = np.asarray(
+                            [[list(map(float, ts)) for ts in v]
+                             for v in sub["values"]], dtype=np.float64)
+                        if Q.size == 0:
+                            continue
+                        # (m, n_t, sz): per-position squared distance
+                        # summed over d, then prefix-cumulative
+                        d2 = ((Q[:, None, :, :] - T_b[None, :, :, :]) ** 2
+                              ).sum(axis=3)
+                        cum = np.cumsum(d2, axis=2)
+                        nn_idx = np.argmin(cum, axis=1)  # (m, sz); 1st min
+                        yh = yi_b[nn_idx]            # (m, sz) class idx
+                        yt = np.searchsorted(
+                            cls_b, np.asarray(list(sub["_y"])))
+                        for i, ck in enumerate(sub["cluster"]):
+                            for pos in range(min_t - 1, sz_b):
+                                key = (pos + 1, int(ck), int(yt[i]),
+                                       int(yh[i, pos]))
+                                counts[key] = counts.get(key, 0) + 1
+                    if counts:
+                        yield _pd.DataFrame(
+                            [(t, ck, a, b, n)
+                             for (t, ck, a, b), n in counts.items()],
+                            columns=["t", "ck", "yi", "yj", "n"])
 
-        partial_schema = "t int, ck int, yi int, yj int, n long"
-        stats = (
-            half2.select("values", "cluster", "_y")
-            .mapInPandas(_conf_partials, partial_schema)
-            .groupBy("t", "ck", "yi", "yj")
-            .agg(F.sum("n").alias("count"))
-            .collect()
-        )
+            partial_schema = "t int, ck int, yi int, yj int, n long"
+            stats = (
+                half2.select("values", "cluster", "_y")
+                .mapInPandas(_conf_partials, partial_schema)
+                .groupBy("t", "ck", "yi", "yj")
+                .agg(F.sum("n").alias("count"))
+                .collect()
+            )
+        else:
+            # shuffle fallback (same gate+fallback shape as
+            # neighbors._dtw_topk_broadcast): the classifier half exceeds
+            # the broadcast budget, so it streams through in tid-sorted
+            # CHUNKS that each fit the budget.  Every chunk pass emits
+            # one (qid, t) candidate row carrying the chunk-local best
+            # (cum, tid, yh); a struct-min groupBy merges chunks — the
+            # per-pair cumsum arithmetic is chunk-invariant, so the
+            # (cum asc, tid asc) tie order is bit-identical to the
+            # broadcast plan.  Shuffle volume: |half2| x sz x n_chunks
+            # scalar rows; worker memory stays <= budget + ~32 MB.
+            self._conf_plan_ = "chunked"
+            stats = self._conf_stats_chunked(
+                spark, half2, sz, d, n_clf, classes_b, min_t)
 
         self.pyhatyck_ = np.zeros(
             (sz - self.min_t + 1, self.n_clusters, n_classes, n_classes)
@@ -301,6 +327,110 @@ class NonMyopicEarlyClassifier(BaseModelPackage, TimeSeriesBaseEstimator):
                 conf /= norm
                 np.fill_diagonal(conf, 0.0)
         return self
+
+    def _conf_stats_chunked(self, spark, half2: DataFrame, sz: int, d: int,
+                            n_clf: int, classes_b: np.ndarray, min_t: int):
+        """Budget-bounded confusion stats: the classifier half streams
+        through in hash-split chunks that each fit the broadcast byte
+        budget.  Per chunk, one map pass over the estimation half emits
+        the chunk-local best (cum, tid, yh) per (query, prefix); an
+        eager struct-min merge folds it into the running global best
+        (localCheckpoint truncates lineage, the chunk broadcast is
+        unpersisted immediately), so live memory never exceeds ONE
+        chunk + the (|q| x sz)-row best table regardless of n_clf."""
+        import math
+
+        rows_per_chunk = max(1, _CLF_BROADCAST_LIMIT_VALUES
+                             // max(sz * d, 1))
+        n_chunks = max(2, math.ceil(n_clf / rows_per_chunk))
+        pos = np.arange(min_t - 1, sz)
+        n_pos = len(pos)
+        schema = ("qid long, t int, ck int, yi int, cum double, "
+                  "tid long, yh int")
+        q_src = half2.select("series_id", "values", "cluster", "_y")
+        best: DataFrame | None = None
+        for c in range(n_chunks):
+            c_pdf = (
+                self._clf_df
+                .where(F.pmod(F.xxhash64("series_id"), F.lit(n_chunks))
+                       == F.lit(c))
+                .select("series_id", "values", "_y")
+                .toPandas()  # Arrow — Row objects cost ~5-10x the doubles
+            )
+            if len(c_pdf) == 0:
+                continue
+            c_pdf = c_pdf.sort_values("series_id").reset_index(drop=True)
+            T = np.asarray(
+                [[list(map(float, ts)) for ts in v]
+                 for v in c_pdf["values"]], dtype=np.float64)
+            tids = c_pdf["series_id"].to_numpy(dtype=np.int64)
+            yh_idx = np.searchsorted(
+                classes_b, np.asarray(list(c_pdf["_y"])))
+            bc = spark.sparkContext.broadcast((T, tids, yh_idx, classes_b))
+
+            def _best_rows(batches, _bc=bc):
+                import pandas as _pd
+
+                T_b, tid_b, yi_b, cls_b = _bc.value
+                n_t, sz_b, d_b = T_b.shape
+                chunk = max(1, (1 << 22) // max(n_t * sz_b * d_b, 1))
+                for pdf in batches:
+                    outs = []
+                    for lo in range(0, len(pdf), chunk):
+                        sub = pdf.iloc[lo:lo + chunk]
+                        Q = np.asarray(
+                            [[list(map(float, ts)) for ts in v]
+                             for v in sub["values"]], dtype=np.float64)
+                        if Q.size == 0:
+                            continue
+                        m = Q.shape[0]
+                        d2 = ((Q[:, None, :, :] - T_b[None, :, :, :]) ** 2
+                              ).sum(axis=3)
+                        cum = np.cumsum(d2, axis=2)     # (m, n_t, sz)
+                        nn = np.argmin(cum, axis=1)     # first min ->
+                        # lowest LOCAL index = lowest tid (chunk sorted)
+                        rr = np.arange(m)[:, None]
+                        nn_p = nn[:, pos]               # (m, n_pos)
+                        yt = np.searchsorted(
+                            cls_b, np.asarray(list(sub["_y"])))
+                        outs.append(_pd.DataFrame({
+                            "qid": np.repeat(
+                                sub["series_id"].to_numpy(np.int64),
+                                n_pos),
+                            "t": np.tile((pos + 1).astype(np.int32), m),
+                            "ck": np.repeat(
+                                sub["cluster"].to_numpy(np.int32), n_pos),
+                            "yi": np.repeat(
+                                yt.astype(np.int32), n_pos),
+                            "cum": cum[rr, nn_p, pos[None, :]].ravel(),
+                            "tid": tid_b[nn_p].ravel(),
+                            "yh": yi_b[nn_p].astype(np.int32).ravel(),
+                        }))
+                    if outs:
+                        yield _pd.concat(outs, ignore_index=True)
+
+            chunk_best = q_src.mapInPandas(_best_rows, schema)
+            cand = chunk_best if best is None \
+                else best.unionByName(chunk_best)
+            # struct-min = lexicographic (cum asc, tid asc); yh rides
+            # along — exactly the broadcast plan's argmin tie order
+            best = (
+                cand.groupBy("qid", "t", "ck", "yi")
+                .agg(F.min(F.struct("cum", "tid", "yh")).alias("b"))
+                .select("qid", "t", "ck", "yi",
+                        F.col("b.cum").alias("cum"),
+                        F.col("b.tid").alias("tid"),
+                        F.col("b.yh").alias("yh"))
+            ).localCheckpoint()
+            bc.unpersist()
+        if best is None:
+            return []
+        return (
+            best.select("t", "ck", "yi", F.col("yh").alias("yj"))
+            .groupBy("t", "ck", "yi", "yj")
+            .agg(F.count("*").alias("count"))
+            .collect()
+        )
 
     @property
     def classifiers_(self) -> dict:
