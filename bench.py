@@ -390,7 +390,7 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
             out[name] = {"sec": None, "skipped_over_budget": True, "note": note}
             print(f"[bench] sf1 fit {name}: skipped (budget {budget}s)",
                   file=sys.stderr)
-            return
+            return None
         t0 = time.perf_counter()
         est = thunk()
         n_found = _labels_count(est)
@@ -408,6 +408,7 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
             "note": note,
         }
         print(f"[bench] sf1 fit {name}: {dt}s iters={iters}", file=sys.stderr)
+        return est
 
     run("kmeans_dtw",
         lambda: TimeSeriesKMeans(
@@ -417,12 +418,60 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
     run("kshape",
         lambda: KShape(n_clusters=3, max_iter=3, random_state=0).fit(ts32),
         "full sf1 input; map-side sufficient stats per iteration")
-    run("kernel_kmeans",
+    kk_exact = run("kernel_kmeans",
         lambda: KernelKMeans(
             n_clusters=3, kernel="gak", max_iter=5, random_state=0,
             kernel_params={"sigma": 2.0}).fit(capped),
-        "fixed ~300-series sample (Gram is quadratic by design); "
+        "fixed ~300-series sample (exact Gram is quadratic by design); "
         "iterations aggregate the checkpointed Gram edges")
+    kk_ny = run("kernel_kmeans_nystroem",
+        lambda: KernelKMeans(
+            n_clusters=3, kernel="gak", max_iter=5, random_state=0,
+            kernel_params={"sigma": 2.0}, n_landmarks=128).fit(ts16),
+        "FULL sf1 input (r10 scale path): 128-landmark Nystroem Gram — "
+        "n x m kernel edges + map-only Lloyd on the phi features, "
+        "linear in n (m sweep: 64/128/256 -> fro 0.46/0.36/0.26 at "
+        "10/9/18 s; the z-normed GAK Gram is near-diagonal, so the "
+        "residual is spectral, not a bug)")
+    if kk_exact is not None and kk_ny is not None:
+        import numpy as np
+
+        # approximation error vs the exact fit: pairwise co-membership
+        # agreement (Rand index) on the exact run's 300-series sample —
+        # inertias are not comparable (the Nystroem criterion is the
+        # approximate kernel's), partitions are
+        el = {r["series_id"]: r["cluster"]
+              for r in kk_exact.labels_.collect()}
+        nl = {r["series_id"]: r["cluster"]
+              for r in kk_ny.labels_.collect() if r["series_id"] in el}
+        ids = sorted(set(el) & set(nl))
+        a = np.asarray([el[i] for i in ids])
+        b = np.asarray([nl[i] for i in ids])
+        iu = np.triu_indices(len(ids), 1)
+        rand = float(((a[:, None] == a[None, :])[iu]
+                      == (b[:, None] == b[None, :])[iu]).mean())
+        out["kernel_kmeans_nystroem"]["rand_index_vs_exact_sample"] = \
+            round(rand, 4)
+        # pure approximation error, decoupled from local-optimum drift:
+        # relative Frobenius error of the Nystroem Gram phi phi^T vs the
+        # exact Gram on the 300-series sample (the exact fit already
+        # materialized its edges)
+        pos = {i: p for p, i in enumerate(ids)}
+        Kx = np.zeros((len(ids), len(ids)))
+        for r in kk_exact._gram.collect():
+            if r["id1"] in pos and r["id2"] in pos:
+                Kx[pos[r["id1"]], pos[r["id2"]]] = r["dist"]
+        phi_rows = {
+            r["series_id"]: np.asarray(r["phi"])
+            for r in kk_ny._phi_features(capped, kk_ny._kp_fit_).collect()
+        }
+        Phi = np.stack([phi_rows[i] for i in ids])
+        fro = float(np.linalg.norm(Phi @ Phi.T - Kx)
+                    / max(np.linalg.norm(Kx), 1e-300))
+        out["kernel_kmeans_nystroem"]["gram_rel_frobenius_err"] = \
+            round(fro, 4)
+        print(f"[bench] sf1 fit kernel_kmeans_nystroem rand-vs-exact: "
+              f"{rand:.4f} gram-err: {fro:.4f}", file=sys.stderr)
     def _early():
         lab = ts16.withColumn(
             "label", (F.col("series_id") % 3).cast("string"))

@@ -634,6 +634,55 @@ class TestClustering:
               for r in kk.sample_weight_.collect()}
         assert sw == {i: 1.0 for i in range(8)}
 
+    def test_kernel_kmeans_nystroem_full_rank_matches_exact(self, spark):
+        """n_landmarks = n: the Nystroem Gram K_nm K_mm^+ K_nm^T equals
+        the exact PSD Gram, so on well-separated blobs the landmark fit
+        recovers the same partition the exact fit does (labels compared
+        up to cluster renumbering), and predict-on-train reproduces the
+        fitted labels map-side."""
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(21)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(5)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(5)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        exact = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                             random_state=0,
+                             kernel_params={"sigma": 2.0}).fit(df)
+        ny = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                          random_state=0, n_landmarks=10,
+                          kernel_params={"sigma": 2.0}).fit(df)
+        el = {r["series_id"]: r["cluster"] for r in exact.labels_.collect()}
+        nl = {r["series_id"]: r["cluster"] for r in ny.labels_.collect()}
+        # same partition up to renumbering
+        assert {frozenset(i for i in el if el[i] == c)
+                for c in set(el.values())} == \
+               {frozenset(i for i in nl if nl[i] == c)
+                for c in set(nl.values())}
+        pred = {r["series_id"]: r["cluster"]
+                for r in ny.predict(df).collect()}
+        assert pred == nl
+
+    def test_kernel_kmeans_nystroem_subsampled_landmarks(self, spark):
+        """m << n landmarks still separate distinct blobs (the scale
+        path's whole point), with rbf as well as gak."""
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(22)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(8)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(8)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        for kernel in ("gak", "rbf"):
+            kp = {"sigma": 2.0} if kernel == "gak" else None
+            ny = KernelKMeans(n_clusters=2, kernel=kernel, max_iter=10,
+                              random_state=0, n_landmarks=4,
+                              kernel_params=kp).fit(df)
+            nl = {r["series_id"]: r["cluster"]
+                  for r in ny.labels_.collect()}
+            assert len({nl[i] for i in range(8)}) == 1, kernel
+            assert len({nl[i] for i in range(8, 16)}) == 1, kernel
+            assert nl[0] != nl[8], kernel
+
     def test_kshape_explicit_init_and_n_init(self, spark):
         """init accepts explicit centers (fit starts from them); n_init
         keeps the best-inertia run."""

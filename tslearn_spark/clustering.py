@@ -1086,7 +1086,8 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
                  tol: float = 1e-6, n_init: int = 1,
                  kernel_params: dict | None = None, sigma: float = 1.0,
                  n_jobs: int | None = None, verbose: int = 0,
-                 random_state: int | None = None):
+                 random_state: int | None = None,
+                 n_landmarks: int | None = None):
         self.n_clusters = n_clusters
         self.kernel = kernel
         self.max_iter = max_iter
@@ -1097,6 +1098,15 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         self.n_jobs = n_jobs
         self.verbose = verbose
         self.random_state = random_state
+        # scale path (engine extension, no reference equivalent): with
+        # n_landmarks = m set, the O(n^2) Gram is replaced by a Nystroem
+        # approximation over m seeded landmark series — K ~= K_nm
+        # K_mm^+ K_nm^T, i.e. phi_i = K_mm^{-1/2} k_i, and the
+        # reference's assignment criterion 2 - 2 sum_j w_j K_ij / sum w_j
+        # becomes 2 - 2 phi_i . mean_w(phi_j): ordinary weighted k-means
+        # on m-dim features.  Cost per iteration is one map pass over n
+        # rows + a k x m collect — linear in n, no pair join anywhere.
+        self.n_landmarks = n_landmarks
         self.labels_: DataFrame | None = None
         # (series_id, weight) after fit (kmeans.py:209,363)
         self.sample_weight_: DataFrame | None = None
@@ -1208,6 +1218,8 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
             kp["sigma"] = self.sigma_gak_
         else:
             self.sigma_gak_ = None
+        if self.n_landmarks is not None:
+            return self._fit_nystroem(raw, df, kp, weight_col)
         # localCheckpoint, not cache(): cache keeps the full cdist plan in
         # every downstream logical plan, and the iterative loop below would
         # nest it k times over — Catalyst re-optimization grows superlinearly
@@ -1272,6 +1284,236 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         self._labw = labw
         return self
 
+    # -- Nystroem scale path (engine extension) --------------------------
+    def _landmark_edges(self, d1: DataFrame, lm_df: DataFrame,
+                        kp: dict) -> DataFrame:
+        """(id1, id2=landmark id, dist) kernel edges — n x m, never n^2."""
+        from tslearn_spark import metrics as M
+
+        if self.kernel == "gak":
+            return M.cdist(d1, lm_df, metric="gak", **kp)
+        return _pairwise_kernel_edges(
+            d1, lm_df, self.kernel, kp,
+            flat_len=getattr(self, "_kernel_flat_len_", None))
+
+    def _phi_features(self, d1: DataFrame, kp: dict) -> DataFrame:
+        """(series_id, phi array<double>) Nystroem features: the m
+        landmark-kernel values per series, ordered by landmark position,
+        mapped through W = U_r s_r^{-1/2} so phi_i . phi_j ~= K_ij."""
+        W = self._nystroem_W_
+
+        edges = self._landmark_edges(d1, self._lm_df, kp)
+        feats = (
+            edges.join(F.broadcast(self._lm_pos_df), "id2")
+            .groupBy("id1")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "dist")))
+                 .alias("kv"))
+            .select(F.col("id1").alias("series_id"),
+                    F.expr("transform(kv, x -> x.dist)").alias("kvec"))
+        )
+
+        @F.pandas_udf("array<double>")
+        def _phi(kv: pd.Series) -> pd.Series:
+            Kb = np.asarray([np.asarray(v, dtype=np.float64) for v in kv])
+            if Kb.size == 0:
+                return pd.Series([], dtype=object)
+            Phi = Kb @ W  # (batch, r)
+            return pd.Series(list(Phi))
+
+        return feats.select("series_id", _phi("kvec").alias("phi"))
+
+    def _fit_nystroem(self, raw, df: DataFrame, kp: dict,
+                      weight_col: str | None) -> "KernelKMeans":
+        import pandas as _pd
+
+        spark = df.sparkSession
+        seed = _seed_of(self.random_state)
+        m = int(self.n_landmarks)
+        if self.kernel != "gak":
+            k_len, n_len = _flat_len_check(df)
+            if k_len > 1:
+                raise _ragged_kernel_error(self.kernel)
+            self._kernel_flat_len_ = n_len
+            if self.kernel in ("rbf", "sigmoid", "polynomial", "poly") \
+                    and kp.get("gamma") is None:
+                kp["gamma"] = 1.0 / float(n_len)
+            self._kernel_gamma_ = kp.get("gamma")
+        # seeded landmark sample — hash order is partition-invariant, so
+        # the landmark set is a pure function of (seed, ids) at any scale
+        lm_df = (
+            df.select("series_id", "values")
+            .orderBy(F.xxhash64(F.lit(seed), "series_id"), "series_id")
+            .limit(m)
+            .localCheckpoint()
+        )
+        lm_ids = sorted(
+            r["series_id"] for r in lm_df.select("series_id").collect())
+        pos = {int(i): p for p, i in enumerate(lm_ids)}
+        self._lm_df = lm_df
+        self._lm_pos_df = spark.createDataFrame(
+            [(int(i), p) for i, p in pos.items()], "id2 long, pos int"
+        ).localCheckpoint()
+        # K_mm is m x m — driver-sized by declaration (m ~ hundreds);
+        # eigh + eigenvalue clipping gives the pseudo-inverse square root
+        Kmm = np.zeros((len(lm_ids), len(lm_ids)))
+        for r in self._landmark_edges(lm_df, lm_df, kp).collect():
+            Kmm[pos[int(r["id1"])], pos[int(r["id2"])]] = float(r["dist"])
+        Kmm = 0.5 * (Kmm + Kmm.T)
+        s, U = np.linalg.eigh(Kmm)
+        keep = s > max(float(s.max()) * 1e-12, 1e-10)
+        if not keep.any():
+            raise ValueError(
+                "Nystroem landmark kernel matrix is numerically zero — "
+                "check kernel parameters")
+        self._nystroem_W_ = U[:, keep] * (s[keep] ** -0.5)  # (m, r)
+
+        wcol = F.col(weight_col) if weight_col else F.lit(1.0)
+        wdf = df.select("series_id", wcol.cast("double").alias("_w"))
+        state0 = (
+            self._phi_features(df, kp)
+            .join(wdf, "series_id")
+            .localCheckpoint()
+        )
+        best = (np.inf, None, None, 0)
+        successful = 0
+        max_attempts = max(self.n_init, 10)
+        for attempt in range(max_attempts):
+            if successful >= self.n_init:
+                break
+            if self.verbose and self.n_init > 1:
+                print("Init %d" % (successful + 1))
+            try:
+                labels, centers, inertia, n_iter = self._fit_one_nystroem(
+                    state0, seed + attempt)
+            except EmptyClusterError:
+                if self.verbose:
+                    print("Resumed because of empty cluster")
+                continue
+            successful += 1
+            if inertia < best[0]:
+                best = (inertia, labels, centers, n_iter)
+        if best[1] is None:
+            self._X_fit = None
+            return self
+        self._X_fit = _x_fit_of(raw, self._fit_was_array, df)
+        self.inertia_, self.labels_, self._centers_phi_, self.n_iter_ = best
+        self.sample_weight_ = wdf.select(
+            "series_id", F.col("_w").alias("weight"))
+        self._df = df
+        self._labw = wdf.select(F.col("series_id").alias("id2"), "_w")
+        self._kp_fit_ = dict(kp)
+        return self
+
+    def _fit_one_nystroem(self, state0: DataFrame, seed: int):
+        """One seeded init -> Lloyd loop on the phi features.  Each
+        iteration: ONE map pass collecting k x r weighted partial sums
+        (tiny), then a map-only re-assignment against the broadcast
+        centers — no shuffle grows with n, lineage truncated per
+        iteration like the exact path."""
+        import time as _time
+
+        import pandas as _pd
+
+        k = self.n_clusters
+
+        # distributed seeded init: cluster = hash(seed, id) mod k — the
+        # scale twin of the exact path's rs.randint over sorted ids (no
+        # driver-side id list at 100-TB row counts)
+        state = state0.withColumn(
+            "cluster",
+            F.pmod(F.xxhash64(F.lit(seed), F.col("series_id")),
+                   F.lit(k)).cast("int"),
+        ).withColumn("d2", F.lit(0.0))
+
+        def _centers_of(st: DataFrame) -> np.ndarray:
+            def _partials(batches):
+                sums = None
+                wsum = np.zeros(k)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Phi = np.asarray(
+                        [np.asarray(p, dtype=np.float64)
+                         for p in pdf["phi"]])
+                    w = pdf["_w"].to_numpy(dtype=np.float64)
+                    cl = pdf["cluster"].to_numpy(dtype=np.int64)
+                    if sums is None:
+                        sums = np.zeros((k, Phi.shape[1]))
+                    for c in np.unique(cl):
+                        sel = cl == c
+                        sums[c] += (Phi[sel] * w[sel, None]).sum(axis=0)
+                        wsum[c] += w[sel].sum()
+                if sums is not None:
+                    yield _pd.DataFrame({
+                        "cluster": np.arange(k, dtype=np.int32),
+                        "wsum": wsum,
+                        "s": list(sums),
+                    })
+
+            rows = st.select("phi", "_w", "cluster").mapInPandas(
+                _partials, "cluster int, wsum double, s array<double>"
+            ).collect()
+            if not rows:
+                raise EmptyClusterError(
+                    "try smaller n_cluster or better kernel parameters")
+            r_dim = len(rows[0]["s"])
+            sums = np.zeros((k, r_dim))
+            wsum = np.zeros(k)
+            for r in rows:
+                sums[r["cluster"]] += np.asarray(r["s"])
+                wsum[r["cluster"]] += r["wsum"]
+            if (wsum <= 0).any():
+                raise EmptyClusterError(
+                    "try smaller n_cluster or better kernel parameters")
+            return sums / wsum[:, None]
+
+        def _assign(st: DataFrame, C: np.ndarray) -> DataFrame:
+            def gen(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Phi = np.asarray(
+                        [np.asarray(p, dtype=np.float64)
+                         for p in pdf["phi"]])
+                    d2 = 2.0 - 2.0 * (Phi @ C.T)  # (b, k)
+                    cl = np.argmin(d2, axis=1)    # first min -> lowest k
+                    yield pdf.assign(
+                        cluster=cl.astype(np.int32),
+                        d2=d2[np.arange(len(cl)), cl],
+                    )
+
+            return st.mapInPandas(
+                gen,
+                "series_id long, phi array<double>, _w double, "
+                "cluster int, d2 double",
+            )
+
+        prev_inertia = np.inf
+        inertia = np.inf
+        n_iter = 0
+        iter_secs: list[float] = []
+        for it in range(self.max_iter):
+            t0 = _time.perf_counter()
+            C = _centers_of(state)          # raises on empty cluster
+            state = _assign(
+                state.select("series_id", "phi", "_w", "cluster", "d2"), C
+            ).localCheckpoint()
+            inertia = float(
+                state.agg(F.sum("d2").alias("i")).first()["i"])
+            if self.verbose:
+                print("%.3f" % inertia, end=" --> ")
+            iter_secs.append(_time.perf_counter() - t0)
+            n_iter = it + 1
+            if abs(prev_inertia - inertia) < self.tol:
+                break
+            prev_inertia = inertia
+        if self.verbose:
+            print("")
+        self._iter_seconds_ = iter_secs
+        # final empty check mirrors the exact path's per-iteration one
+        C = _centers_of(state)
+        return state.select("series_id", "cluster"), C, inertia, n_iter
+
     # -- serialization surface (reference kmeans.py:257-260) ------------
     def _get_model_params(self) -> dict:
         # drop DataFrame-shaped state (sample_weight_) here, not just at
@@ -1315,6 +1557,33 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
                                         else None))
         df, was_array = as_ts_df(df)
         kp = self._get_kernel_params()
+        if getattr(self, "_centers_phi_", None) is not None:
+            # Nystroem fit: map-only predict — phi features for the
+            # queries (n_q x m landmark edges, never n_q x n_train),
+            # scored against the k x r fitted centers
+            import pandas as _pd
+
+            C = self._centers_phi_
+            kp_fit = dict(getattr(self, "_kp_fit_", kp))
+
+            def gen(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Phi = np.asarray(
+                        [np.asarray(p, dtype=np.float64)
+                         for p in pdf["phi"]])
+                    d2 = 2.0 - 2.0 * (Phi @ C.T)
+                    cl = np.argmin(d2, axis=1)
+                    yield _pd.DataFrame({
+                        "series_id": pdf["series_id"],
+                        "cluster": cl.astype(np.int32),
+                        "dist": d2[np.arange(len(cl)), cl],
+                    })
+
+            out = self._phi_features(df, kp_fit).mapInPandas(
+                gen, "series_id long, cluster int, dist double")
+            return collect_col(out, was_array, "cluster")
         if self.kernel == "gak":
             if getattr(self, "sigma_gak_", None) is not None:
                 kp["sigma"] = self.sigma_gak_
