@@ -327,6 +327,13 @@ def _ann_recall_clustered(spark) -> dict | None:
         run(f"lsh_b{bits}_t{n_tables}",
             lambda b=bits, t=n_tables: lsh_topk(
                 qsample, emb, k=k, bits=b, n_tables=t))
+    # multi-probe (r10): the no-trained-quantizer scale path — recall
+    # from probing nearest bit-flip buckets instead of replicating the
+    # index across more tables; sparser index (higher bits) + probes
+    for bits, n_tables, n_probes in ((ab, 4, 8), (ab + 2, 4, 16)):
+        run(f"lsh_b{bits}_t{n_tables}_p{n_probes}",
+            lambda b=bits, t=n_tables, p=n_probes: lsh_topk(
+                qsample, emb, k=k, bits=b, n_tables=t, n_probes=p))
     # IVF with the shipped auto defaults (trained quantizer) + probe sweep
     n_lists, n_probe = auto_ivf_params(N_CLUSTERED)
     out["auto_params"] = {"n_lists": n_lists, "n_probe": n_probe}

@@ -330,6 +330,75 @@ class TestSimsearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5  # 8 tables x 4 bits on 50 vecs: should be high
 
+    def test_multiprobe_lsh_recall_and_probe_set(self, spark):
+        """n_probes > 1 (Lv'07 query-directed probing): (1) the probe
+        UDF emits exactly n_probes buckets per table, home first, with
+        the 1-bit flips of the NEAREST hyperplanes before farther ones;
+        (2) end-to-end recall at the same (bits, tables) is >= the
+        single-probe run's (strictly better on this fixture)."""
+        import heapq
+
+        from tslearn_spark.pipeline import brute_force_topk, lsh_topk
+        from tslearn_spark.pipeline.simsearch import (
+            _hyperplanes, multiprobe_buckets_udf,
+        )
+
+        # clustered fixture: 6 centers x 10 points, dim 16
+        rs = np.random.RandomState(3)
+        centers = rs.randn(6, 16) * 4
+        V = np.concatenate([c + rs.randn(10, 16) * 0.4 for c in centers])
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(V)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        # (1) probe-set replay against a direct numpy enumeration
+        bits, n_tables, n_probes, seed = 10, 2, 5, 42
+        udf = multiprobe_buckets_udf(16, bits, n_tables, seed, n_probes)
+        got = {r["vec_id"]: [(e["t"], e["bucket"]) for e in r["p"]]
+               for r in df.select("vec_id", udf("embedding").alias("p"))
+               .collect()}
+        pw2 = 1 << np.arange(bits, dtype=np.int64)
+        for i in (0, 17, 59):
+            want = []
+            for t in range(n_tables):
+                P = np.asarray(_hyperplanes(16, bits, seed + 1000 * t))
+                dots = P @ V[i]
+                home = int(((dots > 0) * pw2).sum())
+                want.append((t, home))
+                z = np.abs(dots)
+                order = np.argsort(z, kind="stable")
+                heap = [(float(z[order[0]]), (0,))]
+                emitted = 1
+                while heap and emitted < n_probes:
+                    s, S = heapq.heappop(heap)
+                    mask = 0
+                    for j in S:
+                        mask |= 1 << int(order[j])
+                    want.append((t, home ^ mask))
+                    emitted += 1
+                    mx = S[-1]
+                    if mx + 1 < bits:
+                        heapq.heappush(
+                            heap, (s + float(z[order[mx + 1]]), S + (mx + 1,)))
+                        heapq.heappush(
+                            heap, (s - float(z[order[mx]])
+                                   + float(z[order[mx + 1]]),
+                                   S[:-1] + (mx + 1,)))
+            assert got[i] == want, i
+            assert len(got[i]) == n_tables * n_probes
+        # (2) recall: multiprobe >= single probe at identical index
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(df, df, k=3).collect()}
+        r1 = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk(df, df, k=3, bits=bits,
+                                n_tables=n_tables).collect()}
+        rp = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk(df, df, k=3, bits=bits, n_tables=n_tables,
+                                n_probes=8).collect()}
+        rec1 = len(exact & r1) / len(exact)
+        recp = len(exact & rp) / len(exact)
+        assert recp >= rec1
+        assert recp >= 0.9
+
     def test_auto_bits_holds_bucket_occupancy(self, spark):
         """bits="auto" is the fixed-parameter-quadratic escape hatch:
         the hyperplane count grows with log2(n / target_occupancy), so

@@ -42,6 +42,7 @@ from tslearn_spark.pipeline.simsearch import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    multiprobe_buckets_udf,
     train_ivf_centroids,
 )
 
@@ -63,6 +64,7 @@ __all__ = [
     "auto_ivf_params",
     "auto_lsh_bits",
     "lsh_topk",
+    "multiprobe_buckets_udf",
     "train_ivf_centroids",
     "build_mp4",
     "build_webm",

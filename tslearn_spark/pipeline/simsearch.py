@@ -362,6 +362,73 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return F.expr(" + ".join(terms))
 
 
+def multiprobe_buckets_udf(dim: int, bits: int, n_tables: int, seed: int,
+                           n_probes: int):
+    """Pandas UDF: embedding -> array<struct<t,bucket>> of the
+    ``n_probes`` most promising buckets per table (home bucket first).
+
+    Query-directed multi-probe (Lv et al., VLDB'07, public technique):
+    per table, the query's distance to each hyperplane |dot_i| scores
+    how likely the neighbor sits just across it; probe buckets are the
+    home bucket XOR the lowest-score bit-flip subsets, enumerated in
+    increasing score order with the classic shift/expand heap (each
+    subset generated exactly once from {0}).  Multi-probe buys the
+    recall extra TABLES would buy without replicating the candidate
+    index n_tables more times — the scale lever when IVF training is
+    too expensive (e.g. streaming corpora).
+    """
+    planes_all = [
+        np.asarray(_hyperplanes(dim, bits, seed + 1000 * t),
+                   dtype=np.float64)
+        for t in range(n_tables)
+    ]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<t: int, bucket: long>>")
+    def gen(vec: pd.Series) -> pd.Series:
+        import heapq
+
+        out = []
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        pw2 = (1 << np.arange(bits, dtype=np.int64))
+        dots = [V @ P.T for P in planes_all]          # (n, bits) per table
+        homes = [((D > 0) * pw2).sum(axis=1) for D in dots]
+        for i in range(len(V)):
+            entries = []
+            for t in range(len(planes_all)):
+                home = int(homes[t][i])
+                entries.append({"t": t, "bucket": home})
+                if n_probes <= 1:
+                    continue
+                z = np.abs(dots[t][i])
+                order = np.argsort(z, kind="stable")
+                zs = z[order]
+                heap = [(float(zs[0]), (0,))]
+                emitted = 1
+                while heap and emitted < n_probes:
+                    s, S = heapq.heappop(heap)
+                    mask = 0
+                    for j in S:
+                        mask |= 1 << int(order[j])
+                    entries.append({"t": t, "bucket": home ^ mask})
+                    emitted += 1
+                    mx = S[-1]
+                    if mx + 1 < bits:
+                        heapq.heappush(
+                            heap, (s + float(zs[mx + 1]), S + (mx + 1,)))
+                        heapq.heappush(
+                            heap,
+                            (s - float(zs[mx]) + float(zs[mx + 1]),
+                             S[:-1] + (mx + 1,)))
+            out.append(entries)
+        return pd.Series(out)
+
+    return gen
+
+
 def auto_ivf_params(n_candidates: int) -> tuple[int, int]:
     """(n_lists, n_probe) defaults from corpus size — the IVF twin of
     auto_lsh_bits.  n_lists ~ sqrt(n) keeps inverted lists at ~sqrt(n)
@@ -411,10 +478,19 @@ def lsh_topk(
     drop_self: bool = True,
     broadcast_queries: bool = True,
     dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: per-table bucket equi-join, union, exact
     re-rank of the candidate union.  Recall grows with n_tables; cost per
     table ~ |D| / 2^bits per bucket.
+
+    ``n_probes`` > 1 turns on query-directed multi-probe (Lv'07, see
+    multiprobe_buckets_udf): each QUERY probes its home bucket plus the
+    n_probes-1 nearest bit-flip buckets per table, while the candidate
+    index stays exactly one bucket per table — recall comparable to
+    n_probes x the tables at the index cost of one.  The candidate-side
+    plan is unchanged; only the (small) query side explodes n_probes x
+    wider.
 
     ``bits="auto"`` sizes the hyperplane count from the candidate row
     count (one count job) via auto_lsh_bits, so bucket occupancy — and
@@ -465,11 +541,20 @@ def lsh_topk(
         lsh_bucket_col(vec_col, _hyperplanes(dim, bits, seed + 1000 * t))
         for t in range(n_tables)
     ])
-    qb = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm_col(vec_col).alias("qn"),
-        F.posexplode(buckets).alias("t", "bucket"),
-    )
+    if n_probes > 1:
+        probes = multiprobe_buckets_udf(dim, bits, n_tables, seed, n_probes)
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm_col(vec_col).alias("qn"),
+            F.explode(probes(vec_col)).alias("tb"),
+        ).select("query_id", "qv", "qn",
+                 F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    else:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm_col(vec_col).alias("qn"),
+            F.posexplode(buckets).alias("t", "bucket"),
+        )
     cb = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_col(vec_col).alias("cn"),
