@@ -490,6 +490,51 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         "partition cumsum+argmin, tiny partial-count shuffle — instead "
         "of the posexplode+window pair join that forced a ~300-series "
         "cap")
+    # SVC scale path (r10): landmark GAK features -> MLlib LinearSVC on
+    # the FULL sf1 train split vs exact SMO on the documented ~300-series
+    # ceiling sample; both evaluated on the same held-out 20%.  The label
+    # is learnable from the series (sign of the first-half mean of the
+    # z-normed values), so accuracy is meaningful, not a coin flip.
+    svc_lab = ts16.withColumn(
+        "label",
+        (F.expr("aggregate(slice(flatten(values), 1, 8), 0.0D, "
+                "(s, v) -> s + v)") > 0).cast("string"))
+    svc_train = svc_lab.where(F.col("series_id") % 5 != 0).localCheckpoint()
+    svc_test = svc_lab.where(F.col("series_id") % 5 == 0).localCheckpoint()
+    from tslearn_spark.svm import TimeSeriesSVC
+    svc_lm = run("svc_landmark",
+        lambda: TimeSeriesSVC(kernel="gak", random_state=0,
+                              n_landmarks=64).fit(svc_train),
+        "FULL sf1 train split (r10 scale path): 64 landmark GAK "
+        "features + distributed LinearSVC — no n^2 Gram, no driver SMO")
+    if svc_lm is not None:
+        # hash-sampled (NOT series_id % m: train already excludes the
+        # % 5 == 0 test ids, and a multiple-of-5 modulus intersects to
+        # the empty set)
+        mod_svc = max(1, round(svc_train.count() / 300))
+        svc_exact = TimeSeriesSVC(kernel="gak", random_state=0).fit(
+            svc_train.where(
+                F.pmod(F.xxhash64("series_id"), F.lit(mod_svc)) == 0))
+        truth = {r["series_id"]: r["label"]
+                 for r in svc_test.select("series_id", "label").collect()}
+        pl = {r["series_id"]: r["prediction"]
+              for r in svc_lm.predict(svc_test).collect()}
+        pe = {r["series_id"]: r["prediction"]
+              for r in svc_exact.predict(svc_test).collect()}
+        n_t = len(truth)
+        out["svc_landmark"]["n_train_full"] = svc_train.count()
+        out["svc_landmark"]["acc_landmark_full"] = round(
+            sum(pl[i] == truth[i] for i in truth) / n_t, 4)
+        out["svc_landmark"]["acc_exact_300sample"] = round(
+            sum(pe[i] == truth[i] for i in truth) / n_t, 4)
+        out["svc_landmark"]["pred_agreement"] = round(
+            sum(pl[i] == pe[i] for i in truth) / n_t, 4)
+        print(f"[bench] sf1 fit svc_landmark acc full/exact300/agree: "
+              f"{out['svc_landmark']['acc_landmark_full']}/"
+              f"{out['svc_landmark']['acc_exact_300sample']}/"
+              f"{out['svc_landmark']['pred_agreement']}", file=sys.stderr)
+    svc_train.unpersist()
+    svc_test.unpersist()
     for df in (ts16, ts32, capped):
         df.unpersist()
     return {"budget_sec": budget, "fits": out}

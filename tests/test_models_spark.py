@@ -23,6 +23,45 @@ class TestSVM:
         pred = {r["series_id"]: r["prediction"] for r in clf.predict(df).collect()}
         assert pred == {0: "0", 1: "0", 2: "1", 3: "1"}
 
+    def test_svc_landmark_scale_path(self, spark):
+        """n_landmarks: distributed landmark-feature fit (MLlib
+        LinearSVC / OneVsRest on k(x, l_j) features) matches the exact
+        SMO on separable data — binary, 3-class, and a flat kernel —
+        and predict stays a distributed DataFrame plan."""
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        rs = np.random.RandomState(5)
+        X = [list(rs.randn(12) * 0.3 + (0 if i < 15 else 4))
+             for i in range(30)]
+        y = ["a"] * 15 + ["b"] * 15
+        df = DS.dataset_to_df(spark, X, labels=y).cache()
+        df.count()
+        exact = TimeSeriesSVC(kernel="gak", random_state=0).fit(df)
+        lm = TimeSeriesSVC(kernel="gak", random_state=0,
+                           n_landmarks=8).fit(df)
+        pe = {r["series_id"]: r["prediction"]
+              for r in exact.predict(df).collect()}
+        pl = {r["series_id"]: r["prediction"]
+              for r in lm.predict(df).collect()}
+        assert pe == pl == {i: y[i] for i in range(30)}
+        assert list(lm.classes_) == ["a", "b"]
+        # 3-class goes through OneVsRest
+        X3 = X + [list(rs.randn(12) * 0.3 - 4) for _ in range(10)]
+        y3 = y + ["c"] * 10
+        df3 = DS.dataset_to_df(spark, X3, labels=y3).cache()
+        df3.count()
+        lm3 = TimeSeriesSVC(kernel="gak", random_state=0,
+                            n_landmarks=10).fit(df3)
+        p3 = {r["series_id"]: r["prediction"]
+              for r in lm3.predict(df3).collect()}
+        assert p3 == {i: y3[i] for i in range(40)}
+        # flat kernel landmark features (broadcast BLAS pass, no cdist)
+        lmr = TimeSeriesSVC(kernel="rbf", random_state=0,
+                            n_landmarks=8).fit(df)
+        pr = {r["series_id"]: r["prediction"]
+              for r in lmr.predict(df).collect()}
+        assert pr == {i: y[i] for i in range(30)}
+
     def test_platt_sigmoid_properties(self):
         """Platt fit on a cleanly separated decision set: monotone
         decreasing in f (A < 0), near 1 for strong positives, near 0

@@ -238,7 +238,8 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
                  class_weight=None, n_jobs: int | None = None,
                  verbose: int = 0, max_iter: int = -1,
                  decision_function_shape: str = "ovr",
-                 random_state: int | None = None):
+                 random_state: int | None = None,
+                 n_landmarks: int | None = None):
         super().__init__(C=C, kernel=kernel, degree=degree, gamma=gamma,
                          coef0=coef0, shrinking=shrinking, tol=tol,
                          cache_size=cache_size, n_jobs=n_jobs,
@@ -247,6 +248,15 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         self.probability = probability
         self.class_weight = class_weight
         self.decision_function_shape = decision_function_shape
+        # scale path (engine extension, no reference equivalent): with
+        # n_landmarks = m set, fit skips the n x n Gram + driver SMO
+        # (the documented ~20k ceiling above) and instead maps every
+        # series to its m landmark-kernel features k(x, l_j), training
+        # MLlib LinearSVC (OneVsRest for multiclass) on them — fit and
+        # predict stay distributed end-to-end, linear in n.  predict /
+        # score work; the libsvm dual surface (support_, dual_coef_,
+        # decision_function, probability) is exact-path only.
+        self.n_landmarks = n_landmarks
 
     def _sample_C(self, y: np.ndarray) -> np.ndarray | None:
         """class_weight -> per-sample box constraints C_i = C * w[class]
@@ -289,6 +299,8 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         df, _ = as_ts_df(df, y=y, y_col=label_col)
         if y is not None:
             self._y_numeric = np.asarray(y).dtype.kind in "iufb"
+        if self.n_landmarks is not None:
+            return self._fit_landmark(df, label_col)
         Gram = self._fit_gram(df)
         lab = {r["series_id"]: r[label_col]
                for r in df.select("series_id", label_col).collect()}
@@ -304,6 +316,137 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         # by n_support_, svm.py:249-258)
         self.support_ = self.model_.support_
         return self
+
+    # -- landmark scale path ---------------------------------------------
+    def _landmark_features(self, d1: DataFrame) -> DataFrame:
+        """(series_id, kvec array<double>): the m landmark-kernel values
+        per series, ordered by landmark position — n x m edges through
+        the cdist pair join (gak) or one broadcast BLAS pass (flat
+        kernels), never an n x n Gram."""
+        if self.kernel in _FLAT_KERNELS:
+            spark = d1.sparkSession
+            bcl = spark.sparkContext.broadcast(
+                (self._lm_flat_, self.kernel, self.gamma_, self.degree,
+                 self.coef0))
+
+            def gen(batches):
+                L, kern, gam, deg, c0 = bcl.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Q = np.stack([
+                        np.asarray(v, dtype=np.float64).reshape(-1)
+                        for v in pdf["values"]
+                    ])
+                    Kq = _flat_kernel_matrix(Q, L, kern, gam, deg, c0)
+                    yield pd.DataFrame({
+                        "series_id": pdf["series_id"],
+                        "kvec": list(Kq),
+                    })
+
+            return d1.select("series_id", "values").mapInPandas(
+                gen, "series_id long, kvec array<double>")
+        edges = M.cdist(d1, self._lm_df, metric="gak", sigma=self.sigma_)
+        return (
+            edges.join(F.broadcast(self._lm_pos_df), "id2")
+            .groupBy("id1")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "dist")))
+                 .alias("kv"))
+            .select(F.col("id1").alias("series_id"),
+                    F.expr("transform(kv, x -> x.dist)").alias("kvec"))
+        )
+
+    def _fit_landmark(self, df: DataFrame, label_col: str) -> "TimeSeriesSVC":
+        from pyspark.ml.classification import LinearSVC, OneVsRest
+        from pyspark.ml.functions import array_to_vector
+
+        spark = df.sparkSession
+        m = int(self.n_landmarks)
+        seed = 0 if self.random_state is None else int(self.random_state)
+        # seeded landmark sample — hash order is partition-invariant
+        self._lm_df = (
+            df.select("series_id", "values")
+            .orderBy(F.xxhash64(F.lit(seed), "series_id"), "series_id")
+            .limit(m)
+            .localCheckpoint()
+        )
+        lm_rows = sorted(
+            self._lm_df.select("series_id", "values").collect(),
+            key=lambda r: r["series_id"])
+        self._lm_pos_df = spark.createDataFrame(
+            [(int(r["series_id"]), p) for p, r in enumerate(lm_rows)],
+            "id2 long, pos int").localCheckpoint()
+        if self.kernel in _FLAT_KERNELS:
+            lm_vals = [np.asarray(r["values"], dtype=np.float64)
+                       for r in lm_rows]
+            szs = {v.shape for v in lm_vals}
+            if len(szs) > 1:
+                raise ValueError(
+                    f"kernel={self.kernel!r} requires equal-length series")
+            self._lm_flat_ = np.stack([v.reshape(-1) for v in lm_vals])
+            self.gamma_ = (1.0 / self._lm_flat_.shape[1]
+                           if self.gamma == "auto" else float(self.gamma))
+        elif self.gamma == "auto":
+            # gamma_soft_dtw over a seeded ~200-series sample instead of
+            # the full training set (the reference samples internally
+            # anyway; a full collect is exactly what this path avoids)
+            sample = [
+                np.asarray(r["values"], dtype=np.float64)
+                for r in df.select("values")
+                .orderBy(F.xxhash64(F.lit(seed + 1),
+                                    F.hash("values")))
+                .limit(200).collect()
+            ]
+            self.gamma_ = K.gamma_soft_dtw(sample, random_state=seed)
+            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
+        else:
+            self.gamma_ = float(self.gamma)
+            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
+
+        self.classes_ = np.array(sorted(
+            r[0] for r in df.select(label_col).distinct().collect()))
+        idx_map = F.create_map(*[
+            x for i, c in enumerate(self.classes_.tolist())
+            for x in (F.lit(c), F.lit(float(i)))
+        ])
+        feats = (
+            self._landmark_features(df)
+            .join(df.select("series_id", label_col), "series_id")
+            .select("series_id",
+                    array_to_vector("kvec").alias("features"),
+                    idx_map[F.col(label_col)].alias("_yidx"))
+            .localCheckpoint()
+        )
+        n = feats.count()
+        # libsvm C-SVM objective ~ MLlib hinge + regParam * ||w||^2 / 2
+        # with regParam = 1 / (C * n)
+        reg = 1.0 / (self.C * max(n, 1))
+        iters = 100 if self.max_iter == -1 else int(self.max_iter)
+        base = LinearSVC(maxIter=iters, regParam=reg, tol=self.tol,
+                         featuresCol="features", labelCol="_yidx")
+        est = base if len(self.classes_) == 2 else OneVsRest(
+            classifier=base, featuresCol="features", labelCol="_yidx")
+        self._mllib_model = est.fit(feats)
+        self.support_ = np.array([], dtype=np.int64)  # fitted marker
+        return self
+
+    def _predict_landmark(self, queries: DataFrame, was_array: bool):
+        from pyspark.ml.functions import array_to_vector
+
+        from tslearn_spark.bases import collect_col
+
+        feats = self._landmark_features(queries).select(
+            "series_id", array_to_vector("kvec").alias("features"))
+        classes = [str(c) for c in self.classes_.tolist()]
+        pred = self._mllib_model.transform(feats).select(
+            "series_id",
+            F.element_at(
+                F.array(*[F.lit(c) for c in classes]),
+                F.col("prediction").cast("int") + 1
+            ).alias("prediction"),
+        )
+        return collect_col(pred, was_array, "prediction",
+                           labels=getattr(self, "_y_numeric", True))
 
     # -- fitted attributes the reference reads off svm_estimator_
     # (svm.py:155-196 docstring + doctest) ------------------------------
@@ -375,6 +518,8 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
 
         check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
+        if getattr(self, "_mllib_model", None) is not None:
+            return self._predict_landmark(queries, was_array)
         train_ids = self._train_ids
         model = self.model_
         spark = queries.sparkSession
