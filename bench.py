@@ -632,7 +632,8 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
 
     from __spark_entry__ import load_tables
     from tslearn_spark.streaming import (
-        stream_exact_dedup, stream_running_zscore,
+        stream_exact_dedup, stream_lsh_candidates, stream_running_zscore,
+        stream_session_stats,
     )
 
     budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "300"))
@@ -641,15 +642,17 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
     work = tempfile.mkdtemp(prefix="stream_soak_")
     out: dict = {"n_batches_target": 20}
 
-    def soak(name, src_df, cols, op, distinct_expr):
+    def soak(name, src_df, cols, op, distinct_expr, by_range=None):
         if time.perf_counter() - t_suite0 > budget:
             out[name] = {"skipped_over_budget": True}
             return
         src = os.path.join(work, name, "src")
         ckpt = os.path.join(work, name, "ckpt")
         os.makedirs(src, exist_ok=True)
-        src_df.select(*cols).repartition(20).write.mode(
-            "overwrite").parquet(src)
+        part = (src_df.select(*cols).repartitionByRange(20, by_range)
+                if by_range is not None
+                else src_df.select(*cols).repartition(20))
+        part.write.mode("overwrite").parquet(src)
         schema = src_df.select(*cols).schema
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
@@ -711,6 +714,31 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
          t["documents"], ["doc_id", "text"],
          lambda s: stream_exact_dedup(s, ttl_ms=10_000),
          F.md5(F.lower(F.trim(F.col("text")))))
+    # r10: the two remaining stateful ops, whose keys grow differently
+    # from per-series/per-hash keys.
+    #   * lsh_candidates_ttl: state = (band, band-signature) BUCKETS,
+    #     each capped at bucket_cap ids; distinct is counted per DOC, so
+    #     final_vs_distinct reads as buckets-per-distinct-doc (bounded
+    #     by bands=8; TTL eviction keeps it below that)
+    soak("lsh_candidates_ttl",
+         t["documents"], ["doc_id", "text"],
+         lambda s: stream_lsh_candidates(s, ttl_ms=10_000),
+         F.md5(F.lower(F.trim(F.col("text")))))
+    #   * session_stats: state = OPEN session windows per user; the
+    #     source is range-partitioned on ts so batches arrive in rough
+    #     time order and the watermark closes sessions as it advances —
+    #     the curve must plateau at the concurrently-open population,
+    #     far below users x sessions (distinct counts users)
+    soak("session_stats",
+         t["events"].select(
+             "user_id",
+             # withWatermark requires TIMESTAMP; the loaded events carry
+             # TIMESTAMP_NTZ (nanos conversion)
+             F.col("ts").cast("timestamp").alias("ts"),
+             "value"),
+         ["user_id", "ts", "value"],
+         lambda s: stream_session_stats(s),
+         F.col("user_id"), by_range=F.col("ts"))
     shutil.rmtree(work, ignore_errors=True)
     return {"budget_sec": budget, "ops": out}
 

@@ -78,8 +78,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    import json
+    import time
+
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    board: dict = {}
     spark = get_spark("check_oracles")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -93,19 +103,23 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"{name:28s} SPARK-ERR {str(e)[:200]}")
+            board[name] = {"status": "SPARK-ERR", "err": str(e)[:200]}
             n_bad += 1
             continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(sdf)} rows, cols={list(sdf.columns)}")
+            board[name] = {"status": "rows-only", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name:28s} ORACLE-ERR {str(e)[:200]}")
+            board[name] = {"status": "ORACLE-ERR", "err": str(e)[:200]}
             n_bad += 1
             continue
         verdict = compare(name, sdf, odf)
@@ -114,9 +128,19 @@ def main() -> None:
             n_ok += 1
         else:
             n_bad += 1
+        board[name] = {"status": status.strip(), "rows": len(sdf),
+                       "sec": round(time.perf_counter() - t0, 3)}
+        if verdict != "OK":
+            board[name]["detail"] = verdict
         print(f"{name:28s} {status} {'' if verdict == 'OK' else verdict}")
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+                       "at": time.time(), "queries": board}, f, indent=1)
     spark.stop()
+    if n_bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
