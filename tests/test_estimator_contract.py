@@ -436,6 +436,10 @@ class TestSignatureParity:
         allowed_extras = {
             "KShape": ["sz_stats_cap"],
             "LearningShapelets": ["lr"],
+            # r10 scale paths: opt-in landmark approximations (Nystroem
+            # Gram / landmark-feature LinearSVC), default None = exact
+            "KernelKMeans": ["n_landmarks"],
+            "TimeSeriesSVC": ["n_landmarks"],
         }.get(ours, [])
         assert extras == allowed_extras, (
             f"{ours}: undeclared engine-only params {extras}"

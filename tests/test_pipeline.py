@@ -415,7 +415,40 @@ class TestSimsearch:
         out = lsh_topk(df, df, k=1, bits="auto", n_tables=8)
         assert out.where(F.col("rank") == 1).count() > 0
 
-    def test_ivf_exhaustive_probe_is_exact(self, spark):
+    def test_ivf_prebuilt_index_matches_inline(self, spark, tmp_path):
+        """assign_ivf_lists + ivf_topk(list_col=...) — the 100-TB index
+        shape: identical results to the inline assignment (bit-identical
+        argmax on L2-normalized vectors), and the probe filter appears
+        as a pushed-down predicate on the list column so a partitioned
+        corpus prunes unprobed inverted lists at the scan."""
+        from tslearn_spark.pipeline import ivf_topk
+        from tslearn_spark.pipeline.simsearch import assign_ivf_lists
+
+        df, v = self.make_vecs(spark, n=60, d=8, seed=4)
+        cen = np.asarray(v[:8], dtype=np.float64)
+        inline = ivf_topk(df, df, k=3, n_lists=8, n_probe=3,
+                          centroids=cen).collect()
+        indexed = assign_ivf_lists(df, cen)
+        # write partitioned by list_id, read back — the production layout
+        path = str(tmp_path / "ivf_index")
+        indexed.write.partitionBy("list_id").parquet(path)
+        corpus = spark.read.parquet(path)
+        pre = ivf_topk(df, corpus, k=3, n_lists=8, n_probe=3,
+                       centroids=cen, list_col="list_id")
+        got = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                      r["cosine"]) for r in pre.collect())
+        want = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                       r["cosine"]) for r in inline)
+        # ids/ranks identical; cosines only to ~1 ulp — GEMM blocking
+        # differs with batch shape (partitioned read groups by list)
+        assert [g[:3] for g in got] == [w[:3] for w in want]
+        np.testing.assert_allclose([g[3] for g in got],
+                                   [w[3] for w in want], rtol=1e-12)
+        # the probe filter reaches the scan (PartitionFilters on the
+        # list_id partition column)
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "list_id" in plan and ("PartitionFilters: [" in plan
+                                      or "list_id IN" in plan)
         """n_probe == n_lists probes every inverted list, so IVF must
         reproduce the brute-force ranking exactly."""
         from tslearn_spark.pipeline import brute_force_topk, ivf_topk

@@ -37,6 +37,7 @@ from tslearn_spark.pipeline.multimodal import (
     parse_webm_metadata,
 )
 from tslearn_spark.pipeline.simsearch import (
+    assign_ivf_lists,
     auto_ivf_params,
     auto_lsh_bits,
     brute_force_topk,
@@ -59,6 +60,7 @@ __all__ = [
     "quality_scores",
     "token_counts",
     "document_fingerprints",
+    "assign_ivf_lists",
     "brute_force_topk",
     "ivf_topk",
     "auto_ivf_params",

@@ -168,6 +168,45 @@ def brute_force_topk(
     )
 
 
+def assign_ivf_lists(
+    candidates: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Materialize the IVF inverted-list assignment as a column — the
+    index-BUILD half of ivf_topk, split out so a 100-TB corpus pays the
+    |D| x n_lists assignment matmul ONCE at ingest instead of on every
+    query batch.  Write the result partitioned (or bucketed) by
+    ``list_col`` and pass ``list_col=`` to ivf_topk: the probe filter
+    then prunes unread partitions at the parquet scan.
+
+    Assignment is bit-identical to ivf_topk's inline pass: vectors are
+    L2-normalized first, argmax returns the FIRST max -> lowest centroid
+    index on ties.
+    """
+    Cen = np.asarray(centroids, dtype=np.float64)
+    Cen = Cen / np.maximum(np.linalg.norm(Cen, axis=1, keepdims=True),
+                           1e-300)
+    bc = candidates.sparkSession.sparkContext.broadcast(Cen)
+
+    def gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            yield pdf.assign(**{
+                list_col: np.argmax(Vn @ C.T, axis=1).astype(np.int32)})
+
+    schema = candidates.select(id_col, vec_col).schema.add(
+        list_col, "integer")
+    return candidates.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -178,6 +217,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     drop_self: bool = True,
+    list_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
     scale path complementing lsh_topk's hyperplane buckets.
@@ -210,6 +250,13 @@ def ivf_topk(
 
     Ties break identically on both engines: assignment by lowest
     centroid index, probe order and final rank by (cosine DESC, id ASC).
+
+    ``list_col``: name of a PREBUILT assignment column (see
+    assign_ivf_lists).  The per-call assignment matmul is skipped, and
+    the probed-list filter is pushed into the scan — on a corpus
+    written partitioned by the list column, unprobed inverted lists are
+    never read at all (real partition pruning, the 100-TB index shape).
+    Results are identical to the inline path by construction.
     """
     spark = candidates.sparkSession
     if n_lists == "auto" or n_probe == "auto":
@@ -262,8 +309,14 @@ def ivf_topk(
             V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             cid = pdf[id_col].to_numpy(dtype=np.int64)
-            # argmax returns the FIRST max -> lowest centroid index on ties
-            lists = np.argmax(Vn @ C.T, axis=1)
+            if list_col is not None:
+                # prebuilt index: the assignment matmul already ran at
+                # ingest (assign_ivf_lists) and rode in as a column
+                lists = pdf[list_col].to_numpy(dtype=np.int64)
+            else:
+                # argmax returns the FIRST max -> lowest centroid index
+                # on ties
+                lists = np.argmax(Vn @ C.T, axis=1)
             for l in np.unique(lists):
                 qsel = probers_b.get(int(l))
                 if qsel is None or len(qsel) == 0:
@@ -292,7 +345,16 @@ def ivf_topk(
                 "cosine": best_s.T[emit.T],
             })
 
-    partial = candidates.select(id_col, vec_col).mapInPandas(
+    if list_col is not None:
+        probed = sorted(int(l) for l, q in probers.items() if len(q) > 0)
+        # pushed-down probe filter: on a corpus partitioned by list_col
+        # this prunes unprobed inverted lists at the scan
+        cand_src = candidates.where(
+            F.col(list_col).isin(probed)
+        ).select(id_col, vec_col, list_col)
+    else:
+        cand_src = candidates.select(id_col, vec_col)
+    partial = cand_src.mapInPandas(
         score_gen, "query_id long, neighbor_id long, cosine double"
     ).where(F.col("cosine") > float("-inf"))
     w = Window.partitionBy("query_id").orderBy(
