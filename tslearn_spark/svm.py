@@ -9,7 +9,10 @@ Scale contract (SURVEY.md §7): the Gram is computed as a distributed
 edge DataFrame; only the n x n float matrix is collected for the
 driver-side dual solve (~20k-series ceiling).  Prediction never
 collects series: the cross-Gram stays distributed and the reduction is
-a grouped aggregate against broadcast duals.
+a grouped aggregate against broadcast duals.  Past the ceiling,
+TimeSeriesSVC(n_landmarks=m) switches to landmark kernel features +
+MLlib LinearSVC — no n x n Gram, no driver solve, linear in n (the
+engine's scale path; the reference has no equivalent).
 """
 
 from __future__ import annotations
