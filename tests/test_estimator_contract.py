@@ -440,6 +440,7 @@ class TestSignatureParity:
             # Gram / landmark-feature LinearSVC), default None = exact
             "KernelKMeans": ["n_landmarks"],
             "TimeSeriesSVC": ["n_landmarks"],
+            "TimeSeriesSVR": ["n_landmarks"],
         }.get(ours, [])
         assert extras == allowed_extras, (
             f"{ours}: undeclared engine-only params {extras}"

@@ -62,6 +62,38 @@ class TestSVM:
               for r in lmr.predict(df).collect()}
         assert pr == {i: y[i] for i in range(30)}
 
+    def test_svr_landmark_scale_path(self, spark):
+        """TimeSeriesSVR(n_landmarks=m): kernel ridge on landmark
+        features (MLlib has no epsilon-insensitive solver) tracks the
+        exact epsilon-SVR closely on a smooth target, for gak and a
+        flat kernel."""
+        from tslearn_spark.svm import TimeSeriesSVR
+
+        rs = np.random.RandomState(9)
+        X, y = [], []
+        for i in range(30):
+            lvl = rs.uniform(-2, 2)
+            X.append(list(lvl + rs.randn(10) * 0.05))
+            y.append(2.0 * lvl + 1.0)
+        df = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(y)],
+                "series_id long, y double"), "series_id").cache()
+        df.count()
+        y_arr = np.asarray(y)
+        for kernel in ("gak", "rbf"):
+            exact = TimeSeriesSVR(kernel=kernel).fit(df)
+            lm = TimeSeriesSVR(kernel=kernel, n_landmarks=10).fit(df)
+            pe = {r["series_id"]: r["prediction"]
+                  for r in exact.predict(df).collect()}
+            pl = {r["series_id"]: r["prediction"]
+                  for r in lm.predict(df).collect()}
+            var = float(((y_arr - y_arr.mean()) ** 2).sum())
+            r2e = 1.0 - sum((pe[i] - y[i]) ** 2 for i in range(30)) / var
+            r2l = 1.0 - sum((pl[i] - y[i]) ** 2 for i in range(30)) / var
+            assert r2e > 0.9, (kernel, r2e)
+            assert r2l > 0.9, (kernel, r2l)
+
     def test_platt_sigmoid_properties(self):
         """Platt fit on a cleanly separated decision set: monotone
         decreasing in f (A < 0), near 1 for strong positives, near 0

@@ -230,6 +230,93 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
         )
         return M.cdist(queries, train_df, metric="gak", sigma=self.sigma_)
 
+    # -- landmark machinery shared by the SVC / SVR scale paths ----------
+    def _prepare_landmarks(self, df: DataFrame) -> None:
+        """Seeded landmark sample + kernel-parameter resolution: sets
+        _lm_df / _lm_pos_df (and _lm_flat_ for flat kernels), gamma_ /
+        sigma_.  Hash order is partition-invariant, so the landmark set
+        is a pure function of (seed, ids) at any scale."""
+        spark = df.sparkSession
+        m = int(self.n_landmarks)
+        seed = 0 if getattr(self, "random_state", None) is None \
+            else int(self.random_state)
+        self._lm_df = (
+            df.select("series_id", "values")
+            .orderBy(F.xxhash64(F.lit(seed), "series_id"), "series_id")
+            .limit(m)
+            .localCheckpoint()
+        )
+        lm_rows = sorted(
+            self._lm_df.select("series_id", "values").collect(),
+            key=lambda r: r["series_id"])
+        self._lm_pos_df = spark.createDataFrame(
+            [(int(r["series_id"]), p) for p, r in enumerate(lm_rows)],
+            "id2 long, pos int").localCheckpoint()
+        if self.kernel in _FLAT_KERNELS:
+            lm_vals = [np.asarray(r["values"], dtype=np.float64)
+                       for r in lm_rows]
+            szs = {v.shape for v in lm_vals}
+            if len(szs) > 1:
+                raise ValueError(
+                    f"kernel={self.kernel!r} requires equal-length series")
+            self._lm_flat_ = np.stack([v.reshape(-1) for v in lm_vals])
+            self.gamma_ = (1.0 / self._lm_flat_.shape[1]
+                           if self.gamma == "auto" else float(self.gamma))
+        elif self.gamma == "auto":
+            # gamma_soft_dtw over a seeded ~200-series sample instead of
+            # the full training set (the reference samples internally
+            # anyway; a full collect is exactly what this path avoids)
+            sample = [
+                np.asarray(r["values"], dtype=np.float64)
+                for r in df.select("values")
+                .orderBy(F.xxhash64(F.lit(seed + 1),
+                                    F.hash("values")))
+                .limit(200).collect()
+            ]
+            self.gamma_ = K.gamma_soft_dtw(sample, random_state=seed)
+            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
+        else:
+            self.gamma_ = float(self.gamma)
+            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
+
+    def _landmark_features(self, d1: DataFrame) -> DataFrame:
+        """(series_id, kvec array<double>): the m landmark-kernel values
+        per series, ordered by landmark position — n x m edges through
+        the cdist pair join (gak) or one broadcast BLAS pass (flat
+        kernels), never an n x n Gram."""
+        if self.kernel in _FLAT_KERNELS:
+            spark = d1.sparkSession
+            bcl = spark.sparkContext.broadcast(
+                (self._lm_flat_, self.kernel, self.gamma_, self.degree,
+                 self.coef0))
+
+            def gen(batches):
+                L, kern, gam, deg, c0 = bcl.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Q = np.stack([
+                        np.asarray(v, dtype=np.float64).reshape(-1)
+                        for v in pdf["values"]
+                    ])
+                    Kq = _flat_kernel_matrix(Q, L, kern, gam, deg, c0)
+                    yield pd.DataFrame({
+                        "series_id": pdf["series_id"],
+                        "kvec": list(Kq),
+                    })
+
+            return d1.select("series_id", "values").mapInPandas(
+                gen, "series_id long, kvec array<double>")
+        edges = M.cdist(d1, self._lm_df, metric="gak", sigma=self.sigma_)
+        return (
+            edges.join(F.broadcast(self._lm_pos_df), "id2")
+            .groupBy("id1")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "dist")))
+                 .alias("kv"))
+            .select(F.col("id1").alias("series_id"),
+                    F.expr("transform(kv, x -> x.dist)").alias("kvec"))
+        )
+
 
 class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
     """GAK-kernel SVC (svm.py:68-371); one-vs-one multiclass like libsvm."""
@@ -321,91 +408,11 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         return self
 
     # -- landmark scale path ---------------------------------------------
-    def _landmark_features(self, d1: DataFrame) -> DataFrame:
-        """(series_id, kvec array<double>): the m landmark-kernel values
-        per series, ordered by landmark position — n x m edges through
-        the cdist pair join (gak) or one broadcast BLAS pass (flat
-        kernels), never an n x n Gram."""
-        if self.kernel in _FLAT_KERNELS:
-            spark = d1.sparkSession
-            bcl = spark.sparkContext.broadcast(
-                (self._lm_flat_, self.kernel, self.gamma_, self.degree,
-                 self.coef0))
-
-            def gen(batches):
-                L, kern, gam, deg, c0 = bcl.value
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    Q = np.stack([
-                        np.asarray(v, dtype=np.float64).reshape(-1)
-                        for v in pdf["values"]
-                    ])
-                    Kq = _flat_kernel_matrix(Q, L, kern, gam, deg, c0)
-                    yield pd.DataFrame({
-                        "series_id": pdf["series_id"],
-                        "kvec": list(Kq),
-                    })
-
-            return d1.select("series_id", "values").mapInPandas(
-                gen, "series_id long, kvec array<double>")
-        edges = M.cdist(d1, self._lm_df, metric="gak", sigma=self.sigma_)
-        return (
-            edges.join(F.broadcast(self._lm_pos_df), "id2")
-            .groupBy("id1")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "dist")))
-                 .alias("kv"))
-            .select(F.col("id1").alias("series_id"),
-                    F.expr("transform(kv, x -> x.dist)").alias("kvec"))
-        )
-
     def _fit_landmark(self, df: DataFrame, label_col: str) -> "TimeSeriesSVC":
         from pyspark.ml.classification import LinearSVC, OneVsRest
         from pyspark.ml.functions import array_to_vector
 
-        spark = df.sparkSession
-        m = int(self.n_landmarks)
-        seed = 0 if self.random_state is None else int(self.random_state)
-        # seeded landmark sample — hash order is partition-invariant
-        self._lm_df = (
-            df.select("series_id", "values")
-            .orderBy(F.xxhash64(F.lit(seed), "series_id"), "series_id")
-            .limit(m)
-            .localCheckpoint()
-        )
-        lm_rows = sorted(
-            self._lm_df.select("series_id", "values").collect(),
-            key=lambda r: r["series_id"])
-        self._lm_pos_df = spark.createDataFrame(
-            [(int(r["series_id"]), p) for p, r in enumerate(lm_rows)],
-            "id2 long, pos int").localCheckpoint()
-        if self.kernel in _FLAT_KERNELS:
-            lm_vals = [np.asarray(r["values"], dtype=np.float64)
-                       for r in lm_rows]
-            szs = {v.shape for v in lm_vals}
-            if len(szs) > 1:
-                raise ValueError(
-                    f"kernel={self.kernel!r} requires equal-length series")
-            self._lm_flat_ = np.stack([v.reshape(-1) for v in lm_vals])
-            self.gamma_ = (1.0 / self._lm_flat_.shape[1]
-                           if self.gamma == "auto" else float(self.gamma))
-        elif self.gamma == "auto":
-            # gamma_soft_dtw over a seeded ~200-series sample instead of
-            # the full training set (the reference samples internally
-            # anyway; a full collect is exactly what this path avoids)
-            sample = [
-                np.asarray(r["values"], dtype=np.float64)
-                for r in df.select("values")
-                .orderBy(F.xxhash64(F.lit(seed + 1),
-                                    F.hash("values")))
-                .limit(200).collect()
-            ]
-            self.gamma_ = K.gamma_soft_dtw(sample, random_state=seed)
-            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
-        else:
-            self.gamma_ = float(self.gamma)
-            self.sigma_ = float(np.sqrt(self.gamma_ / 2.0))
-
+        self._prepare_landmarks(df)
         self.classes_ = np.array(sorted(
             r[0] for r in df.select(label_col).distinct().collect()))
         idx_map = F.create_map(*[
@@ -689,12 +696,19 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
                  tol: float = 0.001, epsilon: float = 0.1,
                  shrinking: bool = True, cache_size: float = 200,
                  n_jobs: int | None = None, verbose: int = 0,
-                 max_iter: int = -1):
+                 max_iter: int = -1, n_landmarks: int | None = None):
         super().__init__(C=C, kernel=kernel, degree=degree, gamma=gamma,
                          coef0=coef0, shrinking=shrinking, tol=tol,
                          cache_size=cache_size, n_jobs=n_jobs,
                          verbose=verbose, max_iter=max_iter)
         self.epsilon = epsilon
+        # scale path (engine extension): kernel RIDGE on m landmark
+        # features via MLlib LinearRegression — MLlib has no
+        # epsilon-insensitive solver, so past the Gram ceiling the
+        # squared loss stands in for the epsilon tube (documented
+        # approximation; epsilon is ignored on this path).  Fit and
+        # predict stay distributed end-to-end, linear in n.
+        self.n_landmarks = n_landmarks
 
     def fit(self, df: DataFrame, y=None,
             target_col: str = "y") -> "TimeSeriesSVR":
@@ -704,6 +718,8 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
 
         self._d_fit = query_d(df)
         df, _ = as_ts_df(df, y=y, y_col=target_col, y_numeric=True)
+        if self.n_landmarks is not None:
+            return self._fit_landmark_svr(df, target_col)
         Gram = self._fit_gram(df)
         tgt = {r["series_id"]: r[target_col]
                for r in df.select("series_id", target_col).collect()}
@@ -712,6 +728,42 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
         # sklearn SVR surface (reference svm.py:360-381 docstring)
         self.support_ = self.model_.support_
         return self
+
+    def _fit_landmark_svr(self, df: DataFrame,
+                          target_col: str) -> "TimeSeriesSVR":
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.regression import LinearRegression
+
+        self._prepare_landmarks(df)
+        feats = (
+            self._landmark_features(df)
+            .join(df.select("series_id",
+                            F.col(target_col).cast("double").alias("_yt")),
+                  "series_id")
+            .select("series_id",
+                    array_to_vector("kvec").alias("features"), "_yt")
+            .localCheckpoint()
+        )
+        n = feats.count()
+        reg = 1.0 / (self.C * max(n, 1))  # ridge twin of the SVC mapping
+        iters = 100 if self.max_iter == -1 else int(self.max_iter)
+        self._mllib_model = LinearRegression(
+            maxIter=iters, regParam=reg, elasticNetParam=0.0,
+            tol=self.tol, featuresCol="features", labelCol="_yt",
+        ).fit(feats)
+        self.support_ = np.array([], dtype=np.int64)  # fitted marker
+        return self
+
+    def _predict_landmark_svr(self, queries: DataFrame, was_array: bool):
+        from pyspark.ml.functions import array_to_vector
+
+        from tslearn_spark.bases import collect_col
+
+        feats = self._landmark_features(queries).select(
+            "series_id", array_to_vector("kvec").alias("features"))
+        out = self._mllib_model.transform(feats).select(
+            "series_id", "prediction")
+        return collect_col(out, was_array, "prediction")
 
     @property
     def svm_estimator_(self):
@@ -770,6 +822,8 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
 
         check_query_dims(queries, getattr(self, "_d_fit", None))
         queries, was_array = as_ts_df(queries)
+        if getattr(self, "_mllib_model", None) is not None:
+            return self._predict_landmark_svr(queries, was_array)
         edges = self._query_gram_df(queries)
         spark = queries.sparkSession
         duals = spark.createDataFrame(
