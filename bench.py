@@ -642,7 +642,8 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
     work = tempfile.mkdtemp(prefix="stream_soak_")
     out: dict = {"n_batches_target": 20}
 
-    def soak(name, src_df, cols, op, distinct_expr, by_range=None):
+    def soak(name, src_df, cols, op, distinct_expr, by_range=None,
+             bound_frac=None):
         if time.perf_counter() - t_suite0 > budget:
             out[name] = {"skipped_over_budget": True}
             return
@@ -684,17 +685,29 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
         dt = round(time.perf_counter() - t0, 3)
         n_distinct = src_df.select(distinct_expr).distinct().count()
         tail = curve[-5:]
+        if bound_frac is not None:
+            # TTL-evicting / session state OSCILLATES with batch timing
+            # (an eviction dip followed by recovery reads as "tail
+            # growth" to a flat-tail test while the level is plainly
+            # bounded) — the designed property is that state never
+            # approaches the unbounded axis (the cumulative key
+            # population), so test the curve MAX against that
+            ok = bool(curve and max(curve) <= bound_frac * max(n_distinct, 1))
+        else:
+            # grow-to-population state (one row per live key): the tail
+            # must be flat — the last 5 batches add (nearly) no state
+            ok = bool(len(tail) >= 2
+                      and tail[-1] - tail[0] <=
+                      max(0.01 * max(tail[-1], 1), 2))
         out[name] = {
             "sec": dt,
             "n_batches": len(curve),
             "state_rows_curve": curve,
             "n_distinct_keys": n_distinct,
-            # flat tail: the last 5 batches add (nearly) no state
             "tail_growth_rows": (tail[-1] - tail[0]) if len(tail) >= 2
             else None,
-            "plateaued": bool(len(tail) >= 2
-                              and tail[-1] - tail[0] <=
-                              max(0.01 * max(tail[-1], 1), 2)),
+            "bound_frac": bound_frac,
+            "plateaued": ok,
             "final_vs_distinct": round(curve[-1] / max(n_distinct, 1), 3)
             if curve else None,
         }
@@ -713,7 +726,7 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
     soak("exact_dedup_ttl",
          t["documents"], ["doc_id", "text"],
          lambda s: stream_exact_dedup(s, ttl_ms=10_000),
-         F.md5(F.lower(F.trim(F.col("text")))))
+         F.md5(F.lower(F.trim(F.col("text")))), bound_frac=0.6)
     # r10: the two remaining stateful ops, whose keys grow differently
     # from per-series/per-hash keys.
     #   * lsh_candidates_ttl: state = (band, band-signature) BUCKETS,
@@ -723,7 +736,7 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
     soak("lsh_candidates_ttl",
          t["documents"], ["doc_id", "text"],
          lambda s: stream_lsh_candidates(s, ttl_ms=10_000),
-         F.md5(F.lower(F.trim(F.col("text")))))
+         F.md5(F.lower(F.trim(F.col("text")))), bound_frac=0.6)
     #   * session_stats: state = OPEN session windows per user; the
     #     source is range-partitioned on ts so batches arrive in rough
     #     time order and the watermark closes sessions as it advances —
@@ -738,7 +751,10 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
              "value"),
          ["user_id", "ts", "value"],
          lambda s: stream_session_stats(s),
-         F.col("user_id"), by_range=F.col("ts"))
+         # open-session state bursts to ~3 concurrently-open windows per
+         # user inside the watermark lag, then collapses — bound the
+         # BURST, the quantity that would grow if sessions never closed
+         F.col("user_id"), by_range=F.col("ts"), bound_frac=5.0)
     shutil.rmtree(work, ignore_errors=True)
     return {"budget_sec": budget, "ops": out}
 
