@@ -569,6 +569,21 @@ class TestClustering:
         pred_labs = {r["series_id"]: r["cluster"] for r in kk.predict(df).collect()}
         assert pred_labs == fit_labs
 
+    def test_kernel_kmeans_predict_empty_input(self, spark):
+        """predict on ZERO rows after a non-gak fit must return an empty
+        frame, not the misleading mixed-lengths ValueError (an empty
+        query makes the flat-length scan count 0 distinct lengths)."""
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(6)
+        df = DS.dataset_to_df(
+            spark, [rs.randn(8) * 0.2 + (0 if i < 4 else 6)
+                    for i in range(8)])
+        kk = KernelKMeans(n_clusters=2, kernel="rbf", max_iter=5,
+                          random_state=0).fit(df)
+        empty = df.where(F.lit(False))
+        assert kk.predict(empty).count() == 0
+
     def test_kernel_kmeans_matches_reference_replay(self, spark):
         """The distributed fit reproduces a numpy replay of the
         reference's exact algorithm (kmeans.py:290-316,390-409) on the

@@ -62,6 +62,37 @@ class TestSVM:
               for r in lmr.predict(df).collect()}
         assert pr == {i: y[i] for i in range(30)}
 
+    def test_landmark_dual_surface_raises(self, spark):
+        """The landmark path never computes the libsvm dual surface:
+        support_/dual_coef_/n_support_ must raise a clear
+        NotImplementedError naming n_landmarks (NOT return a
+        legit-looking empty array), while the estimator still reads as
+        fitted for serialization guards."""
+        from tslearn_spark.svm import TimeSeriesSVC, TimeSeriesSVR
+
+        rs = np.random.RandomState(2)
+        X = [list(rs.randn(8) * 0.3 + (0 if i < 8 else 4))
+             for i in range(16)]
+        df = DS.dataset_to_df(spark, X, labels=["a"] * 8 + ["b"] * 8)
+        lm = TimeSeriesSVC(kernel="rbf", random_state=0,
+                           n_landmarks=6).fit(df)
+        assert lm._is_fitted()
+        for attr in ("support_", "n_support_", "dual_coef_", "intercept_",
+                     "support_vectors_", "svm_estimator_"):
+            with pytest.raises(NotImplementedError, match="n_landmarks"):
+                getattr(lm, attr)
+        dfr = DS.dataset_to_df(spark, X).join(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(16)],
+                "series_id long, y double"), "series_id")
+        lmr = TimeSeriesSVR(kernel="rbf", n_landmarks=6).fit(dfr)
+        assert lmr._is_fitted()
+        with pytest.raises(NotImplementedError, match="n_landmarks"):
+            lmr.support_
+        # unfitted estimators still raise plain AttributeError
+        with pytest.raises(AttributeError):
+            TimeSeriesSVC().support_
+
     def test_svr_landmark_scale_path(self, spark):
         """TimeSeriesSVR(n_landmarks=m): kernel ridge on landmark
         features (MLlib has no epsilon-insensitive solver) tracks the

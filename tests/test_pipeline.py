@@ -449,6 +449,20 @@ class TestSimsearch:
         plan = pre._jdf.queryExecution().executedPlan().toString()
         assert "list_id" in plan and ("PartitionFilters: [" in plan
                                       or "list_id IN" in plan)
+
+    def test_ivf_prebuilt_requires_explicit_centroids(self, spark):
+        """list_col= with centroids=None must raise: default centroids
+        derived at query time can't be proven to match the quantizer
+        that built the stored assignment (mis-routed probes silently
+        drop neighbors otherwise)."""
+        import pytest
+        from tslearn_spark.pipeline import ivf_topk
+
+        df, _ = self.make_vecs(spark, n=20)
+        with pytest.raises(ValueError, match="centroids"):
+            ivf_topk(df, df, k=1, n_lists=4, n_probe=2, list_col="list_id")
+
+    def test_ivf_exhaustive_probe_is_exact(self, spark):
         """n_probe == n_lists probes every inverted list, so IVF must
         reproduce the brute-force ranking exactly."""
         from tslearn_spark.pipeline import brute_force_topk, ivf_topk

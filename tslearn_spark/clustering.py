@@ -100,7 +100,9 @@ def _pairwise_kernel_edges(d1: DataFrame, d2: DataFrame, kernel: str,
     if flat_len is not None:
         # train-side length known from fit: scan the query side only
         k1, n1 = _flat_len_check(d1) if d1 is not d2 else (1, flat_len)
-        if k1 > 1 or n1 != int(flat_len):
+        # k1 == 0 means d1 is EMPTY, not ragged: the cross join below
+        # yields the empty edge plan on its own (predict on zero rows)
+        if k1 > 0 and (k1 > 1 or n1 != int(flat_len)):
             raise ragged_err
         n = int(flat_len)
     else:

@@ -256,9 +256,25 @@ def ivf_topk(
     the probed-list filter is pushed into the scan — on a corpus
     written partitioned by the list column, unprobed inverted lists are
     never read at all (real partition pruning, the 100-TB index shape).
-    Results are identical to the inline path by construction.
+    Results are identical to the inline path by construction PROVIDED
+    the same quantizer is used on both sides — so ``centroids`` is
+    REQUIRED (ValueError otherwise) whenever ``list_col`` is passed:
+    pass back the matrix you gave assign_ivf_lists.
     """
     spark = candidates.sparkSession
+    if list_col is not None and centroids is None:
+        # A prebuilt assignment is only valid against the SAME quantizer
+        # that built it: deriving default centroids here would silently
+        # route probes to inverted lists that don't match the stored
+        # list_col (an index built with trained centroids would drop
+        # neighbors with no error).  The caller must hand back the
+        # centroid matrix it gave assign_ivf_lists.
+        raise ValueError(
+            "ivf_topk(list_col=...) requires the explicit `centroids` "
+            "matrix used by assign_ivf_lists when the index was built; "
+            "deriving default centroids would mis-route probes against "
+            "the prebuilt assignment."
+        )
     if n_lists == "auto" or n_probe == "auto":
         # size the index from the corpus (one count job), like
         # lsh_topk(bits="auto") — the scale knob a 100-TB user should

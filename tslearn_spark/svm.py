@@ -87,6 +87,40 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
         return {"non_deterministic": True, "allow_nan": True,
                 "allow_variable_length": True}
 
+    # libsvm-dual surface that the landmark scale path does NOT compute
+    _DUAL_SURFACE = ("support_", "n_support_", "dual_coef_", "intercept_",
+                     "coef_", "support_vectors_", "svm_estimator_", "model_")
+
+    def _is_fitted(self) -> bool:
+        # the landmark path's fitted state is the MLlib model (leading
+        # underscore, invisible to the generic trailing-underscore scan)
+        if self.__dict__.get("_mllib_model") is not None:
+            return True
+        return super()._is_fitted()
+
+    def __getattr__(self, name: str):
+        # Reached only when normal lookup fails (the exact SMO path sets
+        # support_/model_ as instance attrs).  On the landmark path the
+        # dual surface is genuinely absent — say so loudly instead of
+        # leaking a bare AttributeError or a legit-looking empty array.
+        if (name in _GakSVMBase._DUAL_SURFACE
+                and self.__dict__.get("_mllib_model") is not None):
+            raise NotImplementedError(
+                f"{name} is unavailable on the landmark scale path "
+                f"(fitted with n_landmarks={self.__dict__.get('n_landmarks')}): "
+                "the libsvm dual surface is not computed there. Refit with "
+                "n_landmarks=None for exact support vectors and duals."
+            )
+        # A property getter that raised AttributeError lands here too
+        # (Python's fallback protocol) — re-run it so its OWN message
+        # propagates (e.g. coef_'s "linear kernel only") instead of a
+        # generic no-such-attribute error
+        desc = getattr(type(self), name, None)
+        if isinstance(desc, property):
+            return desc.__get__(self, type(self))
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}")
+
     def __init__(self, C: float = 1.0, kernel: str = "gak", degree: int = 3,
                  gamma: str | float = "auto", coef0: float = 0.0,
                  shrinking: bool = True, tol: float = 0.001,
@@ -437,7 +471,8 @@ class TimeSeriesSVC(ClassifierScoreMixin, _GakSVMBase):
         est = base if len(self.classes_) == 2 else OneVsRest(
             classifier=base, featuresCol="features", labelCol="_yidx")
         self._mllib_model = est.fit(feats)
-        self.support_ = np.array([], dtype=np.int64)  # fitted marker
+        # no support_ marker: _is_fitted reads _mllib_model, and the dual
+        # surface raises NotImplementedError via __getattr__ on this path
         return self
 
     def _predict_landmark(self, queries: DataFrame, was_array: bool):
@@ -751,7 +786,8 @@ class TimeSeriesSVR(RegressorScoreMixin, _GakSVMBase):
             maxIter=iters, regParam=reg, elasticNetParam=0.0,
             tol=self.tol, featuresCol="features", labelCol="_yt",
         ).fit(feats)
-        self.support_ = np.array([], dtype=np.int64)  # fitted marker
+        # no support_ marker: _is_fitted reads _mllib_model, and the dual
+        # surface raises NotImplementedError via __getattr__ on this path
         return self
 
     def _predict_landmark_svr(self, queries: DataFrame, was_array: bool):
