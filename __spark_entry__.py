@@ -928,9 +928,14 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-SQL-expressible operators (rows-only checks)
 # ---------------------------------------------------------------------------
 
-def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-NN DTW classification, synthetic labels = user_id % 3
-    (neighbors.py:353-562).  DP kernel -> no SQL oracle."""
+def knn_dtw_classify_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN DTW classification over the FULL z-normed population,
+    synthetic labels = user_id % 3 (neighbors.py:353-562).  This is the
+    PERF twin: pair count grows quadratically with sf (562k banded DTWs
+    at sf0.1), which is exactly what bench measures — and exactly why it
+    cannot carry a DuckDB DP-replay oracle.  The hash-gated roster twin
+    is knn_dtw_classify below (same kneighbors/vote machinery on a
+    scale-invariant integer sample)."""
     from tslearn_spark.neighbors import knn_classify
     from tslearn_spark.preprocessing import transform_mean_variance
 
@@ -942,6 +947,62 @@ def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     train = labeled.where(F.col("series_id") % 2 == 0)
     test = labeled.where(F.col("series_id") % 2 == 1)
+    return knn_classify(test, train, k=1, metric="dtw", sakoe_chiba_radius=5)
+
+
+# knn series slice: lengths 12..16 by user so the padded MIXED-SHAPE
+# banded batch kernel is the path exercised, not a same-shape fast path
+_KNN_INT_SQL = """
+    WITH ranked AS (
+        SELECT user_id, CAST(floor(value) AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id % {mod} < 2
+    )
+    SELECT user_id AS series_id,
+           transform(array_sort(collect_list(struct(rn, v))),
+                     s -> array(s.v)) AS values
+    FROM ranked WHERE rn <= 12 + user_id % 5
+    GROUP BY user_id
+"""
+
+
+def _knn_sample_mod(n_users: int) -> int:
+    """Scale-invariant sampling modulus: keep ~25 train + ~25 test users
+    at ANY sf (train = user_id % mod == 0, test = % mod == 1), so the
+    oracle's banded-DP replay cost is constant while the engine still
+    runs the real distributed path.  n/25 is never exactly half-integral
+    (fraction is k/25), so round() agrees across Python/DuckDB."""
+    return max(2, int(round(n_users / 25.0)))
+
+
+def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN banded-DTW classification under the HASH GATE
+    (neighbors.py:353-562 kneighbors + :502-531 vote).
+
+    Runs the REAL distributed path — broadcast train, mixed-shape
+    banded batch DP (kernels.py:248 dtw_banded_batch), tie-aware top-k,
+    majority vote — on floor()-quantized integer series (lengths 12..16
+    by user, sakoe_chiba_radius=5, labels user_id % 3).  On integer
+    values every DP cell is an exact integer (the row-scan cumsum trick
+    is exact under integer associativity), the +inf band border
+    propagates identically, and sqrt is correctly rounded on both
+    engines — so the DuckDB banded-DP recursive CTE (the
+    cdist_dtw_tiny:dtw_band machinery at radius 5) + argmin(dist, id2)
+    + label replays the prediction bit-for-bit.  Users are sampled
+    scale-invariantly (~25 per side via _knn_sample_mod) so the oracle
+    cost stays constant at every gated sf; knn_dtw_classify_full keeps
+    the full-population quadratic perf measurement in bench."""
+    from tslearn_spark.neighbors import knn_classify
+
+    t = load_tables(spark, sf_dir)
+    mod = _knn_sample_mod(
+        t["events"].select("user_id").distinct().count())
+    ts = spark.sql(_KNN_INT_SQL.replace("{mod}", str(mod)))
+    labeled = ts.withColumn(
+        "label", (F.col("series_id") % 3).cast("string")
+    ).localCheckpoint()
+    train = labeled.where(F.col("series_id") % mod == 0)
+    test = labeled.where(F.col("series_id") % mod == 1)
     return knn_classify(test, train, k=1, metric="dtw", sakoe_chiba_radius=5)
 
 
@@ -978,19 +1039,52 @@ def metrics_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DBA input: 10 users x exactly 32 floor()-quantized values — uniform
+# length == barycenter_size, so the init is the pure positionwise mean
+# (dba.py:14-22 _init_avg with no interp step)
+_DBA_INT_SQL = """
+    WITH ranked AS (
+        SELECT user_id, CAST(floor(value) AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 10
+    )
+    SELECT user_id AS series_id,
+           transform(array_sort(collect_list(struct(rn, v))),
+                     s -> array(s.v)) AS values
+    FROM ranked WHERE rn <= 32
+    GROUP BY user_id
+"""
+
+DBA_MAX_ITER = 5  # shared literal: the oracle unrolls exactly this many
+
+
 def dba_barycenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBA over 10 z-normed user series (dba.py:394-511) — iterative."""
-    import numpy as np
+    """DBA under the HASH GATE (dba.py:394-604): 5 unrolled E-M steps
+    over 10 floor()-quantized 32-length series.
 
+    Runs the REAL distributed path — broadcast center, per-series
+    dtw_path E-step (kernels.py:203 row-scan matrix + :522 diag-first
+    backtrack), exploded grouped M-step — on integer series where every
+    quantity both engines compute is bit-identical: series values stay
+    integers through ALL iterations (the M-step sums SERIES values, so
+    wsum/wtot are exact integers in any summation order and each center
+    value is one correctly-rounded division), iteration-1 DP cells are
+    exact integers, and iteration>=2 cells replay the engine's exact
+    row-scan float association (cell = s + min-prefix(a - s) with
+    left-fold scalars — see the oracle CTE).  The tol=1e-5 early-break
+    is replayed with a frozen-center flag per unrolled stage.  This
+    lifts the strongest iterative query from rows-only to hash-gated."""
     from tslearn_spark.barycenters import dtw_barycenter_averaging
-    from tslearn_spark.preprocessing import resample, transform_mean_variance
 
-    ts = transform_mean_variance(
-        resample(_events_series(spark, sf_dir).where(F.col("series_id") < 10), 32)
-    ).cache()
-    center = dtw_barycenter_averaging(ts, barycenter_size=32, max_iter=5)
-    rows = [(int(i), float(np.round(v[0], 6))) for i, v in enumerate(center)]
-    return spark.createDataFrame(rows, "t int, bary double")
+    load_tables(spark, sf_dir)
+    ts = spark.sql(_DBA_INT_SQL).cache()
+    center = dtw_barycenter_averaging(
+        ts, barycenter_size=32, max_iter=DBA_MAX_ITER)
+    rows = [(int(i), float(v[0])) for i, v in enumerate(center)]
+    # Spark-side round: F.round vs DuckDB round is the proven-green pair
+    # (np.round's scale-rint-rescale can differ on rounding ties)
+    return spark.createDataFrame(rows, "t int, bary double").select(
+        "t", F.round("bary", 6).alias("bary"))
 
 
 def clustering_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,19 +1333,23 @@ def stream_tumbling_paa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: z-normalize series; 1-NN banded-DTW classification
-    (SURVEY.md §7 Phase 1 slice) on sf0.001."""
-    return knn_dtw_classify(spark, "/root/testdata/sf0.001")
+    (SURVEY.md §7 Phase 1 slice) on sf0.001 — the full-population perf
+    twin (the roster's knn_dtw_classify is its hash-gated sample)."""
+    return knn_dtw_classify_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness gate runs at most
-    50 queries in registration order, so all 44 oracled queries come
-    first and the 6 rows-only iterative/model queries last; a count or
+    50 queries in registration order, so all 46 oracled queries come
+    first and the 4 rows-only iterative/model queries last; a count or
     time cap then costs only the weakest checks.  (r5 freed two slots:
     cdist_dtw_sample's banded DTW folded into metrics_pair_sample, and
     kmeans_euclidean_clusters + kshape_clusters merged into
     clustering_labels; r10 retired kernel_kmeans_predict — see the
-    roster comment below.)"""
+    roster comment below; r11 lifted knn_dtw_classify and
+    dba_barycenter_sample from rows-only to hash-gated via integer
+    quantization + DuckDB DP-replay oracles, keeping their full-scale
+    perf twins in bench as knn_dtw_classify_full.)"""
     return {
         # relational passthrough (oracled)
         "q1_pricing_summary": q1_pricing_summary,
@@ -1302,13 +1400,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdist_dtw_tiny": cdist_dtw_tiny,
         "shapelet_score_fixed": shapelet_score_fixed,
         "kernel_kmeans_assign_tiny": kernel_kmeans_assign_tiny,
+        # r11: hash-gated via integer quantization (see each docstring)
+        "knn_dtw_classify": knn_dtw_classify,
+        "dba_barycenter_sample": dba_barycenter_sample,
         # non-SQL-expressible (rows-only), heaviest last.  Round 6:
         # metrics_pair_sample left the 50-query roster (its kernels are
         # hash-gated by cdist_dtw_tiny; its engine-free pytest replay in
         # tests/test_driver_queries.py still runs) to free the slot for
         # the oracled kernel_kmeans_assign_tiny above.
-        "dba_barycenter_sample": dba_barycenter_sample,
-        "knn_dtw_classify": knn_dtw_classify,
         "mlp_classify": mlp_classify,
         "shapelet_transform": shapelet_transform,
         "svc_gak_classify": svc_gak_classify,
@@ -1354,6 +1453,143 @@ _EN_STOP = "['the','and','of','to','in','is','that','it','for','was']"
 _DE_STOP = "['der','die','und','das','ist','nicht','ein','mit','auf','sich']"
 _FR_STOP = "['le','la','les','et','des','est','dans','que','pour','une']"
 _ES_STOP = "['el','la','los','las','es','en','un','una','por','para']"
+
+
+def _dba_stage_sql(k: int, sz: int, tol: float) -> str:
+    """One unrolled DBA E-M stage (center_{k-1} -> center_{k}).
+
+    Forward DP replays the engine's ROW-SCAN float association exactly
+    (kernels.py:203-238): row 1 is a pure left-fold cumsum; rows >= 2
+    compute cell = s + m with left-fold scalars s (cumsum of costs) and
+    m (min-prefix of a - s), a = cost + min(up, diag).  One cell per
+    recursion step; every dp row IS one cell, so the full matrix comes
+    back as list(cur[j] ORDER BY i, j).  Backtrack replays numpy's
+    first-on-tie argmin over (diag, up, left) (kernels.py:522-541).
+    The M-step sums SERIES values (integers -> order-free exact sums);
+    tol freezing carries a stopped flag so an early delta < tol stage
+    passes the center through unchanged, like the engine's break."""
+    p, c = k - 1, k
+    return f"""
+    cl_{c} AS MATERIALIZED (
+        SELECT list(c ORDER BY pos) AS cv FROM center_{p}
+    ),
+    dp_{c} AS (
+        SELECT s.sid, s.vals, cc.cv, 1 AS i, 1 AS j,
+               CAST([] AS DOUBLE[]) AS prev,
+               [(cc.cv[1] - s.vals[1]) * (cc.cv[1] - s.vals[1])] AS cur,
+               CAST(0.0 AS DOUBLE) AS sacc, CAST(0.0 AS DOUBLE) AS macc
+        FROM ser s, cl_{c} cc
+        UNION ALL
+        SELECT sid, vals, cv, ni, nj,
+               CASE WHEN nj = 1 THEN cur ELSE prev END,
+               CASE WHEN ni = 1 THEN list_append(cur, cur[j] + d)
+                    WHEN nj = 1 THEN [d + ((d + cur[1]) - d)]
+                    ELSE list_append(cur, ns + nm)
+               END,
+               CASE WHEN ni = 1 THEN 0.0 WHEN nj = 1 THEN d ELSE ns END,
+               CASE WHEN ni = 1 THEN 0.0
+                    WHEN nj = 1 THEN (d + cur[1]) - d
+                    ELSE nm END
+        FROM (
+            SELECT *,
+                   CASE WHEN nj = 1 OR ni = 1 THEN 0.0
+                        ELSE sacc + d END AS ns,
+                   CASE WHEN nj = 1 OR ni = 1 THEN 0.0
+                        ELSE least(macc,
+                                   (d + least(prev[nj], prev[nj - 1]))
+                                   - (sacc + d)) END AS nm
+            FROM (
+                SELECT *,
+                       (cv[ni] - vals[nj]) * (cv[ni] - vals[nj]) AS d
+                FROM (
+                    SELECT sid, vals, cv, i, j, prev, cur, sacc, macc,
+                           CASE WHEN j < {sz} THEN i ELSE i + 1 END AS ni,
+                           CASE WHEN j < {sz} THEN j + 1 ELSE 1 END AS nj
+                    FROM dp_{c}
+                    WHERE NOT (i = {sz} AND j = {sz})
+                )
+            )
+        )
+    ),
+    cells_{c} AS MATERIALIZED (
+        SELECT sid, list(cur[j] ORDER BY i, j) AS M
+        FROM dp_{c} GROUP BY sid
+    ),
+    bt_{c} AS (
+        SELECT sid, M, {sz} AS i, {sz} AS j FROM cells_{c}
+        UNION ALL
+        SELECT sid, M,
+               CASE WHEN i = 1 THEN i
+                    WHEN j = 1 THEN i - 1
+                    WHEN cd <= cu AND cd <= cl THEN i - 1
+                    WHEN cu <= cl THEN i - 1
+                    ELSE i END,
+               CASE WHEN i = 1 THEN j - 1
+                    WHEN j = 1 THEN j
+                    WHEN cd <= cu AND cd <= cl THEN j - 1
+                    WHEN cu <= cl THEN j
+                    ELSE j - 1 END
+        FROM (
+            SELECT sid, M, i, j,
+                   CASE WHEN i > 1 AND j > 1
+                        THEN M[(i - 2) * {sz} + j - 1] ELSE 0.0 END AS cd,
+                   CASE WHEN i > 1 AND j > 1
+                        THEN M[(i - 2) * {sz} + j] ELSE 0.0 END AS cu,
+                   CASE WHEN i > 1 AND j > 1
+                        THEN M[(i - 1) * {sz} + j - 1] ELSE 0.0 END AS cl
+            FROM bt_{c}
+            WHERE NOT (i = 1 AND j = 1)
+        )
+    ),
+    new_{c} AS MATERIALIZED (
+        SELECT b.i AS pos, sum(s.vals[b.j]) / count(*) AS c
+        FROM bt_{c} b JOIN ser s ON s.sid = b.sid
+        GROUP BY b.i
+    ),
+    delta_{c} AS MATERIALIZED (
+        SELECT sqrt(sum((n.c - o.c) * (n.c - o.c))) AS dlt
+        FROM new_{c} n JOIN center_{p} o ON n.pos = o.pos
+    ),
+    center_{c} AS MATERIALIZED (
+        SELECT n.pos,
+               CASE WHEN o.stopped THEN o.c ELSE n.c END AS c,
+               o.stopped OR ((NOT o.stopped)
+                             AND (SELECT dlt FROM delta_{c}) < {tol!r}) AS stopped
+        FROM new_{c} n JOIN center_{p} o ON n.pos = o.pos
+    )"""
+
+
+def _dba_oracle_sql(sz: int = 32, max_iter: int = DBA_MAX_ITER,
+                    tol: float = 1e-5) -> str:
+    """DuckDB replay of dba_barycenter_sample: init = positionwise mean,
+    then ``max_iter`` unrolled E-M stages (see _dba_stage_sql).  All
+    CTE stage outputs are MATERIALIZED — DuckDB inlines plain CTEs, and
+    center_{{k}} is referenced three times per stage, which would
+    re-evaluate the whole prefix exponentially."""
+    stages = "".join(_dba_stage_sql(k, sz, tol) + ","
+                     for k in range(1, max_iter + 1))
+    return f"""
+    WITH RECURSIVE
+    ranked AS (
+        SELECT user_id, floor(value) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 10
+    ),
+    ser AS MATERIALIZED (
+        SELECT user_id AS sid, list(v ORDER BY rn) AS vals
+        FROM ranked WHERE rn <= {sz} GROUP BY user_id
+    ),
+    longv AS (
+        SELECT s.sid, g.pos, s.vals[g.pos] AS v
+        FROM ser s, range(1, {sz} + 1) g(pos)
+    ),
+    center_0 AS MATERIALIZED (
+        SELECT pos, sum(v) / count(*) AS c, FALSE AS stopped
+        FROM longv GROUP BY pos
+    ),{stages.rstrip(',')}
+    SELECT CAST(pos - 1 AS INT) AS t, round(c, 6) AS bary
+    FROM center_{max_iter}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2446,6 +2682,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1 AS series_id, cluster, round(d2, 6) AS dist
             FROM picked WHERE rn = 1
         """,
+        "knn_dtw_classify": """
+            -- 1-NN banded-DTW vote replay: scale-invariant user sample
+            -- (~25 train + ~25 test via the shared modulus), lengths
+            -- 12..16, radius-5 Sakoe-Chiba band following the diagonal
+            -- on unequal lengths (same machinery as cdist_dtw_tiny's
+            -- dtw_band at radius 2); integer values keep every DP cell
+            -- exact, argmin replays the engine's (dist asc, id2 asc)
+            WITH RECURSIVE
+            params AS (
+                SELECT greatest(2, CAST(round(count(DISTINCT user_id) / 25.0)
+                                        AS BIGINT)) AS m
+                FROM events
+            ),
+            ranked AS (
+                SELECT e.user_id, floor(e.value) AS v,
+                       row_number() OVER (PARTITION BY e.user_id
+                                          ORDER BY e.ts, e.event_id) AS rn
+                FROM events e, params p WHERE e.user_id % p.m < 2
+            ),
+            ser AS (
+                SELECT r.user_id AS sid, list(r.v ORDER BY r.rn) AS vals,
+                       count(*) AS n
+                FROM ranked r
+                WHERE r.rn <= 12 + r.user_id % 5
+                GROUP BY r.user_id
+            ),
+            pairs AS (
+                SELECT q.sid AS id1, t.sid AS id2, q.vals AS v1, t.vals AS v2,
+                       q.n AS n1, t.n AS n2
+                FROM ser q, ser t, params p
+                WHERE q.sid % p.m = 1 AND t.sid % p.m = 0
+            ),
+            bp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [(v1[1] - v2[1]) * (v1[1] - v2[1])] AS cur
+                FROM pairs
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 CASE WHEN (j + 1) <
+                                           (CASE WHEN n1 > n2
+                                                 THEN greatest(1, i - (n1 - n2 + 5))
+                                                 ELSE greatest(1, i - 5) END)
+                                        OR (j + 1) >
+                                           (CASE WHEN n1 > n2
+                                                 THEN least(n2, i + 5)
+                                                 ELSE least(n2, i + (n2 - n1 + 5)) END)
+                                      THEN 'infinity'::DOUBLE
+                                      ELSE (v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])
+                                           + CASE WHEN i > 1
+                                                  THEN least(prev[j + 1], prev[j], cur[j])
+                                                  ELSE cur[j] END
+                                 END)
+                            ELSE [CASE WHEN 1 <
+                                           (CASE WHEN n1 > n2
+                                                 THEN greatest(1, (i + 1) - (n1 - n2 + 5))
+                                                 ELSE greatest(1, (i + 1) - 5) END)
+                                       THEN 'infinity'::DOUBLE
+                                       ELSE (v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])
+                                            + cur[1]
+                                  END]
+                       END
+                FROM bp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            bres AS (
+                SELECT id1, id2, sqrt(cur[n2]) AS dist
+                FROM bp WHERE i = n1 AND j = n2
+            ),
+            nn AS (
+                SELECT id1, id2,
+                       row_number() OVER (PARTITION BY id1
+                                          ORDER BY dist ASC, id2 ASC) AS rk
+                FROM bres
+            )
+            SELECT id1 AS series_id, CAST(id2 % 3 AS VARCHAR) AS prediction
+            FROM nn WHERE rk = 1
+        """,
+        "dba_barycenter_sample": _dba_oracle_sql(),
         "shapelet_score_fixed": """
             -- deterministic-bank shapelet scoring: shapelet k = first 4
             -- values of tiny series k; min_dist = min over positions of

@@ -59,10 +59,14 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # UDF kernel path
+    # UDF kernel path.  r11: knn_dtw_classify became the hash-gated
+    # scale-invariant sample (its timings drop vs prior rounds by
+    # construction); knn_dtw_classify_full carries the full-population
+    # quadratic banded-DTW measurement the old name used to record.
     "kernel_kmeans_assign_tiny",
     "matrix_profile_events",
     "knn_dtw_classify",
+    "knn_dtw_classify_full",
     # round-6: previously unbenched oracled queries — full perf trail
     "part_brand_stats",
     "nation_order_rollup",
@@ -915,6 +919,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     qs = entrymod.queries()
+    # perf twins that live outside the 50-query gated roster
+    qs["knn_dtw_classify_full"] = entrymod.knn_dtw_classify_full
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for pass_no in range(n_runs):

@@ -181,9 +181,10 @@ def _naive_dtw_path(c: np.ndarray, t: np.ndarray):
 
 class TestDbaBarycenterOracle:
     def test_replay(self, spark):
-        """dba_barycenter_sample: resample(32) -> znorm -> 5 Petitjean
-        EM iterations (dba.py:394-511), replayed with an independent
-        full-grid path DP and driver-side means."""
+        """dba_barycenter_sample (r11: floor-quantized first-32 slices,
+        users < 10): 5 Petitjean EM iterations (dba.py:394-511),
+        replayed with an independent full-grid path DP and driver-side
+        means — a THIRD path besides the engine and the DuckDB oracle."""
         import __spark_entry__ as entry
 
         got = {
@@ -191,8 +192,7 @@ class TestDbaBarycenterOracle:
             for r in entry.queries()["dba_barycenter_sample"](spark, SF_DIR).collect()
         }
         series = [
-            _znorm(np.interp(np.linspace(0, len(v) - 1, 32),
-                             np.arange(len(v)), v))
+            np.floor(v[:32])
             for _, v in sorted(_series_from_parquet(10).items())
         ]
         center = np.mean(series, axis=0)
@@ -214,12 +214,15 @@ class TestDbaBarycenterOracle:
 
 
 class TestKnnDtwClassifyOracle:
-    def test_replay(self, spark):
+    def test_replay_full(self, spark):
+        """knn_dtw_classify_full (the z-normed full-population perf twin
+        — no longer in the gated roster since r11, so this replay is its
+        only independent check)."""
         import __spark_entry__ as entry
 
         got = {
             r.series_id: r.prediction
-            for r in entry.queries()["knn_dtw_classify"](spark, SF_DIR).collect()
+            for r in entry.knn_dtw_classify_full(spark, SF_DIR).collect()
         }
         series = {u: _znorm(v) for u, v in _series_from_parquet().items()}
         train = {u: v for u, v in series.items() if u % 2 == 0}
@@ -236,6 +239,29 @@ class TestKnnDtwClassifyOracle:
             dists = sorted(_naive_dtw_banded(qv, tv, 5) for tv in train.values())
             assert dists[1] - dists[0] > 1e-9 or expected == got[q]
             assert got[q] == expected
+
+    def test_replay_sampled(self, spark):
+        """knn_dtw_classify (r11 gated roster version: floor-quantized
+        lengths 12..16, scale-invariant user sample) — engine-free
+        numpy replay as a third path besides the DuckDB oracle."""
+        import __spark_entry__ as entry
+
+        got = {
+            r.series_id: r.prediction
+            for r in entry.queries()["knn_dtw_classify"](spark, SF_DIR).collect()
+        }
+        raw = _series_from_parquet()
+        mod = entry._knn_sample_mod(len(raw))
+        series = {u: np.floor(v[: 12 + u % 5])
+                  for u, v in raw.items() if u % mod < 2}
+        train = {u: v for u, v in series.items() if u % mod == 0}
+        test = {u: v for u, v in series.items() if u % mod == 1}
+        assert set(got) == set(test)
+        for q, qv in test.items():
+            best = min(
+                ((_naive_dtw_banded(qv, tv, 5), t) for t, tv in train.items()),
+            )
+            assert got[q] == str(best[1] % 3)
 
 
 # ---------------------------------------------------------------------------
