@@ -274,12 +274,117 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
     recall = _ann_recall_section(spark, sf1_dir)
     fits = _fits_section(spark, sf1_dir)
     stream = _streaming_soak_section(spark, sf1_dir)
+    bucketed = _bucketed_layout_section(spark, sf1_dir)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
             "budget_sec": budget, "ambient_factor": round(ambient, 3),
             "ambient_factor_local": round(local_ambient, 3),
             "control_ratios_local": control_local,
             "queries": out, "ann_recall": recall, "fits": fits,
-            "streaming_state": stream}
+            "streaming_state": stream, "bucketed_layout": bucketed}
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(read, write) shuffle bytes summed over every stage the status
+    store retains — deltas around a query measure ITS shuffle volume.
+    Reaches AppStatusStore via py4j (private[spark] compiles public)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark.sparkContext._jvm.java.util.ArrayList()
+    stages = store.stageList(
+        empty,
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
+    tr = tw = 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        tr += s.shuffleReadBytes()
+        tw += s.shuffleWriteBytes()
+    return int(tr), int(tw)
+
+
+def _bucketed_layout_section(spark, sf1_dir: str) -> dict | None:
+    """The bucketed-layout claim made MEASURABLE (not just plan-locked):
+    the sf1 series table and a per-series feature table are written once
+    bucketed by series_id (write_bucketed), then a repeated per-series
+    equi-join + aggregate runs against both layouts with broadcast joins
+    disabled (at 100 TB neither side is broadcastable — that is the
+    regime bucketing exists for).  Records per-run shuffle READ bytes
+    from the status store: plain parquet shuffles BOTH sides every run;
+    the bucketed tables SortMergeJoin with zero Exchange, so the
+    one-time bucketed write amortizes across every later join."""
+    if os.environ.get("SPARK_GRAFT_SCALE_BUCKETED", "1") == "0":
+        return None
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _events_series
+    from tslearn_spark.preprocessing import resample
+    from tslearn_spark.sources import write_bucketed
+
+    base = resample(_events_series(spark, sf1_dir), 16)
+    vals = base.select("series_id", F.flatten("values").alias("v"))
+    # stand-in per-series feature vector produced by "another pipeline"
+    feats = base.select(
+        "series_id", F.reverse(F.flatten("values")).alias("f"))
+    out: dict = {"n_rows": vals.count(), "runs": 3}
+
+    t0 = time.perf_counter()
+    vals.write.mode("overwrite").parquet(os.path.join(sf1_dir, "lay_vals"))
+    feats.write.mode("overwrite").parquet(os.path.join(sf1_dir, "lay_feats"))
+    out["plain_write_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    write_bucketed(vals, "bench_bkt_vals", ["series_id"], 16,
+                   path=os.path.join(sf1_dir, "bkt_vals"))
+    write_bucketed(feats, "bench_bkt_feats", ["series_id"], 16,
+                   path=os.path.join(sf1_dir, "bkt_feats"))
+    out["bucketed_write_sec"] = round(time.perf_counter() - t0, 3)
+
+    def workload(v, f):
+        j = v.join(f, "series_id")
+        return j.select(
+            F.aggregate(F.zip_with("v", "f", lambda a, b: a * b),
+                        F.lit(0.0), lambda s, x: s + x).alias("dot")
+        ).agg(F.sum("dot").alias("s"))
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for layout in ("plain", "bucketed"):
+            if layout == "plain":
+                v = spark.read.parquet(os.path.join(sf1_dir, "lay_vals"))
+                f = spark.read.parquet(os.path.join(sf1_dir, "lay_feats"))
+            else:
+                v = spark.table("bench_bkt_vals")
+                f = spark.table("bench_bkt_feats")
+            plan = workload(v, f)._jdf.queryExecution().executedPlan().toString()
+            secs, bytes_r = [], []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                r0, _w0 = _shuffle_totals(spark)
+                t0 = time.perf_counter()
+                workload(v, f).first()
+                secs.append(round(time.perf_counter() - t0, 3))
+                r1, _w1 = _shuffle_totals(spark)
+                bytes_r.append(int(r1 - r0))
+            out[layout] = {
+                "sec_median": round(statistics.median(secs), 3),
+                "shuffle_read_bytes_median": int(statistics.median(bytes_r)),
+                "exchange_nodes": plan.count("Exchange hashpartitioning"),
+            }
+            print(f"[bench] bucketed layout {layout}: {out[layout]}",
+                  file=sys.stderr)
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
+    return out
 
 
 # ANN speed/recall tradeoff at sf1 — recall@10 of the scale paths
@@ -575,6 +680,29 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         "partition cumsum+argmin, tiny partial-count shuffle — instead "
         "of the posexplode+window pair join that forced a ~300-series "
         "cap")
+    # r11: silhouette at sf1 via the sample_size="auto" scale path —
+    # the O(n^2) score runs on the seeded ~2000-series hash sample
+    # instead of the full 15k x 15k edge set (225M pairs)
+    if time.perf_counter() - t_suite0 <= budget:
+        from tslearn_spark.clustering import (_SILHOUETTE_AUTO_CEIL,
+                                              silhouette_score)
+        sil_lab = ts16.select(
+            "series_id",
+            (F.col("series_id") % 3).cast("int").alias("cluster"))
+        t0 = time.perf_counter()
+        sil = silhouette_score(ts16, sil_lab, metric="euclidean",
+                               sample_size="auto", random_state=0)
+        out["silhouette_auto"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "score": round(float(sil), 6),
+            "n_input": n_series,
+            "n_scored": min(n_series, _SILHOUETTE_AUTO_CEIL),
+            "note": "sample_size='auto' seeded hash-order cap — the "
+                    "silhouette scale path (full-input silhouette is "
+                    "O(n^2) by definition)",
+        }
+        print(f"[bench] sf1 fit silhouette_auto: "
+              f"{out['silhouette_auto']}", file=sys.stderr)
     # SVC scale path (r10): landmark GAK features -> MLlib LinearSVC on
     # the FULL sf1 train split vs exact SMO on the documented ~300-series
     # ceiling sample; both evaluated on the same held-out 20%.  The label
@@ -651,7 +779,10 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
         stream_session_stats,
     )
 
-    budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "300"))
+    # r11: two more soaks (matrix_profile, ann_lsh_multiprobe) + the
+    # clustered recall measurement joined the section — 300 s was
+    # measured flush against the six-soak total
+    budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "450"))
     t_suite0 = time.perf_counter()
     t = load_tables(spark, sf1_dir)
     work = tempfile.mkdtemp(prefix="stream_soak_")
@@ -770,8 +901,83 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
          # user inside the watermark lag, then collapses — bound the
          # BURST, the quantity that would grow if sessions never closed
          F.col("user_id"), by_range=F.col("ts"), bound_frac=5.0)
+    # r11: the last stateful op without a soak curve — per-key state is
+    # ONE row holding the bounded trailing buffer (horizon + m - 1
+    # values), so the curve must plateau at the sampled key population
+    from tslearn_spark.streaming import stream_matrix_profile
+    soak("matrix_profile",
+         t["events"].where(F.col("user_id") % 5 == 0)
+         .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "value"),
+         ["user_id", "ts", "value"],
+         lambda s: stream_matrix_profile(s, subsequence_length=8,
+                                         horizon=64),
+         F.col("user_id"), by_range=F.col("ts"))
+    # r11: streaming hyperplane-LSH ANN candidates with multi-probe —
+    # state rows are (table, bucket) BUCKETS, hard-capped at
+    # n_tables x 2^bits by construction (probes never insert), so the
+    # bound is absolute, not population-relative
+    from tslearn_spark.pipeline.simsearch import auto_lsh_bits
+    from tslearn_spark.streaming import stream_ann_lsh_candidates
+    emb = t["embeddings"]
+    n_emb = emb.count()
+    dim_emb = len(emb.select("embedding").first()["embedding"])
+    bits_emb = auto_lsh_bits(n_emb)
+    soak("ann_lsh_multiprobe_ttl",
+         emb, ["vec_id", "embedding"],
+         lambda s: stream_ann_lsh_candidates(
+             s, dim=dim_emb, bits=bits_emb, n_tables=2, n_probes=4,
+             ttl_ms=10_000),
+         F.col("vec_id"),
+         bound_frac=min(1.0, 2.0 * (1 << bits_emb) / max(n_emb, 1)))
+    out["stream_ann_recall"] = _stream_ann_recall(spark)
     shutil.rmtree(work, ignore_errors=True)
     return {"budget_sec": budget, "ops": out}
+
+
+def _stream_ann_recall(spark) -> dict:
+    """Candidate recall of the streaming LSH contract on the CLUSTERED
+    corpus (the actionable number — on the near-uniform sf1 embeddings
+    hyperplane LSH sits at its documented recall floor: measured
+    0.031/0.176 single/multi there): fraction of brute-force
+    earlier-neighbor top-10 pairs covered by the operator's candidates
+    (batch twin — identical contract to the stream, unit-locked),
+    single-probe vs multi-probe at the SAME stored index (probes never
+    insert, so state is byte-identical)."""
+    from pyspark.sql import functions as F
+
+    from tools.gen_scale_data import ensure_sf1_clustered
+    from tslearn_spark.pipeline import brute_force_topk
+    from tslearn_spark.pipeline.simsearch import auto_lsh_bits
+    from tslearn_spark.streaming import stream_ann_lsh_candidates
+
+    import time as _t
+    emb = spark.read.parquet(ensure_sf1_clustered(spark))
+    sample = emb.where(F.col("vec_id") % 20 == 0).localCheckpoint()
+    n = sample.count()
+    dim = len(sample.select("embedding").first()["embedding"])
+    bits = auto_lsh_bits(n)
+    exact = {
+        (r["neighbor_id"], r["query_id"])
+        for r in brute_force_topk(sample, sample, k=10).collect()
+        if r["neighbor_id"] < r["query_id"]
+    }
+    out = {"n_vectors": n, "bits": bits, "n_true_pairs": len(exact)}
+    for probes in (1, 8):
+        t0 = _t.perf_counter()
+        got = {(r["id1"], r["id2"])
+               for r in stream_ann_lsh_candidates(
+                   sample, dim=dim, bits=bits, n_tables=2,
+                   n_probes=probes, bucket_cap=64).collect()}
+        out[f"p{probes}"] = {
+            "sec": round(_t.perf_counter() - t0, 3),
+            "candidate_pairs": len(got),
+            "recall_of_top10": round(
+                len(exact & got) / max(len(exact), 1), 3),
+        }
+    print(f"[bench] stream ann recall (clustered): {out}", file=sys.stderr)
+    sample.unpersist()
+    return out
 
 
 _HISTORY_FILE = ".bench_history.json"  # gitignored self-record

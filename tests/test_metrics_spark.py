@@ -541,6 +541,38 @@ class TestClustering:
         s2 = silhouette_score(df, ["a"] * 4 + ["b"] * 4, metric="euclidean")
         assert s2 == pytest.approx(s)
 
+    def test_silhouette_sample_size_auto(self, spark, monkeypatch):
+        """sample_size="auto": no-op at or under the ceiling; above it,
+        scores the seeded hash-order sample — identical to scoring that
+        subset directly (the 100-TB scale path for an O(n^2) score)."""
+        from tslearn_spark import clustering as C
+        from tslearn_spark.clustering import silhouette_score
+
+        rs = np.random.RandomState(5)
+        X = [list(rs.randn(8) * 0.1 + (0 if i < 10 else 5))
+             for i in range(20)]
+        df = DS.dataset_to_df(spark, X)
+        labels = spark.createDataFrame(
+            [(i, 0 if i < 10 else 1) for i in range(20)],
+            "series_id long, cluster int")
+        full = silhouette_score(df, labels, metric="euclidean")
+        # under the ceiling: auto == full
+        assert silhouette_score(df, labels, metric="euclidean",
+                                sample_size="auto") == pytest.approx(full)
+        # above a (patched) ceiling: auto == direct score of the same
+        # hash-order subset
+        monkeypatch.setattr(C, "_SILHOUETTE_AUTO_CEIL", 8)
+        got = silhouette_score(df, labels, metric="euclidean",
+                               sample_size="auto", random_state=7)
+        keep = [r["series_id"] for r in
+                df.select("series_id")
+                .orderBy(F.xxhash64(F.lit(7), "series_id"), "series_id")
+                .limit(8).collect()]
+        sub = df.where(F.col("series_id").isin(keep))
+        sub_lab = labels.where(F.col("series_id").isin(keep))
+        assert got == pytest.approx(
+            silhouette_score(sub, sub_lab, metric="euclidean"))
+
     def test_kernel_kmeans_runs(self, spark):
         from tslearn_spark.clustering import KernelKMeans
 

@@ -1629,6 +1629,12 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
         return collect_col(out, was_array, "cluster")
 
 
+# sample_size="auto" ceiling: silhouette is O(n^2) in the scored set;
+# ~2k series keeps the edge count at ~4M scalars — the sklearn-practice
+# sample size for silhouette at scale
+_SILHOUETTE_AUTO_CEIL = 2000
+
+
 def silhouette_score(X, labels, metric=None, sample_size=None,
                      metric_params=None, n_jobs=None, verbose=0,
                      random_state=None, **params) -> float:
@@ -1641,6 +1647,14 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
     the series (seeded by random_state) before scoring; n_jobs/verbose
     accepted for parity (parallelism comes from the cluster).  Accepts
     the reference's (X array, labels array) protocol too.
+
+    ``sample_size="auto"`` (engine extension): silhouette is O(n^2) by
+    definition, so a 100-TB caller needs a scale path — "auto" caps the
+    scored set at ~2000 series (sklearn-practice-sized ceiling,
+    _SILHOUETTE_AUTO_CEIL) via a SEEDED partition-invariant hash-order
+    sample (xxhash64(random_state, series_id) — a pure function of
+    (seed, ids) at any scale, no driver-side id collect), and is a
+    no-op when the input is already at or under the ceiling.
     """
     from tslearn_spark import metrics as M
     from tslearn_spark.bases import as_ts_df
@@ -1672,6 +1686,24 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
             [(int(i), int(c)) for i, c in enumerate(codes)],
             "series_id long, cluster int",
         )
+    if sample_size == "auto":
+        # scale path: hash-order sample to the ceiling, no-op when the
+        # input already fits (one count job; no driver-side id collect)
+        seed = 0 if random_state is None or not isinstance(random_state, int) \
+            else int(random_state)
+        n_in = df.count()
+        if n_in <= _SILHOUETTE_AUTO_CEIL:
+            sample_size = None
+        else:
+            keep_df = (
+                df.select("series_id")
+                .orderBy(F.xxhash64(F.lit(seed), "series_id"), "series_id")
+                .limit(_SILHOUETTE_AUTO_CEIL)
+                .localCheckpoint()
+            )
+            df = df.join(F.broadcast(keep_df), "series_id")
+            labels = labels.join(F.broadcast(keep_df), "series_id")
+            sample_size = None
     if sample_size is not None:
         # seeded subsample of the series ids (clustering/utils.py:166-169
         # routes to sklearn's check_random_state + permutation); labels

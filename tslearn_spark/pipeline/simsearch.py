@@ -467,20 +467,50 @@ def _blas_buckets_udf(dim: int, bits: int, n_tables: int, seed: int):
     return gen
 
 
+def probe_masks(z_abs: np.ndarray, bits: int, n_probes: int) -> list[int]:
+    """XOR bit-flip masks of the ``n_probes`` most promising buckets for
+    one (query, table), home bucket first (mask 0).
+
+    Query-directed multi-probe (Lv et al., VLDB'07, public technique):
+    |dot_i| scores how likely the neighbor sits just across hyperplane
+    i; masks are the lowest-score bit-flip subsets, enumerated in
+    increasing score order with the classic shift/expand heap (each
+    subset generated exactly once from {0}).  Shared by the batch query
+    side (multiprobe_buckets_udf) and the streaming candidates operator
+    (streaming.stream_ann_lsh_candidates) so both probe the SAME
+    buckets for the same vector.
+    """
+    import heapq
+
+    masks = [0]
+    if n_probes <= 1:
+        return masks
+    order = np.argsort(z_abs, kind="stable")
+    zs = z_abs[order]
+    heap = [(float(zs[0]), (0,))]
+    while heap and len(masks) < n_probes:
+        s, S = heapq.heappop(heap)
+        mask = 0
+        for j in S:
+            mask |= 1 << int(order[j])
+        masks.append(mask)
+        mx = S[-1]
+        if mx + 1 < bits:
+            heapq.heappush(heap, (s + float(zs[mx + 1]), S + (mx + 1,)))
+            heapq.heappush(
+                heap, (s - float(zs[mx]) + float(zs[mx + 1]),
+                       S[:-1] + (mx + 1,)))
+    return masks
+
+
 def multiprobe_buckets_udf(dim: int, bits: int, n_tables: int, seed: int,
                            n_probes: int):
     """Pandas UDF: embedding -> array<struct<t,bucket>> of the
-    ``n_probes`` most promising buckets per table (home bucket first).
-
-    Query-directed multi-probe (Lv et al., VLDB'07, public technique):
-    per table, the query's distance to each hyperplane |dot_i| scores
-    how likely the neighbor sits just across it; probe buckets are the
-    home bucket XOR the lowest-score bit-flip subsets, enumerated in
-    increasing score order with the classic shift/expand heap (each
-    subset generated exactly once from {0}).  Multi-probe buys the
-    recall extra TABLES would buy without replicating the candidate
-    index n_tables more times — the scale lever when IVF training is
-    too expensive (e.g. streaming corpora).
+    ``n_probes`` most promising buckets per table (home bucket first;
+    enumeration in probe_masks).  Multi-probe buys the recall extra
+    TABLES would buy without replicating the candidate index n_tables
+    more times — the scale lever when IVF training is too expensive
+    (e.g. streaming corpora).
     """
     planes_all = [
         np.asarray(_hyperplanes(dim, bits, seed + 1000 * t),
@@ -492,8 +522,6 @@ def multiprobe_buckets_udf(dim: int, bits: int, n_tables: int, seed: int,
 
     @pandas_udf("array<struct<t: int, bucket: long>>")
     def gen(vec: pd.Series) -> pd.Series:
-        import heapq
-
         out = []
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
         if V.size == 0:
@@ -505,29 +533,9 @@ def multiprobe_buckets_udf(dim: int, bits: int, n_tables: int, seed: int,
             entries = []
             for t in range(len(planes_all)):
                 home = int(homes[t][i])
-                entries.append({"t": t, "bucket": home})
-                if n_probes <= 1:
-                    continue
-                z = np.abs(dots[t][i])
-                order = np.argsort(z, kind="stable")
-                zs = z[order]
-                heap = [(float(zs[0]), (0,))]
-                emitted = 1
-                while heap and emitted < n_probes:
-                    s, S = heapq.heappop(heap)
-                    mask = 0
-                    for j in S:
-                        mask |= 1 << int(order[j])
-                    entries.append({"t": t, "bucket": home ^ mask})
-                    emitted += 1
-                    mx = S[-1]
-                    if mx + 1 < bits:
-                        heapq.heappush(
-                            heap, (s + float(zs[mx + 1]), S + (mx + 1,)))
-                        heapq.heappush(
-                            heap,
-                            (s - float(zs[mx]) + float(zs[mx + 1]),
-                             S[:-1] + (mx + 1,)))
+                entries.extend(
+                    {"t": t, "bucket": home ^ m}
+                    for m in probe_masks(np.abs(dots[t][i]), bits, n_probes))
             out.append(entries)
         return pd.Series(out)
 

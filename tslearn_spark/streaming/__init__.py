@@ -488,6 +488,142 @@ def stream_lsh_candidates(
     )
 
 
+def stream_ann_lsh_candidates(
+    vectors: DataFrame,
+    dim: int,
+    bits: int = 12,
+    n_tables: int = 4,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    bucket_cap: int = 8,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming hyperplane-LSH ANN candidates — the streaming twin of
+    ``pipeline.simsearch.lsh_topk``'s candidate stage, WITH the Lv'07
+    query-directed multi-probe the batch path gained in r10 (shared
+    enumeration: probe_masks — both sides probe the same buckets for
+    the same vector).
+
+    Each arriving vector is hashed once per table (home bucket) and,
+    with ``n_probes`` > 1, additionally PROBES its n_probes-1 nearest
+    bit-flip buckets.  The stateful stage groups by (t, bucket); an
+    arriving probe row emits one ``(t, id1, id2)`` candidate per stored
+    prior (id1 = earlier vector), but ONLY the home row may append the
+    vector to the bucket's state (first ``bucket_cap`` ids).  So the
+    query side widens n_probes x while the stateful bucket index is
+    byte-identical to single-probe — multi-probe recall at unchanged
+    state size, the property that makes it the streaming-corpus scale
+    lever (no trained quantizer, no index replication).  This is why
+    IVF has no streaming twin here: its quantizer needs a training pass
+    the stream never gets.
+
+    State per bucket: at most ``bucket_cap`` longs; the unbounded axis
+    is the bucket population, capped by ``ttl_ms`` idle eviction.
+    Candidates may repeat across tables/probes (no global distinct in a
+    single stateful pass); downstream verification dedupes.
+
+    Batch mode (non-streaming input) replays the identical contract for
+    ids processed in ascending order: stored = first bucket_cap HOME
+    members by id; a prober x pairs with stored y < x.
+    """
+    import numpy as np
+
+    from tslearn_spark.pipeline.simsearch import _hyperplanes, probe_masks
+
+    planes_all = [
+        np.asarray(_hyperplanes(dim, bits, seed + 1000 * t),
+                   dtype=np.float64)
+        for t in range(n_tables)
+    ]
+    pw2 = (1 << np.arange(bits, dtype=np.int64))
+
+    def _expand(batches):
+        for pdf in batches:
+            ids, ts_, buckets, homes_ = [], [], [], []
+            if len(pdf) > 0:
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                vid = pdf[id_col].to_numpy()
+                for t, P in enumerate(planes_all):
+                    D = V @ P.T
+                    home = ((D > 0) * pw2).sum(axis=1)
+                    for i in range(len(V)):
+                        for p, m in enumerate(
+                                probe_masks(np.abs(D[i]), bits, n_probes)):
+                            ids.append(int(vid[i]))
+                            ts_.append(t)
+                            buckets.append(int(home[i]) ^ m)
+                            homes_.append(p == 0)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "t": pd.Series(ts_, dtype="int32"),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "is_home": pd.Series(homes_, dtype="bool"),
+            })
+
+    banded = vectors.select(id_col, vec_col).mapInPandas(
+        _expand, f"{id_col} long, t int, bucket long, is_home boolean"
+    )
+
+    if not vectors.isStreaming:
+        # batch twin: stored = first bucket_cap home ids (ascending); a
+        # prober pairs with every stored id below its own — one grouped
+        # aggregate + in-row pair expansion, single shuffle
+        grouped = banded.groupBy("t", "bucket").agg(
+            F.sort_array(F.collect_list(
+                F.when(F.col("is_home"), F.col(id_col)))).alias("homes"),
+            F.sort_array(F.collect_list(id_col)).alias("probers"),
+        )
+        return (
+            grouped.select(
+                "t",
+                F.explode(F.expr(
+                    f"flatten(transform(array_distinct(probers), x -> "
+                    f"transform(filter(slice(homes, 1, {bucket_cap}), "
+                    "y -> y < x), y -> struct(y AS id1, x AS id2))))"
+                )).alias("p"),
+            )
+            .select("t", "p.id1", "p.id2")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "t int, id1 long, id2 long"
+    state_schema = "ids array<long>"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def match(key, pdfs, state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["t", "id1", "id2"])
+            return
+        t = int(key[0])
+        ids = list(state.get[0]) if state.exists else []
+        rows = []
+        arrivals = sorted(
+            (int(i), bool(h))
+            for pdf in pdfs for i, h in zip(pdf[id_col], pdf["is_home"])
+        )
+        for nid, is_home in arrivals:
+            rows.extend((t, pid, nid) for pid in ids[:bucket_cap]
+                        if pid != nid)
+            if is_home and len(ids) < bucket_cap:
+                ids.append(nid)
+        state.update((ids,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(rows, columns=["t", "id1", "id2"])
+
+    return banded.groupBy("t", "bucket").applyInPandasWithState(
+        match, out_schema, state_schema, "append", timeout_conf
+    )
+
+
 def stream_session_stats(
     events: DataFrame,
     gap: str = "5 minutes",
