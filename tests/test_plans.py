@@ -66,6 +66,20 @@ class TestNoRowAtATimePython:
 
 
 class TestBroadcastShapes:
+    def test_stream_ann_lsh_batch_twin_is_arrow_single_shuffle(self, spark):
+        """stream_ann_lsh_candidates' batch twin: the signature/probe
+        stage is MapInPandas (Arrow), never a row-at-a-time Python UDF,
+        and the plan has exactly ONE exchange — the (t, bucket) grouped
+        aggregate; pair expansion happens in-row after it."""
+        from tslearn_spark.streaming import stream_ann_lsh_candidates
+
+        df = embeddings_df(spark)
+        plan = plan_of(stream_ann_lsh_candidates(
+            df, dim=8, bits=6, n_tables=2, n_probes=4))
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan
+        assert plan.count("Exchange") == 1
+
     def test_knn_classify_label_join_broadcast(self, spark):
         """The (tiny) train-label join must be a BroadcastHashJoin — a
         shuffle join here would move every scored pair for a dim table."""

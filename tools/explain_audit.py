@@ -62,9 +62,16 @@ AUDITS = [
      "inverted-index equi-join with size-ratio prefilter during the join; "
      "token sets deduped per-row (array_distinct), no cluster-wide distinct"),
     ("knn_dtw_classify", ["MapInPandas", "Window"], None,
-     "broadcast-train batched DTW: each query partition runs the "
-     "mixed-shape band DP against the broadcast train set; only "
-     "(id, id, dist) candidates reach the top-k window"),
+     "broadcast-train batched DTW (r11: hash-gated integer sample; the "
+     "same kneighbors plan): each query partition runs the mixed-shape "
+     "band DP against the broadcast train set; only (id, id, dist) "
+     "candidates reach the top-k window"),
+    ("knn_dtw_classify_full", ["MapInPandas", "Window"], None,
+     "the full-population perf twin keeps the identical broadcast-train "
+     "batched band-DP plan at quadratic pair count"),
+    ("stream_ann_lsh_batch", ["MapInPandas", "!BatchEvalPython"], 1,
+     "streaming ANN-LSH batch twin: hashing+probing in ONE MapInPandas "
+     "pass, a single groupBy(t, bucket) shuffle, in-row pair expansion"),
     ("events_sessionize", ["Window"], 1,
      "gap sessionization: lag let-bound in a CTE (single window eval), "
      "both windows + the session aggregate reuse ONE user_id shuffle "
@@ -118,9 +125,21 @@ def _stream_lsh_batch(spark, sf_dir):
     )
 
 
+def _stream_ann_lsh_batch(spark, sf_dir):
+    from tslearn_spark.streaming import stream_ann_lsh_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return stream_ann_lsh_candidates(emb, dim=dim, bits=8, n_tables=2,
+                                     n_probes=4)
+
+
 # audited plans that are not registered driver queries
 EXTRA_BUILDERS = {
     "stream_lsh_batch": _stream_lsh_batch,
+    "stream_ann_lsh_batch": _stream_ann_lsh_batch,
+    "knn_dtw_classify_full": lambda spark, sf_dir: __import__(
+        "__spark_entry__").knn_dtw_classify_full(spark, sf_dir),
 }
 
 

@@ -14,6 +14,10 @@ Patterns provided:
 * stream_running_zscore — CUSTOM STATEFUL operator
   (applyInPandasWithState): per-key Welford running stats + online
   anomaly flags; state is 3 floats per key regardless of stream length.
+* stream_ann_lsh_candidates — streaming hyperplane-LSH ANN candidates
+  with Lv'07 multi-probe (probe enumeration shared with the batch
+  lsh_topk via pipeline.simsearch.probe_masks): probes widen the query
+  side only, the stored bucket index is capped at n_tables x 2^bits.
 
 The window ops are plain readStream->transform->writeStream graphs with
 state in the streaming aggregation store, sized by (keys x
