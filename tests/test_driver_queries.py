@@ -374,17 +374,20 @@ def _shape_extract(members, center):
 
 class TestClusteringLabelsOracle:
     def test_replay(self, spark):
-        """clustering_labels: full engine-free numpy replay of BOTH flows —
-        Lloyd's k-means (kmeans.py:729-790: k-means++ init, 5 iterations,
-        positionwise-mean update, empty-cluster retry) and KShape
-        (kshape.py:153-184: random init, SBD assignment, shape extraction,
-        inertia rollback).  Only the deterministic xxhash64 sample ORDER
-        is read back through the Spark builtin hash."""
+        """clustering_labels_full: full engine-free numpy replay of BOTH
+        randomized flows — Lloyd's k-means (kmeans.py:729-790: k-means++
+        init, 5 iterations, positionwise-mean update, empty-cluster retry)
+        and KShape (kshape.py:153-184: random init, SBD assignment, shape
+        extraction, inertia rollback).  Only the deterministic xxhash64
+        sample ORDER is read back through the Spark builtin hash.  (The
+        roster's clustering_labels is the explicit-init Lloyd sample under
+        the DuckDB hash gate — r11; this replay keeps the k-means++ and
+        KShape init protocols covered.)"""
         import __spark_entry__ as entry
 
         got = {
             r.series_id: (r.kmeans_cluster, r.kshape_cluster)
-            for r in entry.queries()["clustering_labels"](spark, SF_DIR).collect()
+            for r in entry.clustering_labels_full(spark, SF_DIR).collect()
         }
         raw = _series_from_parquet()
 
@@ -539,9 +542,12 @@ class TestKernelKMeansPredictOracle:
 
 class TestSvcGakClassifyOracle:
     def test_replay(self, spark):
-        """svc_gak_classify: dual feasibility + KKT margins verified against
-        a NAIVE-GAK Gram (reference svm.py:68-371 / libsvm dual), and every
-        driver-query prediction replayed as sign(K_naive @ dual + b)."""
+        """svc_gak_classify_full: dual feasibility + KKT margins verified
+        against a NAIVE-GAK Gram (reference svm.py:68-371 / libsvm dual),
+        and every driver-query prediction replayed as
+        sign(K_naive @ dual + b).  (The roster's svc_gak_classify is the
+        one-SV-per-class sample under the DuckDB hash gate — r11; this
+        replay keeps the multi-pass SMO dynamics covered.)"""
         import __spark_entry__ as entry
         from pyspark.sql import functions as F
 
@@ -550,7 +556,7 @@ class TestSvcGakClassifyOracle:
 
         got = {
             r.series_id: r.prediction
-            for r in entry.queries()["svc_gak_classify"](spark, SF_DIR).collect()
+            for r in entry.svc_gak_classify_full(spark, SF_DIR).collect()
         }
         # deterministic refit (same construction as the query) for internals
         ts = transform_mean_variance(
@@ -695,3 +701,104 @@ def test_embeddings_width():
             f"SELECT DISTINCT len(embedding) FROM read_parquet('{path}')"
         ).fetchall()
         assert widths == [(64,)], f"{sf}: {widths}"
+
+
+class TestClusteringLabelsGatePremises:
+    def test_replay_and_exactness(self, spark):
+        """clustering_labels (the r11 hash-gated explicit-init Lloyd
+        sample): full engine-free numpy replay, PLUS the two premises
+        the DuckDB oracle rests on — (a) every center value is an exact
+        integer-sum / count division at every iteration (so both
+        engines compute bit-identical centers in any summation order),
+        and (b) every assignment argmin gap is orders of magnitude
+        above float-associativity noise (so the label can never flip
+        on a cross-engine ulp)."""
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        got = {
+            r.series_id: r.cluster
+            for r in entry.queries()["clustering_labels"](spark, SF_DIR).collect()
+        }
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            WITH ranked AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM read_parquet('{SF_DIR}/events.parquet')
+            )
+            SELECT user_id, list(v ORDER BY rn)
+            FROM ranked WHERE rn <= 16
+            GROUP BY user_id HAVING count(*) = 16
+            """
+        ).fetchall()
+        con.close()
+        series = {int(u): np.asarray(v, dtype=np.float64) for u, v in rows}
+        ids = sorted(series)
+        assert set(got) == set(ids)
+
+        centers = [series[u] for u in ids[:3]]  # explicit init
+        for it in range(entry.KM_MAX_ITER + 1):  # 4 Lloyd + final labels_
+            assign = {}
+            for u in ids:
+                d2 = [float(np.sum((series[u] - c) ** 2)) for c in centers]
+                j = int(np.argmin(d2))
+                assign[u] = j
+                s = sorted(d2)
+                # premise (b): gap >> ulp noise, or an exact tie (which
+                # both engines break identically: integer d2, min cluster)
+                assert s[1] - s[0] > 1e-6 or s[1] == s[0]
+            if it == entry.KM_MAX_ITER:
+                break
+            new = []
+            for c in range(3):
+                members = np.stack([series[u] for u in ids if assign[u] == c])
+                assert len(members) > 0  # no EmptyClusterError retry fired
+                sums = members.sum(axis=0)
+                # premise (a): sums of floor()-quantized values are exact
+                # integers below 2^53 -> center = one correctly-rounded
+                # division on both engines
+                assert np.array_equal(sums, np.rint(sums))
+                assert np.abs(sums).max() < 2.0**53
+                new.append(sums / len(members))
+            centers = new
+        for u in ids:
+            assert got[u] == assign[u]
+
+
+class TestSvcGakGatePremises:
+    def test_clipped_dual_is_exact(self, spark):
+        """svc_gak_classify (the r11 hash-gated one-SV-per-class GAK
+        SVC): the oracle assumes the SMO dual is EXACTLY (+C, -C) with
+        b = 0.0 via box clipping — assert it bitwise on the fitted
+        model, plus sigma_ = 100.0 exactly and a decision magnitude
+        floor so the vote can never flip on a cross-engine ulp."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        from tslearn_spark.svm import TimeSeriesSVC
+
+        out = {
+            r.series_id: (r.prediction, r.decision)
+            for r in entry.queries()["svc_gak_classify"](spark, SF_DIR).collect()
+        }
+        assert len(out) == 10
+
+        entry.load_tables(spark, SF_DIR)
+        tiny = entry._tiny_int_series(spark).localCheckpoint()
+        labeled = tiny.withColumn(
+            "label", (F.col("series_id") % 2).cast("string"))
+        clf = TimeSeriesSVC(C=1.0, kernel="gak", gamma=20000.0).fit(
+            labeled.where(F.col("series_id") < 2))
+        assert clf.sigma_ == 100.0
+        (_, _, mach, _) = clf.model_.machines_[0]
+        assert mach.alpha_.tolist() == [1.0, 1.0]   # clipped: exact C
+        assert mach.b_ == 0.0                       # no free SV: untouched
+        assert mach.dual_coef_.tolist() == [1.0, -1.0]
+        for u, (pred, dec) in out.items():
+            assert abs(dec) > 1e-4                  # far from the vote edge
+            assert pred == ("1" if dec >= 0 else "0")

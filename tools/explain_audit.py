@@ -69,6 +69,16 @@ AUDITS = [
     ("knn_dtw_classify_full", ["MapInPandas", "Window"], None,
      "the full-population perf twin keeps the identical broadcast-train "
      "batched band-DP plan at quadratic pair count"),
+    ("clustering_labels", ["ArrowEvalPython", "!SortMergeJoin"], 2,
+     "r11 hash-gated explicit-init Lloyd: the returned labels_ plan is "
+     "ONE Arrow-vectorized assignment pass over the checkpointed series "
+     "(centers broadcast driver-side as numpy); the only Exchanges are "
+     "the series build + cache population"),
+    ("svc_gak_classify", ["ArrowEvalPython", "!SortMergeJoin"], None,
+     "r11 hash-gated one-SV-per-class GAK SVC: Arrow-vectorized "
+     "cross-Gram edges against the 2-row broadcast train side, grouped "
+     "kernel-row assembly, broadcast predict+decision join — no "
+     "sort-merge anywhere"),
     ("stream_ann_lsh_batch", ["MapInPandas", "!BatchEvalPython"], 1,
      "streaming ANN-LSH batch twin: hashing+probing in ONE MapInPandas "
      "pass, a single groupBy(t, bucket) shuffle, in-row pair expansion"),
