@@ -73,12 +73,17 @@ class TestBroadcastShapes:
         aggregate; pair expansion happens in-row after it."""
         from tslearn_spark.streaming import stream_ann_lsh_candidates
 
+        import re
+
         df = embeddings_df(spark)
         plan = plan_of(stream_ann_lsh_candidates(
             df, dim=8, bits=6, n_tables=2, n_probes=4))
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" in plan
-        assert plan.count("Exchange") == 1
+        # count NODES, not substring hits: explain("formatted") prints
+        # every node twice (tree line + detail header), so a bare
+        # plan.count("Exchange") reads 2 for a single shuffle
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
 
     def test_knn_classify_label_join_broadcast(self, spark):
         """The (tiny) train-label join must be a BroadcastHashJoin — a
