@@ -1091,9 +1091,11 @@ def clustering_labels_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeSeriesKMeans(metric=euclidean, k-means++ init) + KShape labels
     on the same event series (kmeans.py:471-859, kshape.py:21-291) — both
     iterative with randomized inits, so NOT SQL-replayable.  This is the
-    PERF/replay twin (bench sf0.1 + the engine-free numpy replay in
-    tests/test_driver_queries.py); the hash-gated roster twin is
-    clustering_labels below (same Lloyd machinery, explicit init).
+    REPLAY twin (the engine-free numpy replay in
+    tests/test_driver_queries.py runs it at sf0.001; large-scale
+    clustering perf is measured by bench's sf1 fits — kmeans_dtw,
+    kshape); the hash-gated roster twin is clustering_labels below
+    (same Lloyd machinery, explicit init).
     Merged from the former kmeans_euclidean_clusters and kshape_clusters
     queries (each sub-flow unchanged)."""
     from tslearn_spark.clustering import KShape, TimeSeriesKMeans
@@ -1343,6 +1345,8 @@ def svc_gak_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GAK-kernel SVC under the HASH GATE (svm.py:68-371: distributed
     Gram svm.py(this engine):160-183, SMO dual svm_solver.py:20-77, ovo
     vote predict :554-587, binary decision_function :661-696).
+    svc_gak_classify_full is the replay twin (pytest, sf0.001); SVC
+    scale perf is measured by bench's sf1 svc_landmark fit.
 
     Runs the REAL end-to-end path — distributed normalized-GAK Gram,
     driver SMO, broadcast-dual distributed predict AND the binary
@@ -1351,9 +1355,12 @@ def svc_gak_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, eta = 2 - 2*K12 < 2, so the first SMO update's unclipped
     step 2/eta > 1 = C hits the box bound H = C exactly (an IEEE min,
     not an approximation), no free SV exists so b stays 0.0, and the
-    second working-set pass terminates on -2*K12 < tol.  The decision
-    is then literally K(q, sv0) - K(q, sv1), which DuckDB replays with
-    the proven sigma=100 GAK sum-product CTE (gamma=20000 -> sigma_ =
+    second working-set pass terminates on -2*K12 < tol.  The ovo
+    machine score is then literally K(q, sv0) - K(q, sv1); the
+    RETURNED decision column is the binary sklearn convention
+    (positive -> classes_[1], svm.py:679-690), i.e. the sign flip
+    K(q, sv1) - K(q, sv0) — which DuckDB replays with the proven
+    sigma=100 GAK sum-product CTE (gamma=20000 -> sigma_ =
     sqrt(gamma/2) = 100 exactly; same machinery as
     kernel_kmeans_assign_tiny).  Multi-pass SMO dynamics stay covered
     by svc_gak_classify_full's KKT-verified replay."""
@@ -1446,9 +1453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     roster comment below; r11 lifted knn_dtw_classify,
     dba_barycenter_sample, clustering_labels and svc_gak_classify from
     rows-only to hash-gated via integer quantization + DuckDB replay
-    oracles, keeping their full-scale randomized variants as perf/replay
-    twins — knn_dtw_classify_full, clustering_labels_full and
-    svc_gak_classify_full.)"""
+    oracles; the full-scale randomized variants live on as
+    knn_dtw_classify_full — a bench sf0.1 perf twin — and
+    clustering_labels_full / svc_gak_classify_full — pytest replay
+    twins, their operators' scale perf measured by bench's sf1 fits.)"""
     return {
         # relational passthrough (oracled)
         "q1_pricing_summary": q1_pricing_summary,
@@ -1751,6 +1759,62 @@ def _km_oracle_sql(sz: int = 16, k: int = 3,
     ),{','.join(stages)},{final}
     SELECT sid AS series_id, cluster FROM a{max_iter + 1}
     """
+
+
+def _tiny_gak_cte(pair_pred: str) -> str:
+    """Shared DuckDB CTE prefix for the sigma=100 normalized-GAK hash
+    gates (kernel_kmeans_assign_tiny, svc_gak_classify): the 12 tiny
+    integer series, the pair set selected by ``pair_pred``, the
+    sum-product recursive-CTE GAK DP (sigma=100 -> /20000, UNROUNDED),
+    and the per-pair end values + self-scores (gres/gself) downstream
+    stages normalize with.  ONE definition — a future fix to the
+    recurrence or association order cannot desynchronize the gates
+    that ride it."""
+    return f"""
+            WITH RECURSIVE
+            tiny AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events WHERE user_id < 12
+            ),
+            ser AS (
+                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
+                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
+            ),
+            pairs_le AS (
+                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
+                       a.n AS n1, b.n AS n2
+                FROM ser a JOIN ser b ON {pair_pred}
+            ),
+            gp AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0)
+                        / (2.0 - exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0))] AS cur
+                FROM pairs_le
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)
+                                  / (2.0 - exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)))
+                                 * ((CASE WHEN i > 1 THEN prev[j + 1] ELSE 0.0 END + cur[j])
+                                    + CASE WHEN i > 1 THEN prev[j] ELSE 0.0 END))
+                            ELSE [(exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)
+                                   / (2.0 - exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)))
+                                  * cur[1]]
+                       END
+                FROM gp
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            gres AS (
+                SELECT id1, id2, cur[n2] AS unnorm
+                FROM gp WHERE i = n1 AND j = n2
+            ),
+            gself AS (SELECT id1 AS sid, unnorm AS selfv FROM gres WHERE id1 = id2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2764,57 +2828,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN full_gak g ON g.id1 = d.id1 AND g.id2 = d.id2
             JOIN sbds sb ON sb.id1 = d.id1 AND sb.id2 = d.id2
         """,
-        "kernel_kmeans_assign_tiny": """
-            -- kernel-kmeans assignment replay (kmeans.py:390-455): the
-            -- GAK Gram is the SAME sum-product recursive-CTE DP the
-            -- cdist_dtw_tiny gate uses (sigma=100 -> /20000), kept
-            -- UNROUNDED here; the criterion 2 - 2*sum(w*K)/sum(w) is one
-            -- grouped aggregate over it, and the argmin replays the
-            -- engine's (dist asc, cluster asc) window tie order.
-            WITH RECURSIVE
-            tiny AS (
-                SELECT user_id, floor(value) AS v,
-                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-                FROM events WHERE user_id < 12
-            ),
-            ser AS (
-                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
-                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
-            ),
-            pairs_le AS (
-                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
-                       a.n AS n1, b.n AS n2
-                FROM ser a JOIN ser b ON a.sid <= b.sid
-            ),
-            gp AS (
-                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
-                       CAST([] AS DOUBLE[]) AS prev,
-                       [exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0)
-                        / (2.0 - exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0))] AS cur
-                FROM pairs_le
-                UNION ALL
-                SELECT id1, id2, n1, n2, v1, v2,
-                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
-                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
-                       CASE WHEN j < n2 THEN prev ELSE cur END,
-                       CASE WHEN j < n2
-                            THEN list_append(cur,
-                                 (exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)
-                                  / (2.0 - exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)))
-                                 * ((CASE WHEN i > 1 THEN prev[j + 1] ELSE 0.0 END + cur[j])
-                                    + CASE WHEN i > 1 THEN prev[j] ELSE 0.0 END))
-                            ELSE [(exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)
-                                   / (2.0 - exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)))
-                                  * cur[1]]
-                       END
-                FROM gp
-                WHERE NOT (i = n1 AND j = n2)
-            ),
-            gres AS (
-                SELECT id1, id2, cur[n2] AS unnorm
-                FROM gp WHERE i = n1 AND j = n2
-            ),
-            gself AS (SELECT id1 AS sid, unnorm AS selfv FROM gres WHERE id1 = id2),
+        # kernel-kmeans assignment replay (kmeans.py:390-455): the GAK
+        # Gram is the shared sum-product recursive-CTE DP (_tiny_gak_cte,
+        # all self+cross pairs); the criterion 2 - 2*sum(w*K)/sum(w) is
+        # one grouped aggregate over it, and the argmin replays the
+        # engine's (dist asc, cluster asc) window tie order.
+        "kernel_kmeans_assign_tiny": _tiny_gak_cte("a.sid <= b.sid") + """,
             gnorm AS (
                 SELECT g.id1, g.id2,
                        g.unnorm / sqrt(s1.selfv * s2.selfv) AS gak
@@ -2843,60 +2862,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1 AS series_id, cluster, round(d2, 6) AS dist
             FROM picked WHERE rn = 1
         """,
-        "svc_gak_classify": """
-            -- GAK-SVC replay: the one-SV-per-class dual is EXACTLY
-            -- (+1, -1) with b = 0 (box clipping, see the query
-            -- docstring), so the decision is literally
-            -- k(q, sv1) - k(q, sv0) over the normalized sigma=100 GAK
-            -- (the same sum-product CTE kernel_kmeans_assign_tiny
-            -- gates); vote: k(q,sv0) - k(q,sv1) > 0 -> class '0',
-            -- ties (d <= 0) to class '1' like the engine's ovo vote.
-            WITH RECURSIVE
-            tiny AS (
-                SELECT user_id, floor(value) AS v,
-                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-                FROM events WHERE user_id < 12
-            ),
-            ser AS (
-                SELECT user_id AS sid, list(v ORDER BY rn) AS vals, count(*) AS n
-                FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
-            ),
-            pairs_le AS (
-                -- self pairs (normalization) + train-x-query cross pairs
-                SELECT a.sid AS id1, b.sid AS id2, a.vals AS v1, b.vals AS v2,
-                       a.n AS n1, b.n AS n2
-                FROM ser a JOIN ser b
-                  ON a.sid <= b.sid AND (a.sid < 2 OR a.sid = b.sid)
-            ),
-            gp AS (
-                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
-                       CAST([] AS DOUBLE[]) AS prev,
-                       [exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0)
-                        / (2.0 - exp(-((v1[1] - v2[1]) * (v1[1] - v2[1])) / 20000.0))] AS cur
-                FROM pairs_le
-                UNION ALL
-                SELECT id1, id2, n1, n2, v1, v2,
-                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
-                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
-                       CASE WHEN j < n2 THEN prev ELSE cur END,
-                       CASE WHEN j < n2
-                            THEN list_append(cur,
-                                 (exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)
-                                  / (2.0 - exp(-((v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])) / 20000.0)))
-                                 * ((CASE WHEN i > 1 THEN prev[j + 1] ELSE 0.0 END + cur[j])
-                                    + CASE WHEN i > 1 THEN prev[j] ELSE 0.0 END))
-                            ELSE [(exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)
-                                   / (2.0 - exp(-((v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1])) / 20000.0)))
-                                  * cur[1]]
-                       END
-                FROM gp
-                WHERE NOT (i = n1 AND j = n2)
-            ),
-            gres AS (
-                SELECT id1, id2, cur[n2] AS unnorm
-                FROM gp WHERE i = n1 AND j = n2
-            ),
-            gself AS (SELECT id1 AS sid, unnorm AS selfv FROM gres WHERE id1 = id2),
+        # GAK-SVC replay: the one-SV-per-class dual is EXACTLY (+1, -1)
+        # with b = 0 (box clipping, see the query docstring), so the
+        # returned decision is k(q, sv1) - k(q, sv0) over the shared
+        # normalized sigma=100 GAK CTE (pair set: self pairs for
+        # normalization + train-x-query cross pairs); vote:
+        # k(q,sv0) - k(q,sv1) > 0 -> class '0', ties (d <= 0) to class
+        # '1' like the engine's ovo vote.
+        "svc_gak_classify": _tiny_gak_cte(
+            "a.sid <= b.sid AND (a.sid < 2 OR a.sid = b.sid)") + """,
             kq AS (
                 SELECT g.id1 AS t, g.id2 AS q,
                        g.unnorm / sqrt(s1.selfv * s2.selfv) AS k

@@ -749,9 +749,13 @@ class TestClusteringLabelsGatePremises:
                 j = int(np.argmin(d2))
                 assign[u] = j
                 s = sorted(d2)
-                # premise (b): gap >> ulp noise, or an exact tie (which
-                # both engines break identically: integer d2, min cluster)
-                assert s[1] - s[0] > 1e-6 or s[1] == s[0]
+                # premise (b): gap >> ulp noise.  The exact-tie escape is
+                # sound ONLY at iteration 0 (integer centers -> integer
+                # d2, so a tie is the SAME tie in both engines, broken by
+                # min cluster); at later iterations a replay-side tie of
+                # independently-associated float sums would NOT imply a
+                # cross-engine tie, so the gap must hold outright.
+                assert s[1] - s[0] > 1e-6 or (it == 0 and s[1] == s[0])
             if it == entry.KM_MAX_ITER:
                 break
             new = []
@@ -802,3 +806,81 @@ class TestSvcGakGatePremises:
         for u, (pred, dec) in out.items():
             assert abs(dec) > 1e-4                  # far from the vote edge
             assert pred == ("1" if dec >= 0 else "0")
+
+
+def test_gate_premises_hold_at_all_gated_sfs():
+    """Engine-free sweep (duckdb + numpy, no Spark): the data-dependent
+    premises underwriting the clustering_labels and svc_gak_classify
+    hash gates must hold at EVERY gated scale factor, not just sf0.001
+    — a testdata regeneration that shrinks an argmin gap below float
+    noise or a decision below the vote-flip floor would otherwise turn
+    the sf0.01/sf0.1 gates into cross-engine coin flips while the
+    Spark-side premise tests (which run at sf0.001) stayed green."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        events = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(events):
+            continue
+        con = duckdb.connect()
+
+        # --- clustering_labels: Lloyd gaps + exact-integer M-step sums
+        rows = con.execute(
+            f"""
+            WITH ranked AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM read_parquet('{events}')
+            )
+            SELECT user_id, list(v ORDER BY rn)
+            FROM ranked WHERE rn <= 16
+            GROUP BY user_id HAVING count(*) = 16
+            """
+        ).fetchall()
+        series = {int(u): np.asarray(v, dtype=np.float64) for u, v in rows}
+        ids = sorted(series)
+        centers = [series[u] for u in ids[:3]]
+        for it in range(5):  # KM_MAX_ITER stages + the final labels_ pass
+            assign = {}
+            for u in ids:
+                d2 = [float(np.sum((series[u] - c) ** 2)) for c in centers]
+                assign[u] = int(np.argmin(d2))
+                s = sorted(d2)
+                assert s[1] - s[0] > 1e-6 or (it == 0 and s[1] == s[0]), (
+                    f"{sf}: iter-{it} argmin gap {s[1] - s[0]} too small")
+            if it == 4:
+                break
+            new = []
+            for c in range(3):
+                members = [series[u] for u in ids if assign[u] == c]
+                assert members, f"{sf}: empty cluster at iter {it}"
+                sums = np.sum(members, axis=0)
+                assert np.array_equal(sums, np.rint(sums))
+                assert np.abs(sums).max() < 2.0**53
+                new.append(sums / len(members))
+            centers = new
+
+        # --- svc_gak_classify: clip premise + decision-magnitude floor
+        rows = con.execute(
+            f"""
+            WITH tiny AS (
+                SELECT user_id, floor(value) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM read_parquet('{events}') WHERE user_id < 12
+            )
+            SELECT user_id, list(v ORDER BY rn)
+            FROM tiny WHERE rn <= 5 + user_id % 4 GROUP BY user_id
+            """
+        ).fetchall()
+        con.close()
+        tser = {int(u): np.asarray(v, dtype=np.float64) for u, v in rows}
+        assert set(tser) == set(range(12)), f"{sf}: tiny roster drifted"
+        k12 = _naive_gak(tser[0], tser[1], 100.0)
+        # eta = 2 - 2*K12 < 2 <=> the SMO step clips to the box exactly
+        assert 0.0 < k12 < 1.0 - 1e-12, f"{sf}: clip premise k12={k12}"
+        for q in range(2, 12):
+            dec = (_naive_gak(tser[q], tser[1], 100.0)
+                   - _naive_gak(tser[q], tser[0], 100.0))
+            assert abs(dec) > 1e-4, f"{sf}: decision floor |{dec}| for q={q}"
