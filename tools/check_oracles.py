@@ -95,8 +95,13 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written dataset dir (e.g. the generated .scale_sf1
+            # tables): point DuckDB at the part files
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_ok = n_bad = 0
