@@ -251,10 +251,16 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
         # this section exists to fix.  Re-time the controls in the
         # re-measure's own window and normalize the warm samples by the
         # fresher factor.
+        # a SEPARATE variable: local_ambient must keep describing the
+        # first window, whose factor produced every recorded
+        # sec_normalized above — clobbering it would make the summary's
+        # ambient_factor_local inconsistent with the values it explains
         meds = _time_controls(spark, qs, sf01_dir, n_passes=1)
-        local_ambient, ratios = _ambient_factor(meds, norm01)
+        remeasure_ambient, ratios = _ambient_factor(meds, norm01)
         print(f"[bench] sf1 re-measure-window ambient: "
-              f"{local_ambient:.2f} (controls {ratios})", file=sys.stderr)
+              f"{remeasure_ambient:.2f} (controls {ratios})", file=sys.stderr)
+    else:
+        remeasure_ambient = local_ambient
     for name in flagged:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -262,13 +268,13 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
             "noop").save()
         warm = round(time.perf_counter() - t0, 3)
         out[name]["warm_remeasure_sec"] = warm
-        out[name]["warm_remeasure_ambient"] = round(local_ambient, 3)
-        still = _gate(warm / max(local_ambient, 1.0), prior_sf1[name])
+        out[name]["warm_remeasure_ambient"] = round(remeasure_ambient, 3)
+        still = _gate(warm / max(remeasure_ambient, 1.0), prior_sf1[name])
         out[name]["regression_confirmed"] = bool(still)
         if not still:  # record the cleaner sample like the sf0.1 path
             out[name]["sec_normalized"] = min(
                 out[name]["sec_normalized"],
-                round(warm / max(local_ambient, 1.0), 3))
+                round(warm / max(remeasure_ambient, 1.0), 3))
         print(f"[bench] sf1 warm re-measure {name}: {warm}s -> "
               f"{'CONFIRMED' if still else 'cleared'}", file=sys.stderr)
     recall = _ann_recall_section(spark, sf1_dir)
@@ -370,7 +376,11 @@ def _bucketed_layout_section(spark, sf1_dir: str) -> dict | None:
                 workload(v, f).first()
                 secs.append(round(time.perf_counter() - t0, 3))
                 r1, _w1 = _shuffle_totals(spark)
-                bytes_r.append(int(r1 - r0))
+                # clamp: the status store only retains
+                # spark.ui.retainedStages stages, so eviction between
+                # snapshots late in a long session can shrink the total
+                # below the pre-snapshot and fake a negative delta
+                bytes_r.append(max(0, int(r1 - r0)))
             out[layout] = {
                 "sec_median": round(statistics.median(secs), 3),
                 "shuffle_read_bytes_median": int(statistics.median(bytes_r)),
@@ -1234,10 +1244,19 @@ def main() -> None:
         "ambient_factor": round(ambient, 3),
         "regressions": sorted(regressions),
     }
+    # hard cap: the driver keeps a 2000-char stdout tail, and a line
+    # that exceeds it truncates mid-string ("parsed": null).  Shrink in
+    # stages until the line genuinely fits — one shrink step is not a
+    # cap when e.g. a long regression list survives the first drop.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # hard cap: the driver keeps a 2000-char tail
-        compact.pop("queries")
-        compact["queries_in"] = ".bench_full.json"
+    for victim, note in (("queries", ".bench_full.json"),
+                         ("regressions", "n_regressions")):
+        if len(line) <= 1900:
+            break
+        dropped = compact.pop(victim)
+        compact[f"{victim}_in"] = note
+        if victim == "regressions":
+            compact["n_regressions"] = len(dropped)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -861,6 +861,19 @@ def test_gate_premises_hold_at_all_gated_sfs():
                 new.append(sums / len(members))
             centers = new
 
+        # --- dba_barycenter_sample: its oracle hardcodes 32-length
+        # slices (NULL list indexing + a wrong count(*) divisor if a
+        # sampled user ran short — the engine would mean-then-interp
+        # instead, a SILENT divergence); fail loudly here first
+        short = con.execute(
+            f"""
+            SELECT user_id, count(*) FROM read_parquet('{events}')
+            WHERE user_id < 10 GROUP BY user_id
+            HAVING count(*) < 32
+            """
+        ).fetchall()
+        assert not short, f"{sf}: DBA users with <32 events: {short}"
+
         # --- svc_gak_classify: clip premise + decision-magnitude floor
         rows = con.execute(
             f"""

@@ -89,6 +89,12 @@ class TestSVM:
         assert lmr._is_fitted()
         with pytest.raises(NotImplementedError, match="n_landmarks"):
             lmr.support_
+        # the error ALSO subclasses AttributeError, so generic
+        # introspection (hasattr, getattr-with-default — sklearn meta-
+        # estimators, serializers) takes the absent-attribute fallback
+        # instead of crashing mid-probe
+        assert not hasattr(lm, "support_")
+        assert getattr(lm, "dual_coef_", None) is None
         # unfitted estimators still raise plain AttributeError
         with pytest.raises(AttributeError):
             TimeSeriesSVC().support_

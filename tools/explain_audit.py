@@ -148,8 +148,7 @@ def _stream_ann_lsh_batch(spark, sf_dir):
 EXTRA_BUILDERS = {
     "stream_lsh_batch": _stream_lsh_batch,
     "stream_ann_lsh_batch": _stream_ann_lsh_batch,
-    "knn_dtw_classify_full": lambda spark, sf_dir: __import__(
-        "__spark_entry__").knn_dtw_classify_full(spark, sf_dir),
+    "knn_dtw_classify_full": entrymod.knn_dtw_classify_full,
 }
 
 

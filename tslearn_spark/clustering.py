@@ -1689,8 +1689,12 @@ def silhouette_score(X, labels, metric=None, sample_size=None,
     if sample_size == "auto":
         # scale path: hash-order sample to the ceiling, no-op when the
         # input already fits (one count job; no driver-side id collect)
-        seed = 0 if random_state is None or not isinstance(random_state, int) \
-            else int(random_state)
+        # numbers.Integral: np.int64 seeds (config arrays, rng draws)
+        # must seed the hash, not silently degrade to 0
+        import numbers as _numbers
+
+        seed = int(random_state) if isinstance(
+            random_state, _numbers.Integral) else 0
         n_in = df.count()
         if n_in <= _SILHOUETTE_AUTO_CEIL:
             sample_size = None

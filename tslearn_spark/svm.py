@@ -71,6 +71,16 @@ def _pad_stack(arrs: list) -> np.ndarray:
     return out
 
 
+class LandmarkDualUnavailableError(NotImplementedError, AttributeError):
+    """The libsvm dual surface is absent on the landmark scale path.
+
+    Subclasses BOTH NotImplementedError (explicit access gets the loud,
+    actionable message) and AttributeError (so hasattr()/getattr(obj,
+    name, default) and generic fitted-attribute probes — sklearn meta-
+    estimators, serializers — take their normal absent-attribute
+    fallback instead of crashing on introspection)."""
+
+
 class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
     """Shared init carries the full reference signature (svm.py:211-214,
     485-487) for drop-in parity: gak-irrelevant kernel shape params
@@ -105,7 +115,7 @@ class _GakSVMBase(BaseModelPackage, TimeSeriesBaseEstimator):
         # leaking a bare AttributeError or a legit-looking empty array.
         if (name in _GakSVMBase._DUAL_SURFACE
                 and self.__dict__.get("_mllib_model") is not None):
-            raise NotImplementedError(
+            raise LandmarkDualUnavailableError(
                 f"{name} is unavailable on the landmark scale path "
                 f"(fitted with n_landmarks={self.__dict__.get('n_landmarks')}): "
                 "the libsvm dual surface is not computed there. Refit with "
