@@ -754,8 +754,13 @@ class TestClusteringLabelsGatePremises:
                 # d2, so a tie is the SAME tie in both engines, broken by
                 # min cluster); at later iterations a replay-side tie of
                 # independently-associated float sums would NOT imply a
-                # cross-engine tie, so the gap must hold outright.
-                assert s[1] - s[0] > 1e-6 or (it == 0 and s[1] == s[0])
+                # cross-engine tie, so the gap must hold outright.  The
+                # floor is RELATIVE to the d2 magnitude (r12 advice):
+                # float-associativity noise scales with the values, so an
+                # absolute 1e-6 would stay green on regenerated testdata
+                # with d2 ~1e12 while the gate premise silently died.
+                assert s[1] - s[0] > max(1e-6, 1e-9 * s[1]) \
+                    or (it == 0 and s[1] == s[0])
             if it == entry.KM_MAX_ITER:
                 break
             new = []
@@ -818,10 +823,12 @@ def test_gate_premises_hold_at_all_gated_sfs():
     Spark-side premise tests (which run at sf0.001) stayed green."""
     import duckdb
 
+    checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         events = f"/root/testdata/{sf}/events.parquet"
         if not os.path.exists(events):
             continue
+        checked += 1
         con = duckdb.connect()
 
         # --- clustering_labels: Lloyd gaps + exact-integer M-step sums
@@ -847,7 +854,9 @@ def test_gate_premises_hold_at_all_gated_sfs():
                 d2 = [float(np.sum((series[u] - c) ** 2)) for c in centers]
                 assign[u] = int(np.argmin(d2))
                 s = sorted(d2)
-                assert s[1] - s[0] > 1e-6 or (it == 0 and s[1] == s[0]), (
+                # relative floor, matching the Spark-side premise test
+                assert s[1] - s[0] > max(1e-6, 1e-9 * s[1]) \
+                    or (it == 0 and s[1] == s[0]), (
                     f"{sf}: iter-{it} argmin gap {s[1] - s[0]} too small")
             if it == 4:
                 break
@@ -897,3 +906,6 @@ def test_gate_premises_hold_at_all_gated_sfs():
             dec = (_naive_gak(tser[q], tser[1], 100.0)
                    - _naive_gak(tser[q], tser[0], 100.0))
             assert abs(dec) > 1e-4, f"{sf}: decision floor |{dec}| for q={q}"
+    # r12 advice: a moved/renamed testdata layout must fail loudly, not
+    # make the sweep pass vacuously with zero premises checked
+    assert checked >= 1, "no sf dir with events.parquet was swept"

@@ -758,28 +758,20 @@ class TestModelIO:
             save_model(clf, str(tmp_path / "clf.json"))
 
     def test_unsupported_formats_fail_loudly(self, tmp_path):
-        """hdf5 is rejected loudly only where h5py is absent (reference
-        exposes all three codecs at bases.py:164-287; hdf5 gated like
-        its HDF5_INSTALLED); unknown formats always raise."""
+        """Unknown formats always raise; hdf5 is always available since
+        r12 (reference exposes all three codecs at bases.py:164-287 —
+        h5py where importable, the purehdf5 subset writer otherwise)."""
         import pytest
 
-        from tslearn_spark.hdftools import HDF5_INSTALLED
+        from tslearn_spark.hdftools import HDF5_AVAILABLE
         from tslearn_spark.model_io import load_model, save_model
         from tslearn_spark.piecewise import SAX
 
+        assert HDF5_AVAILABLE
         sax = SAX(n_segments=3, alphabet_size_avg=4)
-        if not HDF5_INSTALLED:
-            with pytest.raises(NotImplementedError, match="HDF5"):
-                save_model(sax, str(tmp_path / "m.h5"))
-            with pytest.raises(NotImplementedError, match="HDF5"):
-                save_model(sax, str(tmp_path / "m.json"), fmt="hdf5")
         with pytest.raises(ValueError, match="unknown model format"):
             save_model(sax, str(tmp_path / "m.json"), fmt="msgpack")
-        # load side enforces the same matrix
         save_model(sax, str(tmp_path / "m.json"))
-        if not HDF5_INSTALLED:
-            with pytest.raises(NotImplementedError, match="HDF5"):
-                load_model(str(tmp_path / "m.json"), fmt="hdf5")
         assert load_model(str(tmp_path / "m.json")).n_segments == 3
 
     def test_h5_codec_dict_roundtrip(self):
@@ -812,12 +804,12 @@ class TestModelIO:
         np.testing.assert_array_equal(out["arr"], np.eye(2))
         assert out["nested"]["xs"] == (1, 2.5, "z")
 
-    def test_hdf5_roundtrip_when_h5py_present(self, spark, tmp_path):
+    def test_hdf5_roundtrip(self, spark, tmp_path):
         """Reference HDF5 layout round-trip (bases.py:164-210,
-        hdftools.py:8-150) — runs wherever h5py exists."""
+        hdftools.py:8-150) — h5py where importable, the from-scratch
+        purehdf5 subset backend otherwise (r12: un-skipped)."""
         import pytest
 
-        pytest.importorskip("h5py")
         from tslearn_spark.clustering import TimeSeriesKMeans
         from tslearn_spark.model_io import load_model, save_model
         from tslearn_spark.piecewise import SAX
@@ -886,12 +878,12 @@ class TestBasesProtocol:
 
     def test_unfitted_codecs_raise(self, tmp_path):
         from tslearn_spark.clustering import TimeSeriesKMeans
-        from tslearn_spark.hdftools import HDF5_INSTALLED
 
         km = TimeSeriesKMeans()
-        if not HDF5_INSTALLED:
-            with pytest.raises(NotImplementedError):
-                km.to_hdf5(str(tmp_path / "m.h5"))
+        # hdf5 shares the not-fitted guard now that the codec is always
+        # available (r12 purehdf5 backend)
+        with pytest.raises(ValueError, match="fit"):
+            km.to_hdf5(str(tmp_path / "m.h5"))
         # pickle shares to_json's not-fitted guard (bases.py:257-268
         # pickles the same dict _to_dict builds)
         with pytest.raises(ValueError, match="fit"):

@@ -100,6 +100,97 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
         os.path.join(dest_dir, "events.parquet"))
 
 
+def generate_tpch(spark, src_dir: str, dest_dir: str) -> None:
+    """Derive the 10x TPC-H-ish star schema (r12): fact/entity tables
+    are replicated N_COPIES times with key-space offsets that PRESERVE
+    referential integrity (orders.o_custkey shifts by the same stride as
+    customer.c_custkey, lineitem FKs shift with orders/part/supplier);
+    the tiny dimension tables (region, nation) stay fixed like real
+    TPC-H does at any SF.  Name columns are salted per copy so rows stay
+    globally unique (top-k tie-breaks that involve names keep working);
+    measure columns, dates and category domains (mktsegment, brand,
+    priority...) are untouched, so per-group aggregates scale 10x the
+    honest way.  Deterministic — no RNG anywhere."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest_dir, exist_ok=True)
+    copies = spark.range(N_COPIES).select(F.col("id").alias("k"))
+
+    def salt(col):
+        return F.when(F.col("k") == 0, F.col(col)).otherwise(
+            F.concat(F.lit("c"), F.col("k").cast("string"), F.lit("_"),
+                     F.col(col)))
+
+    def stride_of(df, key):
+        return int(df.agg(F.max(key)).first()[0]) + 1
+
+    for name in ("region", "nation"):
+        spark.read.parquet(os.path.join(src_dir, f"{name}.parquet")) \
+            .write.mode("overwrite").parquet(
+                os.path.join(dest_dir, f"{name}.parquet"))
+
+    cust = spark.read.parquet(os.path.join(src_dir, "customer.parquet"))
+    supp = spark.read.parquet(os.path.join(src_dir, "supplier.parquet"))
+    part = spark.read.parquet(os.path.join(src_dir, "part.parquet"))
+    orders = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    cs, ss, ps, os_ = (stride_of(cust, "c_custkey"),
+                       stride_of(supp, "s_suppkey"),
+                       stride_of(part, "p_partkey"),
+                       stride_of(orders, "o_orderkey"))
+
+    (cust.crossJoin(F.broadcast(copies))
+     .select((F.col("c_custkey") + F.col("k") * cs).alias("c_custkey"),
+             salt("c_name").alias("c_name"), "c_nationkey", "c_acctbal",
+             "c_mktsegment")
+     .repartition(16).write.mode("overwrite")
+     .parquet(os.path.join(dest_dir, "customer.parquet")))
+    (supp.crossJoin(F.broadcast(copies))
+     .select((F.col("s_suppkey") + F.col("k") * ss).alias("s_suppkey"),
+             salt("s_name").alias("s_name"), "s_nationkey", "s_acctbal")
+     .repartition(8).write.mode("overwrite")
+     .parquet(os.path.join(dest_dir, "supplier.parquet")))
+    (part.crossJoin(F.broadcast(copies))
+     .select((F.col("p_partkey") + F.col("k") * ps).alias("p_partkey"),
+             salt("p_name").alias("p_name"), "p_brand", "p_type", "p_size",
+             "p_retailprice")
+     .repartition(16).write.mode("overwrite")
+     .parquet(os.path.join(dest_dir, "part.parquet")))
+    (orders.crossJoin(F.broadcast(copies))
+     .select((F.col("o_orderkey") + F.col("k") * os_).alias("o_orderkey"),
+             (F.col("o_custkey") + F.col("k") * cs).alias("o_custkey"),
+             "o_orderstatus", "o_totalprice", "o_orderdate",
+             "o_orderpriority")
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(dest_dir, "orders.parquet")))
+    (li.crossJoin(F.broadcast(copies))
+     .select((F.col("l_orderkey") + F.col("k") * os_).alias("l_orderkey"),
+             (F.col("l_partkey") + F.col("k") * ps).alias("l_partkey"),
+             (F.col("l_suppkey") + F.col("k") * ss).alias("l_suppkey"),
+             "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+             "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+     .repartition(64).write.mode("overwrite")
+     .parquet(os.path.join(dest_dir, "lineitem.parquet")))
+
+
+def ensure_sf1_tpch(spark, src_dir: str = "/root/testdata/sf0.1",
+                    dest_dir: str | None = None) -> str:
+    """Generate the 10x TPC-H tables into the scale dir if missing —
+    with these plus ensure_sf1's documents/embeddings/events, the
+    FULL oracle roster can run at sf1 (tools/check_oracles.py)."""
+    if dest_dir is None:
+        dest_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".scale_sf1"),
+        )
+    marker = os.path.join(dest_dir, "_COMPLETE_TPCH")
+    if not os.path.exists(marker):
+        generate_tpch(spark, src_dir, dest_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dest_dir
+
 
 # -- clustered embedding corpus (ANN recall measurement) --------------------
 # The sf1 embeddings derived above inherit the synthetic base's

@@ -28,6 +28,11 @@ _LAZY = {
     "KernelKMeans": "tslearn_spark.clustering",
     "GlobalAlignmentKernelKMeans": "tslearn_spark.clustering",
     "SerializableShapeletModel": "tslearn_spark.shapelets",
+    "GlobalMinPooling1D": "tslearn_spark.shapelets",
+    "GlobalArgminPooling1D": "tslearn_spark.shapelets",
+    "KMeansShapeletInitializer": "tslearn_spark.shapelets",
+    "LocalSquaredDistanceLayer": "tslearn_spark.shapelets",
+    "KNeighborsTimeSeriesMixin": "tslearn_spark.neighbors",
     "silhouette_score": "tslearn_spark.clustering",
     "kneighbors": "tslearn_spark.neighbors",
     "knn_classify": "tslearn_spark.neighbors",

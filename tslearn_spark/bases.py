@@ -415,14 +415,15 @@ class BaseModelPackage:
         return model
 
     def to_hdf5(self, path: str) -> None:
-        """Reference HDF5 layout (bases.py:164-183, hdftools.py:8-46),
-        available whenever h5py is — loud NotImplementedError otherwise.
-        State HDF5 cannot express natively (lists/tuples, None, helper
+        """Reference HDF5 layout (bases.py:164-183, hdftools.py:8-46) —
+        h5py when importable, the from-scratch purehdf5 subset writer
+        otherwise (round 12), so the codec needs no dependency.  State
+        HDF5 cannot express natively (lists/tuples, None, helper
         objects) goes through model_io._encode_h5's tagged groups, with
         the same recursive MLlib rejection as the JSON codec."""
-        from tslearn_spark import hdftools, model_io
+        from tslearn_spark import model_io
+        from tslearn_spark import hdftools
 
-        hdftools._require_h5py()
         if not self._is_fitted():
             raise ValueError("Model must be fit before it can be packaged")
         d = {
@@ -447,7 +448,6 @@ class BaseModelPackage:
         encodes a different class raises, like from_json."""
         from tslearn_spark import hdftools, model_io
 
-        hdftools._require_h5py()
         return model_io._model_from_h5_dict(
             hdftools.load_dict(path, "data"), expected=cls, path=path
         )

@@ -1,4 +1,4 @@
-"""HDF5 (de)serialization of nested param dicts — import-guarded.
+"""HDF5 (de)serialization of nested param dicts.
 
 Writes the reference's on-disk layout (tslearn/hdftools/hdftools.py:8-150):
 one HDF5 group per nested dict level under a root group, numpy arrays and
@@ -9,9 +9,15 @@ the reference, which flattens arbitrary objects via ``__dict__`` and then
 silently restores them as plain dicts.  The implementation here is a
 fresh recursive walk over that layout, not a copy.
 
-Everything is gated on ``HDF5_INSTALLED``: in environments without h5py
-the callers (bases.BaseModelPackage.to_hdf5 / model_io.save_model) raise
-a loud NotImplementedError instead of silently writing JSON.
+Backend selection (round 12): h5py is preferred whenever it imports —
+its files carry the exact conventions the reference's do (vlen strings,
+enum bools).  Where h5py is absent (this container), the from-scratch
+:mod:`tslearn_spark.purehdf5` subset writer/reader takes over: valid
+HDF5 (superblock v0, symbol-table groups, contiguous datasets) with
+fixed-length UTF-8 strings instead of vlen ones, so the round-trip is
+lossless either way and to_hdf5/from_hdf5 never need a dependency.
+Files written by h5py's vlen convention require h5py to read back —
+the pure reader raises on datatypes outside its subset.
 """
 
 from __future__ import annotations
@@ -26,7 +32,12 @@ try:
 except ImportError:  # pragma: no cover - absent in the test container
     h5py = None
 
+from tslearn_spark import purehdf5
+
 HDF5_INSTALLED = h5py is not None
+# the codec itself is always available: purehdf5 backs it without h5py
+HDF5_AVAILABLE = True
+HDF5_BACKEND = "h5py" if HDF5_INSTALLED else "purehdf5"
 
 H5PY_MSG = (
     "HDF5 persistence requires h5py, which is not installed in this "
@@ -39,8 +50,9 @@ _SCALARS = (str, bool, int, float, np.integer, np.floating, np.bool_)
 
 
 def _require_h5py() -> None:
-    if not HDF5_INSTALLED:
-        raise NotImplementedError(H5PY_MSG)
+    """Historical gate — HDF5 is now always available (purehdf5 backs
+    the codec when h5py is absent), so this is a no-op kept for the
+    call sites and tests that used to probe it."""
 
 
 def _write_entry(grp, key: str, value: Any) -> None:
@@ -73,12 +85,33 @@ def _write_entry(grp, key: str, value: Any) -> None:
         )
 
 
+def _check_representable(d: dict) -> None:
+    """The purehdf5 path applies the same accept/reject matrix as
+    _write_entry before any bytes hit disk."""
+    for k, v in d.items():
+        if isinstance(v, dict):
+            _check_representable(v)
+        elif isinstance(v, np.ndarray):
+            if v.dtype.kind not in "Uiufb":
+                raise TypeError(
+                    f"array dtype {v.dtype} for key {k!r} is not "
+                    "representable in the HDF5 model layout")
+        elif not isinstance(v, _SCALARS):
+            raise TypeError(
+                f"{type(v).__name__} value for key {k!r} is not "
+                "representable in the HDF5 model layout (encode it with "
+                "model_io._encode_h5 first)")
+
+
 def save_dict(d: dict, filename: str, group: str) -> None:
     """Save a nested dict under ``group`` in a NEW hdf5 file
     (reference hdftools.py:8-46: existing paths are a FileExistsError)."""
-    _require_h5py()
     if os.path.isfile(filename):
         raise FileExistsError(filename)
+    if not HDF5_INSTALLED:
+        _check_representable(d)
+        purehdf5.save_dict(d, filename, group)
+        return
     with h5py.File(filename, "w") as f:
         root = f.create_group(group)
         for k, v in d.items():
@@ -101,6 +134,7 @@ def _read_entry(item: Any) -> Any:
 
 def load_dict(filename: str, group: str) -> dict:
     """Load a nested dict saved by save_dict (reference hdftools.py:116-150)."""
-    _require_h5py()
+    if not HDF5_INSTALLED:
+        return purehdf5.load_dict(filename, group)
     with h5py.File(filename, "r") as f:
         return {k: _read_entry(v) for k, v in f[group].items()}

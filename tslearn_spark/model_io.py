@@ -238,11 +238,8 @@ def _resolve_fmt(path: str, fmt: str | None) -> str:
                "pickle": "pickle"}.get(ext, "json")
     fmt = fmt.lower()
     if fmt == "hdf5":
-        # available whenever h5py is (reference layout via
-        # tslearn_spark.hdftools); loud HDF5 rejection otherwise
-        from tslearn_spark import hdftools
-
-        hdftools._require_h5py()
+        # reference layout via tslearn_spark.hdftools — h5py when
+        # importable, the purehdf5 subset writer otherwise (round 12)
         return fmt
     if fmt not in ("json", "pickle"):
         raise ValueError(

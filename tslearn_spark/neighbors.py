@@ -612,45 +612,14 @@ def knn_regress(
 # class API (reference parity: neighbors.py:172-717)
 # ---------------------------------------------------------------------------
 
-class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
-    """Unsupervised kNN index (neighbors.py:172-350).
-
-    fit() caches the candidate table (the "index" — Spark's analog of
-    storing the training array); kneighbors() runs the metric-dispatched
-    top-k join.  All heavy lifting lives in the functional layer above.
-    """
-
-    def _more_tags(self):
-        # reference neighbors.py:561-562 (classifier: 716-717 identical)
-        return {"allow_nan": True, "allow_variable_length": True}
-
-    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
-                 metric_params: dict | None = None,
-                 n_jobs: int | None = None, verbose: int = 0):
-        self.n_neighbors = n_neighbors
-        self.metric = metric
-        self.metric_params = metric_params or {}
-        # reference-signature parity (neighbors.py:233-234): parallelism
-        # comes from the Spark cluster, not joblib
-        self.n_jobs = n_jobs
-        self.verbose = verbose
-
-    def fit(self, df: DataFrame, y=None) -> "KNeighborsTimeSeries":
-        from tslearn_spark.bases import as_ts_df
-
-        raw = df
-        df, self._fit_was_array = as_ts_df(df)
-        if self._fit_was_array:
-            # reference serialization contract (neighbors.py:251-255):
-            # the fitted "model" IS the training data — kept as the
-            # padded array only for array ingest (small by definition);
-            # a DataFrame index is never serialized (model_io notes)
-            from tslearn_spark.utils import to_time_series_dataset
-
-            self._ts_fit = to_time_series_dataset(raw)
-        self._index = df.select("series_id", "values").cache()
-        self._fit_metric_state(df)
-        return self
+class KNeighborsTimeSeriesMixin:
+    """Mixin holding the shared k-neighbors machinery (reference
+    neighbors.py:19-170: SAX fit-time state, metric param routing, the
+    kneighbors search itself) — mixed into the unsupervised index, the
+    classifier and the regressor, exactly as the reference does.  The
+    heavy lifting stays in the functional layer (kneighbors) above;
+    hosts provide ``_index`` / ``metric`` / ``metric_params`` /
+    ``n_neighbors`` fit-time state."""
 
     def _fit_metric_state(self, df: DataFrame) -> None:
         """Metric-specific fit-time state: metric='sax' pre-fits the SAX
@@ -682,27 +651,6 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
         if getattr(self, "_sax", None) is not None:
             params["_fitted_sax"] = self._sax
         return params
-
-    # -- serialization surface (reference neighbors.py:243-255) ---------
-    def _is_fitted(self) -> bool:
-        return hasattr(self, "_index") or \
-            getattr(self, "_ts_fit", None) is not None
-
-    def _get_model_params(self) -> dict:
-        out = {}
-        if getattr(self, "_ts_fit", None) is not None:
-            out["_ts_fit"] = self._ts_fit
-            if getattr(self, "_y", None) is not None:
-                out["_y"] = self._y
-        return out
-
-    def _post_restore(self) -> None:
-        """Rebuild the index DataFrame from restored training arrays."""
-        if getattr(self, "_ts_fit", None) is not None:
-            if getattr(self, "_y", None) is not None:
-                self.fit(self._ts_fit, y=self._y)
-            else:
-                self.fit(self._ts_fit)
 
     def kneighbors(self, queries: DataFrame | None = None,
                    n_neighbors: int | None = None,
@@ -749,6 +697,70 @@ class KNeighborsTimeSeries(BaseModelPackage, TimeSeriesBaseEstimator):
             dists[pos[r["id1"]], r["rank"] - 1] = r["dist"]
             inds[pos[r["id1"]], r["rank"] - 1] = r["id2"]
         return (dists, inds) if return_distance else inds
+
+
+class KNeighborsTimeSeries(KNeighborsTimeSeriesMixin, BaseModelPackage,
+                           TimeSeriesBaseEstimator):
+    """Unsupervised kNN index (neighbors.py:172-350).
+
+    fit() caches the candidate table (the "index" — Spark's analog of
+    storing the training array); kneighbors() (from the mixin) runs the
+    metric-dispatched top-k join.  All heavy lifting lives in the
+    functional layer above.
+    """
+
+    def _more_tags(self):
+        # reference neighbors.py:561-562 (classifier: 716-717 identical)
+        return {"allow_nan": True, "allow_variable_length": True}
+
+    def __init__(self, n_neighbors: int = 5, metric: str = "dtw",
+                 metric_params: dict | None = None,
+                 n_jobs: int | None = None, verbose: int = 0):
+        self.n_neighbors = n_neighbors
+        self.metric = metric
+        self.metric_params = metric_params or {}
+        # reference-signature parity (neighbors.py:233-234): parallelism
+        # comes from the Spark cluster, not joblib
+        self.n_jobs = n_jobs
+        self.verbose = verbose
+
+    def fit(self, df: DataFrame, y=None) -> "KNeighborsTimeSeries":
+        from tslearn_spark.bases import as_ts_df
+
+        raw = df
+        df, self._fit_was_array = as_ts_df(df)
+        if self._fit_was_array:
+            # reference serialization contract (neighbors.py:251-255):
+            # the fitted "model" IS the training data — kept as the
+            # padded array only for array ingest (small by definition);
+            # a DataFrame index is never serialized (model_io notes)
+            from tslearn_spark.utils import to_time_series_dataset
+
+            self._ts_fit = to_time_series_dataset(raw)
+        self._index = df.select("series_id", "values").cache()
+        self._fit_metric_state(df)
+        return self
+
+    # -- serialization surface (reference neighbors.py:243-255) ---------
+    def _is_fitted(self) -> bool:
+        return hasattr(self, "_index") or \
+            getattr(self, "_ts_fit", None) is not None
+
+    def _get_model_params(self) -> dict:
+        out = {}
+        if getattr(self, "_ts_fit", None) is not None:
+            out["_ts_fit"] = self._ts_fit
+            if getattr(self, "_y", None) is not None:
+                out["_y"] = self._y
+        return out
+
+    def _post_restore(self) -> None:
+        """Rebuild the index DataFrame from restored training arrays."""
+        if getattr(self, "_ts_fit", None) is not None:
+            if getattr(self, "_y", None) is not None:
+                self.fit(self._ts_fit, y=self._y)
+            else:
+                self.fit(self._ts_fit)
 
 
 class KNeighborsTimeSeriesClassifier(ClassifierScoreMixin,

@@ -597,3 +597,140 @@ class SerializableShapeletModel(LearningShapelets):
 
 # plain alias, exactly as the reference (shapelets.py:889)
 ShapeletModel = LearningShapelets
+
+
+# ---------------------------------------------------------------------------
+# Keras-layer twins (reference shapelets.py:28-155) — the reference's
+# network plumbing, re-expressed as numpy callables so the names exist
+# (and behave) without a TensorFlow dependency.  The engine's trainer
+# (LearningShapelets above) builds its forward/backward pass from
+# scratch, so these classes are the import-compat surface for user code
+# that manipulated the reference's layers directly.
+# ---------------------------------------------------------------------------
+
+class GlobalMinPooling1D:
+    """Global min pooling over the time axis (reference
+    shapelets.py:28-55): non-finite entries are masked to +inf before
+    the reduction, mirroring the reference's tf.where guard.
+
+    >>> import numpy as np
+    >>> x = np.array([5.0, np.nan, 6.8, np.nan, np.inf]).reshape(1, 5, 1)
+    >>> GlobalMinPooling1D()(x)
+    array([[5.]], dtype=float32)
+    """
+
+    def __init__(self, **kwargs):
+        pass
+
+    def compute_output_shape(self, input_shape):
+        return input_shape[0], input_shape[2]
+
+    def __call__(self, inputs, **kwargs):
+        x = np.asarray(inputs, dtype=float)
+        x = np.where(np.isfinite(x), x, np.inf)
+        return np.min(x, axis=1).astype(np.float32)
+
+    call = __call__
+
+
+class GlobalArgminPooling1D:
+    """Global argmin pooling over the time axis (reference
+    shapelets.py:58-75): returns the position of the minimum, cast to
+    float like the reference's K.cast(..., K.floatx())."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def compute_output_shape(self, input_shape):
+        return input_shape[0], input_shape[2]
+
+    def __call__(self, inputs, **kwargs):
+        x = np.asarray(inputs, dtype=float)
+        return np.argmin(x, axis=1).astype(np.float32)
+
+    call = __call__
+
+
+def _kmeans_init_shapelets(X: np.ndarray, n_shapelets: int, shp_len: int,
+                           n_draw: int = 10000) -> np.ndarray:
+    """Cluster random time-series snippets into shapelet seeds
+    (reference shapelets.py:78-91).  Sampling uses the global numpy RNG
+    exactly like the reference; the Lloyd loop is a from-scratch
+    driver-side euclidean k-means (the snippets matrix is n_draw x
+    shp_len — small by construction)."""
+    from tslearn_spark.utils import ts_size
+
+    n_ts, sz, d = X.shape
+    indices_ts = np.random.choice(n_ts, size=n_draw, replace=True)
+    subseries = np.zeros((n_draw, shp_len, d))
+    for i, ts_idx in enumerate(indices_ts):
+        t0 = np.random.choice(ts_size(X[ts_idx]) - shp_len + 1, size=1)[0]
+        subseries[i] = X[ts_idx, t0:t0 + shp_len]
+    flat = subseries.reshape(n_draw, shp_len * d)
+    # deterministic-given-RNG Lloyd: sample distinct seeds, iterate
+    seeds = np.random.choice(n_draw, size=n_shapelets, replace=False)
+    centers = flat[seeds].copy()
+    for _ in range(10):
+        d2 = ((flat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(n_shapelets):
+            members = flat[lab == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers.reshape(n_shapelets, shp_len, d)
+
+
+class KMeansShapeletInitializer:
+    """Initializer drawing shapelet seeds from a clustering of series
+    snippets (reference shapelets.py:94-112)."""
+
+    def __init__(self, X):
+        from tslearn_spark.utils import to_time_series_dataset
+
+        self.X_ = to_time_series_dataset(X)
+
+    def __call__(self, shape, dtype=None):
+        n_shapelets, shp_len = shape
+        return _kmeans_init_shapelets(
+            self.X_, n_shapelets, shp_len)[:, :, 0].astype(np.float32)
+
+    def get_config(self):
+        return {"data": self.X_}
+
+
+class LocalSquaredDistanceLayer:
+    """Pairwise squared distance between local patches and shapelets
+    (reference shapelets.py:115-155): output[b, t, s] =
+    ||x[b, t] - kernel[s]||^2 / len, via the same x^2 + y^2 - 2xy
+    expansion the reference uses."""
+
+    def __init__(self, n_shapelets: int, X=None, **kwargs):
+        self.n_shapelets = n_shapelets
+        if X is None:
+            self.initializer = "uniform"
+        else:
+            self.initializer = KMeansShapeletInitializer(X)
+
+    def build(self, input_shape):
+        shape = (self.n_shapelets, input_shape[2])
+        if self.initializer == "uniform":
+            self.kernel = np.random.uniform(-0.05, 0.05, shape)
+        else:
+            self.kernel = np.asarray(self.initializer(shape), dtype=float)
+
+    def __call__(self, x, **kwargs):
+        x = np.asarray(x, dtype=float)
+        if not hasattr(self, "kernel"):
+            self.build(x.shape)
+        x_sq = (x ** 2).sum(axis=2)[:, :, None]
+        y_sq = (self.kernel ** 2).sum(axis=1).reshape(1, 1, self.n_shapelets)
+        xy = x @ self.kernel.T
+        return (x_sq + y_sq - 2 * xy) / self.kernel.shape[1]
+
+    call = __call__
+
+    def compute_output_shape(self, input_shape):
+        return input_shape[0], input_shape[1], self.n_shapelets
+
+    def get_config(self):
+        return {"n_shapelets": self.n_shapelets}
