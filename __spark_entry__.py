@@ -275,10 +275,23 @@ def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_barycenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positionwise mean across series (euclidean.py:8-43) — pure SQL."""
+    """Positionwise mean across series (euclidean.py:8-43) — pure SQL.
+
+    Inputs are quantized to the 1/64 grid first (floor(x*64)/64): every
+    value is then an exact multiple of 2^-6 and the positionwise sum is
+    EXACT in any association (integer-scaled sums < 2^53), so the one
+    division by the count is correctly rounded identically on Spark and
+    DuckDB.  Without this, the 15000-term sum at the generated sf1 dir
+    hit a round(x, 6) boundary within one ulp and the hash gate read a
+    last-digit tie (r12; the gated testdata sfs never tripped it, but
+    the premise was scale-fragile).  The engine's euclidean_barycenter
+    itself is unquantized — its own tests cover raw-float inputs."""
     from tslearn_spark.barycenters import euclidean_barycenter_df
 
-    ts = _events_series(spark, sf_dir)
+    ts = _events_series(spark, sf_dir).withColumn(
+        "values",
+        F.expr("transform(values, p -> "
+               "transform(p, x -> floor(x * 64D) / 64D))"))
     b = euclidean_barycenter_df(ts)
     return b.select("t", F.round(F.col("value"), 6).alias("bary_value"))
 
@@ -2028,7 +2041,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_barycenter": f"""
             WITH s AS ({_EVENTS_LONG_SQL})
-            SELECT t::INT AS t, round(sum(value * 1.0) / sum(1.0), 6) AS bary_value
+            SELECT t::INT AS t,
+                   round(sum(floor(value * 64) / 64) / sum(1.0), 6)
+                       AS bary_value
             FROM s GROUP BY t
         """,
         "ts_resample": f"""

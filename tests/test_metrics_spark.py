@@ -730,6 +730,36 @@ class TestClustering:
             assert len({nl[i] for i in range(8, 16)}) == 1, kernel
             assert nl[0] != nl[8], kernel
 
+    def test_kernel_kmeans_explicit_landmarks(self, spark):
+        """landmarks= (r12): an explicit landmark id set overrides the
+        seeded hash sample — full-coverage landmarks reproduce the exact
+        partition like n_landmarks=n does, and missing ids fail loudly."""
+        import pytest as _pytest
+
+        from tslearn_spark.clustering import KernelKMeans
+
+        rs = np.random.RandomState(23)
+        blob1 = [rs.randn(8) * 0.2 for _ in range(5)]
+        blob2 = [rs.randn(8) * 0.2 + 6 for _ in range(5)]
+        df = DS.dataset_to_df(spark, blob1 + blob2)
+        hash_fit = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                                random_state=0, n_landmarks=10,
+                                kernel_params={"sigma": 2.0}).fit(df)
+        expl = KernelKMeans(n_clusters=2, kernel="gak", max_iter=10,
+                            random_state=0, n_landmarks=10,
+                            landmarks=list(range(10)),
+                            kernel_params={"sigma": 2.0}).fit(df)
+        hl = {r["series_id"]: r["cluster"]
+              for r in hash_fit.labels_.collect()}
+        nl = {r["series_id"]: r["cluster"] for r in expl.labels_.collect()}
+        # an explicit set covering the same ids routes through identical
+        # machinery: same landmark matrix, same phi, same labels
+        assert nl == hl
+        with _pytest.raises(ValueError, match="landmarks"):
+            KernelKMeans(n_clusters=2, kernel="gak", n_landmarks=3,
+                         landmarks=[0, 1, 999],
+                         kernel_params={"sigma": 2.0}).fit(df)
+
     def test_kshape_explicit_init_and_n_init(self, spark):
         """init accepts explicit centers (fit starts from them); n_init
         keeps the best-inertia run."""

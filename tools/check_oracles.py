@@ -87,6 +87,18 @@ def main() -> None:
         i = args.index("--json")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
+    skip: dict[str, str] = {}
+    if "--skip" in args:
+        # --skip name=reason,name=reason — recorded on the board as an
+        # explicit skipped_<reason> status (used for the generated-sf1
+        # board, where the declared-quadratic all-pairs queries exceed
+        # the driver-result/oracle budget BY DESIGN; silently omitting
+        # them would read as coverage)
+        i = args.index("--skip")
+        for tok in args[i + 1].split(","):
+            n, _, r = tok.partition("=")
+            skip[n] = r or "declared"
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     board: dict = {}
@@ -107,6 +119,10 @@ def main() -> None:
     n_ok = n_bad = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"{name:28s} SKIP ({skip[name]})")
+            board[name] = {"status": "skipped", "reason": skip[name]}
             continue
         t0 = time.perf_counter()
         try:
