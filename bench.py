@@ -1221,7 +1221,11 @@ def _warm_remeasure(spark, qs, sf_dir: str, flagged: list,
               "control_ratios": warm_ratios, "medians": warm_med,
               "unadjudicated": []}
     for n in flagged:
-        now_norm = round(warm_med[n] / warm_ambient, 3)
+        # clamp like every other normalization site: ambient < 1 means
+        # the BASELINE was slower than this window — dividing by it
+        # would re-inflate the warm sample (r12: a 0.587 warm window
+        # turned 2.447 s raw into a fictitious 4.172 s "normalized")
+        now_norm = round(warm_med[n] / max(warm_ambient, 1.0), 3)
         # same conjunction as the cold flag: normalized AND raw
         if n in prior and _gate(now_norm, prior[n]) \
                 and _gate(warm_med[n], prior[n]):

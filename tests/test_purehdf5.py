@@ -58,6 +58,22 @@ class TestPureHdf5:
         assert back["fitted"]["deep"]["x"].dtype == np.float32
         assert back["emptygrp"] == {}
 
+    def test_empty_and_scalar_edge_types(self, tmp_path):
+        """Size-0 unicode arrays keep their dtype (np.char.encode
+        degrades them to float64 — regression), numpy scalars keep
+        their width, and extreme values survive."""
+        d = {"g": {"empty_u": np.array([], dtype="U4"),
+                   "i32": np.int32(-5), "u8": np.uint8(200),
+                   "big": 2 ** 52, "tiny": -1.5e-300}}
+        p = str(tmp_path / "e.h5")
+        purehdf5.save_dict(d, p, "data")
+        b = purehdf5.load_dict(p, "data")["g"]
+        assert b["empty_u"].shape == (0,) and b["empty_u"].dtype.str == "<U4"
+        assert b["i32"].dtype == np.int32 and int(b["i32"]) == -5
+        assert b["u8"].dtype == np.uint8 and int(b["u8"]) == 200
+        assert int(b["big"]) == 2 ** 52
+        assert float(b["tiny"]) == -1.5e-300
+
     def test_existing_file_raises(self, tmp_path):
         p = str(tmp_path / "m.h5")
         purehdf5.save_dict({"a": 1}, p, "data")

@@ -230,8 +230,12 @@ def _to_dataset(value: Any) -> tuple[np.ndarray, dict]:
     if isinstance(value, np.ndarray):
         if value.dtype.kind == "U":
             # fixed-length UTF-8, null-padded; the dtype attr restores
-            # the unicode dtype on load (mirrors the h5py path's tag)
-            enc = np.char.encode(value, "utf-8")
+            # the unicode dtype on load (mirrors the h5py path's tag).
+            # np.char.encode DEGRADES an empty U-array to float64 —
+            # route size-0 arrays through astype so the stored datatype
+            # stays a string class and the tag applies on load.
+            enc = (np.char.encode(value, "utf-8") if value.size
+                   else value.astype("S1"))
             return enc, {"dtype": value.dtype.str}
         if value.dtype.kind in "iuf":
             return np.ascontiguousarray(value), {}
