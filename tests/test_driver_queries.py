@@ -824,10 +824,21 @@ def test_gate_premises_hold_at_all_gated_sfs():
     import duckdb
 
     checked = 0
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        events = f"/root/testdata/{sf}/events.parquet"
-        if not os.path.exists(events):
+    # the generated 10x scale dir (when present) is swept too — its
+    # full-roster board (CORRECTNESS_SF1) hash-gates clustering_labels
+    # and svc_gak_classify at 15000 series, so the same premises must
+    # hold there; Spark writes it as a dataset DIRECTORY, hence the glob
+    scale_events = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_sf1", "events.parquet")
+    dirs = [f"/root/testdata/{sf}/events.parquet"
+            for sf in ("sf0.001", "sf0.01", "sf0.1")]
+    if os.path.isdir(scale_events):
+        dirs.append(os.path.join(scale_events, "*.parquet"))
+    for events in dirs:
+        if "*" not in events and not os.path.exists(events):
             continue
+        sf = events
         checked += 1
         con = duckdb.connect()
 

@@ -36,6 +36,11 @@ AUDITS = [
     ("ts_paa_sax", ["ObjectHashAggregate"], 1,
      "series build = the ONLY shuffle; raw PAA + z-scale + quantize are "
      "per-row projections over the same scan, no join"),
+    ("ts_barycenter", ["HashAggregate", "partial_sum"], 2,
+     "positionwise mean = posexplode projections + ONE partial-agg "
+     "shuffle on (t, dim) after the series-build agg; the r12 1/64 "
+     "quantization is a map-only transform inside the same projection "
+     "(exact sums in any association — no plan cost)"),
     ("dedup_minhash", ["HashAggregate", "partial_min"], None,
      "signature = one grouped aggregate, map-side combinable"),
     ("dedup_minhash_verified", ["array_intersect", "partial_min"], None,
