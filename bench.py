@@ -650,19 +650,30 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         return est
 
     def _rand_index_dfs(lab_a, lab_b) -> float | None:
-        """Pairwise co-membership agreement of two labels_ DataFrames."""
+        """Pairwise co-membership agreement (Rand index) of two labels_
+        DataFrames — O(n + k^2) via contingency pair counting, NOT the
+        O(n^2) triu materialization (15000 sf1 series would allocate
+        ~2.5 GB of index/bool arrays on the driver)."""
         import numpy as np
 
         la = {r["series_id"]: r["cluster"] for r in lab_a.collect()}
         lb = {r["series_id"]: r["cluster"] for r in lab_b.collect()}
         ids = sorted(set(la) & set(lb))
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return None
-        a = np.asarray([la[i] for i in ids])
-        b = np.asarray([lb[i] for i in ids])
-        iu = np.triu_indices(len(ids), 1)
-        return float(((a[:, None] == a[None, :])[iu]
-                      == (b[:, None] == b[None, :])[iu]).mean())
+        _, ai = np.unique([la[i] for i in ids], return_inverse=True)
+        _, bi = np.unique([lb[i] for i in ids], return_inverse=True)
+
+        def c2(x):
+            return x * (x - 1) / 2.0
+
+        nij = np.bincount(ai * (bi.max() + 1) + bi)
+        total = c2(float(n))
+        agree = (total + 2.0 * c2(nij.astype(float)).sum()
+                 - c2(np.bincount(ai).astype(float)).sum()
+                 - c2(np.bincount(bi).astype(float)).sum())
+        return float(agree / total)
 
     def _quality_cols(name, est, refit):
         """r12: fit-quality columns next to the seconds — a perf round
@@ -725,16 +736,10 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         # approximate kernel's), partitions are
         el = {r["series_id"]: r["cluster"]
               for r in kk_exact.labels_.collect()}
-        nl = {r["series_id"]: r["cluster"]
-              for r in kk_ny.labels_.collect() if r["series_id"] in el}
-        ids = sorted(set(el) & set(nl))
-        a = np.asarray([el[i] for i in ids])
-        b = np.asarray([nl[i] for i in ids])
-        iu = np.triu_indices(len(ids), 1)
-        rand = float(((a[:, None] == a[None, :])[iu]
-                      == (b[:, None] == b[None, :])[iu]).mean())
+        ids = sorted(el)
+        rand = _rand_index_dfs(kk_exact.labels_, kk_ny.labels_)
         out["kernel_kmeans_nystroem"]["rand_index_vs_exact_sample"] = \
-            round(rand, 4)
+            round(rand, 4) if rand is not None else None
         # pure approximation error, decoupled from local-optimum drift:
         # relative Frobenius error of the Nystroem Gram phi phi^T vs the
         # exact Gram on the 300-series sample (the exact fit already

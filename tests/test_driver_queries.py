@@ -828,12 +828,17 @@ def test_gate_premises_hold_at_all_gated_sfs():
     # full-roster board (CORRECTNESS_SF1) hash-gates clustering_labels
     # and svc_gak_classify at 15000 series, so the same premises must
     # hold there; Spark writes it as a dataset DIRECTORY, hence the glob
-    scale_events = os.path.join(
+    scale_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scale_sf1", "events.parquet")
+        ".scale_sf1")
+    scale_events = os.path.join(scale_dir, "events.parquet")
     dirs = [f"/root/testdata/{sf}/events.parquet"
             for sf in ("sf0.001", "sf0.01", "sf0.1")]
-    if os.path.isdir(scale_events):
+    # gate on the generator's _COMPLETE marker, not directory existence:
+    # a crashed generation leaves a partial dataset dir whose sweep
+    # failures would masquerade as premise violations
+    if os.path.isdir(scale_events) and \
+            os.path.exists(os.path.join(scale_dir, "_COMPLETE")):
         dirs.append(os.path.join(scale_events, "*.parquet"))
     for events in dirs:
         if "*" not in events and not os.path.exists(events):

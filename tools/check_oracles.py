@@ -104,12 +104,15 @@ def main() -> None:
     board: dict = {}
     spark = get_spark("check_oracles")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(sf_dir, "customer.parquet")) and \
-            os.path.basename(sf_dir.rstrip("/")) == ".scale_sf1":
+    if os.path.basename(sf_dir.rstrip("/")) == ".scale_sf1":
         # pointing the board at the generated scale dir self-provisions
         # it (documents/embeddings/events + the r12 10x TPC-H tables),
         # so `python tools/check_oracles.py /root/repo/.scale_sf1` is a
-        # one-command full-roster sf1 board
+        # one-command full-roster sf1 board.  The ensure_* calls are
+        # unconditional BY DESIGN: they gate on their own _COMPLETE
+        # markers, so a generation that crashed mid-write (tables
+        # present, marker absent) heals here instead of failing on
+        # missing views — probing for one table file would not.
         from tools.gen_scale_data import ensure_sf1, ensure_sf1_tpch
         ensure_sf1(spark, dest_dir=sf_dir)
         ensure_sf1_tpch(spark, dest_dir=sf_dir)

@@ -4,9 +4,10 @@ Reference: tslearn/bases/bases.py:13-287.  BaseModelPackage provides the
 instance-level persistence protocol (`model.to_json(path)`,
 `Class.from_json(path)`, `_to_dict`, `_get_model_params`, `_is_fitted`)
 over the SAME hyper/fitted-param dict that `model_io` serializes;
-to_pickle shares that dict payload, and to_hdf5 is gated on h5py
-(loud NotImplementedError otherwise — codec matrix in the model_io
-module docstring).  TimeSeriesBaseEstimator supplies the
+to_pickle shares that dict payload, and to_hdf5 works on either HDF5
+backend — h5py when importable, tslearn_spark.purehdf5 otherwise
+(codec matrix in the model_io module docstring).
+TimeSeriesBaseEstimator supplies the
 sklearn get_params/set_params protocol via __init__ introspection
 (the reference inherits sklearn's BaseEstimator; sklearn is absent
 here, so the protocol is implemented directly).

@@ -1235,6 +1235,13 @@ class KernelKMeans(_LabelsCompatMixin, BaseModelPackage, TimeSeriesBaseEstimator
             kp["sigma"] = self.sigma_gak_
         else:
             self.sigma_gak_ = None
+        if self.landmarks is not None and self.n_landmarks is None:
+            # landmarks only make sense on the Nystroem path — silently
+            # running the exact O(n^2) fit would drop the user's choice
+            # AND pay the quadratic cost they opted out of
+            raise ValueError(
+                "landmarks= requires n_landmarks (the Nystroem scale "
+                "path); without it the exact fit would ignore them")
         if self.n_landmarks is not None:
             return self._fit_nystroem(raw, df, kp, weight_col)
         # localCheckpoint, not cache(): cache keeps the full cdist plan in

@@ -57,6 +57,14 @@ def _require_h5py() -> None:
 
 def _write_entry(grp, key: str, value: Any) -> None:
     if isinstance(value, np.ndarray):
+        if value.dtype.kind not in "Uiufb":
+            # keep the accept/reject matrix IDENTICAL across backends:
+            # h5py would happily store e.g. complex or bytes arrays that
+            # the purehdf5 subset rejects, making the same model save
+            # fine in one environment and raise in another
+            raise TypeError(
+                f"array dtype {value.dtype} for key {key!r} is not "
+                "representable in the HDF5 model layout")
         if value.dtype.kind == "U":
             # unicode arrays need vlen-str storage; remember the original
             # dtype so load restores it (reference hdftools.py:72-76)

@@ -13,12 +13,12 @@ bases.py:164-287 — all three serialize the SAME param dict):
 codec                    here     why
 =======================  =======  ==================================
 JSON                     yes      portable, diff-able, replayable
-HDF5                     gated    reference layout via
-                                  tslearn_spark.hdftools wherever
-                                  h5py imports; loud
-                                  NotImplementedError otherwise
-                                  (h5py is absent in the test
-                                  container)
+HDF5                     yes      reference layout via
+                                  tslearn_spark.hdftools — h5py
+                                  when importable, the from-scratch
+                                  purehdf5 subset writer otherwise
+                                  (r12), so the codec needs no
+                                  dependency
 pickle                   yes      reference protocol-2 dump of the
                                   param dict (bases.py:257-287) — but
                                   of the ENCODED dict (the JSON
@@ -34,7 +34,7 @@ pickle                   yes      reference protocol-2 dump of the
 
 Per-estimator matrix (reference: each estimator inherits all three
 codecs from BaseModelPackage; json/pickle share one dict payload here,
-so the rows below apply to both — hdf5 likewise wherever h5py exists):
+so the rows below apply to both — hdf5 likewise, on either backend):
 
 =========================  =========  ==============================
 estimator                  json       notes
@@ -64,8 +64,8 @@ DataFrame-shaped state is never serialized, mirroring the reference's
 refusal to persist raw training data (bases.py:conv_blacklist).
 
 ``save_model``/``load_model`` accept an explicit ``fmt`` or infer it
-from the extension; an hdf5 request without h5py fails loudly with the
-reason above rather than silently writing JSON.
+from the extension; an hdf5 request routes through whichever backend
+hdftools resolved (h5py or purehdf5) — never silently JSON.
 """
 
 from __future__ import annotations

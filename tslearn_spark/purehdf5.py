@@ -238,6 +238,11 @@ def _to_dataset(value: Any) -> tuple[np.ndarray, dict]:
                    else value.astype("S1"))
             return enc, {"dtype": value.dtype.str}
         if value.dtype.kind in "iuf":
+            # the datatype message always declares little-endian, so
+            # big-endian arrays must be byte-converted, not raw-copied
+            # (silent corruption otherwise)
+            if value.dtype.byteorder == ">":
+                value = value.astype(value.dtype.newbyteorder("<"))
             return np.ascontiguousarray(value), {}
         if value.dtype.kind == "b":
             return value.astype(np.uint8), {"dtype": "|b1"}
@@ -252,9 +257,11 @@ def _to_dataset(value: Any) -> tuple[np.ndarray, dict]:
     if isinstance(value, float):
         return np.full((), value, np.float64), {}
     if isinstance(value, str):
+        # NO tag: a scalar string dataset reads back as bytes -> str in
+        # both this reader and hdftools' h5py branch (a private tag like
+        # 'scalar-str' would crash h5py-side astype on cross-env reads)
         raw = value.encode("utf-8")
-        return np.array(raw, dtype=f"S{max(len(raw), 1)}"), \
-            {"dtype": "scalar-str"}
+        return np.array(raw, dtype=f"S{max(len(raw), 1)}"), {}
     raise TypeError(f"{type(value).__name__} is not representable")
 
 
@@ -391,7 +398,9 @@ def _from_dataset(raw: bytes, shape: tuple[int, ...], kind: str,
     if kind == "str":
         arr = np.frombuffer(raw, dtype=f"S{elem}",
                             count=int(np.prod(shape, dtype=int)))
-        if shape == () and tagged == "scalar-str":
+        if shape == ():
+            # scalar string: bytes -> str, mirroring hdftools'
+            # h5py-branch decode (no private tag involved)
             return arr[0].rstrip(b"\x00").decode("utf-8")
         dec = np.array([x.rstrip(b"\x00").decode("utf-8")
                         for x in arr.ravel()])
