@@ -53,6 +53,9 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
     bc = spark.sparkContext.broadcast((q_ids, Q))
 
     def gen(batches):
+        from tslearn_spark.blasctl import limit_blas_threads
+
+        limit_blas_threads(1)  # task-parallel workers: 1 BLAS thread each
         ids_b, Qm = bc.value
         q_sq = np.einsum("ij,ij->i", Qm, Qm)
         for pdf in batches:

@@ -480,6 +480,9 @@ def embedding_neardup_pairs(
         thr = float(threshold)
 
         def gen(batches):
+            from tslearn_spark.blasctl import limit_blas_threads
+
+            limit_blas_threads(1)  # task-parallel: 1 BLAS thread each
             ids_b, Qn_b = bc.value
             for pdf in batches:
                 if len(pdf) == 0:

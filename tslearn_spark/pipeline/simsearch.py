@@ -99,8 +99,13 @@ def brute_force_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn))
 
     def gen(batches):
+        from tslearn_spark.blasctl import limit_blas_threads
         from tslearn_spark.topk import merge_topk_columns, topk_rows_of_matrix
 
+        # 32 workers x 32 default OpenBLAS threads oversubscribes the
+        # box and bimodally collapses this GEMM stage (0.8 s <-> 20 s
+        # measured r12) — one BLAS thread per task-parallel worker
+        limit_blas_threads(1)
         ids_b, Qn_b = bc.value
         n_q = len(ids_b)
         # query-chunked, QUERY-MAJOR scoring: sims for a 4096-query
@@ -192,6 +197,9 @@ def assign_ivf_lists(
     bc = candidates.sparkSession.sparkContext.broadcast(Cen)
 
     def gen(batches):
+        from tslearn_spark.blasctl import limit_blas_threads
+
+        limit_blas_threads(1)  # task-parallel workers: 1 BLAS thread each
         C = bc.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -313,8 +321,10 @@ def ivf_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn, Cen, probers))
 
     def score_gen(batches):
+        from tslearn_spark.blasctl import limit_blas_threads
         from tslearn_spark.topk import merge_topk_columns
 
+        limit_blas_threads(1)  # task-parallel workers: 1 BLAS thread each
         q_ids_b, Qn_b, C, probers_b = bc.value
         # running per-TASK partial over ALL queries (k rows, -inf pads):
         # per-(batch, list) emits would grow the final window's shuffle
@@ -462,6 +472,9 @@ def _blas_buckets_udf(dim: int, bits: int, n_tables: int, seed: int):
 
     @pandas_udf("array<long>")
     def gen(vec: pd.Series) -> pd.Series:
+        from tslearn_spark.blasctl import limit_blas_threads
+
+        limit_blas_threads(1)  # task-parallel workers: 1 BLAS thread each
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
         if V.size == 0:
             return pd.Series([], dtype=object)
@@ -527,6 +540,9 @@ def multiprobe_buckets_udf(dim: int, bits: int, n_tables: int, seed: int,
 
     @pandas_udf("array<struct<t: int, bucket: long>>")
     def gen(vec: pd.Series) -> pd.Series:
+        from tslearn_spark.blasctl import limit_blas_threads
+
+        limit_blas_threads(1)  # task-parallel workers: 1 BLAS thread each
         out = []
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
         if V.size == 0:
