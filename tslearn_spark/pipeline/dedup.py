@@ -500,7 +500,13 @@ def embedding_neardup_pairs(
                     "cosine": sims[r, c],
                 })
 
-        return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        from tslearn_spark.pipeline.simsearch import _spread_compute
+
+        # compute-spread like brute_force_topk: a byte-sized scan must
+        # not serialize the GEMM stage on one (now single-BLAS-thread)
+        # worker; no-op when the input already has >= cores splits
+        return _spread_compute(
+            embeddings.select(F.col(id_col), F.col(vec_col))).mapInPandas(
             gen, "id1 long, id2 long, cosine double"
         )
 

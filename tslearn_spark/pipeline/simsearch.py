@@ -69,6 +69,24 @@ def cosine_from_norms(dot_a: str, dot_b: str, n_a: str, n_b: str):
     )
 
 
+def _spread_compute(df: DataFrame) -> DataFrame:
+    """Round-robin a COMPUTE-bound mapInPandas input across all cores
+    when the scan yields fewer splits than the cluster has slots.
+
+    Parquet splits are sized by BYTES: a small-but-GEMM-heavy table
+    (the sf0.1 embeddings are one 0.8 MB file -> ONE task) serializes
+    the whole scoring stage on a single worker — with the r12 one-BLAS-
+    thread-per-worker cap that is a single CORE.  The repartition costs
+    one shuffle of the (tiny, by definition) row set; at real scale the
+    input has >= cores splits and this is a no-op, so the 100-TB plan
+    is unchanged.  Same rationale as metrics._spread for kernel joins.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -160,7 +178,7 @@ def brute_force_topk(
                 "cosine": best_s.T.ravel(),
             })
 
-    partial = candidates.mapInPandas(
+    partial = _spread_compute(candidates).mapInPandas(
         gen, "query_id long, neighbor_id long, cosine double"
     ).where(F.col("cosine") > float("-inf"))
     w = Window.partitionBy("query_id").orderBy(
@@ -212,7 +230,8 @@ def assign_ivf_lists(
 
     schema = candidates.select(id_col, vec_col).schema.add(
         list_col, "integer")
-    return candidates.select(id_col, vec_col).mapInPandas(gen, schema)
+    return _spread_compute(
+        candidates.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 def ivf_topk(
@@ -385,7 +404,7 @@ def ivf_topk(
         ).select(id_col, vec_col, list_col)
     else:
         cand_src = candidates.select(id_col, vec_col)
-    partial = cand_src.mapInPandas(
+    partial = _spread_compute(cand_src).mapInPandas(
         score_gen, "query_id long, neighbor_id long, cosine double"
     ).where(F.col("cosine") > float("-inf"))
     w = Window.partitionBy("query_id").orderBy(
