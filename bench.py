@@ -759,7 +759,8 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
         out["kernel_kmeans_nystroem"]["gram_rel_frobenius_err"] = \
             round(fro, 4)
         print(f"[bench] sf1 fit kernel_kmeans_nystroem rand-vs-exact: "
-              f"{rand:.4f} gram-err: {fro:.4f}", file=sys.stderr)
+              f"{'n/a' if rand is None else format(rand, '.4f')} "
+              f"gram-err: {fro:.4f}", file=sys.stderr)
     def _early():
         lab = ts16.withColumn(
             "label", (F.col("series_id") % 3).cast("string"))

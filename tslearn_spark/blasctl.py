@@ -46,11 +46,18 @@ def limit_blas_threads(n: int = 1) -> bool:
         })
         for path in libs:
             lib = ctypes.CDLL(path)
-            for sym in ("openblas_set_num_threads",
-                        "openblas_set_num_threads64_"):
+            for sym, argtype in (("openblas_set_num_threads", ctypes.c_int),
+                                 ("openblas_set_num_threads64_",
+                                  ctypes.c_int64)):
                 fn = getattr(lib, sym, None)
                 if fn is not None:
-                    fn(int(n))
+                    # declare the argtype explicitly: the ILP64-suffixed
+                    # symbol takes a 64-bit int, and ctypes' default C-int
+                    # marshalling leaves the upper register bits
+                    # unspecified on some ABIs
+                    fn.argtypes = [argtype]
+                    fn.restype = None
+                    fn(argtype(int(n)))
                     _DONE[n] = True
                     return True
     except Exception:

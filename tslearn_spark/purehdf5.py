@@ -202,7 +202,20 @@ class _Writer:
                     bytes(snod.ljust(_SNOD_SIZE, b"\x00"))))
                 last_names.append(chunk[-1][0])
             # one B-tree leaf node: key_0 = empty string, key_{i+1} = the
-            # largest name in child i (group-node key semantics)
+            # largest name in child i (group-node key semantics).  The
+            # single-leaf layout holds at most 2*_INTERNAL_K children —
+            # beyond that the entry count exceeds the node size the
+            # superblock declares, and external libhdf5 readers (which
+            # validate K) would reject the file while our own reader
+            # happily walks it.  Fail loudly instead of writing such a
+            # file; model param dicts are far below the cap in practice.
+            if len(snod_addrs) > 2 * _INTERNAL_K:
+                raise ValueError(
+                    f"purehdf5 group overflow: {len(entries)} links need "
+                    f"{len(snod_addrs)} symbol-table nodes, but the "
+                    f"single-leaf B-tree layout holds at most "
+                    f"{2 * _INTERNAL_K} (={2 * _INTERNAL_K * _SNOD_CAP} "
+                    f"links); split the payload or use h5py")
             node = bytearray(b"TREE" + struct.pack(
                 "<BBHQQ", 0, 0, len(snod_addrs), UNDEF, UNDEF))
             node += struct.pack("<Q", 0)
