@@ -13,6 +13,7 @@ order cannot flip the hash.  Integer/hash/symbol outputs are exact.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,28 @@ _SAX_GAP2 = [
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _oracle_sample_mod() -> int | None:
+    """Optional QUERY-side sampling modulus for the oracle board.
+
+    Unset (the driver's gates at sf0.001/0.01/0.1), every query keeps
+    its full declared semantics — nothing here changes the driver's
+    hash gate.  When ``SPARK_GRAFT_ORACLE_SAMPLE_MOD`` is set (by
+    ``tools/check_oracles.py --sample-mod N``, used for the generated
+    big-scale boards), the nine all-pairs / brute-top-k queries
+    restrict their QUERY side to ``key % N == 0`` while the
+    build/corpus side stays the FULL table — so the engine still
+    exercises the full-size distributed path (full build scan, full
+    index, full top-k machinery) and only the DuckDB oracle's pair
+    count drops from O(n^2) to O(n^2 / N).  At the sf1 dir (15000
+    series / 20000 embeddings) N=150 keeps every oracle at ~100 query
+    rows x full build = ~1.5-2M pairs — seconds in DuckDB — which is
+    what lets those nine queries be hash-gated at sf1 instead of
+    recorded as declared quadratic-oracle skips (round-13 directive 1).
+    """
+    v = os.environ.get("SPARK_GRAFT_ORACLE_SAMPLE_MOD")
+    return int(v) if v else None
+
 
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> univariate ts DataFrame keyed by user_id, ordered by
@@ -319,6 +342,9 @@ def ts_paa_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = paa.select(
         F.col("series_id").alias("id1"), F.col("paa").alias("paa1"), F.col("sz").alias("sz1")
     )
+    sm = _oracle_sample_mod()
+    if sm:  # board sampling: query side only; b stays the full table
+        a = a.where(F.col("id1") % sm == 0)
     b = paa.select(
         F.col("series_id").alias("id2"), F.col("paa").alias("paa2")
     )
@@ -353,6 +379,9 @@ def ts_sax_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = out.select(F.col("series_id").alias("id1"), F.col("sax").alias("sax1"),
                    F.col("sz").alias("sz1"))
+    sm = _oracle_sample_mod()
+    if sm:  # board sampling: query side only; b stays the full table
+        a = a.where(F.col("id1") % sm == 0)
     b = out.select(F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))
     pairs = a.join(b, F.col("id1") < F.col("id2"))
     return pairs.select(
@@ -413,6 +442,9 @@ def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("series_id").alias("id2"), lo.alias("lo"), up.alias("up")
     ).select("id2", envelope_struct_col("lo", "up").alias("env")).localCheckpoint()
     q = _spread(ts.select(F.col("series_id").alias("id1"), F.col("values").alias("qv")))
+    sm = _oracle_sample_mod()
+    if sm:  # board sampling: query side only; envelope side stays full
+        q = q.where(F.col("id1") % sm == 0)
     pairs = q.join(F.broadcast(cand), F.col("id1") < F.col("id2"))
     return pairs.select(
         "id1", "id2", F.round(lb_keogh_env_col("qv", "env"), 6).alias("lb_keogh")
@@ -584,7 +616,9 @@ def knn_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = resample(
         _events_series(spark, sf_dir).where(F.size("values") >= 2), 16
     ).cache()  # the fast path reads the input 3x (shape check, collect, scan)
-    nn = kneighbors(ts, ts, k=1, metric="euclidean", drop_self=True)
+    sm = _oracle_sample_mod()
+    q = ts.where(F.col("series_id") % sm == 0) if sm else ts
+    nn = kneighbors(q, ts, k=1, metric="euclidean", drop_self=True)
     return nn.select(
         F.col("id1").alias("user_id"),
         F.col("id2").alias("neighbor_id"),
@@ -641,6 +675,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     out = embedding_neardup_pairs(t["embeddings"], threshold=0.35)
+    sm = _oracle_sample_mod()
+    if sm:  # board sampling: the full blocked-BLAS pass still runs; the
+        # gate hash-checks the id1-sampled slice of its output
+        out = out.where(F.col("id1") % sm == 0)
     return out.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
 
 
@@ -751,7 +789,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import ivf_topk
 
     t = load_tables(spark, sf_dir)
-    out = ivf_topk(t["embeddings"], t["embeddings"], k=5, n_lists=16, n_probe=4)
+    emb = t["embeddings"]
+    sm = _oracle_sample_mod()
+    q = emb.where(F.col("vec_id") % sm == 0) if sm else emb
+    out = ivf_topk(q, emb, k=5, n_lists=16, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -812,7 +853,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.pipeline import brute_force_topk
 
     t = load_tables(spark, sf_dir)
-    out = brute_force_topk(t["embeddings"], t["embeddings"], k=5)
+    emb = t["embeddings"]
+    sm = _oracle_sample_mod()
+    q = emb.where(F.col("vec_id") % sm == 0) if sm else emb
+    out = brute_force_topk(q, emb, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -1245,7 +1289,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pinned by tests/test_driver_queries.py::test_embeddings_width —
     # a width drift would silently bucket truncated dots otherwise);
     # passing it skips the one-row probe job
-    out = lsh_topk(t["embeddings"], t["embeddings"], k=5, bits=6, n_tables=4,
+    emb = t["embeddings"]
+    sm = _oracle_sample_mod()
+    q = emb.where(F.col("vec_id") % sm == 0) if sm else emb
+    out = lsh_topk(q, emb, k=5, bits=6, n_tables=4,
                    dim=64)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
@@ -1269,15 +1316,17 @@ def silhouette_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(values, p -> p[0])").alias("vals"),
     )
     arr.createOrReplaceTempView("_sil_arr")
+    sm = _oracle_sample_mod()
+    sp = f"AND a.user_id % {sm} = 0" if sm else ""
     return spark.sql(
-        """
+        f"""
         WITH dists AS (
           SELECT a.user_id AS id1, a.cluster AS c1, b.user_id AS id2,
                  b.cluster AS c2,
                  sqrt(aggregate(zip_with(a.vals, b.vals,
                                          (x, y) -> (x - y) * (x - y)),
                                 0.0D, (acc, z) -> acc + z)) AS dist
-          FROM _sil_arr a JOIN _sil_arr b ON a.user_id != b.user_id
+          FROM _sil_arr a JOIN _sil_arr b ON a.user_id != b.user_id {sp}
         ),
         per AS (
           SELECT id1, c1, c2, avg(dist) AS mean_d
@@ -1833,6 +1882,16 @@ def _tiny_gak_cte(pair_pred: str) -> str:
 def oracle_sql() -> dict[str, str]:
     bp = _BPS  # SAX breakpoints, identical literals on both sides
     seg = SAX_SEGMENTS
+    sm = _oracle_sample_mod()
+
+    def p(col: str) -> str:
+        # Query-side sampling predicate, mirroring the engine-side
+        # filter the nine all-pairs/top-k queries apply when the board
+        # runs with --sample-mod (see _oracle_sample_mod).  Placed at
+        # each oracle's expensive join so DuckDB's pair count drops to
+        # O(n^2 / mod) regardless of pushdown.  Empty when unset.
+        return f"AND {col} % {sm} = 0" if sm else ""
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2074,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(sum((a.m - b.m) * (a.m - b.m)) * max(a.n) / {float(seg)}), 6)
                      AS paa_dist
             FROM paa a JOIN paa b ON a.seg = b.seg AND a.user_id < b.user_id
+                 {p('a.user_id')}
             GROUP BY a.user_id, b.user_id
         """,
         "dedup_exact": """
@@ -2108,7 +2168,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
         """,
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": f"""
             WITH e AS (
               SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                      unnest(embedding)::DOUBLE AS v
@@ -2118,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
             dots AS (
               SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
               FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                   {p('a.vec_id')}
               GROUP BY 1, 2
             ),
             cos AS (
@@ -2319,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
                      {_gap2_duck()}[a.symbol + 1][b.symbol + 1]
                    ) * max(a.n) / {float(seg)}), 6) AS sax_dist
             FROM sym a JOIN sym b ON a.seg = b.seg AND a.user_id < b.user_id
+                 {p('a.user_id')}
             GROUP BY a.user_id, b.user_id
         """,
         "knn_sax_classify": f"""
@@ -2394,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
                           WHEN q.rvalue < e.lo THEN (e.lo - q.rvalue) * (e.lo - q.rvalue)
                           ELSE 0.0 END)), 6) AS lb_keogh
             FROM rs q JOIN env e ON q.t = e.t AND q.user_id < e.user_id
+                 {p('q.user_id')}
             GROUP BY q.user_id, e.user_id
         """,
         "events_running_zscore": _RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL),
@@ -2470,7 +2533,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
-        "silhouette_euclidean_16": """
+        "silhouette_euclidean_16": f"""
             WITH s AS (
                 SELECT user_id,
                        row_number() OVER (PARTITION BY user_id
@@ -2493,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
                      b.cluster AS c2,
                      sqrt(sum((a.rvalue - b.rvalue) * (a.rvalue - b.rvalue))) AS dist
               FROM rs a JOIN rs b ON a.t = b.t AND a.user_id != b.user_id
+                   {p('a.user_id')}
               GROUP BY a.user_id, a.cluster, b.user_id, b.cluster
             ),
             per AS (
@@ -2507,7 +2571,7 @@ def oracle_sql() -> dict[str, str]:
                    round((b_.b - a_.a) / greatest(a_.a, b_.b), 6) AS s
             FROM a_ JOIN b_ ON a_.id1 = b_.id1
         """,
-        "knn_euclidean_16": """
+        "knn_euclidean_16": f"""
             WITH s AS (
                 SELECT user_id,
                        row_number() OVER (PARTITION BY user_id
@@ -2529,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.user_id AS user_id, b.user_id AS neighbor_id,
                      sqrt(sum((a.rvalue - b.rvalue) * (a.rvalue - b.rvalue))) AS dist
               FROM rs a JOIN rs b ON a.t = b.t AND a.user_id != b.user_id
+                   {p('a.user_id')}
               GROUP BY a.user_id, b.user_id
             ),
             rk AS (
@@ -3053,7 +3118,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
               FROM buckets q JOIN buckets c
                 ON q.tbl = c.tbl AND q.bucket = c.bucket
-                   AND q.vec_id != c.vec_id
+                   AND q.vec_id != c.vec_id {p('q.vec_id')}
             ),
             norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
             pair_dots AS (
@@ -3092,7 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         # form could flip an argmax/rank the engine's BLAS path doesn't.
         # tests/test_pipeline.py (near-tie fixture) pins this agreement on
         # adversarial exact-tie data.
-        "ann_ivf_topk": """
+        "ann_ivf_topk": f"""
             WITH e AS (
               SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                      unnest(embedding)::DOUBLE AS v
@@ -3119,7 +3184,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             assign AS (SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1),
             probes AS (SELECT vec_id AS query_id, cid AS list_id
-                       FROM ranked WHERE rn <= 4),
+                       FROM ranked WHERE rn <= 4 {p('vec_id')}),
             cand AS (
               SELECT p.query_id, a.vec_id AS neighbor_id
               FROM probes p JOIN assign a ON a.list_id = p.list_id
@@ -3141,7 +3206,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
             FROM rk WHERE rank <= 5
         """,
-        "ann_cosine_topk": """
+        "ann_cosine_topk": f"""
             WITH e AS (
               SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                      unnest(embedding)::DOUBLE AS v
@@ -3157,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      sum(a.v * b.v) AS cosine
               FROM en a JOIN en b ON a.i = b.i AND a.vec_id != b.vec_id
+                   {p('a.vec_id')}
               GROUP BY a.vec_id, b.vec_id
             ),
             rk AS (

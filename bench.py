@@ -154,6 +154,65 @@ def _time_controls(spark, qs, sf01_dir: str, n_passes: int = 2) -> dict:
     return {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
 
 
+def _history_entries() -> list:
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _HISTORY_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
+def _dispersion(series: dict) -> dict:
+    """Per-query robust location/spread over historical samples:
+    {name: {med, mad, n}} for every query with >= 3 recorded values."""
+    out = {}
+    for name, vals in series.items():
+        vals = [v for v in vals if v is not None]
+        if len(vals) >= 3:
+            med = statistics.median(vals)
+            mad = statistics.median([abs(v - med) for v in vals])
+            out[name] = {"med": round(med, 3), "mad": round(mad, 3),
+                         "n": len(vals)}
+    return out
+
+
+def _prior_dispersion(sf: float) -> dict:
+    """r13 statistical-ambient policy: each query's median + MAD across
+    ALL retained same-sf history entries (control-normalized values).
+    Drift is then quoted as a z-score in units of that query's OWN
+    historical spread — the day-long r12 record showed the three
+    control ratios within one run disagreeing by 20%, so a single
+    scalar ambient factor is too coarse to adjudicate 1.2-1.4x
+    per-query drifts; a query whose history already swings that much
+    must not flag on it."""
+    entries = [e for e in _history_entries() if e.get("sf") == sf
+               and (e.get("queries_normalized") or e.get("queries"))]
+    names = {n for e in entries
+             for n in (e.get("queries_normalized") or e["queries"])}
+    return _dispersion({
+        n: [(e.get("queries_normalized") or e["queries"]).get(n)
+            for e in entries]
+        for n in names})
+
+
+def _prior_sf1_dispersion() -> dict:
+    entries = [e for e in _history_entries() if e.get("sf1_queries")]
+    names = {n for e in entries for n in e["sf1_queries"]}
+    return _dispersion(
+        {n: [e["sf1_queries"].get(n) for e in entries] for n in names})
+
+
+def _z_score(now: float, d: dict | None) -> float | None:
+    """(now - historical median) / sigma, sigma = 1.4826*MAD with floors
+    at 7% of the median and 0.05 s — three near-identical history
+    samples must not turn micro-noise into a huge z."""
+    if not d:
+        return None
+    sigma = max(1.4826 * d["mad"], 0.07 * d["med"], 0.05)
+    return round((now - d["med"]) / sigma, 2)
+
+
 def _prior_sf1_medians(k: int = 3) -> dict:
     """Per-query MEDIAN of the last ``k`` clean sf1_queries (normalized)
     history entries — the round-12 baseline policy.
@@ -232,6 +291,7 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
         print(f"[bench] sf1 local ambient: {local_ambient:.2f} "
               f"(controls {control_local})", file=sys.stderr)
     prior_sf1 = _prior_sf1_medians()
+    disp_sf1 = _prior_sf1_dispersion()
     out = {}
     for name, expect in SCALE_QUERIES:
         if time.perf_counter() - t_suite0 > budget:
@@ -257,14 +317,21 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
         }
         if prior:
             out[name]["vs_prior_sf1"] = round(norm / prior, 2)
-        print(f"[bench] sf1 {name}: {dt}s ({out[name]['vs_sf01_cold']}x)",
+        z1 = _z_score(norm, disp_sf1.get(name))
+        if z1 is not None:
+            # drift in units of this query's own sf1 historical spread
+            out[name]["z_vs_history"] = z1
+        print(f"[bench] sf1 {name}: {dt}s ({out[name]['vs_sf01_cold']}x"
+              f"{'' if z1 is None else f', z={z1}'})",
               file=sys.stderr)
     # warm re-measure of flagged entries: same conjunction gate as the
     # sf0.1 flags (normalized AND raw vs the prior sf1 baseline)
     flagged = [n for n, v in out.items()
                if v.get("sec") is not None and prior_sf1.get(n)
                and _gate(v["sec_normalized"], prior_sf1[n])
-               and _gate(v["sec"], prior_sf1[n])]
+               and _gate(v["sec"], prior_sf1[n])
+               and (v.get("z_vs_history") is None
+                    or v["z_vs_history"] >= 3.0)]
     if flagged and sf01_dir and norm01:
         # the local ambient above was measured BEFORE the whole sf1 query
         # pass — minutes stale by re-measure time, the exact staleness
@@ -313,12 +380,53 @@ def _scale_section(spark, qs, cold_base: dict, ambient: float = 1.0,
     fits = _fits_section(spark, sf1_dir)
     stream = _streaming_soak_section(spark, sf1_dir)
     bucketed = _bucketed_layout_section(spark, sf1_dir)
+    sf5 = _sf5_linear_section(spark, qs, out)
     return {"dir": sf1_dir, "rows_ratio": 10, "gen_sec": gen_s,
             "budget_sec": budget, "ambient_factor": round(ambient, 3),
             "ambient_factor_local": round(local_ambient, 3),
             "control_ratios_local": control_local,
             "queries": out, "ann_recall": recall, "fits": fits,
-            "streaming_state": stream, "bucketed_layout": bucketed}
+            "streaming_state": stream, "bucketed_layout": bucketed,
+            "sf5_linear": sf5}
+
+
+def _sf5_linear_section(spark, qs, sf1_out: dict | None) -> dict | None:
+    """One genuinely big linear pass (r13 directive 6): the three
+    cheapest linear documents-only ops at 50x sf0.1 rows (250k docs =
+    5x the sf1 documents).  All other scale evidence tops out at sf1;
+    a 5x step on top of it catches an accidental O(n log n) shuffle or
+    a super-linear constant the 10x sf0.1 -> sf1 step is too short to
+    expose.  Expectation: sec(sf5) / sec(sf1) ~ 5 for a truly linear
+    op (cold cache both sides; generous ok bar at 8x for scheduling
+    noise on sub-second baselines)."""
+    if os.environ.get("SPARK_GRAFT_SCALE_SF5", "1") == "0":
+        return None
+    from tools.gen_scale_data import ensure_sf5_documents
+
+    t0 = time.perf_counter()
+    sf5_dir = ensure_sf5_documents(spark)
+    gen_s = round(time.perf_counter() - t0, 3)
+    budget = float(os.environ.get("SPARK_GRAFT_SF5_BUDGET", "180"))
+    t_s0 = time.perf_counter()
+    out: dict = {"gen_sec": gen_s, "rows_vs_sf1": 5}
+    for name in ("dedup_exact", "text_quality", "dedup_simhash"):
+        if time.perf_counter() - t_s0 > budget:
+            out[name] = {"sec": None, "skipped_over_budget": True}
+            continue
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf5_dir).write.mode("overwrite").format(
+            "noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        base = ((sf1_out or {}).get(name) or {}).get("sec")
+        out[name] = {
+            "sec": dt,
+            "vs_sf1": round(dt / base, 2) if base else None,
+            "linear_ok": (dt / base <= 8.0) if base else None,
+        }
+        print(f"[bench] sf5 {name}: {dt}s "
+              f"({out[name]['vs_sf1']}x vs sf1)", file=sys.stderr)
+    return out
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:
@@ -840,6 +948,36 @@ def _fits_section(spark, sf1_dir: str) -> dict | None:
               f"{out['svc_landmark']['pred_agreement']}", file=sys.stderr)
     svc_train.unpersist()
     svc_test.unpersist()
+    # r13 directive 4: kshape seed instability (r12 two-seed Rand 0.565)
+    # — sweep n_init best-of-inertia restarts (the reference's own
+    # mitigation, clustering/kshape.py n_init) and record whether
+    # restarts buy label stability.  Runs LAST on its own small budget
+    # so it can never starve the standing fit entries above.
+    if "kshape" in out and out["kshape"].get("sec") is not None:
+        sweep_budget = float(os.environ.get(
+            "SPARK_GRAFT_KSHAPE_SWEEP_BUDGET", "240"))
+        t_sw0 = time.perf_counter()
+        sweep = {}
+        for ni in (2, 5):
+            if time.perf_counter() - t_sw0 > sweep_budget:
+                sweep[f"n_init_{ni}"] = {"skipped_over_budget": True}
+                continue
+            t0 = time.perf_counter()
+            a = KShape(n_clusters=3, max_iter=3, n_init=ni,
+                       random_state=0).fit(ts32)
+            b = KShape(n_clusters=3, max_iter=3, n_init=ni,
+                       random_state=1).fit(ts32)
+            ri = _rand_index_dfs(a.labels_, b.labels_)
+            sweep[f"n_init_{ni}"] = {
+                "sec_2fits": round(time.perf_counter() - t0, 3),
+                "inertia_seed0": round(float(a.inertia_), 6),
+                "inertia_seed1": round(float(b.inertia_), 6),
+                "label_stability_rand_2seeds":
+                    round(ri, 4) if ri is not None else None,
+            }
+            print(f"[bench] sf1 fit kshape n_init={ni}: "
+                  f"{sweep[f'n_init_{ni}']}", file=sys.stderr)
+        out["kshape"]["n_init_sweep"] = sweep
     for df in (ts16, ts32, capped):
         df.unpersist()
     return {"budget_sec": budget, "fits": out}
@@ -1015,13 +1153,15 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
     n_emb = emb.count()
     dim_emb = len(emb.select("embedding").first()["embedding"])
     bits_emb = auto_lsh_bits(n_emb)
+    # r13: soak at the op's DEFAULT parameters (n_tables=4,
+    # n_probes="auto" ~ 8*bits/3 — the measured high-recall recipe);
+    # the absolute state bound is n_tables x 2^bits buckets either way
     soak("ann_lsh_multiprobe_ttl",
          emb, ["vec_id", "embedding"],
          lambda s: stream_ann_lsh_candidates(
-             s, dim=dim_emb, bits=bits_emb, n_tables=2, n_probes=4,
-             ttl_ms=10_000),
+             s, dim=dim_emb, bits=bits_emb, ttl_ms=10_000),
          F.col("vec_id"),
-         bound_frac=min(1.0, 2.0 * (1 << bits_emb) / max(n_emb, 1)))
+         bound_frac=min(1.0, 4.0 * (1 << bits_emb) / max(n_emb, 1)))
     out["stream_ann_recall"] = _stream_ann_recall(spark)
     shutil.rmtree(work, ignore_errors=True)
     return {"budget_sec": budget, "ops": out}
@@ -1060,10 +1200,15 @@ def _stream_ann_recall(spark) -> dict:
     # state stays hard-bounded at n_tables x 2^bits buckets either way
     # (probes never insert) — so richer configs cost probe-time, not
     # state.  Each row records the recall/state tradeoff; the two r11
-    # configs stay first for round-over-round continuity.
+    # configs stay first for round-over-round continuity.  r13: the
+    # last row IS the op's signature default (n_tables=4,
+    # n_probes=auto_lsh_probes) at bits+2 — the promoted recipe.
+    from tslearn_spark.pipeline.simsearch import auto_lsh_probes
+    p_def = auto_lsh_probes(bits + 2)
+    out["default_config"] = f"b{bits + 2}_t4_p{p_def}"
     for b, t_tables, probes, cap in (
             (bits, 2, 1, 64), (bits, 2, 8, 64),
-            (bits, 4, 16, 64), (bits + 2, 4, 24, 64)):
+            (bits, 4, 16, 64), (bits + 2, 4, p_def, 64)):
         t0 = _t.perf_counter()
         got = {(r["id1"], r["id2"])
                for r in stream_ann_lsh_candidates(
@@ -1301,14 +1446,25 @@ def main() -> None:
     # contended scale and propagate the contamination forever.
     normalized = {name: round(t / max(ambient, 1.0), 3)
                   for name, t in timings.items()}
-    # Flag only when BOTH views trip: the ambient-compensated ratio
-    # (clears contended-now vs clean-baseline false positives) AND the
+    # r13: per-query dispersion across history + z-scores — drift
+    # quoted in units of each query's own historical spread, not just
+    # a raw ratio one scalar ambient factor must explain
+    disp = _prior_dispersion(float(sf))
+    z_scores = {name: _z_score(t, disp.get(name))
+                for name, t in normalized.items()}
+    z_scores = {n: z for n, z in z_scores.items() if z is not None}
+    # Flag only when ALL views trip: the ambient-compensated ratio
+    # (clears contended-now vs clean-baseline false positives), the
     # raw ratio (clears clean-now vs contended-baseline false positives
-    # — controls and non-controls never inflate perfectly uniformly).
+    # — controls and non-controls never inflate perfectly uniformly),
+    # AND — when history is deep enough to know the query's own spread
+    # — a z-score >= 3 (a query whose history already swings 1.4x must
+    # not flag on a 1.4x drift).
     flagged = [name for name, t in timings.items()
                if name in prior
                and _gate(t / ambient, prior[name])
-               and _gate(t, prior[name])]
+               and _gate(t, prior[name])
+               and (z_scores.get(name) is None or z_scores[name] >= 3.0)]
     if flagged:
         print(f"[bench] flagged after normalization (ambient {ambient:.2f}): "
               f"{flagged} -> warm re-measure", file=sys.stderr)
@@ -1345,6 +1501,8 @@ def main() -> None:
         "queries_normalized": normalized,
         "ambient_factor": round(ambient, 3),
         "control_ratios": control_ratios,
+        "queries_dispersion": disp,
+        "z_scores": z_scores,
         "sf": float(sf),
         "runs": n_runs,
         "samples": {name: ts for name, ts in samples.items()},
@@ -1367,6 +1525,7 @@ def main() -> None:
             json.dump(full, f)
     except OSError:
         pass
+    top_z = sorted(z_scores.items(), key=lambda kv: -abs(kv[1]))[:1]
     compact = {
         "metric": "bench_total",
         "value": total,
@@ -1375,6 +1534,10 @@ def main() -> None:
         "sf": float(sf),
         "runs": n_runs,
         "ambient_factor": round(ambient, 3),
+        # headline drift summary in spread units (full map + dispersion
+        # in .bench_full.json); |z| <~ 3 across the board = no drift
+        # beyond each query's own historical noise
+        "max_z": {"query": top_z[0][0], "z": top_z[0][1]} if top_z else None,
         "regressions": sorted(regressions),
     }
     # hard cap: the driver keeps a 2000-char stdout tail, and a line

@@ -98,3 +98,44 @@ class TestGate:
         assert not bench._gate(2.9, 2.0)       # <1.5x
         assert not bench._gate(0.9, 0.5)       # 1.8x but +0.4s only
         assert not bench._gate(1.0, 0.0)       # no baseline
+
+
+class TestDispersionPolicy:
+    """r13 statistical-ambient policy: per-query dispersion (median +
+    MAD over history) and z-scores in units of each query's own spread
+    gate the regression flags alongside the ratio conjunction."""
+
+    def test_dispersion_needs_three_samples(self, hist_file):
+        _write(hist_file, [
+            {"sf": 0.1, "queries_normalized": {"q": 1.0, "r": 1.0}},
+            {"sf": 0.1, "queries_normalized": {"q": 1.2}},
+            {"sf": 0.1, "queries_normalized": {"q": 1.1}},
+        ])
+        d = bench._prior_dispersion(0.1)
+        assert d["q"] == {"med": 1.1, "mad": 0.1, "n": 3}
+        assert "r" not in d  # only 2 samples
+
+    def test_z_score_units_of_own_spread(self):
+        # history med 2.0, mad 0.4 -> sigma = 0.5930; a 1.4x drift
+        # (2.8s) is only z ~ 1.35 for this historically-noisy query
+        d = {"med": 2.0, "mad": 0.4, "n": 5}
+        assert abs(bench._z_score(2.8, d) - 1.35) < 0.02
+        # a tight-history query: sigma floors at 7% of med
+        d2 = {"med": 2.0, "mad": 0.0, "n": 5}
+        assert bench._z_score(2.8, d2) == pytest.approx(
+            0.8 / 0.14, abs=0.05)
+        assert bench._z_score(2.8, None) is None
+
+    def test_z_floor_absolute(self):
+        # sub-0.05s sigma floors at 0.05 so micro-noise cannot explode
+        d = {"med": 0.2, "mad": 0.0, "n": 4}
+        assert bench._z_score(0.3, d) == pytest.approx(2.0)
+
+    def test_sf1_dispersion(self, hist_file):
+        _write(hist_file, [
+            {"sf": 0.1, "sf1_queries": {"q": 3.0}},
+            {"sf": 0.1, "sf1_queries": {"q": 4.0}},
+            {"sf": 0.1, "sf1_queries": {"q": 5.0}},
+        ])
+        assert bench._prior_sf1_dispersion() == {
+            "q": {"med": 4.0, "mad": 1.0, "n": 3}}

@@ -125,3 +125,111 @@ class TestPureHdf5:
         with pytest.raises(TypeError, match="not.*representable|encode"):
             hdftools.save_dict({"bad": (1, 2)}, str(tmp_path / "t.h5"),
                                "data")
+
+
+# -------------------------------------------------------- vlen READ support
+
+def _write_vlen_fixture(path: str) -> None:
+    """Handcraft an HDF5 file whose string data uses the VARIABLE-LENGTH
+    layout h5py/libhdf5 writes (datatype class 9 descriptors resolved
+    through a GCOL global heap collection, spec III.E) — the one layout
+    purehdf5's own writer never emits.  Built directly from the public
+    File Format Spec (independent of the reader under test; the writer
+    has no vlen code to be circular with).  No h5py exists in this
+    sandbox to generate a native fixture; the byte layout follows the
+    same spec sections libhdf5 implements."""
+    import struct
+
+    from tslearn_spark.purehdf5 import (
+        _MSG_ATTRIBUTE, _MSG_DATASPACE, _MSG_DATATYPE, _MSG_LAYOUT,
+        _Writer, _ds_message, _pad8,
+    )
+
+    strings = ["aa", "b", "cécé", ""]          # incl. an empty element
+    w = _Writer()
+
+    # --- global heap collection: payload objects + index-0 free tail
+    objs = b""
+    heap_ids = []                              # (length, index)
+    next_idx = 1
+    for s in strings + ["<U4", "solo-héllo"]:  # data + attr + scalar ds
+        raw = s.encode("utf-8")
+        if raw:
+            objs += struct.pack("<HH4xQ", next_idx, 1, len(raw)) + _pad8(raw)
+            heap_ids.append((len(raw), next_idx))
+            next_idx += 1
+        else:
+            heap_ids.append((0, 0))            # empty: null heap ID
+    tail = struct.pack("<HH4xQ", 0, 0, 0)
+    coll = objs + tail
+    gcol_addr = w.alloc(b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(coll))
+                        + coll)
+
+    # --- vlen-string datatype message: class 9 v1; bit field byte 0 =
+    # type (1 = string), byte 1 = charset (1 = UTF-8); size 16 = the
+    # in-file descriptor width; base type = 1-byte string (as h5py does)
+    vdt = struct.pack("<B3sI", (1 << 4) | 9, bytes([0x01, 0x01, 0]), 16)
+    vdt += struct.pack("<B3sI", (1 << 4) | 3, bytes([0x10, 0, 0]), 1)
+
+    def desc(lid):
+        ln, idx = lid
+        return struct.pack("<IQI", ln, gcol_addr if idx else 0, idx)
+
+    # --- array dataset "classes_" with a vlen "dtype" attribute
+    data = b"".join(desc(h) for h in heap_ids[:4])
+    data_addr = w.alloc(data)
+    nameb = b"dtype\x00"
+    attr = struct.pack("<BxHHH", 1, len(nameb), len(vdt),
+                       len(_ds_message(())))
+    attr += _pad8(nameb) + _pad8(vdt) + _pad8(_ds_message(()))
+    attr += desc(heap_ids[4])
+    arr_oh = w._object_header([
+        (_MSG_DATASPACE, _ds_message((4,))),
+        (_MSG_DATATYPE, vdt),
+        (_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, len(data))),
+        (_MSG_ATTRIBUTE, attr),
+    ])
+
+    # --- scalar vlen-string dataset "s"
+    sdata = desc(heap_ids[5])
+    sdata_addr = w.alloc(sdata)
+    s_oh = w._object_header([
+        (_MSG_DATASPACE, _ds_message(())),
+        (_MSG_DATATYPE, vdt),
+        (_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, sdata_addr, len(sdata))),
+    ])
+
+    grp = w.write_group([("classes_", arr_oh), ("s", s_oh)])
+    root = w.write_group([("data", grp)])
+    with open(path, "wb") as f:
+        f.write(w.finish(root))
+
+
+class TestVlenRead:
+    def test_vlen_dataset_and_attr(self, tmp_path):
+        p = str(tmp_path / "vlen.h5")
+        _write_vlen_fixture(p)
+        back = purehdf5.load_dict(p, "data")
+        # the vlen dtype attr restores the exact unicode dtype
+        assert back["classes_"].dtype.str == "<U4"
+        np.testing.assert_array_equal(
+            back["classes_"], np.array(["aa", "b", "cécé", ""], dtype="U4"))
+        assert back["s"] == "solo-héllo"
+
+    def test_vlen_via_hdftools(self, tmp_path):
+        """hdftools' loader (purehdf5 branch in this env) accepts the
+        h5py-style vlen layout end-to-end."""
+        p = str(tmp_path / "vlen2.h5")
+        _write_vlen_fixture(p)
+        back = hdftools.load_dict(p, "data")
+        assert list(back["classes_"]) == ["aa", "b", "cécé", ""]
+
+    def test_vlen_sequence_rejected(self):
+        """vlen SEQUENCES (class 9 type 0) are outside the subset and
+        fail loudly, not silently misread."""
+        import struct
+
+        from tslearn_spark.purehdf5 import _parse_datatype
+        body = struct.pack("<B3sI", (1 << 4) | 9, bytes([0x00, 0, 0]), 16)
+        with pytest.raises(TypeError, match="vlen sequences"):
+            _parse_datatype(body)

@@ -26,6 +26,15 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# queries whose QUERY side honors --sample-mod (recorded on the board
+# so a sampled run is distinguishable from a full one)
+_SAMPLED_QUERIES = {
+    "ts_paa_dist_pairs", "ts_sax_dist_pairs", "ts_lb_keogh_pairs",
+    "knn_euclidean_16", "silhouette_euclidean_16",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+}
+
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
@@ -86,6 +95,18 @@ def main() -> None:
     if "--json" in args:
         i = args.index("--json")
         json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sample_mod = None
+    if "--sample-mod" in args:
+        # Query-side sampling for big generated-scale boards: the nine
+        # all-pairs/brute-top-k queries restrict their QUERY side to
+        # key % N == 0 (build/corpus side stays full) and oracle_sql()
+        # emits the same predicate, keeping the DuckDB oracle linear.
+        # MUST be set before entrymod.queries()/oracle_sql() run — both
+        # read the env at call time.
+        i = args.index("--sample-mod")
+        sample_mod = int(args[i + 1])
+        os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(sample_mod)
         args = args[:i] + args[i + 2:]
     skip: dict[str, str] = {}
     if "--skip" in args:
@@ -168,9 +189,14 @@ def main() -> None:
         print(f"{name:28s} {status} {'' if verdict == 'OK' else verdict}")
     print(f"\n{n_ok} ok, {n_bad} bad")
     if json_path:
+        rec = {"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+               "at": time.time(), "queries": board}
+        if sample_mod:
+            rec["sample_mod"] = sample_mod
+            rec["sample_mod_queries"] = sorted(
+                n for n in board if n in _SAMPLED_QUERIES)
         with open(json_path, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
-                       "at": time.time(), "queries": board}, f, indent=1)
+            json.dump(rec, f, indent=1)
     spark.stop()
     if n_bad:
         sys.exit(1)

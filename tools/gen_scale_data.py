@@ -29,14 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_COPIES = 10
 
 
-def generate(spark, src_dir: str, dest_dir: str) -> None:
+def _gen_documents(spark, src_dir: str, dest_dir: str,
+                   n_copies: int = N_COPIES) -> None:
+    """documents at n_copies x the source rows, per-copy token-salted
+    (no token shared across copies, so inverted-index candidate counts
+    stay linear by construction)."""
     from pyspark.sql import functions as F
 
     os.makedirs(dest_dir, exist_ok=True)
-
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
     n_docs = docs.count()
-    copies = spark.range(N_COPIES).select(F.col("id").alias("k"))
+    copies = spark.range(n_copies).select(F.col("id").alias("k"))
     out_docs = (
         docs.crossJoin(F.broadcast(copies))
         .select(
@@ -59,6 +62,15 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
     out_docs = out_docs.withColumn("n_chars", F.length("text").cast("long"))
     out_docs.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest_dir, "documents.parquet"))
+
+
+def generate(spark, src_dir: str, dest_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest_dir, exist_ok=True)
+
+    _gen_documents(spark, src_dir, dest_dir, N_COPIES)
+    copies = spark.range(N_COPIES).select(F.col("id").alias("k"))
 
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     n_emb = emb.count()
@@ -264,6 +276,26 @@ def ensure_sf1_clustered(spark, dest_dir: str | None = None) -> str:
         with open(marker, "w") as f:
             f.write("ok\n")
     return path
+
+
+def ensure_sf5_documents(spark, src_dir: str = "/root/testdata/sf0.1",
+                         dest_dir: str | None = None,
+                         n_copies: int = 50) -> str:
+    """documents-only dir at 50x sf0.1 rows (5x the sf1 documents) for
+    the bench sf5 linear-slope mini-section: one genuinely big single
+    pass that catches accidental O(n log n) shuffles the sf0.1 -> sf1
+    step is too short to expose.  Only documents is derived — the three
+    cheapest linear ops (dedup_exact, text_quality, dedup_simhash) read
+    nothing else, and load_tables tolerates the missing tables."""
+    if dest_dir is None:
+        dest_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_sf5")
+    marker = os.path.join(dest_dir, "_COMPLETE_DOCS")
+    if not os.path.exists(marker):
+        _gen_documents(spark, src_dir, dest_dir, n_copies)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dest_dir
 
 
 def ensure_sf1(spark, src_dir: str = "/root/testdata/sf0.1",

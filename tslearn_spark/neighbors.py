@@ -72,6 +72,23 @@ def _euclidean_topk(queries: DataFrame, train: DataFrame, k: int,
             if drop_self:
                 d2 = np.where(cid[:, None] == ids_b[None, :], np.inf, d2)
             kk = min(k, d2.shape[0])
+            # Exact re-rank near the top-k boundary.  The dot-product
+            # identity cancels catastrophically on near-duplicate pairs
+            # (a true d2 of 0 reads as ~1e-11, i.e. dist 4e-6 — the sf1
+            # board's duplicated series caught exactly this), and that
+            # noise also scrambles the (dist, id) tie order among exact
+            # duplicates.  Every pair within an FP-error bound of the
+            # k-th smallest identity-d2 is recomputed with the direct
+            # difference association — selection keeps the GEMM speed,
+            # the reported distances and tie ranking become exact.
+            eps_b = 128.0 * np.finfo(np.float64).eps * (
+                q_sq + (float(c_sq.max()) if c_sq.size else 0.0))
+            kth = np.partition(d2, kk - 1, axis=0)[kk - 1, :]
+            near = (d2 <= (kth + eps_b)[None, :]) & np.isfinite(d2)
+            rows, colsq = np.nonzero(near)
+            if rows.size:
+                diff = C[rows] - Qm[colsq]
+                d2[rows, colsq] = np.einsum("ij,ij->i", diff, diff)
             # tie-aware partial top-k (tslearn_spark.topk): duplicate
             # train series tie exactly; the cutoff ties must resolve by
             # smallest id or the final (dist, id2) window loses rows

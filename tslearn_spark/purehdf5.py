@@ -17,12 +17,21 @@ per nested-dict level, numpy arrays / scalars as datasets, and a
 Deliberate deviations from what h5py would write, all inside valid
 HDF5: unicode arrays are stored as FIXED-length null-padded UTF-8
 strings (plus the same ``dtype`` attribute the h5py path writes) rather
-than variable-length strings — vlen storage needs a global heap, which
-this subset omits; booleans are stored as uint8 with a ``dtype`` tag
-rather than h5py's enum convention.  Files written by this module load
-back losslessly through :func:`load_dict`; files written by h5py with
-vlen strings are outside this reader's subset (h5py is preferred at
-runtime whenever it imports — see :mod:`tslearn_spark.hdftools`).
+than variable-length strings — vlen WRITE support needs a global heap
+allocator this writer omits; booleans are stored as uint8 with a
+``dtype`` tag rather than h5py's enum convention.  Files written by
+this module load back losslessly through :func:`load_dict`.
+
+The READER additionally accepts variable-length string datasets and
+attributes (datatype class 9 descriptors resolved through GCOL global
+heap collections, spec III.E) — the layout h5py/libhdf5 writes for str
+data in old (pre-1.8 compatible) format files — so h5py-written model
+files load in h5py-less environments.  The vlen round-trip is pinned by
+a spec-handcrafted fixture in tests/test_hdftools.py (no h5py exists in
+this sandbox to generate a native one; if a cross-env check ever flags
+a divergence, compare against a real h5py file first).  h5py remains
+preferred at runtime whenever it imports — see
+:mod:`tslearn_spark.hdftools`.
 
 Format references: the public HDF5 File Format Specification v2
 (superblock v0, object header v1, B-link trees, local heaps, symbol
@@ -105,6 +114,13 @@ def _parse_datatype(body: bytes) -> tuple[str, int]:
         return f"<f{size}", size
     if cls == 3:  # string
         return "str", size
+    if cls == 9:  # variable-length (read-only support; writer never emits)
+        if (bits & 0x0F) != 1:
+            raise TypeError("only variable-length STRINGS supported "
+                            "(vlen sequences are not)")
+        # each element is a 16-byte descriptor: uint32 byte length +
+        # 12-byte global heap ID (collection address + object index)
+        return "vlen-str", size
     raise TypeError(f"unsupported HDF5 datatype class {cls}")
 
 
@@ -303,6 +319,40 @@ def save_dict(d: dict, filename: str, group: str) -> None:
 
 # ---------------------------------------------------------------- reader
 
+def _gheap_object(buf: bytes, addr: int, index: int) -> bytes:
+    """Object ``index`` from the global heap collection at ``addr``
+    (HDF5 spec III.E: GCOL signature, version 1).  Collections store
+    vlen payloads as (uint16 index, uint16 refcount, 4 reserved,
+    uint64 size, data padded to 8); index 0 marks the free-space tail."""
+    if buf[addr:addr + 4] != b"GCOL":
+        raise ValueError("expected global heap collection (GCOL)")
+    if buf[addr + 4] != 1:
+        raise ValueError(f"unsupported global heap version {buf[addr + 4]}")
+    size = struct.unpack("<Q", buf[addr + 8:addr + 16])[0]
+    p, end = addr + 16, addr + size
+    while p + 16 <= end:
+        idx = struct.unpack("<H", buf[p:p + 2])[0]
+        osize = struct.unpack("<Q", buf[p + 8:p + 16])[0]
+        if idx == 0:  # free space: nothing after it
+            break
+        if idx == index:
+            return buf[p + 16:p + 16 + osize]
+        p += 16 + osize + (-osize % 8)
+    raise KeyError(f"global heap object {index} not found at {addr:#x}")
+
+
+def _vlen_strings(raw: bytes, n: int, buf: bytes) -> list[str]:
+    """Decode ``n`` 16-byte vlen-string descriptors by chasing their
+    global-heap IDs through ``buf``."""
+    out = []
+    for i in range(n):
+        ln, haddr, hidx = struct.unpack("<IQI", raw[16 * i:16 * i + 16])
+        data = b"" if ln == 0 or haddr in (0, UNDEF) \
+            else _gheap_object(buf, haddr, hidx)[:ln]
+        out.append(data.decode("utf-8"))
+    return out
+
+
 class _Reader:
     def __init__(self, buf: bytes) -> None:
         if buf[:8] != b"\x89HDF\r\n\x1a\n":
@@ -374,6 +424,10 @@ class _Reader:
         p += len(_pad8(dt))
         p += len(_pad8(body[p:p + ds_sz]))
         kind, size = _parse_datatype(dt)
+        if kind == "vlen-str":
+            # h5py stores str attributes (e.g. the ``dtype`` tag) as
+            # vlen strings; chase the descriptor's global-heap ID
+            return name, _vlen_strings(body[p:p + 16], 1, self.buf)[0]
         if kind != "str":
             raise ValueError("only string attributes supported")
         return name, body[p:p + size].rstrip(b"\x00").decode("utf-8")
@@ -402,12 +456,22 @@ class _Reader:
             raw = b""
         else:
             raw = self.buf[data_addr:data_addr + nbytes]
-        return _from_dataset(raw, shape, kind, elem, attrs)
+        return _from_dataset(raw, shape, kind, elem, attrs, self.buf)
 
 
 def _from_dataset(raw: bytes, shape: tuple[int, ...], kind: str,
-                  elem: int, attrs: dict) -> Any:
+                  elem: int, attrs: dict, buf: bytes = b"") -> Any:
     tagged = attrs.get("dtype")
+    if kind == "vlen-str":
+        n = int(np.prod(shape, dtype=int))
+        vals = _vlen_strings(raw, n, buf)
+        if shape == ():
+            return vals[0]
+        dec = np.array(vals, dtype=object).astype(str) if vals \
+            else np.empty(0, dtype="U1")
+        if tagged:
+            dec = dec.astype(tagged)
+        return dec.reshape(shape)
     if kind == "str":
         arr = np.frombuffer(raw, dtype=f"S{elem}",
                             count=int(np.prod(shape, dtype=int)))
