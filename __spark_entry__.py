@@ -300,21 +300,26 @@ def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_barycenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positionwise mean across series (euclidean.py:8-43) — pure SQL.
 
-    Inputs are quantized to the 1/64 grid first (floor(x*64)/64): every
-    value is then an exact multiple of 2^-6 and the positionwise sum is
-    EXACT in any association (integer-scaled sums < 2^53), so the one
-    division by the count is correctly rounded identically on Spark and
-    DuckDB.  Without this, the 15000-term sum at the generated sf1 dir
-    hit a round(x, 6) boundary within one ulp and the hash gate read a
+    Inputs are quantized to the 2^-20 grid first (floor(x*2^20)/2^20):
+    every value is then an exact multiple of 2^-20 and the positionwise
+    sum is EXACT in any association (scaled integers stay < 2^53 even
+    for 250k-term sums of |x| <= 1024), so the one division by the
+    count is correctly rounded identically on Spark and DuckDB.
+    Without this, the 15000-term sum at the generated sf1 dir hit a
+    round(x, 6) boundary within one ulp and the hash gate read a
     last-digit tie (r12; the gated testdata sfs never tripped it, but
-    the premise was scale-fragile).  The engine's euclidean_barycenter
-    itself is unquantized — its own tests cover raw-float inputs."""
+    the premise was scale-fragile).  r13 refined the r12 1/64 grid to
+    2^-20 per the advisor note: the published bary_value's downward
+    quantization bias shrinks from ~1.6e-2 to ~1e-6 per input value
+    while every sum stays integer-exact.  The engine's
+    euclidean_barycenter itself is unquantized — its own tests cover
+    raw-float inputs."""
     from tslearn_spark.barycenters import euclidean_barycenter_df
 
     ts = _events_series(spark, sf_dir).withColumn(
         "values",
         F.expr("transform(values, p -> "
-               "transform(p, x -> floor(x * 64D) / 64D))"))
+               "transform(p, x -> floor(x * 1048576D) / 1048576D))"))
     b = euclidean_barycenter_df(ts)
     return b.select("t", F.round(F.col("value"), 6).alias("bary_value"))
 
@@ -972,12 +977,20 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(0.0)).alias("softdtw"),
         F.round(pair_metric_udf("gak", sigma=100.0)("values1", "values2"), 6).alias("gak"),
         F.round(F.greatest(F.lit(0.0), pair_metric_udf("sbd")("values1", "values2")), 6).alias("sbd"),
+        # r13: subsequence DTW (dtw_variants.py:846-903) under the hash
+        # gate — free-start row (row 0 = local cost, no left carry) +
+        # free end (min over the last row).  Ordered pairs: the metric
+        # is asymmetric (query-inside-candidate).  Integer inputs keep
+        # every DP cell exact like the dtw column; the oracle replays
+        # the free-first-row recursion as one more recursive CTE.
+        F.round(pair_metric_udf("subseq")("values1", "values2"), 6).alias("subseq"),
     )
     return (
         edges.join(lc, ["id1", "id2"])
         .join(edges_band, ["id1", "id2"])
         .join(extra, ["id1", "id2"])
-        .select("id1", "id2", "dtw", "lcss", "dtw_band", "softdtw", "gak", "sbd")
+        .select("id1", "id2", "dtw", "lcss", "dtw_band", "softdtw", "gak",
+                "sbd", "subseq")
     )
 
 
@@ -2101,7 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_barycenter": f"""
             WITH s AS ({_EVENTS_LONG_SQL})
             SELECT t::INT AS t,
-                   round(sum(floor(value * 64) / 64) / sum(1.0), 6)
+                   round(sum(floor(value * 1048576) / 1048576) / sum(1.0), 6)
                        AS bary_value
             FROM s GROUP BY t
         """,
@@ -2898,15 +2911,47 @@ def oracle_sql() -> dict[str, str]:
                 JOIN nrms m1 ON m1.sid = c.id1
                 JOIN nrms m2 ON m2.sid = c.id2
                 GROUP BY c.id1, c.id2
+            ),
+            -- subsequence DTW (dtw_variants.py:746-780,846-903): free
+            -- START — row 1 carries the local cost alone (no left
+            -- accumulation) — and free END — min over the complete last
+            -- row.  Ordered pairs (asymmetric metric); integer cells
+            -- stay exact like the full-DTW CTE above.
+            up AS (
+                SELECT id1, id2, n1, n2, v1, v2, 1 AS i, 1 AS j,
+                       CAST([] AS DOUBLE[]) AS prev,
+                       [(v1[1] - v2[1]) * (v1[1] - v2[1])] AS cur
+                FROM opairs
+                UNION ALL
+                SELECT id1, id2, n1, n2, v1, v2,
+                       CASE WHEN j < n2 THEN i ELSE i + 1 END,
+                       CASE WHEN j < n2 THEN j + 1 ELSE 1 END,
+                       CASE WHEN j < n2 THEN prev ELSE cur END,
+                       CASE WHEN j < n2
+                            THEN list_append(cur,
+                                 (v1[i] - v2[j + 1]) * (v1[i] - v2[j + 1])
+                                 + CASE WHEN i > 1
+                                        THEN least(prev[j + 1], prev[j], cur[j])
+                                        ELSE 0.0 END)
+                            ELSE [(v1[i + 1] - v2[1]) * (v1[i + 1] - v2[1]) + cur[1]]
+                       END
+                FROM up
+                WHERE NOT (i = n1 AND j = n2)
+            ),
+            ures AS (
+                SELECT id1, id2,
+                       round(sqrt(list_aggregate(cur, 'min')), 6) AS subseq
+                FROM up WHERE i = n1 AND j = n2
             )
             SELECT d.id1, d.id2, d.dtw, l.lcss, b.dtw_band,
-                   s.softdtw, g.gak, sb.sbd
+                   s.softdtw, g.gak, sb.sbd, u.subseq
             FROM full_dtw d
             JOIN full_lcss l ON d.id1 = l.id1 AND d.id2 = l.id2
             JOIN full_band b ON d.id1 = b.id1 AND d.id2 = b.id2
             JOIN full_sdtw s ON s.id1 = d.id1 AND s.id2 = d.id2
             JOIN full_gak g ON g.id1 = d.id1 AND g.id2 = d.id2
             JOIN sbds sb ON sb.id1 = d.id1 AND sb.id2 = d.id2
+            JOIN ures u ON u.id1 = d.id1 AND u.id2 = d.id2
         """,
         # kernel-kmeans assignment replay (kmeans.py:390-455): the GAK
         # Gram is the shared sum-product recursive-CTE DP (_tiny_gak_cte,

@@ -925,3 +925,45 @@ def test_gate_premises_hold_at_all_gated_sfs():
     # r12 advice: a moved/renamed testdata layout must fail loudly, not
     # make the sweep pass vacuously with zero premises checked
     assert checked >= 1, "no sf dir with events.parquet was swept"
+
+
+class TestOracleSampleMod:
+    """r13: the board's query-side sampling (--sample-mod) must be a
+    pure restriction — the sampled result IS the full result filtered
+    on the query key, never a different computation.  Exercised on
+    representative queries from each family (pairs join, kNN top-k,
+    ANN top-k, output-filtered near-dup) at sf0.001 with a small mod."""
+
+    @pytest.fixture()
+    def sample_env(self):
+        os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = "3"
+        yield 3
+        del os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"]
+
+    def _rows(self, df, key):
+        return {tuple(r) for r in df.collect()}, key
+
+    @pytest.mark.parametrize("qname,key", [
+        ("ts_paa_dist_pairs", "id1"),
+        ("knn_euclidean_16", "user_id"),
+        ("ann_cosine_topk", "query_id"),
+        ("dedup_embedding_cosine", "id1"),
+        ("silhouette_euclidean_16", "user_id"),
+    ])
+    def test_sampled_equals_full_filtered(self, spark, sample_env,
+                                          qname, key):
+        import __spark_entry__ as entry
+
+        mod = sample_env
+        qs = entry.queries()
+        sampled = {tuple(r) for r in qs[qname](spark, SF_DIR).collect()}
+        del os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"]
+        try:
+            full_df = qs[qname](spark, SF_DIR)
+            import pyspark.sql.functions as F  # noqa: N812
+            filtered = {tuple(r) for r in full_df.where(
+                F.col(key) % mod == 0).collect()}
+        finally:
+            os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(mod)
+        assert sampled == filtered
+        assert sampled  # non-degenerate at sf0.001 with mod=3

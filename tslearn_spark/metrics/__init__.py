@@ -126,6 +126,18 @@ def _make_lcss(eps: float = 1.0, **kw):
     return f
 
 
+@_register("subseq")
+def _make_subseq():
+    """Subsequence-DTW distance (dtw_variants.py:846-903): best match of
+    the FIRST series inside the second — free start (row 0 = local
+    cost) and free end (min over the last accumulated row).  Asymmetric
+    by construction; score = dtw_subsequence_path(a, b)[1], so the
+    gated column exercises the full public API incl. the argmin."""
+    def f(a, b):
+        return K.dtw_subsequence_path(a, b)[1]
+    return f
+
+
 @_register("euclidean")
 def _make_euclidean():
     return K.euclidean
