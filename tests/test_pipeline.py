@@ -415,6 +415,18 @@ class TestSimsearch:
         out = lsh_topk(df, df, k=1, bits="auto", n_tables=8)
         assert out.where(F.col("rank") == 1).count() > 0
 
+    def test_auto_lsh_probes_tracks_bits(self):
+        """r13: the streaming default probe count widens with the hash
+        width (~8*bits/3) — the measured 0.974-recall knee at b9 is
+        p=24; never below one probe (the home bucket)."""
+        from tslearn_spark.pipeline.simsearch import auto_lsh_probes
+
+        assert auto_lsh_probes(9) == 24
+        assert auto_lsh_probes(12) == 32
+        assert auto_lsh_probes(0) == 1
+        assert all(auto_lsh_probes(b + 1) >= auto_lsh_probes(b)
+                   for b in range(1, 24))
+
     def test_ivf_prebuilt_index_matches_inline(self, spark, tmp_path):
         """assign_ivf_lists + ivf_topk(list_col=...) — the 100-TB index
         shape: identical results to the inline assignment (bit-identical
