@@ -358,3 +358,30 @@ class TestSaxWordDedup:
         # the train side, first() on the query side)
         assert "collect_list" in plan and "slice" in plan
         assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+class TestSampledBoardPushdown:
+    """r13 --sample-mod mode: the query-side sampling predicate must
+    reach the QUERY side of the pairs join (below the join), so the
+    big-scale board's engine pass is O(n/mod * n) — not an O(n^2) join
+    followed by a filter."""
+
+    def test_paa_pairs_sample_filter_below_join(self, spark, monkeypatch):
+        import __spark_entry__ as entry
+
+        monkeypatch.setenv("SPARK_GRAFT_ORACLE_SAMPLE_MOD", "3")
+        df = entry.ts_paa_dist_pairs(spark, "/root/testdata/sf0.001")
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # the modulo predicate survives optimization...
+        assert "% 3) = 0" in opt
+        # ...and sits INSIDE the join's input subtree: in the optimized
+        # logical tree children print AFTER their parent, so a pushed
+        # filter's line index is greater than the Join's — an unpushed
+        # filter over the join result would print before it
+        lines = opt.splitlines()
+        join_idx = [i for i, ln in enumerate(lines) if " Join " in ln
+                    or ln.lstrip("+- :").startswith("Join ")]
+        filt_idx = [i for i, ln in enumerate(lines)
+                    if "% 3) = 0" in ln and "Filter" in ln]
+        assert join_idx and filt_idx
+        assert min(filt_idx) > min(join_idx)
