@@ -119,6 +119,33 @@ class TestKNN:
         got = {r["id1"]: r["id2"] for r in nn.collect()}
         assert got == {0: 1, 1: 0, 2: 3, 3: 2}
 
+    def test_euclidean_duplicates_exact_zero_and_id_ties(self, spark):
+        """r13 (caught by the sf1 board's copied series): the euclidean
+        BLAS fast path must report EXACTLY 0.0 for duplicate neighbors
+        — the dot-product identity alone reads ~4e-6 via catastrophic
+        cancellation — and break the resulting ties by smallest id."""
+        from tslearn_spark.neighbors import kneighbors
+
+        base = [3.7, 120.4, 55.2, 9.9, 240.1, 71.3, 8.8, 163.0]
+        # ids 0, 5, 9 are bitwise-identical copies; 2 is a near-copy
+        X = {0: base, 5: list(base), 9: list(base),
+             2: [x + 1e-4 for x in base],
+             3: [x + 50.0 for x in base]}
+        df = DS.dataset_to_df(spark, [X[i] for i in sorted(X)])
+        remap = dict(enumerate(sorted(X)))  # df ids are 0..4
+        nn = kneighbors(df, df, k=2, metric="euclidean", drop_self=True)
+        rows = {(remap[r["id1"]], r["rank"]): (remap[r["id2"]], r["dist"])
+                for r in nn.collect()}
+        # duplicates: exact 0.0, ties resolved by ascending id
+        assert rows[(0, 1)] == (5, 0.0)
+        assert rows[(0, 2)] == (9, 0.0)
+        assert rows[(5, 1)] == (0, 0.0)
+        assert rows[(9, 1)] == (0, 0.0)
+        assert rows[(9, 2)] == (5, 0.0)
+        # the near-copy is NOT zero and ranks after exact copies
+        nid, nd = rows[(2, 1)]
+        assert nid == 0 and 0 < nd < 1e-3
+
     def test_sax_metric_matches_mindist(self, spark):
         # kNN sax distances must equal the piecewise MINDIST expression
         # (tslearn/neighbors/neighbors.py:459-500 pre-transforms with SAX
