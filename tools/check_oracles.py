@@ -137,6 +137,14 @@ def main() -> None:
         from tools.gen_scale_data import ensure_sf1, ensure_sf1_tpch
         ensure_sf1(spark, dest_dir=sf_dir)
         ensure_sf1_tpch(spark, dest_dir=sf_dir)
+    elif os.path.basename(sf_dir.rstrip("/")) == ".scale_sf5":
+        # the sf5 dir self-provisions its documents + events tables the
+        # same way (markers gate regeneration); TPC-H tables are NOT
+        # derived at sf5 — run it with an explicit query list
+        from tools.gen_scale_data import (ensure_sf5_documents,
+                                          ensure_sf5_events)
+        ensure_sf5_documents(spark, dest_dir=sf_dir)
+        ensure_sf5_events(spark, dest_dir=sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")

@@ -95,6 +95,18 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
     out_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest_dir, "embeddings.parquet"))
 
+    _gen_events(spark, src_dir, dest_dir, N_COPIES)
+
+
+def _gen_events(spark, src_dir: str, dest_dir: str,
+                n_copies: int = N_COPIES) -> None:
+    """events at n_copies x the source rows: copies shift
+    user_id/event_id by the source spans, values/timestamps untouched —
+    n_copies x the series population with identical per-series shapes."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest_dir, exist_ok=True)
+    copies = spark.range(n_copies).select(F.col("id").alias("k"))
     ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
     stats = ev.agg(F.max("user_id").alias("mu"),
                    F.max("event_id").alias("me")).first()
@@ -293,6 +305,23 @@ def ensure_sf5_documents(spark, src_dir: str = "/root/testdata/sf0.1",
     marker = os.path.join(dest_dir, "_COMPLETE_DOCS")
     if not os.path.exists(marker):
         _gen_documents(spark, src_dir, dest_dir, n_copies)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dest_dir
+
+
+def ensure_sf5_events(spark, src_dir: str = "/root/testdata/sf0.1",
+                      dest_dir: str | None = None,
+                      n_copies: int = 50) -> str:
+    """events at 50x sf0.1 rows (5M events / 75000 series; 5x the sf1
+    table) for the sf5 board's events-grain gates.  Same marker-commit
+    protocol as ensure_sf5_documents."""
+    if dest_dir is None:
+        dest_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_sf5")
+    marker = os.path.join(dest_dir, "_COMPLETE_EVENTS")
+    if not os.path.exists(marker):
+        _gen_events(spark, src_dir, dest_dir, n_copies)
         with open(marker, "w") as f:
             f.write("ok\n")
     return dest_dir
