@@ -142,8 +142,10 @@ def main() -> None:
         # same way (markers gate regeneration); TPC-H tables are NOT
         # derived at sf5 — run it with an explicit query list
         from tools.gen_scale_data import (ensure_sf5_documents,
+                                          ensure_sf5_embeddings,
                                           ensure_sf5_events)
         ensure_sf5_documents(spark, dest_dir=sf_dir)
+        ensure_sf5_embeddings(spark, dest_dir=sf_dir)
         ensure_sf5_events(spark, dest_dir=sf_dir)
     con = duckdb.connect()
     for t in TABLES:

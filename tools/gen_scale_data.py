@@ -70,11 +70,25 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
     os.makedirs(dest_dir, exist_ok=True)
 
     _gen_documents(spark, src_dir, dest_dir, N_COPIES)
-    copies = spark.range(N_COPIES).select(F.col("id").alias("k"))
+    _gen_embeddings(spark, src_dir, dest_dir, N_COPIES)
+    _gen_events(spark, src_dir, dest_dir, N_COPIES)
 
+
+def _gen_embeddings(spark, src_dir: str, dest_dir: str,
+                    n_copies: int = N_COPIES) -> None:
+    """embeddings at n_copies x the source rows; copy k rolls the
+    dimensions by k so cross-copy collisions stay at zero.  Requires
+    n_copies <= dim (64 here) for the rolls to stay distinct."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest_dir, exist_ok=True)
+    copies = spark.range(n_copies).select(F.col("id").alias("k"))
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     n_emb = emb.count()
     dim = len(emb.select("embedding").first()["embedding"])
+    if n_copies > dim:
+        raise ValueError(f"n_copies={n_copies} > dim={dim}: rolled "
+                         "copies would repeat")
     out_emb = (
         emb.crossJoin(F.broadcast(copies))
         .select(
@@ -94,8 +108,6 @@ def generate(spark, src_dir: str, dest_dir: str) -> None:
     )
     out_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest_dir, "embeddings.parquet"))
-
-    _gen_events(spark, src_dir, dest_dir, N_COPIES)
 
 
 def _gen_events(spark, src_dir: str, dest_dir: str,
@@ -322,6 +334,22 @@ def ensure_sf5_events(spark, src_dir: str = "/root/testdata/sf0.1",
     marker = os.path.join(dest_dir, "_COMPLETE_EVENTS")
     if not os.path.exists(marker):
         _gen_events(spark, src_dir, dest_dir, n_copies)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dest_dir
+
+
+def ensure_sf5_embeddings(spark, src_dir: str = "/root/testdata/sf0.1",
+                          dest_dir: str | None = None,
+                          n_copies: int = 50) -> str:
+    """embeddings at 50x sf0.1 rows (100k 64-dim vectors; 5x sf1) for
+    the sf5 board's ANN/embedding gates."""
+    if dest_dir is None:
+        dest_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_sf5")
+    marker = os.path.join(dest_dir, "_COMPLETE_EMBEDDINGS")
+    if not os.path.exists(marker):
+        _gen_embeddings(spark, src_dir, dest_dir, n_copies)
         with open(marker, "w") as f:
             f.write("ok\n")
     return dest_dir
