@@ -66,6 +66,17 @@ def _oracle_sample_mod() -> int | None:
     return int(v) if v else None
 
 
+def _sample_out(df: DataFrame, col: str) -> DataFrame:
+    """Board sampling for per-key-INDEPENDENT queries (window partition
+    key / group key / per-series transforms): the computation for one
+    key never reads another key's rows, so filtering the OUTPUT on the
+    key equals filtering the input — and Catalyst pushes the
+    deterministic predicate below the windows/aggregates to the scan.
+    No-op when the board env is unset (the driver's gates)."""
+    sm = _oracle_sample_mod()
+    return df.where(F.col(col) % sm == 0) if sm else df
+
+
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> univariate ts DataFrame keyed by user_id, ordered by
     (ts, event_id) for a deterministic total order."""
@@ -242,6 +253,7 @@ def ts_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p.zvalues")[0], 6).alias("zvalue"),
             F.round(F.col("p.mvalues")[0], 6).alias("mvalue"),
         )
+        .transform(lambda d: _sample_out(d, "user_id"))
     )
 
 
@@ -263,6 +275,7 @@ def ts_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("e.lo"), 6).alias("env_lower"),
             F.round(F.col("e.up"), 6).alias("env_upper"),
         )
+        .transform(lambda d: _sample_out(d, "user_id"))
     )
 
 
@@ -330,9 +343,10 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts = _events_series(spark, sf_dir).where(F.size("values") >= 2)
     r = resample(ts, 16, out_col="rvalues")
-    return r.select(
+    out = r.select(
         F.col("series_id").alias("user_id"), F.posexplode("rvalues").alias("t", "p")
     ).select("user_id", "t", F.round(F.col("p")[0], 6).alias("rvalue"))
+    return _sample_out(out, "user_id")
 
 
 def ts_paa_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +485,9 @@ def knn_sax_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     train = labeled.where(F.col("series_id") % 2 == 0)
     test = labeled.where(F.col("series_id") % 2 == 1)
+    # board sampling: TEST side only — the train/candidate side stays
+    # the full population, so the 1-NN search space is unchanged
+    test = _sample_out(test, "series_id")
     pred = knn_classify(
         test, train, k=1, metric="sax",
         n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET,
@@ -494,7 +511,7 @@ _RUNNING_Z_SQL = """
            (n_prev >= 10 AND
             abs(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END) > 3.0)
              AS is_anomaly
-    FROM w
+    FROM w {pred}
 """
 
 
@@ -504,7 +521,9 @@ def events_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     event scored against the Welford stats of the events before it.
     stddev_samp over the preceding-rows window == sqrt(M2/(n-1))."""
     load_tables(spark, sf_dir)
-    return spark.sql(_RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL))
+    return _sample_out(
+        spark.sql(_RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL, pred="")),
+        "user_id")
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +558,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM numbered
         GROUP BY user_id, session_no
         """
-    )
+    ).transform(lambda d: _sample_out(d, "user_id"))
 
 
 def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +611,7 @@ def events_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
         """
-    )
+    ).transform(lambda d: _sample_out(d, "user_id"))
 
 
 def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,7 +1099,9 @@ def matrix_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix profile m=8 per user series (matrix_profile.py:25-253)."""
     from tslearn_spark import matrix_profile as MP
 
-    ts = _events_series(spark, sf_dir).where(F.size("values") >= 16)
+    ts = _sample_out(
+        _events_series(spark, sf_dir).where(F.size("values") >= 16),
+        "series_id")
     prof = MP.transform(ts, subsequence_length=8, scale=False)
     return prof.select(
         F.col("series_id").alias("user_id"), F.posexplode("profile").alias("t", "mp")
@@ -1498,12 +1519,12 @@ def stream_tumbling_paa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     out = stream_tumbling_paa(t["events"], window_duration="1 hour")
-    return out.select(
+    return _sample_out(out.select(
         "user_id",
         F.col("win_start").cast("string").alias("win_start"),
         F.round("segment_mean", 4).alias("segment_mean"),
         "n_events",
-    )
+    ), "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1905,6 +1926,13 @@ def oracle_sql() -> dict[str, str]:
         # O(n^2 / mod) regardless of pushdown.  Empty when unset.
         return f"AND {col} % {sm} = 0" if sm else ""
 
+    def pw(col: str) -> str:
+        # WHERE-clause variant of p() for the per-key-independent
+        # linear queries (window partition / group keys): shrinks the
+        # oracle's row count AND the hash-compare set at generated-
+        # scale dirs where the full per-event result would be 5M rows.
+        return f"WHERE {col} % {sm} = 0" if sm else ""
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2008,12 +2036,12 @@ def oracle_sql() -> dict[str, str]:
         # streaming tumbling-window PAA exercised in batch mode: the same
         # tumbling group-by is plain SQL (Spark 1-hour windows align to
         # epoch hours = date_trunc)
-        "stream_tumbling_paa_batch": """
+        "stream_tumbling_paa_batch": f"""
             SELECT user_id,
                    date_trunc('hour', ts)::VARCHAR AS win_start,
                    round(avg(value), 4) AS segment_mean,
                    count(*) AS n_events
-            FROM events GROUP BY 1, 2
+            FROM events {pw('user_id')} GROUP BY 1, 2
         """,
         "events_hourly_stats": """
             SELECT date_trunc('hour', ts)::VARCHAR AS hour,
@@ -2066,13 +2094,14 @@ def oracle_sql() -> dict[str, str]:
                    round((s.value - st.mu) / st.sd, 6) AS zvalue,
                    round((s.value - st.mn) / st.rng, 6) AS mvalue
             FROM s JOIN st ON s.user_id = st.user_id
+            {pw('s.user_id')}
         """,
         "ts_envelope": f"""
             WITH s AS ({_EVENTS_LONG_SQL})
             SELECT user_id, t::INT AS t,
                    round(min(value) OVER w, 6) AS env_lower,
                    round(max(value) OVER w, 6) AS env_upper
-            FROM s
+            FROM s {pw('user_id')}
             WINDOW w AS (PARTITION BY user_id ORDER BY t
                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         """,
@@ -2129,7 +2158,7 @@ def oracle_sql() -> dict[str, str]:
                      + v[(ceil(i * (n - 1) / 15.0))::INT + 1]
                        * (i * (n - 1) / 15.0 - floor(i * (n - 1) / 15.0)),
                    6) AS rvalue
-            FROM arr, range(16) r(i)
+            FROM arr, range(16) r(i) {pw('user_id')}
         """,
         "ts_paa_dist_pairs": f"""
             WITH s AS ({_EVENTS_LONG_SQL}),
@@ -2434,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END) * max(q.n) / {float(seg)} AS d2
               FROM sym q JOIN sym c
                 ON q.seg = c.seg AND q.user_id % 2 = 1 AND c.user_id % 2 = 0
+                   {p('q.user_id')}
               GROUP BY q.user_id, c.user_id
             ),
             nn AS (
@@ -2472,8 +2502,9 @@ def oracle_sql() -> dict[str, str]:
                  {p('q.user_id')}
             GROUP BY q.user_id, e.user_id
         """,
-        "events_running_zscore": _RUNNING_Z_SQL.format(base=_EVENTS_LONG_SQL),
-        "events_sessionize": """
+        "events_running_zscore": _RUNNING_Z_SQL.format(
+            base=_EVENTS_LONG_SQL, pred=pw("user_id")),
+        "events_sessionize": f"""
             WITH flagged AS (
               SELECT user_id, ts, value,
                      CASE WHEN epoch(ts)
@@ -2497,7 +2528,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_no, count(*) AS n_events,
                    round(sum(value), 4) AS session_value,
                    min(ts)::VARCHAR AS session_start
-            FROM numbered
+            FROM numbered {pw('user_id')}
             GROUP BY user_id, session_no
         """,
         "events_asof_orders": """
@@ -2525,7 +2556,7 @@ def oracle_sql() -> dict[str, str]:
                    round(last_totalprice, 2) AS last_totalprice
             FROM carried WHERE is_event = 1
         """,
-        "events_cumulative": """
+        "events_cumulative": f"""
             SELECT user_id, event_id,
                    round(sum(value) OVER w, 4) AS cum_sum,
                    -- see events_hourly_stats: divide the rounded sum so both
@@ -2534,7 +2565,7 @@ def oracle_sql() -> dict[str, str]:
                      / 1e6 AS cum_avg,
                    round(min(value) OVER w, 6) AS cum_min,
                    round(max(value) OVER w, 6) AS cum_max
-            FROM events
+            FROM events {pw('user_id')}
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
         """,
@@ -2626,7 +2657,8 @@ def oracle_sql() -> dict[str, str]:
             -- range(128) covers the longest events series at every sf.
             WITH s AS ({_EVENTS_LONG_SQL}),
             arr AS (SELECT user_id, list(value ORDER BY t) AS v, count(*) AS n
-                    FROM s GROUP BY user_id HAVING count(*) >= 16),
+                    FROM s {pw('user_id')}
+                    GROUP BY user_id HAVING count(*) >= 16),
             sqs AS (
               SELECT user_id, i.i AS w,
                      sum(v[(i.i + k.k)::INT + 1] * v[(i.i + k.k)::INT + 1]) AS sq

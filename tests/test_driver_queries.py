@@ -949,6 +949,12 @@ class TestOracleSampleMod:
         ("ann_cosine_topk", "query_id"),
         ("dedup_embedding_cosine", "id1"),
         ("silhouette_euclidean_16", "user_id"),
+        # wave 2 (r13): per-key-independent linear queries
+        ("ts_scale", "user_id"),
+        ("events_sessionize", "user_id"),
+        ("events_cumulative", "user_id"),
+        ("matrix_profile_events", "user_id"),
+        ("knn_sax_classify", "series_id"),
     ])
     def test_sampled_equals_full_filtered(self, spark, sample_env,
                                           qname, key):

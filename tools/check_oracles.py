@@ -27,12 +27,20 @@ TABLES = [
 ]
 
 # queries whose QUERY side honors --sample-mod (recorded on the board
-# so a sampled run is distinguishable from a full one)
+# so a sampled run is distinguishable from a full one).  Two waves:
+# the all-pairs/top-k family (query side restricted, build side full)
+# and the per-key-independent linear family (key-sampled output ==
+# key-sampled input; shrinks the 5M-row per-event result sets the
+# hash compare cannot afford at generated scale).
 _SAMPLED_QUERIES = {
     "ts_paa_dist_pairs", "ts_sax_dist_pairs", "ts_lb_keogh_pairs",
     "knn_euclidean_16", "silhouette_euclidean_16",
     "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ts_scale", "ts_envelope", "ts_resample",
+    "events_running_zscore", "events_sessionize", "events_cumulative",
+    "stream_tumbling_paa_batch", "matrix_profile_events",
+    "knn_sax_classify",
 }
 
 
