@@ -77,6 +77,18 @@ def _sample_out(df: DataFrame, col: str) -> DataFrame:
     return df.where(F.col(col) % sm == 0) if sm else df
 
 
+def _sample_out_odd(df: DataFrame, col: str) -> DataFrame:
+    """Board sampling for a query side that is restricted to ODD keys
+    (knn_sax_classify's test split is ``series_id % 2 == 1``): keeps
+    ``col % (2*sm) == 1`` — every kept key is odd, so the sample is a
+    pure restriction of the full result, and it is NON-EMPTY for any
+    sm >= 1 (the plain ``% sm == 0`` sampler intersected with odd keys
+    is EMPTY whenever sm is even — the round-13 vacuous-gate defect).
+    No-op when the board env is unset (the driver's gates)."""
+    sm = _oracle_sample_mod()
+    return df.where(F.col(col) % (2 * sm) == 1) if sm else df
+
+
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> univariate ts DataFrame keyed by user_id, ordered by
     (ts, event_id) for a deterministic total order."""
@@ -486,8 +498,11 @@ def knn_sax_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = labeled.where(F.col("series_id") % 2 == 0)
     test = labeled.where(F.col("series_id") % 2 == 1)
     # board sampling: TEST side only — the train/candidate side stays
-    # the full population, so the 1-NN search space is unchanged
-    test = _sample_out(test, "series_id")
+    # the full population, so the 1-NN search space is unchanged.  The
+    # odd-preserving sampler (% (2*sm) == 1) intersects the odd-id test
+    # split for EVERY modulus; the plain % sm == 0 sampler made the
+    # r13 generated-scale gates vacuous (even mods 150/750 -> 0 rows).
+    test = _sample_out_odd(test, "series_id")
     pred = knn_classify(
         test, train, k=1, metric="sax",
         n_segments=SAX_SEGMENTS, alphabet_size_avg=SAX_ALPHABET,
@@ -1926,6 +1941,12 @@ def oracle_sql() -> dict[str, str]:
         # O(n^2 / mod) regardless of pushdown.  Empty when unset.
         return f"AND {col} % {sm} = 0" if sm else ""
 
+    def p_odd(col: str) -> str:
+        # Odd-preserving variant of p() for knn_sax_classify, whose
+        # query side is the odd-id test split: % (2*sm) == 1 keeps only
+        # odd keys and is non-empty for any sm (r13 vacuity fix).
+        return f"AND {col} % {2 * sm} = 1" if sm else ""
+
     def pw(col: str) -> str:
         # WHERE-clause variant of p() for the per-key-independent
         # linear queries (window partition / group keys): shrinks the
@@ -2463,7 +2484,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END) * max(q.n) / {float(seg)} AS d2
               FROM sym q JOIN sym c
                 ON q.seg = c.seg AND q.user_id % 2 = 1 AND c.user_id % 2 = 0
-                   {p('q.user_id')}
+                   {p_odd('q.user_id')}
               GROUP BY q.user_id, c.user_id
             ),
             nn AS (

@@ -967,9 +967,71 @@ class TestOracleSampleMod:
         try:
             full_df = qs[qname](spark, SF_DIR)
             import pyspark.sql.functions as F  # noqa: N812
-            filtered = {tuple(r) for r in full_df.where(
-                F.col(key) % mod == 0).collect()}
+            # knn_sax_classify's query side is the odd-id test split, so
+            # its sampler is the odd-preserving % (2*mod) == 1 (r14 —
+            # the plain % mod == 0 one was EMPTY at any even board mod)
+            pred = (F.col(key) % (2 * mod) == 1
+                    if qname == "knn_sax_classify"
+                    else F.col(key) % mod == 0)
+            filtered = {tuple(r) for r in full_df.where(pred).collect()}
         finally:
             os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(mod)
         assert sampled == filtered
         assert sampled  # non-degenerate at sf0.001 with mod=3
+
+    # r14 (VERDICT r13 "what's wrong" #1): the r13 boards hash-gated
+    # knn_sax_classify as OK with rows=0 because the odd-id test split
+    # never intersected the even board moduli.  Pin non-degeneracy of
+    # EVERY sampled query at the ACTUAL board moduli (sf1 uses 150, sf5
+    # uses 750) plus the smallest even mod, at sf0.001 — the smallest
+    # key space any board sees, so non-empty here implies non-empty at
+    # every larger dir.
+    @pytest.mark.parametrize("mod", [2, 150, 750])
+    def test_sampled_queries_nonempty_at_board_mods(self, spark, mod):
+        import __spark_entry__ as entry
+        from tools.check_oracles import _SAMPLED_QUERIES
+
+        # dedup_embedding_cosine's sample slices the OUTPUT (near-dup
+        # pairs at cosine >= 0.35): whether the one surviving sf0.001
+        # query vector HAS such a pair is data-dependent (it does not,
+        # at mod 750), so structural non-degeneracy is unprovable here
+        # — the check_oracles.py runtime vacuity guard covers it at the
+        # real board dirs (13959 rows at sf5/mod-750 in r13).
+        data_dependent = {"dedup_embedding_cosine"}
+        os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(mod)
+        try:
+            qs = entry.queries()
+            empty = [n for n in sorted(_SAMPLED_QUERIES - data_dependent)
+                     if qs[n](spark, SF_DIR).limit(1).count() == 0]
+        finally:
+            del os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"]
+        assert not empty, f"vacuous sampled gates at mod={mod}: {empty}"
+
+    def test_board_flags_vacuous_sampled_result(self, spark):
+        """r14 guard (ADVICE r13): the board must FAIL, not OK, a
+        sampled query whose result is empty.  Reproduces the exact r13
+        defect shape — a knn_sax-style odd-id query side under an even
+        sample-mod yields 0 rows — and asserts the board's vacuity
+        predicate flags it, while unsampled runs and legitimately-empty
+        unsampled results stay un-flagged."""
+        import pyspark.sql.functions as F  # noqa: N812
+
+        import __spark_entry__ as entry
+        from tools.check_oracles import is_vacuous
+
+        # the defective r13 sampler, reconstructed: odd test split
+        # intersected with an even modulus is structurally empty
+        os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = "2"
+        try:
+            full = entry.queries()["knn_sax_classify"](spark, SF_DIR)
+            # re-apply the OLD (% sm == 0) predicate on top: the odd-id
+            # output makes this the r13 empty set
+            old_style = full.where(F.col("series_id") % 2 == 0)
+            n = old_style.count()
+        finally:
+            del os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"]
+        assert n == 0  # the r13 defect reproduces
+        assert is_vacuous(2, "knn_sax_classify", n)          # board flags it
+        assert not is_vacuous(2, "knn_sax_classify", 5)      # non-empty: fine
+        assert not is_vacuous(None, "knn_sax_classify", 0)   # driver gate: fine
+        assert not is_vacuous(2, "q1_pricing_summary", 0)    # unsampled query

@@ -44,6 +44,16 @@ _SAMPLED_QUERIES = {
 }
 
 
+def is_vacuous(sample_mod: int | None, name: str, n_rows: int) -> bool:
+    """A SAMPLED query that returns 0 rows is a board bug (the sampling
+    predicate missed the query's key space — r13's knn_sax_classify
+    defect: odd-id test side x even mod), never evidence: empty vs
+    empty hash-compares OK while proving nothing.  Unsampled runs (the
+    driver's gates) are untouched — 0 rows there is a legitimate
+    result to be hash-compared."""
+    return bool(sample_mod) and name in _SAMPLED_QUERIES and n_rows == 0
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
@@ -92,6 +102,24 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
         return (f"HASH col={col} row{r}: spark={ea.values[r, c]!r} "
                 f"oracle={eb.values[r, c]!r} (allclose passed — type/rounding tie)")
     return "OK"
+
+
+def _replay_check(spark, name: str, sdf: pd.DataFrame,
+                  sf_dir: str) -> tuple[str, str] | None:
+    """Board-level numpy replay for the two no-SQL-form queries
+    (tools/replay_oracles.py) so the board records a CHECKED artifact
+    instead of bare rows-only.  None -> no replay exists (keep the
+    rows-only status); replay crashes are reported as replay-ERR, not
+    swallowed."""
+    from tools.replay_oracles import REPLAYS
+
+    fn = REPLAYS.get(name)
+    if fn is None:
+        return None
+    try:
+        return fn(spark, sf_dir, sdf)
+    except Exception as e:  # a crashed replay is a failed check
+        return "replay-ERR", str(e)[:200]
 
 
 def main() -> None:
@@ -183,10 +211,40 @@ def main() -> None:
             board[name] = {"status": "SPARK-ERR", "err": str(e)[:200]}
             n_bad += 1
             continue
-        if name not in oracles:
-            print(f"{name:28s} rows-only: {len(sdf)} rows, cols={list(sdf.columns)}")
-            board[name] = {"status": "rows-only", "rows": len(sdf)}
+        spark_sec = time.perf_counter() - t0
+        if is_vacuous(sample_mod, name, len(sdf)):
+            # r14 vacuity guard (VERDICT r13 directive 2): a sampling
+            # predicate that empties a query's result would otherwise
+            # hash-compare empty-to-empty and count as coverage (the
+            # r13 knn_sax_classify defect: odd-id test side x even
+            # sample-mod).  An empty SAMPLED result is always a board
+            # bug, never evidence — fail loudly.
+            print(f"{name:28s} FAIL VACUOUS sampled result is empty "
+                  f"(sample-mod {sample_mod})")
+            board[name] = {"status": "FAIL", "rows": 0,
+                           "detail": f"VACUOUS: 0 rows under "
+                                     f"sample-mod {sample_mod}"}
+            n_bad += 1
             continue
+        if name not in oracles:
+            out = _replay_check(spark, name, sdf, sf_dir)
+            if out is None:
+                print(f"{name:28s} rows-only: {len(sdf)} rows, "
+                      f"cols={list(sdf.columns)}")
+                board[name] = {"status": "rows-only", "rows": len(sdf),
+                               "spark_sec": round(spark_sec, 3)}
+            else:
+                status, detail = out
+                print(f"{name:28s} {status} {detail}")
+                board[name] = {"status": status, "rows": len(sdf),
+                               "spark_sec": round(spark_sec, 3),
+                               "replay": detail}
+                if status == "replay-OK":
+                    n_ok += 1
+                else:
+                    n_bad += 1
+            continue
+        t1 = time.perf_counter()
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
@@ -194,6 +252,7 @@ def main() -> None:
             board[name] = {"status": "ORACLE-ERR", "err": str(e)[:200]}
             n_bad += 1
             continue
+        oracle_sec = time.perf_counter() - t1
         verdict = compare(name, sdf, odf)
         status = "OK " if verdict == "OK" else "FAIL"
         if verdict == "OK":
@@ -201,7 +260,13 @@ def main() -> None:
         else:
             n_bad += 1
         board[name] = {"status": status.strip(), "rows": len(sdf),
-                       "sec": round(time.perf_counter() - t0, 3)}
+                       "sec": round(time.perf_counter() - t0, 3),
+                       # engine/oracle attribution (r13 directive 4):
+                       # "sec" mixes Spark + DuckDB + compare; these
+                       # two split it so a slow board entry is
+                       # attributable without re-running
+                       "spark_sec": round(spark_sec, 3),
+                       "oracle_sec": round(oracle_sec, 3)}
         if verdict != "OK":
             board[name]["detail"] = verdict
         print(f"{name:28s} {status} {'' if verdict == 'OK' else verdict}")
