@@ -44,6 +44,36 @@ _SAX_GAP2 = [
 # helpers
 # ---------------------------------------------------------------------------
 
+def _rev_exact(p: str = "") -> str:
+    """Order-independent revenue aggregate, identical SQL on both
+    engines: money columns are 2-decimal by construction (TPC-H money),
+    so summing them on an exact DECIMAL grid makes the aggregate
+    independent of partitioning/summation order — at sf5 (30M lineitem)
+    the double-sum version landed within 1 ulp of a round(,2) boundary
+    and hash-diverged (r14).  The single decimal->double cast at the
+    end is correctly rounded, hence engine-identical.  This is also the
+    100-TB-correct form: a thousand-executor partial-agg tree must not
+    change the cents."""
+    return (f"cast(round(sum(cast({p}l_extendedprice AS DECIMAL(12,2))"
+            f" * cast(1 - {p}l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)")
+
+
+def _charge_exact(p: str = "") -> str:
+    """sum_charge on the exact grid (see _rev_exact): decimal(12,2) x
+    (4,2) x (4,2) -> scale-6 products, summed exactly in both engines."""
+    return (f"cast(round(sum(cast({p}l_extendedprice AS DECIMAL(12,2))"
+            f" * cast(1 - {p}l_discount AS DECIMAL(4,2))"
+            f" * cast(1 + {p}l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)")
+
+
+def _money_avg_exact(col: str, width: str = "12,2") -> str:
+    """round(avg(money), 4) without order dependence: exact decimal sum
+    -> one correctly-rounded cast to double -> one IEEE division by the
+    count — every step engine-identical."""
+    return (f"round(cast(sum(cast({col} AS DECIMAL({width}))) AS DOUBLE)"
+            f" / count(*), 4)")
+
+
 def _oracle_sample_mod() -> int | None:
     """Optional QUERY-side sampling modulus for the oracle board.
 
@@ -111,17 +141,22 @@ _EVENTS_LONG_SQL = """
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    # money aggregates on the exact DECIMAL grid (_rev_exact): at sf5's
+    # 30M-row groups the double-sum form is summation-order-dependent
+    # within 1 ulp of a cent boundary — under-gate semantics must be
+    # partitioning-invariant (the 100-TB contract)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                   AS sum_qty,
-               round(sum(l_extendedprice), 2)                              AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                   AS avg_qty,
-               round(avg(l_extendedprice), 4)                              AS avg_price,
-               round(avg(l_discount), 4)                                   AS avg_disc,
-               count(*)                                                    AS count_order
+               round(sum(l_quantity), 2)  AS sum_qty,
+               cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE)            AS sum_base_price,
+               {_rev_exact()}             AS sum_disc_price,
+               {_charge_exact()}          AS sum_charge,
+               round(avg(l_quantity), 4)  AS avg_qty,
+               {_money_avg_exact('l_extendedprice')}      AS avg_price,
+               {_money_avg_exact('l_discount', '4,2')}    AS avg_disc,
+               count(*)                   AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         """
@@ -148,10 +183,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    # exact-grid revenue (_rev_exact): region-level groups aggregate the
+    # whole fact table — the largest summation in the roster
     return spark.sql(
-        """
+        f"""
         SELECT r.r_name AS region_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               {_rev_exact('l.')} AS revenue,
                count(*) AS n_lineitems
         FROM region r
         JOIN nation n    ON n.n_regionkey = r.r_regionkey
@@ -633,11 +670,13 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dim aggregate via GROUPING SETS (free in Spark, absent in the
     reference — SURVEY.md §2.10)."""
     load_tables(spark, sf_dir)
+    # exact-grid revenue (_rev_exact): the () grouping set sums the
+    # whole table into one cell — maximal order-sensitivity without it
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {_rev_exact()} AS revenue,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -702,7 +741,20 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     pairs = ngram_jaccard_pairs(t["documents"], n_shingle=3, threshold=0.5)
-    return canonicalize(pairs).select("doc_id", "keep_doc_id")
+    out = canonicalize(pairs).select("doc_id", "keep_doc_id")
+    sm = _oracle_sample_mod()
+    if sm:
+        # board sampling (r14): keep WHOLE components that contain at
+        # least one sampled doc — the full distributed near-dup graph +
+        # connected-components machinery still runs; only the
+        # hash-compared slice (and the oracle's recursive closure,
+        # which r13 declared infeasible at 250k docs) shrinks.  A
+        # component either appears in full or not at all, so labels in
+        # the slice are exactly the full run's labels.
+        comps = (out.where(F.col("doc_id") % sm == 0)
+                 .select("keep_doc_id").distinct())
+        out = out.join(F.broadcast(comps), "keep_doc_id")
+    return out.select("doc_id", "keep_doc_id")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,15 +2007,16 @@ def oracle_sql() -> dict[str, str]:
         return f"WHERE {col} % {sm} = 0" if sm else ""
 
     return {
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   {_rev_exact()} AS sum_disc_price,
+                   {_charge_exact()} AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   {_money_avg_exact('l_extendedprice')} AS avg_price,
+                   {_money_avg_exact('l_discount', '4,2')} AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1979,9 +2032,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
         """,
-        "q5_region_revenue": """
+        "q5_region_revenue": f"""
             SELECT r.r_name AS region_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   {_rev_exact('l.')} AS revenue,
                    count(*) AS n_lineitems
             FROM region r
             JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -2276,11 +2329,34 @@ def oracle_sql() -> dict[str, str]:
               WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
             ),
             edges AS (SELECT id1, id2 FROM jac UNION SELECT id2, id1 FROM jac),
+            {'''
+            -- sampled board (r14): close only components touching a
+            -- sampled doc.  mark = nodes reachable from sampled nodes
+            -- (= whole components, edges are symmetrized), then the
+            -- label closure runs on the marked subgraph only — exact
+            -- on those components by closure, and linear in their
+            -- size instead of the full duplicate graph
+            mark(doc_id) AS (
+              SELECT id1 FROM edges WHERE id1 % ''' + str(sm) + ''' = 0
+              UNION
+              SELECT e.id1 FROM edges e JOIN mark ON mark.doc_id = e.id2
+            ),
+            medges AS (
+              SELECT e.id1, e.id2 FROM edges e
+              JOIN mark m ON m.doc_id = e.id1
+            ),
+            reach(doc_id, r) AS (
+              SELECT id1, id1 FROM medges
+              UNION
+              SELECT e.id1, reach.r
+              FROM medges e JOIN reach ON reach.doc_id = e.id2
+            )''' if sm else '''
             reach(doc_id, r) AS (
               SELECT id1, id1 FROM edges
               UNION
-              SELECT e.id1, reach.r FROM edges e JOIN reach ON reach.doc_id = e.id2
-            )
+              SELECT e.id1, reach.r
+              FROM edges e JOIN reach ON reach.doc_id = e.id2
+            )'''}
             SELECT doc_id, min(r) AS keep_doc_id FROM reach GROUP BY doc_id
         """,
         "dedup_minhash": f"""
@@ -2590,10 +2666,10 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
         """,
-        "revenue_grouping_sets": """
+        "revenue_grouping_sets": f"""
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   {_rev_exact()} AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

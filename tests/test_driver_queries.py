@@ -997,7 +997,9 @@ class TestOracleSampleMod:
         # at mod 750), so structural non-degeneracy is unprovable here
         # — the check_oracles.py runtime vacuity guard covers it at the
         # real board dirs (13959 rows at sf5/mod-750 in r13).
-        data_dependent = {"dedup_embedding_cosine"}
+        # (dedup_canonical likewise: whether the surviving sampled docs
+        # belong to any near-dup component at this tiny sf is data.)
+        data_dependent = {"dedup_embedding_cosine", "dedup_canonical"}
         os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(mod)
         try:
             qs = entry.queries()
@@ -1035,3 +1037,26 @@ class TestOracleSampleMod:
         assert not is_vacuous(2, "knn_sax_classify", 5)      # non-empty: fine
         assert not is_vacuous(None, "knn_sax_classify", 0)   # driver gate: fine
         assert not is_vacuous(2, "q1_pricing_summary", 0)    # unsampled query
+
+    @pytest.mark.parametrize("mod", [2, 3])
+    def test_dedup_canonical_sampled_is_whole_components(self, spark, mod):
+        """r14: dedup_canonical's board sampling keeps WHOLE components
+        that contain a sampled doc — so the sampled result must be (a)
+        a subset of the full result, (b) component-closed (every row
+        whose keep_doc_id appears is present), and (c) exactly the rows
+        of components containing a doc_id % mod == 0."""
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        full = {(r.doc_id, r.keep_doc_id)
+                for r in qs["dedup_canonical"](spark, SF_DIR).collect()}
+        os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"] = str(mod)
+        try:
+            sampled = {(r.doc_id, r.keep_doc_id)
+                       for r in qs["dedup_canonical"](spark, SF_DIR).collect()}
+        finally:
+            del os.environ["SPARK_GRAFT_ORACLE_SAMPLE_MOD"]
+        marked = {k for d, k in full if d % mod == 0}
+        expect = {(d, k) for d, k in full if k in marked}
+        assert sampled == expect
+        assert sampled  # sf0.001 docs do have near-dup components

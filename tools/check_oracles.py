@@ -41,6 +41,10 @@ _SAMPLED_QUERIES = {
     "events_running_zscore", "events_sessionize", "events_cumulative",
     "stream_tumbling_paa_batch", "matrix_profile_events",
     "knn_sax_classify",
+    # r14 wave 3: whole-component sampling — the full distributed
+    # near-dup graph + connected components still run; only the
+    # recursive-CTE oracle closure (infeasible at 250k docs) shrinks
+    "dedup_canonical",
 }
 
 
@@ -174,15 +178,17 @@ def main() -> None:
         ensure_sf1(spark, dest_dir=sf_dir)
         ensure_sf1_tpch(spark, dest_dir=sf_dir)
     elif os.path.basename(sf_dir.rstrip("/")) == ".scale_sf5":
-        # the sf5 dir self-provisions its documents + events tables the
-        # same way (markers gate regeneration); TPC-H tables are NOT
-        # derived at sf5 — run it with an explicit query list
+        # the sf5 dir self-provisions all four table families the same
+        # way (markers gate regeneration); TPC-H joined in r14, so the
+        # relational passthroughs are gated past sf1 too
         from tools.gen_scale_data import (ensure_sf5_documents,
                                           ensure_sf5_embeddings,
-                                          ensure_sf5_events)
+                                          ensure_sf5_events,
+                                          ensure_sf5_tpch)
         ensure_sf5_documents(spark, dest_dir=sf_dir)
         ensure_sf5_embeddings(spark, dest_dir=sf_dir)
         ensure_sf5_events(spark, dest_dir=sf_dir)
+        ensure_sf5_tpch(spark, dest_dir=sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")

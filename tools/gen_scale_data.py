@@ -136,11 +136,13 @@ def _gen_events(spark, src_dir: str, dest_dir: str,
         os.path.join(dest_dir, "events.parquet"))
 
 
-def generate_tpch(spark, src_dir: str, dest_dir: str) -> None:
-    """Derive the 10x TPC-H-ish star schema (r12): fact/entity tables
-    are replicated N_COPIES times with key-space offsets that PRESERVE
-    referential integrity (orders.o_custkey shifts by the same stride as
-    customer.c_custkey, lineitem FKs shift with orders/part/supplier);
+def generate_tpch(spark, src_dir: str, dest_dir: str,
+                  n_copies: int = N_COPIES) -> None:
+    """Derive the n_copies-x TPC-H-ish star schema (r12; parameterized
+    r14 for the sf5 grain): fact/entity tables are replicated with
+    key-space offsets that PRESERVE referential integrity
+    (orders.o_custkey shifts by the same stride as customer.c_custkey,
+    lineitem FKs shift with orders/part/supplier);
     the tiny dimension tables (region, nation) stay fixed like real
     TPC-H does at any SF.  Name columns are salted per copy so rows stay
     globally unique (top-k tie-breaks that involve names keep working);
@@ -150,7 +152,7 @@ def generate_tpch(spark, src_dir: str, dest_dir: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dest_dir, exist_ok=True)
-    copies = spark.range(N_COPIES).select(F.col("id").alias("k"))
+    copies = spark.range(n_copies).select(F.col("id").alias("k"))
 
     def salt(col):
         return F.when(F.col("k") == 0, F.col(col)).otherwise(
@@ -350,6 +352,27 @@ def ensure_sf5_embeddings(spark, src_dir: str = "/root/testdata/sf0.1",
     marker = os.path.join(dest_dir, "_COMPLETE_EMBEDDINGS")
     if not os.path.exists(marker):
         _gen_embeddings(spark, src_dir, dest_dir, n_copies)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dest_dir
+
+
+def ensure_sf5_tpch(spark, src_dir: str = "/root/testdata/sf0.1",
+                    dest_dir: str | None = None,
+                    n_copies: int = 50) -> str:
+    """TPC-H grain at 50x sf0.1 (30M lineitem / 7.5M orders / 750k
+    customer — 5x the sf1 tables) so the relational passthrough family
+    (q1/q3/q5/top_customers/part_brand/nation_rollup/orders_priority/
+    revenue_grouping_sets) and events_asof_orders get >sf1 hash gates
+    (VERDICT r13 directive 3: the one query family with no evidence
+    past sf1).  Same RI-preserving copy protocol and marker-commit as
+    ensure_sf1_tpch."""
+    if dest_dir is None:
+        dest_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_sf5")
+    marker = os.path.join(dest_dir, "_COMPLETE_TPCH")
+    if not os.path.exists(marker):
+        generate_tpch(spark, src_dir, dest_dir, n_copies)
         with open(marker, "w") as f:
             f.write("ok\n")
     return dest_dir

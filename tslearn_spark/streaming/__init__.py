@@ -540,6 +540,14 @@ def stream_ann_lsh_candidates(
     query-side compute, never state, so the high-recall config is the
     right default; pick ``bits`` ~ auto_lsh_bits(expected corpus
     size) + 2 (the stream itself cannot be counted up front).
+
+    .. versionchanged:: r13
+        The default ``n_probes`` changed from ``1`` to ``"auto"``
+        (~8*bits/3, e.g. 32 probes at bits=12).  Per-query probe work
+        — hash comparisons and emitted candidate rows — grows by that
+        factor at unchanged state; callers tuned to the old p=1
+        latency/candidate-volume profile must pass ``n_probes=1``
+        explicitly to keep it.
     """
     import numpy as np
 
