@@ -2310,7 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_canonical": f"""
             WITH RECURSIVE words AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-            tok AS (
+            tok AS MATERIALIZED (
               SELECT DISTINCT doc_id, t.tok
               FROM words, unnest(list_transform(
                      range(1, greatest(len(tk) - 1, 2)),
@@ -2322,13 +2322,19 @@ def oracle_sql() -> dict[str, str]:
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             ),
-            jac AS (
+            jac AS MATERIALIZED (
               SELECT id1, id2 FROM common
               JOIN sizes s1 ON s1.doc_id = id1
               JOIN sizes s2 ON s2.doc_id = id2
               WHERE inter * 1.0 / (s1.n_tok + s2.n_tok - inter) >= 0.5
             ),
-            edges AS (SELECT id1, id2 FROM jac UNION SELECT id2, id1 FROM jac),
+            -- MATERIALIZED is load-bearing on edges/medges: both are
+            -- referenced inside recursive steps, and DuckDB re-inlines
+            -- plain CTEs there — the whole shingle->jaccard pipeline
+            -- would re-run EVERY recursion iteration (measured: 303 s
+            -- at sf1 before, seconds after)
+            edges AS MATERIALIZED (
+              SELECT id1, id2 FROM jac UNION SELECT id2, id1 FROM jac),
             {'''
             -- sampled board (r14): close only components touching a
             -- sampled doc.  mark = nodes reachable from sampled nodes
@@ -2341,7 +2347,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.id1 FROM edges e JOIN mark ON mark.doc_id = e.id2
             ),
-            medges AS (
+            medges AS MATERIALIZED (
               SELECT e.id1, e.id2 FROM edges e
               JOIN mark m ON m.doc_id = e.id1
             ),

@@ -680,6 +680,25 @@ def _ann_recall_clustered(spark) -> dict | None:
     t0 = time.perf_counter()
     cen = train_ivf_centroids(emb, n_lists=n_lists, max_iter=5)
     out["ivf_train_sec"] = round(time.perf_counter() - t0, 3)
+    # r14 (VERDICT r13 directive 4): the build-cost contract behind
+    # "IVF is the batch default" — train the SAME index shape (the full
+    # corpus's auto n_lists, same max_iter) on a 1-in-5 row sample, so
+    # the 20k -> 100k pair isolates corpus size.  MLlib Lloyd is
+    # O(n x k x iters): slope_vs_linear ~ 1 is the contract; >> 1 would
+    # mean build cost super-linear in corpus and the r13 sf5 board's
+    # 79.9 s ann_ivf entry could not be amortized away by probe reuse.
+    t0 = time.perf_counter()
+    train_ivf_centroids(emb.where(F.col("vec_id") % 5 == 0),
+                        n_lists=n_lists, max_iter=5)
+    sec_small = round(time.perf_counter() - t0, 3)
+    out["ivf_build_scaling"] = {
+        "n_small": N_CLUSTERED // 5, "sec_small": sec_small,
+        "n_full": N_CLUSTERED, "sec_full": out["ivf_train_sec"],
+        "slope_vs_linear": round(
+            (out["ivf_train_sec"] / max(sec_small, 1e-9)) / 5.0, 2),
+    }
+    print(f"[bench] ivf build scaling: {out['ivf_build_scaling']}",
+          file=sys.stderr)
     for p in (max(n_probe // 2, 1), n_probe, n_probe * 2):
         run(f"ivf_l{n_lists}_p{p}",
             lambda pp=p: ivf_topk(qsample, emb, k=k, n_lists=n_lists,
@@ -1011,8 +1030,9 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
 
     # r11: two more soaks (matrix_profile, ann_lsh_multiprobe) + the
     # clustered recall measurement joined the section — 300 s was
-    # measured flush against the six-soak total
-    budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "450"))
+    # measured flush against the six-soak total.  r14: +150 s headroom
+    # for the 50k-vector soak + recall (directive 6).
+    budget = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "600"))
     t_suite0 = time.perf_counter()
     t = load_tables(spark, sf1_dir)
     work = tempfile.mkdtemp(prefix="stream_soak_")
@@ -1162,6 +1182,26 @@ def _streaming_soak_section(spark, sf1_dir: str) -> dict | None:
              s, dim=dim_emb, bits=bits_emb, ttl_ms=10_000),
          F.col("vec_id"),
          bound_frac=min(1.0, 4.0 * (1 << bits_emb) / max(n_emb, 1)))
+    # r14 (VERDICT r13 directive 6): the same soak at sf5-scale stream
+    # length — 50k clustered vectors (2.5x the sf1 embeddings, 10x the
+    # r12 recall sweep's sample) at the op's SIGNATURE recipe
+    # (bits = auto_lsh_bits(n)+2, t4, p=auto).  The state bound is
+    # n_tables x 2^bits BUCKETS regardless of corpus size (probes never
+    # insert; bucket rows cap at bucket_cap ids), so the curve must
+    # stay under the bucket-count axis while the streamed population
+    # grows past it — the corpus-size-independence claim, measured.
+    from tools.gen_scale_data import ensure_sf1_clustered
+    clus = spark.read.parquet(ensure_sf1_clustered(spark)).where(
+        F.col("vec_id") % 2 == 0)
+    n_clus = clus.count()
+    dim_clus = len(clus.select("embedding").first()["embedding"])
+    bits_clus = auto_lsh_bits(n_clus) + 2
+    soak("ann_lsh_multiprobe_ttl_50k",
+         clus, ["vec_id", "embedding"],
+         lambda s: stream_ann_lsh_candidates(
+             s, dim=dim_clus, bits=bits_clus, ttl_ms=10_000),
+         F.col("vec_id"),
+         bound_frac=min(1.0, 4.0 * (1 << bits_clus) / max(n_clus, 1)))
     out["stream_ann_recall"] = _stream_ann_recall(spark)
     shutil.rmtree(work, ignore_errors=True)
     return {"budget_sec": budget, "ops": out}
@@ -1223,6 +1263,50 @@ def _stream_ann_recall(spark) -> dict:
         }
     print(f"[bench] stream ann recall (clustered): {out}", file=sys.stderr)
     sample.unpersist()
+    # r14 (VERDICT r13 directive 6): the identical contract at
+    # sf5-scale corpus volume — 50k clustered vectors, 10x the sweep
+    # sample — at the signature recipe (auto_lsh_bits(n)+2, t4,
+    # p=auto).  Ground truth stays exact but query-sampled: brute-force
+    # top-10 for 1-in-100 query ids against the FULL 50k corpus (recall
+    # is a per-query average, so a 500-query sample estimates it
+    # unbiased at 1/100 the quadratic cost); the candidate set is
+    # filtered to the sampled query side BEFORE collect so the driver
+    # never holds the full pair stream.
+    big = emb.where(F.col("vec_id") % 2 == 0).localCheckpoint()
+    n_big = big.count()
+    bits_big = auto_lsh_bits(n_big) + 2
+    p_big = auto_lsh_probes(bits_big)
+    qmod = 100
+    t0 = _t.perf_counter()
+    exact_big = {
+        (r["neighbor_id"], r["query_id"])
+        for r in brute_force_topk(
+            big.where(F.col("vec_id") % qmod == 0), big, k=10).collect()
+        if r["neighbor_id"] < r["query_id"]
+    }
+    exact_sec = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    got_big = {
+        (r["id1"], r["id2"])
+        for r in stream_ann_lsh_candidates(
+            big, dim=dim, bits=bits_big, n_tables=4,
+            n_probes=p_big, bucket_cap=64)
+        .where(F.col("id2") % qmod == 0).collect()
+    }
+    out["at_50k"] = {
+        "n_vectors": n_big,
+        "config": f"b{bits_big}_t4_p{p_big}",
+        "n_query_sample": n_big // qmod,
+        "n_true_pairs": len(exact_big),
+        "exact_sec": exact_sec,
+        "sec": round(_t.perf_counter() - t0, 3),
+        "state_rows_bound": 4 * (1 << bits_big),
+        "recall_of_top10": round(
+            len(exact_big & got_big) / max(len(exact_big), 1), 3),
+    }
+    print(f"[bench] stream ann recall at_50k: {out['at_50k']}",
+          file=sys.stderr)
+    big.unpersist()
     return out
 
 

@@ -29,13 +29,21 @@ import numpy as np
 
 
 def _series_from_parquet(sf_dir: str) -> dict[int, np.ndarray]:
+    import os
+
     import duckdb
 
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # Spark-written dataset dir (the generated .scale_sf1/.scale_sf5
+        # tables) — glob its part files, same as check_oracles.py's view
+        # registration (r14: the sf1 board's replay failed here)
+        path = f"{path}/*.parquet"
     con = duckdb.connect()
     rows = con.execute(
         f"""
         SELECT user_id, list(value ORDER BY ts, event_id)
-        FROM read_parquet('{sf_dir}/events.parquet')
+        FROM read_parquet('{path}')
         GROUP BY user_id
         """
     ).fetchall()
