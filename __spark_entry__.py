@@ -44,34 +44,93 @@ _SAX_GAP2 = [
 # helpers
 # ---------------------------------------------------------------------------
 
-def _rev_exact(p: str = "") -> str:
-    """Order-independent revenue aggregate, identical SQL on both
-    engines: money columns are 2-decimal by construction (TPC-H money),
-    so summing them on an exact DECIMAL grid makes the aggregate
-    independent of partitioning/summation order — at sf5 (30M lineitem)
-    the double-sum version landed within 1 ulp of a round(,2) boundary
-    and hash-diverged (r14).  The single decimal->double cast at the
-    end is correctly rounded, hence engine-identical.  This is also the
-    100-TB-correct form: a thousand-executor partial-agg tree must not
-    change the cents."""
-    return (f"cast(round(sum(cast({p}l_extendedprice AS DECIMAL(12,2))"
-            f" * cast(1 - {p}l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)")
+# Exact money aggregates (r14).  TPC-H money columns are 2-decimal by
+# construction, so every product of money x (1 +/- rate) is an exact
+# integer on a cents grid (scale 2/4/6).  Summing those integers makes
+# the aggregate independent of partitioning/summation order — at sf5
+# (30M lineitem) the naive double-sum landed within 1 ulp of a
+# round(,2) boundary and hash-diverged; a 1000-executor partial-agg
+# tree has the same freedom, so order-invariance IS the 100-TB
+# contract, not a test nicety.
+#
+# The integer grid is recovered from the doubles exactly:
+# round(x * 100) is the true cent value because the stored double is
+# within ~1e-11 of it while the grid spacing is 1.  Engine-specific
+# accumulation (r14 perf rework — the first cut summed DECIMAL(17,4)+
+# directly, whose >18-digit accumulator leaves Spark's compact-long
+# path and cost 2.6-4.2x on q1/grouping_sets):
+#   * Spark: two BIGINT sums of (v div 1e6, v % 1e6) — whole-stage
+#     codegen fast — recombined into one DECIMAL(38,0).  Exact while
+#     each partial fits a long: <= ~1e12 rows per group for the
+#     scale-6 charge (1e11 max v -> hi <= 1.2e5), comfortably past
+#     100 TB; beyond that, widen the split modulus.
+#   * DuckDB oracle: plain sum(v) — DuckDB accumulates BIGINT into
+#     HUGEINT, exact unconditionally.  An engine-side overflow would
+#     therefore MISMATCH the oracle, never silently agree with it.
+# Rounding to cents happens in integer space ((t + 50) div 100 —
+# half-up, positive by domain), then ONE cast to double and ONE IEEE
+# division by 100 — every step engine-identical.
+
+def _cents(p: str = "") -> str:
+    """Exact integer cents of l_extendedprice."""
+    return f"cast(round({p}l_extendedprice * 100) AS BIGINT)"
 
 
-def _charge_exact(p: str = "") -> str:
-    """sum_charge on the exact grid (see _rev_exact): decimal(12,2) x
-    (4,2) x (4,2) -> scale-6 products, summed exactly in both engines."""
-    return (f"cast(round(sum(cast({p}l_extendedprice AS DECIMAL(12,2))"
-            f" * cast(1 - {p}l_discount AS DECIMAL(4,2))"
-            f" * cast(1 + {p}l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)")
+def _rev_v(p: str = "") -> str:
+    """Exact scale-4 integer: cents x (100 - discount_pct)."""
+    return (f"({_cents(p)}"
+            f" * cast(round((1 - {p}l_discount) * 100) AS BIGINT))")
 
 
-def _money_avg_exact(col: str, width: str = "12,2") -> str:
-    """round(avg(money), 4) without order dependence: exact decimal sum
-    -> one correctly-rounded cast to double -> one IEEE division by the
+def _charge_v(p: str = "") -> str:
+    """Exact scale-6 integer: cents x (100-disc) x (100+tax)."""
+    return (f"({_cents(p)}"
+            f" * cast(round((1 - {p}l_discount) * 100) AS BIGINT)"
+            f" * cast(round((1 + {p}l_tax) * 100) AS BIGINT))")
+
+
+def _split_sum(v: str) -> str:
+    """Spark-side exact integer sum of expression ``v`` as
+    DECIMAL(38,0): two codegen BIGINT sums recombined."""
+    return (f"(cast(sum({v} div 1000000) AS DECIMAL(38,0)) * 1000000"
+            f" + sum({v} % 1000000))")
+
+
+def _money_out(total: str, scale: int, oracle: bool = False) -> str:
+    """round(total / 10**scale, 2) via integer half-up rounding
+    (amounts are positive by domain), then one cast + one division —
+    identical integers, identical IEEE steps on both engines.  Spark
+    spells integer division ``div``, DuckDB ``//``."""
+    if scale <= 2:
+        return f"cast({total} AS DOUBLE) / 100.0"
+    half = 10 ** (scale - 2) // 2
+    op = "//" if oracle else "div"
+    return (f"cast(({total} + {half}) {op} {10 ** (scale - 2)} AS DOUBLE)"
+            f" / 100.0")
+
+
+def _rev_exact(p: str = "", oracle: bool = False) -> str:
+    t = f"sum({_rev_v(p)})" if oracle else _split_sum(_rev_v(p))
+    return _money_out(t, 4, oracle)
+
+
+def _charge_exact(p: str = "", oracle: bool = False) -> str:
+    t = f"sum({_charge_v(p)})" if oracle else _split_sum(_charge_v(p))
+    return _money_out(t, 6, oracle)
+
+
+def _base_price_exact(p: str = "", oracle: bool = False) -> str:
+    t = f"sum({_cents(p)})" if oracle else _split_sum(_cents(p))
+    return _money_out(t, 2, oracle)
+
+
+def _money_avg_exact(col: str, oracle: bool = False) -> str:
+    """round(avg(money), 4) without order dependence: exact integer
+    cent sum -> one cast to double -> /100 -> one division by the
     count — every step engine-identical."""
-    return (f"round(cast(sum(cast({col} AS DECIMAL({width}))) AS DOUBLE)"
-            f" / count(*), 4)")
+    v = f"cast(round({col} * 100) AS BIGINT)"
+    t = f"sum({v})" if oracle else _split_sum(v)
+    return f"round(cast({t} AS DOUBLE) / 100.0 / count(*), 4)"
 
 
 def _oracle_sample_mod() -> int | None:
@@ -141,21 +200,21 @@ _EVENTS_LONG_SQL = """
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    # money aggregates on the exact DECIMAL grid (_rev_exact): at sf5's
-    # 30M-row groups the double-sum form is summation-order-dependent
-    # within 1 ulp of a cent boundary — under-gate semantics must be
+    # money aggregates on the exact integer-cents grid (split BIGINT
+    # sums, see the helper block): at sf5's 30M-row groups the
+    # double-sum form is summation-order-dependent within 1 ulp of a
+    # cent boundary — under-gate semantics must be
     # partitioning-invariant (the 100-TB contract)
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)  AS sum_qty,
-               cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))), 2)
-                    AS DOUBLE)            AS sum_base_price,
+               {_base_price_exact()}      AS sum_base_price,
                {_rev_exact()}             AS sum_disc_price,
                {_charge_exact()}          AS sum_charge,
                round(avg(l_quantity), 4)  AS avg_qty,
                {_money_avg_exact('l_extendedprice')}      AS avg_price,
-               {_money_avg_exact('l_discount', '4,2')}    AS avg_disc,
+               {_money_avg_exact('l_discount')}           AS avg_disc,
                count(*)                   AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -670,15 +729,29 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dim aggregate via GROUPING SETS (free in Spark, absent in the
     reference — SURVEY.md §2.10)."""
     load_tables(spark, sf_dir)
-    # exact-grid revenue (_rev_exact): the () grouping set sums the
-    # whole table into one cell — maximal order-sensitivity without it
+    # exact-grid revenue (see the money-helper block): the () grouping
+    # set sums the whole table into one cell — maximal
+    # order-sensitivity without the integer grid.  Rolled up FROM THE
+    # FINEST grain: GROUPING SETS over the raw scan triples every row
+    # through Expand (3x the aggregate work — measured 1.9 s vs 0.46 s
+    # at sf0.1); the exact integer totals are decomposable, so the
+    # coarser sets sum the 6-row finest aggregate instead.  The oracle
+    # keeps the direct GROUPING SETS form — independent computation,
+    # identical integers.
     return spark.sql(
         f"""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 {_split_sum(_rev_v())} AS rev4,
+                 count(*) AS n
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               {_rev_exact()} AS revenue,
-               count(*) AS n_rows
-        FROM lineitem
+               {_money_out('sum(rev4)', 4)} AS revenue,
+               sum(n) AS n_rows
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
@@ -2010,13 +2083,12 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   cast(round(sum(cast(l_extendedprice AS DECIMAL(12,2))), 2)
-                        AS DOUBLE) AS sum_base_price,
-                   {_rev_exact()} AS sum_disc_price,
-                   {_charge_exact()} AS sum_charge,
+                   {_base_price_exact(oracle=True)} AS sum_base_price,
+                   {_rev_exact(oracle=True)} AS sum_disc_price,
+                   {_charge_exact(oracle=True)} AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
-                   {_money_avg_exact('l_extendedprice')} AS avg_price,
-                   {_money_avg_exact('l_discount', '4,2')} AS avg_disc,
+                   {_money_avg_exact('l_extendedprice', oracle=True)} AS avg_price,
+                   {_money_avg_exact('l_discount', oracle=True)} AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -2034,7 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": f"""
             SELECT r.r_name AS region_name,
-                   {_rev_exact('l.')} AS revenue,
+                   {_rev_exact('l.', oracle=True)} AS revenue,
                    count(*) AS n_lineitems
             FROM region r
             JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -2675,7 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_grouping_sets": f"""
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
-                   {_rev_exact()} AS revenue,
+                   {_rev_exact(oracle=True)} AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

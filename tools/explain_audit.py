@@ -95,9 +95,12 @@ AUDITS = [
     ("events_cumulative", ["Window"], 1,
      "running per-user aggregates: one named window frame, one shuffle "
      "on user_id"),
-    ("revenue_grouping_sets", ["Expand", "partial_sum"], 1,
-     "grouping sets = single Expand + map-side-combined aggregate; one "
-     "shuffle on the expanded keys"),
+    ("revenue_grouping_sets", ["Expand", "partial_sum"], 2,
+     "rolled up from the finest grain (r14): one full-scan aggregate "
+     "on (flag, status) — map-side combined, one shuffle — then Expand "
+     "+ grouping-sets aggregate over the SIX-row intermediate (second "
+     "shuffle moves 6 rows).  The old single-stage form Expanded every "
+     "scan row 3x, tripling the exact-integer aggregate work"),
     ("dedup_exact", ["HashAggregate", "partial_"], 1,
      "exact dedup = one shuffle on uniform md5 keys with map-side combine"),
     ("events_asof_orders", ["Union", "Window"], 1,
