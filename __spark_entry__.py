@@ -224,10 +224,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    # exact-grid revenue (r14, see the money-helper block): per-order
+    # groups are tiny (<= 7 lineitems) but a double sum is still
+    # association-dependent, and the top-10 RANKING rides on the value —
+    # the exact cents keep the cut deterministic under any plan
     return spark.sql(
-        """
+        f"""
         SELECT o.o_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               {_rev_exact('l.')} AS revenue,
                cast(o.o_orderdate as string) AS orderdate,
                o.o_orderpriority
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2092,9 +2096,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        "q3_top_orders": """
+        "q3_top_orders": f"""
             SELECT o.o_orderkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   {_rev_exact('l.', oracle=True)} AS revenue,
                    o.o_orderdate::VARCHAR AS orderdate,
                    o.o_orderpriority
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey

@@ -1060,3 +1060,86 @@ class TestOracleSampleMod:
         expect = {(d, k) for d, k in full if k in marked}
         assert sampled == expect
         assert sampled  # sf0.001 docs do have near-dup components
+
+
+class TestExactMoneyGridPremises:
+    """Engine-free premises behind the r14 exact-integer money
+    aggregates (__spark_entry__._rev_v/_split_sum/_money_out):
+
+    1. round(x * 100) recovers the EXACT cent integer from any 2dp
+       money double — the stored double is within ~1e-11 of the true
+       value while the grid spacing is 1.
+    2. The split accumulation (sum of v div 1e6 recombined with sum of
+       v % 1e6) is the identity on the direct sum — and its partial
+       sums stay inside int64 at 1e12 rows/group for the widest
+       (scale-6 charge) product, the documented 100-TB bound.
+    3. Integer half-up rounding ((t + half) div step) equals decimal
+       round-half-up for every positive cent total.
+    """
+
+    def test_cent_recovery_is_exact(self):
+        # every representable 2dp value in the TPC-H money range, via
+        # a dense adversarial sweep of the worst rounding neighborhoods
+        # plus a seeded random sample of the full range
+        rng = np.random.default_rng(20260816)
+        cents = np.concatenate([
+            np.arange(0, 5_000),                       # small values
+            np.arange(9_999_000, 10_000_000),          # top of range
+            rng.integers(0, 10**7, size=200_000),      # broad sample
+        ])
+        doubles = cents / 100.0                        # what parquet stores
+        rec = np.floor(doubles * 100 + 0.5).astype(np.int64)  # round-half-up
+        assert (rec == cents).all()
+
+    def test_split_sum_identity_and_bounds(self):
+        rng = np.random.default_rng(7)
+        # scale-6 charge products: cents (<=1e7) x disc (90..100) x tax
+        # (100..108) — the widest per-row integer in the roster
+        v = (rng.integers(1, 10**7, 50_000)
+             * rng.integers(90, 101, 50_000)
+             * rng.integers(100, 109, 50_000)).astype(object)
+        direct = sum(int(x) for x in v)
+        hi = sum(int(x) // 10**6 for x in v)
+        lo = sum(int(x) % 10**6 for x in v)
+        assert hi * 10**6 + lo == direct
+        # documented overflow bound: at 1e12 rows/group the partial
+        # sums stay inside int64
+        max_v = 10**7 * 100 * 108
+        assert (max_v // 10**6) * 10**12 < 2**63 - 1
+        assert (10**6 - 1) * 10**12 < 2**63 - 1
+
+    def test_integer_half_up_matches_decimal_round(self):
+        from decimal import ROUND_HALF_UP, Decimal
+        for scale, step, half in ((4, 100, 50), (6, 10_000, 5_000)):
+            for t in list(range(0, 5_000)) + [10**15 + k for k in range(200)]:
+                want = int(
+                    (Decimal(t) / step).quantize(Decimal(1), ROUND_HALF_UP))
+                assert (t + half) // step == want, (scale, t)
+
+    @pytest.mark.parametrize("n_parts", [1, 7])
+    def test_money_aggregates_partitioning_invariant(self, spark, n_parts):
+        """The actual r14 claim: the exact-grid money queries return
+        BIT-IDENTICAL results under any input partitioning (different
+        partial-agg trees).  The inexact double-sum form this replaced
+        could differ in final ulps across plans; stringized frames pin
+        full 17-digit doubles, so any ulp drift fails here."""
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        names = ("q1_pricing_summary", "q3_top_orders",
+                 "q5_region_revenue", "revenue_grouping_sets")
+
+        def frame(n):
+            pdf = qs[n](spark, SF_DIR).toPandas()
+            pdf = pdf[sorted(pdf.columns)].astype(str)
+            return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+        before = {n: frame(n) for n in names}
+        lineitem = spark.table("lineitem")
+        try:
+            lineitem.repartition(n_parts).createOrReplaceTempView("lineitem")
+            after = {n: frame(n) for n in names}
+        finally:
+            lineitem.createOrReplaceTempView("lineitem")
+        for n in names:
+            assert before[n].equals(after[n]), n
