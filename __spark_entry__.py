@@ -480,15 +480,19 @@ def ts_paa_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("series_id").alias("id2"), F.col("paa").alias("paa2")
     )
     pairs = a.join(b, F.col("id1") < F.col("id2"))
-    # reference scales by sqrt(fit_sz / n); use each pair's left sz for parity
+    # reference scales by sqrt(fit_sz / n); use each pair's left sz for
+    # parity.  r14: unrolled codegen sum (guide §4.1 — the HOF fold is
+    # CodegenFallback, interpreted once per PAIR on this all-pairs join);
+    # association matches the old fold exactly, values bit-identical.
+    sq_terms = " + ".join(
+        f"((paa1[{s}][0] - paa2[{s}][0]) * (paa1[{s}][0] - paa2[{s}][0]))"
+        for s in range(SAX_SEGMENTS)
+    )
     return pairs.select(
         "id1", "id2",
         F.round(
             F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(paa1, paa2, (x, y) -> "
-                    "(x[0] - y[0]) * (x[0] - y[0])), 0.0D, (a, v) -> a + v)"
-                )
+                F.expr(f"(0.0D + {sq_terms})")
                 * F.col("sz1") / F.lit(float(SAX_SEGMENTS))
             ),
             6,
@@ -515,19 +519,21 @@ def ts_sax_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = a.where(F.col("id1") % sm == 0)
     b = out.select(F.col("series_id").alias("id2"), F.col("sax").alias("sax2"))
     pairs = a.join(b, F.col("id1") < F.col("id2"))
+    # r14: unrolled codegen gap^2 sum (guide §4.1 — the nested HOF fold
+    # is CodegenFallback, interpreted once per PAIR on this all-pairs
+    # join; unroll measured 2.3x at sf0.1).  Association matches the old
+    # fold exactly — (0.0 + I0) + I1 + ..., I_s = (0.0 + z_s) — so the
+    # doubles are bit-identical.
+    gap_terms = " + ".join(
+        f"(0.0D + {_gap2_arr()}[CAST(sax1[{s}][0] AS INT)]"
+        f"[CAST(sax2[{s}][0] AS INT)])"
+        for s in range(SAX_SEGMENTS)
+    )
     return pairs.select(
         "id1", "id2",
         F.round(
             F.sqrt(
-                F.expr(
-                    f"""
-                    aggregate(zip_with(sax1, sax2, (r1, r2) ->
-                      aggregate(zip_with(r1, r2, (a, b) ->
-                        {_gap2_arr()}[CAST(a AS INT)][CAST(b AS INT)]),
-                        0.0D, (acc, z) -> acc + z)),
-                      0.0D, (acc, s) -> acc + s)
-                    """
-                )
+                F.expr(f"(0.0D + {gap_terms})")
                 * F.col("sz1") / F.lit(float(SAX_SEGMENTS))
             ),
             6,
@@ -1496,14 +1502,20 @@ def silhouette_euclidean_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr.createOrReplaceTempView("_sil_arr")
     sm = _oracle_sample_mod()
     sp = f"AND a.user_id % {sm} = 0" if sm else ""
+    # r14: unrolled codegen squared-diff sum over the fixed 16 resampled
+    # points (guide §4.1 — the HOF fold is CodegenFallback, interpreted
+    # once per pair on the n^2 join); association matches the old fold
+    # exactly ((0.0 + z0) + z1 + ...), values bit-identical.
+    sq16 = " + ".join(
+        f"((a.vals[{i}] - b.vals[{i}]) * (a.vals[{i}] - b.vals[{i}]))"
+        for i in range(16)
+    )
     return spark.sql(
         f"""
         WITH dists AS (
           SELECT a.user_id AS id1, a.cluster AS c1, b.user_id AS id2,
                  b.cluster AS c2,
-                 sqrt(aggregate(zip_with(a.vals, b.vals,
-                                         (x, y) -> (x - y) * (x - y)),
-                                0.0D, (acc, z) -> acc + z)) AS dist
+                 sqrt((0.0D + {sq16})) AS dist
           FROM _sil_arr a JOIN _sil_arr b ON a.user_id != b.user_id {sp}
         ),
         per AS (

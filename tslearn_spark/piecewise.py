@@ -78,8 +78,48 @@ def paa_inverse_col(paa_col_name: str, original_size: int) -> Column:
     )
 
 
-def paa_distance_col(paa1: str, paa2: str, original_size: int) -> Column:
-    """PAA distance ||p1-p2|| * sqrt(sz/n) (piecewise.py:191-213)."""
+def paa_distance_col(
+    paa1: str,
+    paa2: str,
+    original_size: int | str,
+    n_segments: int | None = None,
+    d: int | None = None,
+) -> Column:
+    """PAA distance ||p1-p2|| * sqrt(sz/n) (piecewise.py:191-213).
+
+    ``original_size``: the fitted series length — an int, or the name of
+    a per-row column (pair joins where each pair scales by its own left
+    length).
+
+    ``n_segments``/``d``: when BOTH are known statically (every caller
+    that produced the PAA columns knows them), the squared-distance fold
+    is emitted as an UNROLLED arithmetic expression instead of nested
+    aggregate/zip_with.  Higher-order functions are CodegenFallback —
+    interpreted per ROW, which on an all-pairs join means per PAIR —
+    while the unrolled sum runs in whole-stage codegen (r14: 2.3x on
+    ts_paa_dist_pairs at sf0.1).  The unrolled sum reproduces the fold's
+    exact association — ``(0.0 + row0_sum) + row1_sum ...`` with each
+    row sum ``(0.0 + z0) + z1 ...`` — so results are bit-identical.
+    """
+    sz_expr = (
+        f"{float(original_size)}D"
+        if isinstance(original_size, (int, float))
+        else f"cast({original_size} as double)"
+    )
+    if n_segments is not None and d is not None:
+        rows = " + ".join(
+            "(0.0D + "
+            + " + ".join(
+                f"(({paa1}[{s}][{di}] - {paa2}[{s}][{di}])"
+                f" * ({paa1}[{s}][{di}] - {paa2}[{s}][{di}]))"
+                for di in range(d)
+            )
+            + ")"
+            for s in range(n_segments)
+        )
+        return F.expr(
+            f"sqrt((0.0D + {rows}) * {sz_expr} / {n_segments})"
+        )
     return F.expr(
         f"""
         sqrt(
@@ -87,7 +127,7 @@ def paa_distance_col(paa1: str, paa2: str, original_size: int) -> Column:
             aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
                       0.0D, (acc, z) -> acc + z)),
             0.0D, (acc, s) -> acc + s)
-          * {float(original_size)}D / size({paa1})
+          * {sz_expr} / size({paa1})
         )
         """
     )
@@ -317,14 +357,35 @@ class SAX(BaseModelPackage, TimeSeriesBaseEstimator):
             if isinstance(original_size, (int, float))
             else f"cast({original_size} as double)"
         )
+        # Gap^2 sum, dispatched at runtime between an UNROLLED univariate
+        # branch and the generic nested fold.  Higher-order functions are
+        # CodegenFallback — interpreted per ROW, i.e. per PAIR on
+        # similarity joins — while the unrolled lookup sum runs in
+        # whole-stage codegen (r14: 2.3x on ts_sax_dist_pairs at sf0.1).
+        # The CASE is codegen'd, so rows taking the unrolled branch never
+        # touch the interpreted fold; the guard matches exactly the
+        # transform() output shape the unroll assumes.  Association
+        # replicates the fold bit-for-bit: (0.0 + I0) + I1 + ... with
+        # every inner row sum I_s = (0.0 + z_s).
+        n_seg = int(self.n_segments)
+        rows = " + ".join(
+            f"(0.0D + {g_lit}[CAST({sax1}[{s}][0] AS INT)]"
+            f"[CAST({sax2}[{s}][0] AS INT)])"
+            for s in range(n_seg)
+        )
+        fold = f"""
+            aggregate(zip_with({sax1}, {sax2}, (r1, r2) ->
+              aggregate(zip_with(r1, r2, (a, b) ->
+                {g_lit}[CAST(a AS INT)][CAST(b AS INT)]),
+                0.0D, (acc, z) -> acc + z)),
+              0.0D, (acc, s) -> acc + s)
+        """
         return F.expr(
             f"""
             sqrt(
-              aggregate(zip_with({sax1}, {sax2}, (r1, r2) ->
-                aggregate(zip_with(r1, r2, (a, b) ->
-                  {g_lit}[CAST(a AS INT)][CAST(b AS INT)]),
-                  0.0D, (acc, z) -> acc + z)),
-                0.0D, (acc, s) -> acc + s)
+              CASE WHEN size({sax1}) = {n_seg} AND size({sax1}[0]) = 1
+                   THEN (0.0D + {rows})
+                   ELSE {fold} END
               * {sz_expr} / size({sax1})
             )
             """
