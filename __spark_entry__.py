@@ -977,24 +977,33 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinting in one doc_id-grain query (the driver caps the board
     at 50 queries; all four operators stay hash-gated — fingerprints
     merged here in r7 to free a slot for dedup_minhash_verified)."""
-    from tslearn_spark.pipeline import (
-        document_fingerprints, language_id, quality_scores, token_counts,
+    from tslearn_spark.pipeline.dedup import _spread_docs
+    from tslearn_spark.pipeline.text import (
+        fingerprint_col, language_cols, quality_cols, token_count_cols,
     )
 
     t = load_tables(spark, sf_dir)
-    q = quality_scores(t["documents"]).select(
-        "doc_id", "n_chars_q", "n_words",
-        F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("upper_ratio", 6).alias("upper_ratio"),
-        F.round("digit_ratio", 6).alias("digit_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    # r14 (guide §2.4): all four operators are map-only projections of
+    # the SAME documents scan — fuse them into ONE projection instead of
+    # three doc_id joins of four separate scans (the operators'
+    # DataFrame APIs are unchanged; this query composes their column
+    # builders).  Output columns/values are identical to the old
+    # q.join(tc).join(lang).join(fp) — every expression is per-row
+    # deterministic, so the join-free form is the same function of the
+    # same rows.  Measured 0.91 -> ~0.45 s at sf0.1.
+    n_chars_q, n_words, mean_wl, punct, upper, digit, stop = quality_cols()
+    round6 = [("mean_word_len", mean_wl), ("punct_ratio", punct),
+              ("upper_ratio", upper), ("digit_ratio", digit),
+              ("stopword_ratio", stop)]
+    pred_lang, score = language_cols()
+    return _spread_docs(t["documents"]).select(
+        "doc_id",
+        n_chars_q, n_words,
+        *[F.round(c, 6).alias(n) for n, c in round6],
+        *token_count_cols(),
+        pred_lang.alias("pred_lang"), score.alias("score"),
+        fingerprint_col(window=8),
     )
-    tc = token_counts(t["documents"]).select("doc_id", "n_ws_tokens", "n_subwords")
-    lang = language_id(t["documents"]).select("doc_id", "pred_lang", "score")
-    fp = document_fingerprints(t["documents"], window=8).select(
-        "doc_id", "fingerprint")
-    return q.join(tc, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
 
 
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,10 +1122,15 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 12-row input once instead of re-running the
     # events scan + window per subplan
     tiny = _tiny_int_series(spark).localCheckpoint()
-    edges = cdist(tiny, metric="dtw").select(
+    # spread_to=8: this slice is CONSTANT-size by construction (12
+    # series, <=144 pairs, at every sf) — full-cluster spread costs
+    # ~10 ms of Arrow task overhead per partition per kernel stage for
+    # microseconds of DP work (r14, guide §2: size partitioning to the
+    # work).  Real-scale cdist callers pass nothing and keep all cores.
+    edges = cdist(tiny, metric="dtw", spread_to=8).select(
         "id1", "id2", F.round("dist", 6).alias("dtw")
     )
-    tri = self_pairs(tiny).select(
+    tri = self_pairs(tiny, spread_to=8).select(
         "id1", "id2",
         F.round(pair_metric_udf("lcss", eps=1.0)("values1", "values2"), 6).alias("lcss"),
     )
@@ -1128,7 +1142,8 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("series_id").alias("id2"),
                                  F.lit(1.0).alias("lcss")))
     )
-    edges_band = cdist(tiny, metric="dtw", sakoe_chiba_radius=2).select(
+    edges_band = cdist(tiny, metric="dtw", sakoe_chiba_radius=2,
+                       spread_to=8).select(
         "id1", "id2", F.round("dist", 6).alias("dtw_band")
     )
     # full ordered 12x12 pair grid drives the batched mixed-shape
@@ -1451,8 +1466,11 @@ def kernel_kmeans_assign_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     tiny = _tiny_int_series(spark).localCheckpoint()
+    # spread_to=8 rides kernel_params into the GAK cdist: the gate's
+    # series set is constant-size (12 rows) at every sf — see
+    # cdist_dtw_tiny's note (r14)
     kk = KernelKMeans(n_clusters=3, kernel="gak",
-                      kernel_params={"sigma": 100.0})
+                      kernel_params={"sigma": 100.0, "spread_to": 8})
     kk.labels_ = tiny.select(
         "series_id", (F.col("series_id") % 3).cast("int").alias("cluster")
     )
@@ -1548,8 +1566,9 @@ def shapelet_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.shapelets import LearningShapelets
 
     load_tables(spark, sf_dir)
-    tiny = _tiny_int_series(spark).cache()  # two UDF consumers
-    tiny.count()
+    tiny = _tiny_int_series(spark).cache()  # two UDF consumers; the
+    # seeds collect below materializes the cache (r14: an extra count()
+    # job bought nothing)
     seeds = {
         r["series_id"]: r["values"]
         for r in tiny.where(F.col("series_id") < 3).collect()

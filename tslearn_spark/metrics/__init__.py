@@ -274,7 +274,7 @@ def dtw_path_udf(**params):
 # pair enumeration (the join layer)
 # ---------------------------------------------------------------------------
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin the kernel-feeding side across all cores.
 
     Metric joins are COMPUTE-bound: a few thousand series rows generate
@@ -283,9 +283,16 @@ def _spread(df: DataFrame) -> DataFrame:
     serializes the whole UDF stage (measured 356s -> ~15s at sf0.1).  An
     explicit repartition of the tiny row set costs nothing and pins the
     parallelism to the cluster, not the input size.
+
+    ``n``: caller-known parallelism for CONSTANT-size inputs (r14): a
+    query whose row count is fixed by construction (e.g. the 12-series
+    hash-gate slices) pays ~10 ms of Arrow task overhead per partition
+    per UDF stage, so full-cluster spread costs more than it buys; the
+    hint sizes the stage to the work instead (guide §2 — derive
+    partitioning from input size).  Default: all cores, unchanged.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    return df.repartition(n or sc.defaultParallelism)
 
 
 
@@ -305,7 +312,8 @@ def _pair_sort(df: DataFrame, band: bool = True) -> DataFrame:
         )
     return df.sortWithinPartitions(F.size("values1"), F.size("values2"))
 
-def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True) -> DataFrame:
+def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True,
+                spread_to: int | None = None) -> DataFrame:
     """Full rectangle d1 × d2 with columns (id1, values1, id2, values2).
 
     For kNN-style queries the train side is usually the small one —
@@ -313,7 +321,8 @@ def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True) -> D
     over all cores (see _spread).
     """
     left = _spread(
-        d1.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+        d1.select(F.col("series_id").alias("id1"), F.col("values").alias("values1")),
+        spread_to,
     )
     right = d2.select(F.col("series_id").alias("id2"), F.col("values").alias("values2"))
     if broadcast_right:
@@ -321,7 +330,7 @@ def cross_pairs(d1: DataFrame, d2: DataFrame, broadcast_right: bool = True) -> D
     return left.crossJoin(right)
 
 
-def self_pairs(df: DataFrame) -> DataFrame:
+def self_pairs(df: DataFrame, spread_to: int | None = None) -> DataFrame:
     """Strict upper triangle of df × df (id1 < id2).
 
     Mirrors the symmetry optimization of metrics/utils.py:58-75: kernel
@@ -330,7 +339,8 @@ def self_pairs(df: DataFrame) -> DataFrame:
     one avoids a sort-merge shuffle of series payloads).
     """
     left = _spread(
-        df.select(F.col("series_id").alias("id1"), F.col("values").alias("values1"))
+        df.select(F.col("series_id").alias("id1"), F.col("values").alias("values1")),
+        spread_to,
     )
     right = F.broadcast(
         df.select(F.col("series_id").alias("id2"), F.col("values").alias("values2"))
@@ -343,6 +353,7 @@ def cdist(
     d2: DataFrame | None = None,
     metric: str = "dtw",
     symmetric_zero_diag: bool | None = None,
+    spread_to: int | None = None,
     **params,
 ) -> DataFrame:
     """Distributed cross-similarity: returns edges (id1, id2, dist).
@@ -356,17 +367,26 @@ def cdist(
     softdtw/gak whose self-score is nonzero — softdtw_variants.py:451-532).
     """
     if metric == "gak":
-        return _cdist_gak_normalized(d1, d2, **params)
+        return _cdist_gak_normalized(d1, d2, spread_to=spread_to, **params)
     udf = pair_metric_udf(metric, **params)
     a1, a2 = _kernel_args(dim_of(d1))
     if d2 is None:
         if symmetric_zero_diag is None:
             symmetric_zero_diag = metric not in ("softdtw", "unnormalized_gak")
-        upper = _pair_sort(self_pairs(d1), band=metric == "dtw").withColumn("dist", udf(a1, a2))
-        up = upper.select("id1", "id2", "dist")
-        mirror = upper.select(
-            F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
-        )
+        upper = _pair_sort(self_pairs(d1, spread_to), band=metric == "dtw").withColumn("dist", udf(a1, a2))
+        # r14 (guide §2.4 — don't compute things twice): emit BOTH
+        # directions of each pair from ONE evaluated row via explode.
+        # The old up.unionByName(mirror) referenced the ``upper``
+        # subtree twice, and Spark has no cross-branch reuse — the
+        # whole kernel-UDF stage (and its tasks) ran twice per cdist.
+        # Same rows, same doubles, half the kernel evaluations.
+        both = upper.select(
+            F.explode(F.array(
+                F.struct(F.col("id1"), F.col("id2"), F.col("dist")),
+                F.struct(F.col("id2").alias("id1"),
+                         F.col("id1").alias("id2"), F.col("dist")),
+            )).alias("_e")
+        ).select("_e.id1", "_e.id2", "_e.dist")
         if symmetric_zero_diag:
             if metric in ("gak", "ncc", "lcss"):
                 # similarities, not distances: self-score is 1
@@ -390,8 +410,8 @@ def cdist(
                 .withColumn("dist", udf(a1, a2))
                 .select("id1", "id2", "dist")
             )
-        return up.unionByName(mirror).unionByName(diag)
-    pairs = _pair_sort(cross_pairs(d1, d2), band=metric == "dtw")
+        return both.unionByName(diag)
+    pairs = _pair_sort(cross_pairs(d1, d2, spread_to=spread_to), band=metric == "dtw")
     return pairs.withColumn("dist", udf(a1, a2)).select("id1", "id2", "dist")
 
 
@@ -404,7 +424,8 @@ def _self_gak_udf(sigma: float):
     return _udf
 
 
-def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.0) -> DataFrame:
+def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.0,
+                          spread_to: int | None = None) -> DataFrame:
     """Normalized GAK Gram with cached diagonals (softdtw_variants.py:185-217).
 
     The naive per-pair normalization runs THREE DPs per pair (xy, xx, yy);
@@ -417,23 +438,37 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
     a1, a2 = _kernel_args(dim)
 
     def selfs(df: DataFrame) -> DataFrame:
-        return _spread(df.select("series_id", "values")).select(
+        return _spread(df.select("series_id", "values"), spread_to).select(
             "series_id", _self_gak_udf(sigma)(vcol).alias("kself")
         )
 
     udf = pair_metric_udf("unnormalized_gak", sigma=sigma)
     s1 = selfs(d1)
     if d2 is None:
-        upper = _pair_sort(self_pairs(d1), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
-        both = upper.unionByName(
-            upper.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "kxy")
-        )
-        k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"),
-                                   F.col("kself").alias("k1")))
-        k2 = F.broadcast(s1.select(F.col("series_id").alias("id2"),
-                                   F.col("kself").alias("k2")))
-        off = both.join(k1, "id1").join(k2, "id2").select(
-            "id1", "id2", (F.col("kxy") / F.sqrt(F.col("k1") * F.col("k2"))).alias("dist")
+        upper = _pair_sort(self_pairs(d1, spread_to), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
+        # r14 (guide §2.4): both directions from ONE evaluated pair row
+        # (the old upper.unionByName(upper.select(...)) ran the GAK-UDF
+        # stage twice), and ONE broadcast of the self-kernel table used
+        # for both lookups — the two join conditions reference the SAME
+        # broadcast subplan, so exchange reuse builds it once (the old
+        # k1/k2 projections differed and each re-ran the selfs UDF).
+        both = upper.select(
+            F.explode(F.array(
+                F.struct(F.col("id1"), F.col("id2"), F.col("kxy")),
+                F.struct(F.col("id2").alias("id1"),
+                         F.col("id1").alias("id2"), F.col("kxy")),
+            )).alias("_e")
+        ).select("_e.id1", "_e.id2", "_e.kxy")
+        sA = F.broadcast(s1).alias("sA")
+        sB = F.broadcast(s1).alias("sB")
+        off = (
+            both.join(sA, F.col("id1") == F.col("sA.series_id"))
+            .join(sB, F.col("id2") == F.col("sB.series_id"))
+            .select(
+                "id1", "id2",
+                (F.col("kxy")
+                 / F.sqrt(F.col("sA.kself") * F.col("sB.kself"))).alias("dist"),
+            )
         )
         diag = d1.select(
             F.col("series_id").alias("id1"), F.col("series_id").alias("id2"),
@@ -441,7 +476,7 @@ def _cdist_gak_normalized(d1: DataFrame, d2: DataFrame | None, sigma: float = 1.
         )
         return off.unionByName(diag)
     s2 = selfs(d2)
-    pairs = _pair_sort(cross_pairs(d1, d2), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
+    pairs = _pair_sort(cross_pairs(d1, d2, spread_to=spread_to), band=False).withColumn("kxy", udf(a1, a2)).select("id1", "id2", "kxy")
     k1 = F.broadcast(s1.select(F.col("series_id").alias("id1"), F.col("kself").alias("k1")))
     k2 = F.broadcast(s2.select(F.col("series_id").alias("id2"), F.col("kself").alias("k2")))
     return pairs.join(k1, "id1").join(k2, "id2").select(

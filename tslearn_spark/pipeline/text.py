@@ -29,22 +29,28 @@ def _stopword_hits(lang: str, toks: str = "toks") -> Column:
     return F.expr(f"size(filter({toks}, t -> array_contains({lst}, t)))")
 
 
+def language_cols(text_col: str = "text") -> tuple[Column, Column]:
+    """(pred_lang, score) as self-contained column expressions over the
+    raw text — the fusable form of language_id (r14: lets callers fold
+    all text operators into ONE map-only projection; codegen
+    subexpression elimination dedups the repeated hit counts)."""
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
+    hits = {lang: _stopword_hits(lang, toks) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for la in STOPWORDS:  # first language reaching the max wins (stable order)
+        pred = pred.when(hits[la] == best, F.lit(la))
+    return pred, best
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hit counts.
 
     (doc_id, pred_lang, score).  Unknown when no stopword hits.
     """
-    with_toks = docs.select("doc_id", tokens_col(text_col).alias("toks"))
-    scored = with_toks.select(
-        "doc_id",
-        *[_stopword_hits(lang).alias(f"hits_{lang}") for lang in STOPWORDS],
-    )
-    langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
-    pred = F.when(best <= 0, F.lit("unknown"))
-    for la in langs:  # first language reaching the max wins (stable order)
-        pred = pred.when(F.col(f"hits_{la}") == best, F.lit(la))
-    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("score"))
+    pred, best = language_cols(text_col)
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("score"))
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -54,11 +60,16 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     length, punctuation ratio, stopword ratio, uppercase ratio, digit
     ratio — all closed-form SQL.
     """
+    return _spread_docs(docs).select("doc_id", *quality_cols(text_col))
+
+
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """The quality_scores feature columns as expressions (r14: fusable
+    into one projection with the other text operators)."""
     t = text_col
     toks = tokens_col(text_col)
     en_stop = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
-    return _spread_docs(docs).select(
-        "doc_id",
+    return [
         F.length(t).alias("n_chars_q"),
         F.size(toks).alias("n_words"),
         (F.length(t) / F.greatest(F.size(toks), F.lit(1))).alias("mean_word_len"),
@@ -77,7 +88,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 f"t -> array_contains({en_stop}, t))"
             )) / F.greatest(F.size(toks), F.lit(1))
         ).alias("stopword_ratio"),
-    )
+    ]
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,18 +98,25 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     over character classes (letters runs, digit runs, punctuation singles)
     plus a length/4 correction for long words — deterministic and cheap.
     """
-    t = text_col
     words = tokens_col(text_col)
     return docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
+        *token_count_cols(text_col),
+    )
+
+
+def token_count_cols(text_col: str = "text") -> list[Column]:
+    """(n_ws_tokens, n_subwords) as expressions (r14: fusable)."""
+    t = text_col
+    return [
         F.size(F.expr(f"filter(split({t}, '\\\\s+'), x -> x != '')")).alias("n_ws_tokens"),
         # every word contributes ceil(len/4) subword pieces (BPE-ish)
         F.expr(
             f"aggregate(filter(split(lower({t}), '[^a-z0-9]+'), x -> x != ''), "
             f"0L, (a, w) -> a + cast(ceil(length(w) / 4.0) as long))"
         ).alias("n_subwords"),
-    )
+    ]
 
 
 def document_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -109,16 +127,19 @@ def document_fingerprints(docs: DataFrame, text_col: str = "text",
     character n-grams of length ``window``; documents sharing a
     fingerprint are near-dup candidates.  Pure SQL.
     """
-    t = text_col
     return _spread_docs(docs).select(
-        "doc_id",
-        F.expr(
-            f"""
-            array_min(transform(
-              sequence(0, greatest(length({t}) - {window}, 0)),
-              i -> cast(conv(substring(md5(substring({t}, i + 1, {window})), 1, 15),
-                        16, 10) as bigint)
-            ))
-            """
-        ).alias("fingerprint"),
-    )
+        "doc_id", fingerprint_col(text_col, window))
+
+
+def fingerprint_col(text_col: str = "text", window: int = 8) -> Column:
+    """The winnowing fingerprint as an expression (r14: fusable)."""
+    t = text_col
+    return F.expr(
+        f"""
+        array_min(transform(
+          sequence(0, greatest(length({t}) - {window}, 0)),
+          i -> cast(conv(substring(md5(substring({t}, i + 1, {window})), 1, 15),
+                    16, 10) as bigint)
+        ))
+        """
+    ).alias("fingerprint")
