@@ -1249,8 +1249,11 @@ def knn_dtw_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tslearn_spark.neighbors import knn_classify
 
     t = load_tables(spark, sf_dir)
+    # countDistinct, not distinct().count(): same exact value, but the
+    # partial-aggregate form ships per-partition distinct sets instead
+    # of shuffling every distinct user_id row (r14, guide §2.3)
     mod = _knn_sample_mod(
-        t["events"].select("user_id").distinct().count())
+        t["events"].agg(F.countDistinct("user_id")).first()[0])
     ts = spark.sql(_KNN_INT_SQL.replace("{mod}", str(mod)))
     labeled = ts.withColumn(
         "label", (F.col("series_id") % 3).cast("string")
