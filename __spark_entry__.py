@@ -583,8 +583,12 @@ def ts_lb_keogh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sm:  # board sampling: query side only; envelope side stays full
         q = q.where(F.col("id1") % sm == 0)
     pairs = q.join(F.broadcast(cand), F.col("id1") < F.col("id2"))
+    # fixed_n=16: every row is resample(16) output, so the exceedance sum
+    # takes lb_keogh_env_col's unrolled codegen branch instead of the
+    # per-pair interpreted fold (r14, guide §4.1; bit-identical values)
     return pairs.select(
-        "id1", "id2", F.round(lb_keogh_env_col("qv", "env"), 6).alias("lb_keogh")
+        "id1", "id2",
+        F.round(lb_keogh_env_col("qv", "env", fixed_n=16), 6).alias("lb_keogh"),
     )
 
 

@@ -95,6 +95,37 @@ class TestEnvelopeSQL:
         d = q.select(M.lb_keogh_col("qv", "lo", "up").alias("lb")).first()["lb"]
         assert d == pytest.approx(2.8284271247461903)
 
+    def test_lb_keogh_env_fixed_n_bit_identical(self, spark):
+        """r14: the fixed_n unrolled codegen branch of lb_keogh_env_col
+        must be BIT-identical to the interpreted fold on exact-size rows,
+        and rows whose size differs from fixed_n must fall back to the
+        fold (not silently take the unroll on padded/truncated input)."""
+        import numpy as np
+
+        rs = np.random.RandomState(7)
+        exact = [rs.randn(16).tolist() for _ in range(6)]   # size == fixed_n
+        short = [rs.randn(9).tolist() for _ in range(2)]    # fallback rows
+        df = DS.dataset_to_df(spark, exact + short)
+        lo, up = M.envelope_cols("values", radius=2)
+        cand = df.select(
+            F.col("series_id").alias("id2"), lo.alias("lo"), up.alias("up")
+        ).select("id2", M.envelope_struct_col("lo", "up").alias("env"))
+        q = df.select(F.col("series_id").alias("id1"), F.col("values").alias("qv"))
+        pairs = q.join(cand, F.col("id1") != F.col("id2"))
+        # only compare same-length pairs: fold's zip_with on unequal
+        # lengths pads with nulls, which is out of contract either way
+        pairs = pairs.where(F.size("qv") == F.size("env"))
+        got = pairs.select(
+            "id1", "id2",
+            M.lb_keogh_env_col("qv", "env").alias("fold"),
+            M.lb_keogh_env_col("qv", "env", fixed_n=16).alias("unrolled"),
+        ).collect()
+        assert len(got) == 6 * 5 + 2 * 1  # 16-len pairs + 9-len pairs
+        for r in got:
+            # exact equality, not approx: the unroll must preserve the
+            # fold's left-association bit for bit
+            assert r["fold"] == r["unrolled"], (r["id1"], r["id2"])
+
 
 class TestKNN:
     def test_variablelength_golden(self, spark):
