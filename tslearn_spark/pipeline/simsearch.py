@@ -746,6 +746,26 @@ def lsh_topk(
             norm_col(vec_col).alias("cn"),
             F.posexplode(cand_buckets(vec_col)).alias("t", "bucket"),
         )
+    elif queries is candidates:
+        # self-ANN (the common dedup/kNN-graph call): hash + norm the
+        # corpus ONCE and explode both join sides from the materialized
+        # row — the two sides are otherwise independent subtrees, so
+        # the n_tables x bits interpreted hash dots (the linear-pass
+        # cost at scale) would run twice per row (r14 interleaved A/B
+        # at sf0.1: 1.21 -> 0.71 s; values identical — same hashes,
+        # same norms, computed once instead of twice).
+        hashed = candidates.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            norm_col(vec_col).alias("_n"), buckets.alias("_b"),
+        ).localCheckpoint()
+        qb = hashed.select(
+            F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+            F.col("_n").alias("qn"), F.posexplode("_b").alias("t", "bucket"),
+        )
+        cb = hashed.select(
+            F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+            F.col("_n").alias("cn"), F.posexplode("_b").alias("t", "bucket"),
+        )
     else:
         qb = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
@@ -770,9 +790,15 @@ def lsh_topk(
         "query_id", "neighbor_id",
         cosine_from_norms("qv", "cv", "qn", "cn").alias("cosine"),
     )
-    deduped = scored.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
-    )
+    # ONE exchange for the dedup + rank tail: hash partitioning on
+    # query_id alone satisfies both the (query_id, neighbor_id) dedup
+    # aggregate's clustered distribution and the rank window's, so the
+    # plan keeps a single Exchange where groupBy-then-Window needed two
+    # (r14 interleaved A/B at sf0.1: -0.2 s; same rows, same hashes).
+    # Partition count is the session shuffle default — AQE coalesces.
+    deduped = scored.repartition("query_id").groupBy(
+        "query_id", "neighbor_id"
+    ).agg(F.max("cosine").alias("cosine"))
     if drop_self:
         deduped = deduped.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
