@@ -504,14 +504,32 @@ class TestSimsearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8
 
+    @staticmethod
+    def _dyadic_tie_vectors(seed: int, n: int = 60, d: int = 4) -> np.ndarray:
+        """Vectors whose normalized entries AND pairwise dots are exact
+        dyadic rationals: entries in {-2..2} with norm² in {1, 4, 16},
+        so normalization divides by 1/2/4 and every GEMM product/sum is
+        exact in double under ANY blocking or FMA use.  Cross-batch-
+        shape comparisons of brute_force/ivf scores are then exact —
+        randint data makes near-ties whose last-ulp rounding differs
+        per BLAS kernel (hardware-dependent: flipped the k-cutoff set
+        on this sandbox's dispatch), which is NOT what these tests pin.
+        The tiny pool gives heavy exact ties, resolved by id."""
+        rs = np.random.RandomState(seed)
+        out = []
+        while len(out) < n:
+            cand = rs.randint(-2, 3, size=d).astype(float)
+            if (cand * cand).sum() in (1.0, 4.0, 16.0):
+                out.append(cand)
+        return np.array(out)
+
     def test_brute_force_per_task_merge_multi_batch(self, spark):
         """gen folds per-Arrow-batch partials into ONE per-task partial
         (merge_topk_columns): results must be identical however small
         the Arrow batches are — incl. exact ties resolved by id."""
         from tslearn_spark.pipeline import brute_force_topk
 
-        rs = np.random.RandomState(9)
-        v = rs.randint(0, 3, size=(60, 4)).astype(float)  # heavy ties
+        v = self._dyadic_tie_vectors(9)  # heavy EXACT ties
         rows = [(int(i), v[i].tolist()) for i in range(len(v))]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>").coalesce(2)
@@ -524,9 +542,8 @@ class TestSimsearch:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", key)
         big = {(r["query_id"], r["neighbor_id"])
                for r in brute_force_topk(df, df, k=5).collect()}
-        # neighbor SETS must match; ranks among exact ties may flip by a
-        # last-ulp GEMM difference (different batch shapes block the FMA
-        # accumulation differently), which the window then orders
+        # scores are exact (dyadic construction), so the neighbor sets
+        # must match bit-for-bit however the batches were shaped
         assert small == big
 
     def test_ivf_per_task_merge_multi_batch(self, spark):
@@ -534,8 +551,7 @@ class TestSimsearch:
         partial — results identical under tiny Arrow batches."""
         from tslearn_spark.pipeline import ivf_topk
 
-        rs = np.random.RandomState(4)
-        v = rs.randint(0, 3, size=(60, 4)).astype(float)
+        v = self._dyadic_tie_vectors(4)
         rows = [(int(i), v[i].tolist()) for i in range(len(v))]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>").coalesce(2)
