@@ -100,6 +100,32 @@ class TestGate:
         assert not bench._gate(1.0, 0.0)       # no baseline
 
 
+class TestClassAmbient:
+    """r15: per-class contention split (sql-only vs python-worker) —
+    contention on the bench box is non-uniform across the two classes
+    (r14: py-worker queries slowed ~2x while controls slowed ~1.5x), so
+    the committed artifact carries a median ratio per class."""
+
+    def test_split_medians(self):
+        timings = {"nation_order_rollup": 2.0,      # sql
+                   "q1_pricing_summary": 3.0,       # sql
+                   "ann_ivf_topk": 4.0,             # py
+                   "cdist_dtw_tiny": 6.0}           # py
+        prior = {"nation_order_rollup": 1.0, "q1_pricing_summary": 2.0,
+                 "ann_ivf_topk": 1.0, "cdist_dtw_tiny": 3.0}
+        out = bench._class_ambient(timings, prior)
+        assert out["sql"] == pytest.approx(1.75)   # median(2.0, 1.5)
+        assert out["py"] == pytest.approx(3.0)     # median(4.0, 2.0)
+
+    def test_no_prior_is_none(self):
+        assert bench._class_ambient({"ann_ivf_topk": 1.0}, {}) == {
+            "sql": None, "py": None}
+
+    def test_py_worker_set_is_benched_subset(self):
+        # the classification must not drift from the bench roster
+        assert bench.PY_WORKER_BENCH <= set(bench.BENCH_QUERIES)
+
+
 class TestDispersionPolicy:
     """r13 statistical-ambient policy: per-query dispersion (median +
     MAD over history) and z-scores in units of each query's own spread

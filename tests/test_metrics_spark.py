@@ -3,6 +3,8 @@ clustering, silhouette (FIXTURES.md §2.1/2.6/2.7/2.8)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -125,6 +127,53 @@ class TestEnvelopeSQL:
             # exact equality, not approx: the unroll must preserve the
             # fold's left-association bit for bit
             assert r["fold"] == r["unrolled"], (r["id1"], r["id2"])
+
+    def test_lb_keogh_env_fixed_n_nan_edge_pinned(self, spark):
+        """Pin the documented NaN divergence of the fixed_n unroll
+        (r14 verdict item: the size guard checks length, not
+        NaN-freeness).  The engine's data contract is NaN-free series
+        (NaN padding is trimmed at ingest), so NaN inputs are out of
+        contract — but the two branches behave DIFFERENTLY there and a
+        future ingest change must not flip results silently:
+
+        * q in [l, u] with a NaN envelope bound: the CASE fold yields a
+          0.0 contribution (both comparisons against NaN are false under
+          Spark's NaN-is-greatest ordering), while the branch-free
+          ``greatest(q-u, l-q, 0)`` propagates NaN;
+        * a NaN query value poisons BOTH branches to NaN identically.
+
+        If this test ever fails, either Spark's NaN comparison semantics
+        changed or someone altered a branch — re-verify the ingest
+        NaN-trim before trusting fixed_n on that data."""
+        nan = float("nan")
+        # 4-element rows: q2 sits inside [l2, u2] except env u2 is NaN
+        rows = [(
+            [[0.0], [1.0], [2.0], [3.0]],          # qv (nested univariate)
+            [{"l": -1.0, "u": 1.0}, {"l": 0.0, "u": 2.0},
+             {"l": 1.0, "u": nan}, {"l": 2.0, "u": 4.0}],
+        )]
+        schema = ("qv array<array<double>>, "
+                  "env array<struct<l: double, u: double>>")
+        df = spark.createDataFrame(rows, schema)
+        got = df.select(
+            M.lb_keogh_env_col("qv", "env").alias("fold"),
+            M.lb_keogh_env_col("qv", "env", fixed_n=4).alias("unrolled"),
+        ).first()
+        # fold: every exceedance is 0 (NaN comparisons false) -> sqrt(0)
+        assert got["fold"] == 0.0
+        # unroll: greatest(q-NaN, ...) = NaN propagates to the sum
+        assert math.isnan(got["unrolled"])
+        # NaN in the QUERY poisons both branches identically
+        rows_q = [(
+            [[0.0], [nan], [2.0], [3.0]],
+            [{"l": -1.0, "u": 1.0}, {"l": 0.0, "u": 2.0},
+             {"l": 1.0, "u": 3.0}, {"l": 2.0, "u": 4.0}],
+        )]
+        got_q = spark.createDataFrame(rows_q, schema).select(
+            M.lb_keogh_env_col("qv", "env").alias("fold"),
+            M.lb_keogh_env_col("qv", "env", fixed_n=4).alias("unrolled"),
+        ).first()
+        assert math.isnan(got_q["fold"]) and math.isnan(got_q["unrolled"])
 
 
 class TestKNN:
