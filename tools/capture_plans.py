@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for declared queries to plans/r14/.
+"""Dump .explain("formatted") for declared queries to plans/<round>/ (SPARK_GRAFT_PLANS_ROUND, default r15).
 
 Usage:
     python tools/capture_plans.py before [query ...]
@@ -25,7 +25,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")

@@ -466,21 +466,24 @@ def dtw_banded_batch_mixed(arrs_a: list, arrs_b: list, radius: int | None = None
             row = np.cumsum(Dw, axis=1)
             row[dead] = np.inf
         else:
-            shift = cur_lo - prev_lo  # this row's k=0 in prev-row k coords
-            idxU = kgrid + shift[:, None]
-            okU = (idxU >= 0) & (idxU < W)
-            idxUc = np.minimum(np.maximum(idxU, 0), W - 1)
-            up = np.where(okU, prev[rows_idx, idxUc], np.inf)
-            # idxU is consecutive in k, so the diagonal gather is the up
-            # gather shifted one lane right; only lane 0 needs its own read
-            diag = np.empty_like(up)
-            diag[:, 1:] = up[:, :-1]
-            d0 = shift - 1
-            ok0 = (d0 >= 0) & (d0 < W)
-            diag[:, 0] = np.where(
-                ok0, prev[rows_1d, np.minimum(np.maximum(d0, 0), W - 1)],
-                np.inf)
-            a = Dw + np.minimum(up, diag)
+            # this row's k=0 sits `shift` cells right of the previous
+            # row's k=0, and cur_lo = max(0, i - wlo) grows by 0 or 1 per
+            # DP row, so shift is BINARY.  min(up, diag) for lane k is
+            # then the min of the two ADJACENT prev cells (k+shift-1,
+            # k+shift): one adjacent-pair min over an inf-padded prev +
+            # a two-slice select replaces the (n, W) fancy-index gather
+            # (the dominant per-row cost — cf. _dtw_full_core's note) by
+            # contiguous slice arithmetic.  Out-of-range cells read the
+            # inf pad, exactly like the old okU/ok0 masks; values are
+            # bit-identical (r15, same-seed full-batch equality test).
+            shift = cur_lo - prev_lo
+            nk = prev.shape[0]
+            P = np.empty((nk, W + 2))
+            P[:, 0] = np.inf
+            P[:, 1:W + 1] = prev
+            P[:, W + 1] = np.inf
+            Q = np.minimum(P[:, :W + 1], P[:, 1:])
+            a = Dw + np.where((shift == 1)[:, None], Q[:, 1:], Q[:, :W])
             # mask BEFORE the horizontal accumulate: a live cell must not
             # chain off an out-of-band cell to its left
             a[dead] = np.inf
