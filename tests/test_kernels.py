@@ -62,6 +62,30 @@ class TestDTW:
             ]
             np.testing.assert_allclose(got, want, atol=1e-9)
 
+    def test_mixed_banded_adjacent_min_bitwise(self):
+        """r15: the banded row scan replaced the (n, W) fancy-index
+        gather of the previous DP row with an adjacent-pair min over an
+        inf-padded prev + two-slice select (valid because cur_lo =
+        max(0, i - wlo) steps by 0 or 1 per row, so min(up, diag) for
+        lane k is the min of prev cells k+shift-1 and k+shift).  Pin
+        BITWISE equality with the per-pair accumulated-matrix reference
+        on univariate batches — the rewrite must not change a single
+        ulp, including on bands clipped at both series edges and on
+        batches big enough to hit the diff-sorted sub-batch splitter."""
+        rs = np.random.RandomState(23)
+        # wide length spread: band widths W from ~2r+1 up to |la-lb|+2r+1
+        arrs_a = [rs.randn(rs.randint(4, 60), 1) for _ in range(700)]
+        arrs_b = [rs.randn(rs.randint(4, 60), 1) for _ in range(700)]
+        for r in (0, 2, 5):
+            got = K.dtw_banded_batch_mixed(arrs_a, arrs_b, radius=r)
+            want = np.array([
+                np.sqrt(K.dtw_accumulated_matrix(
+                    a, b, sakoe_chiba_radius=r)[-1, -1])
+                for a, b in zip(arrs_a, arrs_b)
+            ])
+            # exact, not allclose: same adds in the same order
+            assert np.array_equal(got, want), f"radius={r}"
+
     def test_band_matches_unconstrained_when_wide(self):
         rs = np.random.RandomState(1)
         a, b = rs.randn(12), rs.randn(12)

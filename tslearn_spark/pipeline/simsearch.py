@@ -69,74 +69,6 @@ def cosine_from_norms(dot_a: str, dot_b: str, n_a: str, n_b: str):
     )
 
 
-# chunk width for the chained pair-dot unroll: r14 measured the JIT
-# boundary for generated arithmetic at ~16 plain multiply-adds per
-# method (silhouette's 16-term unroll won 2.7x; a flat 64-term unroll
-# regressed 1.8x — HotSpot refuses to compile the oversized method and
-# the whole stage runs interpreted bytecode)
-_DOT_CHUNK = 16
-
-
-def _cosine_chunked(df: DataFrame, passthrough: list[str], a: str, b: str,
-                    n_a: str, n_b: str, dim: int, out: str) -> DataFrame:
-    """cosine_from_norms evaluated as CHAINED unrolled chunk sums across
-    separate Projects — the §4.1 fix for the last interpreted HOF fold on
-    the O(pairs) LSH scoring stage (r14 removed every other one).
-
-    The fold ``aggregate(zip_with(a,b,(x,y)->cast(x as double)*y), 0.0D,
-    (s,v)->s+v)`` is CodegenFallback: on a bucket join it is evaluated by
-    the interpreted expression evaluator once per PAIR, with a closure
-    invocation + array allocation per element.  A flat ``dim``-term
-    unroll fixes the interpreter but breaks the JIT (r14: 1.8x WORSE at
-    dim=64 — the generated method exceeds what HotSpot compiles).  This
-    helper splits the sum into ``_DOT_CHUNK``-term sub-sums, one
-    Project each:
-
-        p0 = 0.0 + t0 + ... + t15            -- Project 1
-        p1 = greatest(p0, p0) + t16 + ...    -- Project 2
-        ...
-        cosine = p_last / norm-guard         -- final Project
-
-    * Association is the fold's exact left-association — (((0+t0)+t1)+…)
-      continued across chunks — so doubles are bit-identical.
-    * ``greatest(p, p)`` == p bit-for-bit for every double (including
-      NaN and -0.0) and references the previous partial TWICE, which
-      stops CollapseProject from inlining the chunks back into one
-      JIT-hostile expression (the rule only inlines non-cheap producers
-      referenced once); whole-stage codegen then emits one small
-      generated method per Project (splitConsumeFuncByOperator).
-    * Rows whose array sizes differ from ``dim`` take the interpreted
-      fold via a codegen'd size guard (CASE branches are lazy), exactly
-      like the r14 SAX/LB_Keogh dispatches — callers outside the
-      declared width keep the old path and the old values.
-    """
-    ok = f"(size({a}) = {dim} AND size({b}) = {dim})"
-    cur = df
-    prev = None
-    n_chunks = (dim + _DOT_CHUNK - 1) // _DOT_CHUNK
-    for c in range(n_chunks):
-        lo, hi = c * _DOT_CHUNK, min(dim, (c + 1) * _DOT_CHUNK)
-        terms = " + ".join(
-            f"(cast({a}[{i}] as double) * {b}[{i}])" for i in range(lo, hi)
-        )
-        head = "0.0D" if prev is None else f"greatest({prev}, {prev})"
-        name = f"_dotp{c}"
-        cur = cur.select(
-            *passthrough, a, b, n_a, n_b,
-            F.expr(f"CASE WHEN {ok} THEN {head} + {terms} "
-                   f"ELSE 0.0D END").alias(name),
-        )
-        prev = name
-    denom = (f"CASE WHEN {n_a} * {n_b} = 0.0D THEN 1.0D "
-             f"ELSE {n_a} * {n_b} END")
-    return cur.select(
-        *passthrough,
-        F.when(F.expr(ok), F.expr(f"{prev} / ({denom})"))
-        .otherwise(cosine_from_norms(a, b, n_a, n_b))
-        .alias(out),
-    )
-
-
 def _spread_compute(df: DataFrame) -> DataFrame:
     """Round-robin a COMPUTE-bound mapInPandas input across all cores
     when the scan yields fewer splits than the cluster has slots.
@@ -854,18 +786,10 @@ def lsh_topk(
         if candidates.rdd.getNumPartitions() < ncores:
             cb = cb.repartition(ncores, "t", "bucket")
     qside = F.broadcast(qb) if broadcast_queries else qb
-    joined = cb.join(qside, ["t", "bucket"])
-    if dim is not None and dim >= 2 * _DOT_CHUNK:
-        # O(pairs) scoring without the interpreted fold: chained unrolled
-        # chunk sums (see _cosine_chunked) — bit-identical values
-        scored = _cosine_chunked(
-            joined, ["query_id", "neighbor_id"],
-            "qv", "cv", "qn", "cn", dim, out="cosine")
-    else:
-        scored = joined.select(
-            "query_id", "neighbor_id",
-            cosine_from_norms("qv", "cv", "qn", "cn").alias("cosine"),
-        )
+    scored = cb.join(qside, ["t", "bucket"]).select(
+        "query_id", "neighbor_id",
+        cosine_from_norms("qv", "cv", "qn", "cn").alias("cosine"),
+    )
     # ONE exchange for the dedup + rank tail: hash partitioning on
     # query_id alone satisfies both the (query_id, neighbor_id) dedup
     # aggregate's clustered distribution and the rank window's, so the
