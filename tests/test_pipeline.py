@@ -569,6 +569,39 @@ class TestSimsearch:
         # must match bit-for-bit however the batches were shaped
         assert small == big
 
+    def test_spread_compute_work_derived(self, spark):
+        """r15 (guide §2): _spread_compute sizes the task count by WORK
+        (flops_per_row x rows vs a per-task flop quantum), capped at
+        defaultParallelism, instead of always manufacturing one task
+        per slot out of sub-slot-count inputs.  Partitioning never
+        affects results (per-task partial top-k + exact tie-aware final
+        rank — pinned by the per-task-merge tests above); this pins the
+        task-count derivation itself."""
+        from tslearn_spark.pipeline.simsearch import (
+            _SPREAD_FLOPS_PER_TASK, _spread_compute,
+        )
+
+        slots = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).selectExpr("id as vec_id").coalesce(1)
+        # legacy: no work hint -> one task per slot
+        assert _spread_compute(df).rdd.getNumPartitions() == slots
+        # light rows (one task quantum covers everything) -> unchanged
+        light = _spread_compute(
+            df, flops_per_row=_SPREAD_FLOPS_PER_TASK / 2000, n_rows=1000)
+        assert light.rdd.getNumPartitions() == 1
+        # heavy rows (a full quantum EACH) -> one task per row, capped
+        heavy = _spread_compute(
+            df, flops_per_row=_SPREAD_FLOPS_PER_TASK, n_rows=1000)
+        assert heavy.rdd.getNumPartitions() == min(slots, 1000)
+        # intermediate: 1000 rows x quantum/100 flops -> 10 tasks
+        mid = _spread_compute(
+            df, flops_per_row=_SPREAD_FLOPS_PER_TASK / 100, n_rows=1000)
+        assert mid.rdd.getNumPartitions() == min(slots, 10)
+        # already >= slots splits (real scale): untouched, no shuffle
+        wide = df.repartition(slots)
+        assert _spread_compute(
+            wide, flops_per_row=1.0, n_rows=10**9) is wide
+
     def test_auto_ivf_params(self):
         """Corpus-size defaults: n_lists ~ sqrt(n) (clamped), n_probe =
         n_lists/16 (floor 4) — the no-hand-tuning IVF path (measured

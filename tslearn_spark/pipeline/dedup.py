@@ -515,9 +515,12 @@ def embedding_neardup_pairs(
 
         # compute-spread like brute_force_topk: a byte-sized scan must
         # not serialize the GEMM stage on one (now single-BLAS-thread)
-        # worker; no-op when the input already has >= cores splits
+        # worker; no-op when the input already has >= cores splits.
+        # flops-derived target (r15): per row one dot vs the whole
+        # broadcast matrix; n_rows known from the driver-side matrix.
         return _spread_compute(
-            embeddings.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+            embeddings.select(F.col(id_col), F.col(vec_col)),
+            flops_per_row=float(Qn.size), n_rows=len(ids)).mapInPandas(
             gen, "id1 long, id2 long, cosine double"
         )
 
