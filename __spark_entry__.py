@@ -1180,10 +1180,18 @@ def cdist_dtw_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the free-first-row recursion as one more recursive CTE.
         F.round(pair_metric_udf("subseq")("values1", "values2"), 6).alias("subseq"),
     )
+    # broadcast hints (guide §3.1): the four metric subtrees are all
+    # post-Arrow (no size stats), so the planner falls back to
+    # SortMergeJoin — an Exchange + Sort per side plus an AQE
+    # stage-materialization barrier per join — for inputs that are
+    # <=144 rows BY CONSTRUCTION at every sf.  Hinting the three build
+    # sides plans BroadcastHashJoin upfront: the probe chain is never
+    # shuffled and the barriers disappear.  Inner equi-joins on
+    # (id1, id2): identical rows either way.
     return (
-        edges.join(lc, ["id1", "id2"])
-        .join(edges_band, ["id1", "id2"])
-        .join(extra, ["id1", "id2"])
+        edges.join(F.broadcast(lc), ["id1", "id2"])
+        .join(F.broadcast(edges_band), ["id1", "id2"])
+        .join(F.broadcast(extra), ["id1", "id2"])
         .select("id1", "id2", "dtw", "lcss", "dtw_band", "softdtw", "gak",
                 "sbd", "subseq")
     )
