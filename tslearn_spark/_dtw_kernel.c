@@ -75,10 +75,12 @@ void dtw_batch(const double *bufA, const long long *offA, const long long *lenA,
             }
             long long shift = cur_lo - prev_lo, k;
             double s = 0.0;
-            if (i == 0 || prev_w < 0) {
-                /* row 0 (or a row after a dead row, unreachable with
-                 * valid bands): row = cumsum(Dw), like the numpy i==0
-                 * branch */
+            if (i == 0) {
+                /* row 0: row = cumsum(Dw), like the numpy i==0 branch.
+                 * (A row after a fully-dead row — unreachable with
+                 * valid bands — falls into the i>0 branch, where every
+                 * prev read hits the inf bound and the row propagates
+                 * inf, exactly like the numpy kernel.) */
                 for (k = 0; k <= width; k++) {
                     double dw;
                     if (d == 1) {
